@@ -1,0 +1,157 @@
+package graft.plans
+
+import graft.cypher.Ast
+
+/**
+ * Pattern graph + logical plan for graph pattern matching.
+ *
+ * Mirrors the reference's two IRs:
+ *  - `PatternGraph` ≙ QueryGraph (g4s-optimizer/.../optim/QueryGraph.scala:15-22):
+ *    bindings with optional labels, directed typed edges between them,
+ *    INCOMING normalized by endpoint swap (QueryGraph.scala:76-82), unnamed
+ *    nodes get fresh names (optim/Name.scala:3-5).
+ *  - `LogicNode` ≙ the reference's logical operators
+ *    (g4s-optimizer/.../optim/logic/LogicNode.scala:41-98): GetNodes,
+ *    GetEdges, Expand, Filter, Join. Spark adaptation: every node knows its
+ *    *head binding* and the set of bindings its DataFrame carries as columns,
+ *    because the relational executor keeps all still-needed bindings instead
+ *    of the reference's (branch-start × head) Boolean matrix.
+ */
+object Pattern {
+
+  final case class PatternEdge(src: String, dst: String, types: Seq[String], undirected: Boolean)
+
+  final case class PatternGraph(
+      labels: Map[String, Option[String]],           // binding -> label constraint
+      edges: Vector[PatternEdge],
+      predicates: Seq[Ast.Cmp],                      // WHERE conjuncts per binding
+      returns: Seq[String],
+      distinct: Boolean,
+      limit: Option[Int]) {
+    def bindings: Set[String] = labels.keySet
+  }
+
+  /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST). */
+  def fromQuery(q: Ast.Query): PatternGraph = {
+    var fresh = 0
+    def freshName(): String = { fresh += 1; s"__v$fresh" }
+    val labels = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    val edges = Vector.newBuilder[PatternEdge]
+    def addNode(n: Ast.NodePat): String = {
+      val name = n.name.getOrElse(freshName())
+      // later mentions may add a label to an already-seen binding
+      labels.get(name) match {
+        case Some(None) | None => labels(name) = n.label.orElse(labels.get(name).flatten)
+        case Some(Some(existing)) =>
+          n.label.foreach { l =>
+            if (l != existing)
+              throw new graft.cypher.ParseException(
+                s"binding $name has conflicting labels $existing and $l")
+          }
+      }
+      name
+    }
+    q.paths.foreach { p =>
+      var prev = addNode(p.first)
+      p.hops.foreach { case (rel, node) =>
+        val cur = addNode(node)
+        rel.dir match {
+          case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false)
+          case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false)
+          case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true)
+        }
+        prev = cur
+      }
+    }
+    val unknown = q.returns.filterNot(labels.contains)
+    if (unknown.nonEmpty)
+      throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
+    val cmps = q.where.collect { case c: Ast.Cmp => c }
+    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.limit)
+  }
+}
+
+/**
+ * Logical operators (≙ reference LogicNode.scala:41-98). The tree shape IS
+ * the execution order — the planner emits an already-ordered tree and the
+ * executor compiles it 1:1 to DataFrame ops, letting Catalyst do pushdown /
+ * pruning / physical join selection (SURVEY §7.3 ledger).
+ */
+sealed trait LogicNode {
+  /** The binding at the "head" of the frontier this node produces. */
+  def head: String
+  /** All bindings carried as columns by this node's DataFrame. */
+  def carried: Set[String]
+}
+
+/** Vertex scan with optional label (≙ GetNodes, LogicNode.scala:41-49). */
+final case class GetNodes(binding: String, label: Option[String]) extends LogicNode {
+  def head: String = binding
+  def carried: Set[String] = Set(binding)
+}
+
+/**
+ * Edge scan, matrix-valued operand of Expand (≙ GetEdges,
+ * LogicNode.scala:51-56). `transpose` = walk against edge direction; in Spark
+ * it dissolves into swapping which endpoint is the join key — matching how
+ * the reference stores pre-flipped transpose matrices rather than computing
+ * them (ConcurrentDirectedGraph.scala:146-148).
+ */
+final case class GetEdges(types: Seq[String], transpose: Boolean, undirected: Boolean = false)
+
+/**
+ * One-hop traversal frontier × edges (≙ Expand, LogicNode.scala:59-65).
+ * `toLabel` pushed into the edge side = the reference's
+ * FilterExpandCommutative rewrite `(A·X)·B ⇒ A·(X·B)`
+ * (optim/rules/trans/FilterExpandCommutative.scala:11-34): filter the edge
+ * scan's dst by label *before* the expand join.
+ */
+final case class Expand(
+    from: LogicNode,
+    fromBinding: String,
+    edges: GetEdges,
+    to: String,
+    toLabelPushed: Option[String],
+    keep: Set[String]) extends LogicNode {
+  require(from.carried(fromBinding),
+    s"Expand from $fromBinding not carried by frontier ${from.carried}")
+  def head: String = to
+  def carried: Set[String] = keep
+}
+
+/** Constrain the head binding to a label (≙ Filter, LogicNode.scala:68-74). */
+final case class Filter(frontier: LogicNode, label: String) extends LogicNode {
+  def head: String = frontier.head
+  def carried: Set[String] = frontier.carried
+}
+
+/** Property predicate on a carried binding (beyond the reference: WHERE). */
+final case class PropFilter(frontier: LogicNode, pred: Ast.Cmp) extends LogicNode {
+  def head: String = frontier.head
+  def carried: Set[String] = frontier.carried
+}
+
+/**
+ * Close a cycle: both endpoints already bound; keep rows where the edge
+ * exists (reference has no cyclic support — Readme.md:6; this is the
+ * left-semi analogue of its Diag/FilterMul combination).
+ */
+final case class EdgePredicate(frontier: LogicNode, edges: GetEdges, src: String, dst: String)
+    extends LogicNode {
+  def head: String = frontier.head
+  def carried: Set[String] = frontier.carried
+}
+
+/** Merge two branches on a shared binding (≙ Join, LogicNode.scala:77-86). */
+final case class Join(left: LogicNode, right: LogicNode, on: String, keep: Set[String])
+    extends LogicNode {
+  def head: String = on
+  def carried: Set[String] = keep
+}
+
+/** Disconnected pattern components (no reference analogue; rejected there). */
+final case class CartesianProduct(left: LogicNode, right: LogicNode, keep: Set[String])
+    extends LogicNode {
+  def head: String = left.head
+  def carried: Set[String] = keep
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.cypher.{Ast, CypherParser}
+import graft.graph.PropertyGraph
+import graft.plans._
+
+/**
+ * Parser + planner + executor over the reference's own fixtures:
+ * the Readme diamond graph (reference Readme.md:45-139) and the OptimSpec
+ * scenarios (g4s-matrix-graph/src/test/scala/.../optim/OptimSpec.scala).
+ */
+class CypherSpec extends SparkSpec {
+
+  test("parser: chain with labels, directions, types") {
+    val q = CypherParser.parse("MATCH (a:A)-[:X]->(b)<-[:Y|Z]-(c:C) RETURN a, c")
+    assert(q.paths.head.first == Ast.NodePat(Some("a"), Some("A")))
+    val hops = q.paths.head.hops
+    assert(hops(0)._1 == Ast.RelPat(Seq("X"), Ast.Out))
+    assert(hops(1)._1 == Ast.RelPat(Seq("Y", "Z"), Ast.In))
+    assert(q.returns == Seq("a", "c"))
+  }
+
+  test("parser: WHERE and LIMIT") {
+    val q = CypherParser.parse(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.value > 10 AND b.name = 'x' RETURN DISTINCT b LIMIT 5")
+    assert(q.where == Seq(Ast.Cmp("a", "value", ">", 10.0), Ast.Cmp("b", "name", "=", "x")))
+    assert(q.distinct && q.limit.contains(5))
+  }
+
+  test("pattern graph: INCOMING normalized by endpoint swap") {
+    val pg = Pattern.fromQuery(CypherParser.parse("MATCH (a:A)<-[:X]-(b:B) RETURN a"))
+    assert(pg.edges == Vector(Pattern.PatternEdge("b", "a", Seq("X"), undirected = false)))
+  }
+
+  // Diamond fixture (reference Readme.md:45-139):
+  //   a:A -X-> b1:B -Y-> c:C ; a -X-> b2:B -Y-> c
+  def diamond: PropertyGraph = PropertyGraph.fromTuples(spark,
+    nodes = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "C")),
+    edges = Seq((1L, 2L, "X"), (2L, 4L, "Y"), (1L, 3L, "X"), (3L, 4L, "Y")))
+
+  test("diamond: 1-hop returns {b1, b2}") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("diamond: 2-hop returns {c}") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(4L))
+  }
+
+  test("diamond: multi-binding return preserves pairing") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN b, c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((2L, 4L), (3L, 4L)))
+  }
+
+  test("diamond: incoming direction") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (c:C)<-[:Y]-(b:B) RETURN b").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("diamond: undirected hop matches both orientations") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (b:B)-[:X]-(x) RETURN x").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L)) // only a, via the reversed orientation
+  }
+
+  // OptimSpec fork scenario (OptimSpec.scala:191-262): return the middle
+  // binding of (a)-[:X]->(b)<-[:Y]-(c).
+  test("fork: return middle binding") {
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "C"), (7L, "D")),
+      edges = Seq((1L, 2L, "X"), (1L, 3L, "X"), (1L, 4L, "X"), (1L, 5L, "X"),
+        (6L, 2L, "Y"), (6L, 3L, "Y")))
+    val db = new GraphDB(g)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B)<-[:Y]-(c:C) RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  // Regression: second branch expands FROM an interior binding (n), not the
+  // frontier head — Expand must join on its own fromBinding column.
+  test("fork from interior binding: expand joins on fromBinding, not head") {
+    val g = PropertyGraph.fromTuples(spark,
+      // many customers so the planner starts at the small nation side and the
+      // frontier head has moved past `n` when the supplier branch expands
+      nodes = Seq((1L, "N"), (2L, "N")) ++ (10L to 30L).map(i => (i, "Cst")) ++
+        Seq((40L, "Sup"), (41L, "Sup")),
+      edges = (10L to 30L).map(i => (i, 1L + i % 2, "IN")) ++
+        Seq((40L, 1L, "IN"), (41L, 2L, "IN")))
+    val db = new GraphDB(g)
+    val got = db.query("MATCH (c:Cst)-[:IN]->(n:N)<-[:IN]-(s:Sup) RETURN n")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("cycle: triangle pattern closes with edge predicate") {
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A")),
+      edges = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 1L, "E"), (1L, 4L, "E")))
+    val db = new GraphDB(g)
+    val got = db.query("MATCH (x:A)-[:E]->(y:A)-[:E]->(z:A), (z)-[:E]->(x) RETURN x, y, z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("WHERE property predicate") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "B", 10.0), (3L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 2L, "X"), (1L, 3L, "X"))).toDF("src", "dst", "etype"))
+    val db = new GraphDB(g)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) WHERE b.value > 15 RETURN b")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("tpch graph: 1-hop matches relational oracle") {
+    val db = new GraphDB(sources.TpchGraph(spark, SF))
+    val got = db.query("MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n").count()
+    val expected = spark.read.parquet(s"$SF/customer.parquet")
+      .select("c_nationkey").distinct().count()
+    assert(got == expected)
+  }
+
+  test("tpch graph: entry smoke") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
