@@ -1,0 +1,213 @@
+package graft.kernel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sparse linear-algebra kernel over DataFrames — the Spark-native analogue of
+ * the reference's GraphBLAS wrapper (g4s-sparse, SURVEY §2.3).
+ *
+ * A matrix is a COO DataFrame `(i BIGINT, j BIGINT, v <type>)`; a vector is
+ * `(i BIGINT, v <type>)`. The reference binds SuiteSparse:GraphBLAS over JNI
+ * (g4s-sparse/.../grbv2/MatrixOps.scala); here every kernel op compiles to a
+ * declarative join/aggregate plan so Catalyst/Tungsten/AQE choose the
+ * physical strategy, which is what makes the same code run at 100 TB: mxm is
+ * a shuffle (or broadcast) hash join + partial aggregation, never a dense
+ * N×N structure.
+ *
+ * Ops carry the GraphBLAS-style optional `mask` (+ `complement`) and `accum`
+ * arguments (reference MatrixOps.scala:162-197): a mask compiles to a
+ * left-semi (or left-anti) join on (i,j); an accumulator compiles to
+ * eWiseAdd with the prior output.
+ */
+final case class GrMatrix(df: DataFrame) {
+  def nvals: Long = df.count()
+  def transpose: GrMatrix = GrMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")))
+  def cache(): GrMatrix = GrMatrix(df.cache())
+}
+
+final case class GrVector(df: DataFrame) {
+  def nvals: Long = df.count()
+}
+
+/** Element-wise binary operator over value columns (reference GrBBinaryOp catalog,
+  * g4s-sparse/.../grb/GrBBinaryOp.scala:24-57). */
+final case class BinaryOp(name: String)(val apply: (Column, Column) => Column)
+
+/** (combine, aggregate) monoid — `agg` is the distributed groupBy form,
+  * `combine` the two-argument form used by element-wise union
+  * (reference GrBMonoid, grb/GrBMonoid.scala:8-25). */
+final case class Monoid(name: String)(val agg: Column => Column)(val combine: (Column, Column) => Column)
+
+/** plus-monoid ⊕ times-op semiring (reference GrBSemiring, grb/GrBSemiring.scala:18-45). */
+final case class Semiring(plus: Monoid, times: BinaryOp) {
+  def name: String = s"${plus.name}_${times.name}"
+}
+
+object Ops {
+  // --- binary op catalog (reference grb/GrBBinaryOp.scala:24-57) ---
+  val first: BinaryOp  = BinaryOp("first")((a, _) => a)
+  val second: BinaryOp = BinaryOp("second")((_, b) => b)
+  val any: BinaryOp    = BinaryOp("any")((a, _) => a)
+  val pair: BinaryOp   = BinaryOp("pair")((_, _) => lit(true))
+  val min: BinaryOp    = BinaryOp("min")(least(_, _))
+  val max: BinaryOp    = BinaryOp("max")(greatest(_, _))
+  val plus: BinaryOp   = BinaryOp("plus")(_ + _)
+  val minus: BinaryOp  = BinaryOp("minus")(_ - _)
+  val times: BinaryOp  = BinaryOp("times")(_ * _)
+  val div: BinaryOp    = BinaryOp("div")(_ / _)
+  val lor: BinaryOp    = BinaryOp("lor")(_ || _)
+  val land: BinaryOp   = BinaryOp("land")(_ && _)
+  val lxor: BinaryOp   = BinaryOp("lxor")(_ =!= _)
+  // comparisons to Boolean (reference `eq ne gt lt ge le`)
+  val eq: BinaryOp = BinaryOp("eq")(_ === _)
+  val ne: BinaryOp = BinaryOp("ne")(_ =!= _)
+  val gt: BinaryOp = BinaryOp("gt")(_ > _)
+  val lt: BinaryOp = BinaryOp("lt")(_ < _)
+  val ge: BinaryOp = BinaryOp("ge")(_ >= _)
+  val le: BinaryOp = BinaryOp("le")(_ <= _)
+
+  // --- monoids ---
+  private val F = org.apache.spark.sql.functions
+  val minM: Monoid  = Monoid("min")(F.min)((a, b) => least(a, b))
+  val maxM: Monoid  = Monoid("max")(F.max)((a, b) => greatest(a, b))
+  val plusM: Monoid = Monoid("plus")(F.sum)(_ + _)
+  // product monoid via exp∘Σ∘log — positive domain only, documented limit
+  val timesM: Monoid = Monoid("times")(c => exp(F.sum(log(c))))(_ * _)
+  val lorM: Monoid  = Monoid("lor")(F.max)(_ || _)
+  val landM: Monoid = Monoid("land")(F.min)(_ && _)
+  val anyM: Monoid  = Monoid("any")(F.first(_))((a, _) => a)
+
+  // --- semirings (reference prebuilt anyPair, grb/GrBSemiring.scala:38-44) ---
+  val anyPair: Semiring   = Semiring(anyM, pair)
+  val plusTimes: Semiring = Semiring(plusM, times)
+  val minPlus: Semiring   = Semiring(minM, plus)
+  val maxMin: Semiring    = Semiring(maxM, min)
+  val lorLand: Semiring   = Semiring(lorM, land)
+}
+
+/** Row/column selector for extract/assign (reference GrBRange,
+  * g4s-sparse/.../grbv2/GrBRange.scala:7-72). */
+sealed trait GrRange { def pred(c: Column): Option[Column] }
+case object All extends GrRange { def pred(c: Column): Option[Column] = None }
+final case class Indices(ix: Seq[Long]) extends GrRange {
+  def pred(c: Column): Option[Column] = Some(c.isin(ix: _*))
+}
+final case class Span(start: Long, endInclusive: Long) extends GrRange {
+  def pred(c: Column): Option[Column] = Some(c.between(start, endInclusive))
+}
+
+object GrOps {
+  import Ops._
+
+  private def a(m: GrMatrix): DataFrame = m.df.select(col("i").as("ai"), col("j").as("aj"), col("v").as("av"))
+  private def b(m: GrMatrix): DataFrame = m.df.select(col("i").as("bi"), col("j").as("bj"), col("v").as("bv"))
+
+  /**
+   * C = A ⊕.⊗ B (reference MxM.mxm, grbv2/MatrixOps.scala:162-197).
+   * Join on the contraction index + map-side-combinable aggregation; the
+   * ANY_PAIR structural semiring degenerates to join + distinct — no value
+   * arithmetic, mirroring the reference's existence-only optimization
+   * (optim/impls/Operator.scala:401-424).
+   */
+  def mxm(s: Semiring)(A: GrMatrix, B: GrMatrix,
+                       mask: Option[GrMatrix] = None, complement: Boolean = false,
+                       accum: Option[BinaryOp] = None, previous: Option[GrMatrix] = None): GrMatrix = {
+    val joined = a(A).join(b(B), col("aj") === col("bi"))
+    val prod =
+      if (s == anyPair)
+        joined.select(col("ai").as("i"), col("bj").as("j")).distinct()
+          .withColumn("v", lit(true))
+      else
+        joined.groupBy(col("ai").as("i"), col("bj").as("j"))
+          .agg(s.plus.agg(s.times.apply(col("av"), col("bv"))).as("v"))
+    finish(GrMatrix(prod), mask, complement, accum, previous)
+  }
+
+  /** w = u ⊕.⊗ A (row-vector × matrix; reference vxm via mxm on 1×N). */
+  def vxm(s: Semiring)(u: GrVector, A: GrMatrix): GrVector = {
+    val j = u.df.select(col("i").as("ui"), col("v").as("uv"))
+      .join(a(A), col("ui") === col("ai"))
+    val out =
+      if (s == anyPair) j.select(col("aj").as("i")).distinct().withColumn("v", lit(true))
+      else j.groupBy(col("aj").as("i")).agg(s.plus.agg(s.times.apply(col("uv"), col("av"))).as("v"))
+    GrVector(out)
+  }
+
+  /** eWiseAdd — union of patterns, overlaps combined (reference ElemWise.union,
+    * grbv2/ElemWise.scala:12-52): full-outer join on (i,j) + coalesce. */
+  def eWiseAdd(op: BinaryOp)(A: GrMatrix, B: GrMatrix,
+                             mask: Option[GrMatrix] = None, complement: Boolean = false): GrMatrix = {
+    val out = a(A).join(b(B), col("ai") === col("bi") && col("aj") === col("bj"), "full_outer")
+      .select(
+        coalesce(col("ai"), col("bi")).as("i"),
+        coalesce(col("aj"), col("bj")).as("j"),
+        when(col("av").isNotNull && col("bv").isNotNull, op.apply(col("av"), col("bv")))
+          .otherwise(coalesce(col("av"), col("bv"))).as("v"))
+    finish(GrMatrix(out), mask, complement, None, None)
+  }
+
+  /** eWiseMult — intersection of patterns (reference ElemWise.intersect,
+    * grbv2/ElemWise.scala:55-95): inner join on (i,j). */
+  def eWiseMult(op: BinaryOp)(A: GrMatrix, B: GrMatrix,
+                              mask: Option[GrMatrix] = None, complement: Boolean = false): GrMatrix = {
+    val out = a(A).join(b(B), col("ai") === col("bi") && col("aj") === col("bj"))
+      .select(col("ai").as("i"), col("aj").as("j"), op.apply(col("av"), col("bv")).as("v"))
+    finish(GrMatrix(out), mask, complement, None, None)
+  }
+
+  /** to = from(I, J) (reference extract, grbv2/MatrixOps.scala:46-75). Indices
+    * are NOT re-based — callers keep the global id space (the Spark model has
+    * no dense-index assumption to preserve). */
+  def extract(from: GrMatrix, rows: GrRange, cols: GrRange): GrMatrix = {
+    val p = Seq(rows.pred(col("i")), cols.pred(col("j"))).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+    GrMatrix(from.df.filter(p))
+  }
+
+  /** target(I,J) = from — immutably rebuilt: anti-select the region, union the
+    * source (reference assign, grbv2/MatrixOps.scala:78-105). */
+  def assign(target: GrMatrix, rows: GrRange, cols: GrRange, from: GrMatrix): GrMatrix = {
+    val p = Seq(rows.pred(col("i")), cols.pred(col("j"))).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+    GrMatrix(target.df.filter(!p).unionByName(from.df))
+  }
+
+  /** Per-row reduction to a vector (reference reduceRows, grbv2/GrBMatrix.scala:50-65). */
+  def reduceRows(m: Monoid)(A: GrMatrix): GrVector =
+    GrVector(A.df.groupBy(col("i")).agg(m.agg(col("v")).as("v")))
+
+  /** Per-column reduction (reference reduceColumns via Input0=Transpose descriptor). */
+  def reduceCols(m: Monoid)(A: GrMatrix): GrVector =
+    GrVector(A.df.groupBy(col("j").as("i")).agg(m.agg(col("v")).as("v")))
+
+  /** Whole-matrix fold (reference reduceAll, grb/Reduce.scala:7-24). */
+  def reduceAll(m: Monoid)(A: GrMatrix): DataFrame =
+    A.df.agg(m.agg(col("v")).as("v"))
+
+  /** Vector → diagonal matrix (reference Diag.diag, grbv2/Diag.scala:7-24). */
+  def diag(v: GrVector): GrMatrix =
+    GrMatrix(v.df.select(col("i"), col("i").as("j"), col("v")))
+
+  /** Structural equality (reference isAll with eq + land reduce,
+    * grbv2/MatrixOps.scala:108-160). */
+  def isAll(A: GrMatrix, B: GrMatrix): Boolean =
+    A.df.select("i", "j", "v").exceptAll(B.df.select("i", "j", "v")).isEmpty &&
+      B.df.select("i", "j", "v").exceptAll(A.df.select("i", "j", "v")).isEmpty
+
+  /** Apply mask then fold the accumulator with the previous output
+    * (reference mask/accum args threaded through every op, MatrixOps.scala:164-171). */
+  private def finish(out: GrMatrix, mask: Option[GrMatrix], complement: Boolean,
+                     accum: Option[BinaryOp], previous: Option[GrMatrix]): GrMatrix = {
+    val masked = mask match {
+      case Some(m) =>
+        val mk = m.df.select(col("i"), col("j"))
+        GrMatrix(out.df.join(mk, Seq("i", "j"), if (complement) "left_anti" else "left_semi"))
+      case None => out
+    }
+    (accum, previous) match {
+      case (Some(op), Some(prev)) => eWiseAdd(op)(prev, masked)
+      case _ => masked
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.algorithms.Algorithms
+
+/**
+ * Algorithm tests mirroring the reference's doc-tests (DocSpec.scala:31-101):
+ * BFS neighbour expansion and SSSP over min-plus, plus WCC/PageRank sanity
+ * on hand-computable fixtures.
+ */
+class AlgorithmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference DocSpec graph: 0→1→2→3, 0→2, 2→4 with weights
+  private def wEdges = Seq(
+    (0L, 1L, 2.0), (1L, 2L, 3.0), (0L, 2L, 7.0), (2L, 3L, 1.0), (2L, 4L, 5.0)
+  ).toDF("src", "dst", "w")
+
+  test("bfs levels from a single source") {
+    val got = Algorithms.bfs(wEdges.select("src", "dst"), Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2))
+  }
+
+  test("sssp min-plus distances") {
+    val got = Algorithms.sssp(wEdges, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 0→1=2, 0→1→2=5 (beats direct 7), →3=6, →4=10
+    assert(got == Map(0L -> 0.0, 1L -> 2.0, 2L -> 5.0, 3L -> 6.0, 4L -> 10.0))
+  }
+
+  test("connected components: two islands") {
+    val vs = (0L to 6L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L))
+  }
+
+  test("pagerank: sink chain ranks ordered, mass conserved") {
+    val vs = (0L to 2L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Algorithms.pageRank(vs, es, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(1L) && got(1L) > got(0L))
+    assert(math.abs(got.values.sum - 3.0) < 0.05)
+  }
+
+  test("bfs on tpch graph: customers reach nations then regions") {
+    val g = sources.TpchGraph(spark, SF)
+    val customers = g.nodesByLabel("customer").select("id")
+    val lv = Algorithms.bfs(g.edges.filter($"etype".isin("IN_NATION", "IN_REGION"))
+      .select("src", "dst"), customers)
+    val byLevel = lv.groupBy("level").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLevel(1) == 25 && byLevel(2) == 5) // 25 nations, 5 regions
+  }
+}

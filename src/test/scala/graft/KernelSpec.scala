@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.kernel._
+
+/**
+ * Algebra properties of the DataFrame kernel, mirroring the reference's
+ * ScalaCheck suites (g4s-sparse/src/test/scala/.../grbv2/MxMSpec.scala:21-71,
+ * ElemWiseSpec.scala:15-77, ReduceSpec.scala:23-145, AssignSpec.scala:14-82,
+ * DiagSpec.scala) with a driver-side Scala fold as the oracle. Deterministic
+ * Gen sampling (fixed seeds) replaces the scalatest+scalacheck bridge, which
+ * is not in the offline cache.
+ */
+class KernelSpec extends SparkSpec {
+
+  private val dim = 6L
+  private val cooGen: Gen[Map[(Long, Long), Double]] = for {
+    n <- Gen.chooseNum(0, 12)
+    cells <- Gen.listOfN(n, for {
+      i <- Gen.chooseNum(0L, dim - 1)
+      j <- Gen.chooseNum(0L, dim - 1)
+      v <- Gen.chooseNum(1, 9)
+    } yield ((i, j), v.toDouble))
+  } yield cells.toMap
+
+  private def sample(seed: Long): Map[(Long, Long), Double] =
+    cooGen.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def cases(n: Int): Seq[Long] = 1L to n.toLong
+
+  private def mat(m: Map[(Long, Long), Double]): GrMatrix = {
+    import spark.implicits._
+    GrMatrix(m.toSeq.map { case ((i, j), v) => (i, j, v) }.toDF("i", "j", "v"))
+  }
+
+  private def toMap(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  /** Driver-side mxm oracle over (plus,times) = fold semantics. */
+  private def mxmOracle(a: Map[(Long, Long), Double], b: Map[(Long, Long), Double],
+                        plus: (Double, Double) => Double, times: (Double, Double) => Double): Map[(Long, Long), Double] =
+    (for {
+      ((ai, aj), av) <- a.toSeq
+      ((bi, bj), bv) <- b.toSeq if aj == bi
+    } yield ((ai, bj), times(av, bv)))
+      .groupMapReduce(_._1)(_._2)(plus)
+
+  private def unionOracle(a: Map[(Long, Long), Double], b: Map[(Long, Long), Double],
+                          op: (Double, Double) => Double): Map[(Long, Long), Double] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => op(x, y)
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case _ => 0.0
+      })
+    }.toMap
+
+  test("mxm plus-times and min-plus match driver-side fold oracle") {
+    cases(4).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      assert(toMap(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b)).df) == mxmOracle(a, b, _ + _, _ * _))
+      assert(toMap(GrOps.mxm(Ops.minPlus)(mat(a), mat(b)).df) == mxmOracle(a, b, math.min, _ + _))
+    }
+  }
+
+  test("mxm is associative: (AB)C == A(BC) over plus-times") {
+    cases(3).foreach { s =>
+      val (a, b, c) = (sample(s), sample(s + 100), sample(s + 200))
+      val ab_c = GrOps.mxm(Ops.plusTimes)(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b)), mat(c))
+      val a_bc = GrOps.mxm(Ops.plusTimes)(mat(a), GrOps.mxm(Ops.plusTimes)(mat(b), mat(c)))
+      assert(toMap(ab_c.df) == toMap(a_bc.df))
+    }
+  }
+
+  test("anyPair mxm = structural join+distinct") {
+    cases(3).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      val got = GrOps.mxm(Ops.anyPair)(mat(a), mat(b)).df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == mxmOracle(a, b, _ + _, _ * _).keySet)
+    }
+  }
+
+  test("eWiseAdd/eWiseMult match union/intersect oracles") {
+    cases(4).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      assert(toMap(GrOps.eWiseAdd(Ops.plus)(mat(a), mat(b)).df) == unionOracle(a, b, _ + _))
+      val mult = toMap(GrOps.eWiseMult(Ops.times)(mat(a), mat(b)).df)
+      assert(mult == (a.keySet intersect b.keySet).map(k => k -> a(k) * b(k)).toMap)
+    }
+  }
+
+  test("reduceRows/reduceCols/reduceAll match fold oracles") {
+    cases(4).foreach { s =>
+      val a = sample(s)
+      val rows = GrOps.reduceRows(Ops.plusM)(mat(a)).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == a.groupMapReduce(_._1._1)(_._2)(_ + _))
+      val cols = GrOps.reduceCols(Ops.minM)(mat(a)).df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(cols == a.groupMapReduce(_._1._2)(_._2)(math.min))
+      if (a.nonEmpty) {
+        val all = GrOps.reduceAll(Ops.plusM)(mat(a)).collect()(0).getDouble(0)
+        assert(math.abs(all - a.values.sum) < 1e-9)
+      }
+    }
+  }
+
+  test("transpose involution; diag; extract/assign round-trip") {
+    cases(4).foreach { s =>
+      val a = sample(s)
+      assert(toMap(mat(a).transpose.transpose.df) == a)
+      val m = mat(a)
+      val span = Span(0, 2)
+      val back = GrOps.assign(m, span, All, GrOps.extract(m, span, All))
+      assert(toMap(back.df) == a)
+      val d = GrOps.diag(GrOps.reduceRows(Ops.maxM)(m))
+      assert(d.df.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("mask, complement mask, and accumulator") {
+    cases(3).foreach { s =>
+      val (a, b, mk) = (sample(s), sample(s + 100), sample(s + 200))
+      val full = toMap(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b)).df)
+      val masked = toMap(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b), mask = Some(mat(mk))).df)
+      assert(masked == full.view.filterKeys(mk.keySet).toMap)
+      val anti = toMap(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b), mask = Some(mat(mk)), complement = true).df)
+      assert(anti == full.view.filterKeys(k => !mk.keySet(k)).toMap)
+      val acc = toMap(GrOps.mxm(Ops.plusTimes)(mat(a), mat(b),
+        accum = Some(Ops.plus), previous = Some(mat(mk))).df)
+      assert(acc == unionOracle(full, mk, _ + _))
+    }
+  }
+
+  test("vxm BFS step: frontier × adjacency over anyPair") {
+    import spark.implicits._
+    val adj = GrMatrix(Seq((0L, 1L, true), (1L, 2L, true), (1L, 3L, true)).toDF("i", "j", "v"))
+    val frontier = GrVector(Seq((0L, true)).toDF("i", "v"))
+    val step1 = GrOps.vxm(Ops.anyPair)(frontier, adj)
+    assert(step1.df.collect().map(_.getLong(0)).toSet == Set(1L))
+    val step2 = GrOps.vxm(Ops.anyPair)(step1, adj)
+    assert(step2.df.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("isAll structural equality") {
+    cases(3).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      assert(GrOps.isAll(mat(a), mat(a)))
+      if (a != b) assert(!GrOps.isAll(mat(a), mat(b)))
+    }
+  }
+}
