@@ -100,6 +100,83 @@ object SparkEntry {
       Algorithms.pageRank(vs, g.edgesByType(Seq("IN_REGION")), iters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+
+    // --- text analysis / dedup (training-data pipeline ops) ---
+    "text_token_counts" -> ((s, dir) =>
+      graft.text.TextOps.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      graft.text.TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      graft.text.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      graft.text.TextOps.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_exact" -> ((s, dir) =>
+      graft.text.TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.text.TextOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      graft.text.TextOps.minhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      graft.text.TextOps.simhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
+
+    // --- embedding similarity ---
+    "emb_neardup" -> ((s, dir) =>
+      graft.ml.Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)),
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 5,
+        dim = 64, numBits = 4, tables = 16)
+    }),
+
+    // --- temporal / event ops ---
+    "ev_window_agg" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      // decimal partial sums → deterministic across partition orders; final
+      // cast to double only after the exact aggregation
+      ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round((sum(col("value").cast("decimal(18,2)")) / count(lit(1))).cast("double"), 6)
+            .as("avg_value"))
+    }),
+    "ev_sessionize" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.events.EventOps.sessionize(ev, "user_id", "ts", 1800)
+        .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    }),
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.events.EventOps.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+    }),
+    "ev_json" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      ev.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type").agg(sum("k").as("sum_k"))
+    }),
+
+    // --- relational surface (free via Spark SQL; reference §2.7 absent ops) ---
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))),
+    "window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,5 +239,105 @@ object SparkEntry {
       ("SELECT n_nationkey + 2000000000 AS id, n_regionkey + 1000000000 AS component FROM nation " +
        "UNION ALL SELECT r_regionkey + 1000000000, r_regionkey + 1000000000 FROM region"),
     // pagerank: no SQL oracle (iterative) → driver rows-only check
+
+    "text_token_counts" ->
+      ("SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS ws_tokens, " +
+       "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens " +
+       "FROM documents"),
+    "text_quality" ->
+      ("WITH x AS (SELECT doc_id, text, len(text)::DOUBLE AS nc, " +
+       "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +
+       "len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct, " +
+       "len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS ntok, " +
+       "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+       "w -> w IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE AS stop, " +
+       "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws FROM documents) " +
+       "SELECT doc_id, round(alpha/nc, 6) AS alpha_ratio, round(punct/nc, 6) AS punct_ratio, " +
+       "round(stop/ntok, 6) AS stopword_ratio, round(nws/ntok, 6) AS mean_word_len, " +
+       "round(least(1.0, greatest(0.0, alpha/nc*0.5 + least(stop/ntok*5.0, 1.0)*0.3 + " +
+       "CASE WHEN nws/ntok BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)), 6) AS score FROM x"),
+    "text_langid" ->
+      ("WITH x AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "sc AS (SELECT doc_id, " +
+       "len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE/len(ws) AS sde, " +
+       "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE/len(ws) AS sen, " +
+       "len(list_filter(ws, w -> w IN ('el','los','las','una','es','y','que','de')))::DOUBLE/len(ws) AS ses, " +
+       "len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','que')))::DOUBLE/len(ws) AS sfr, " +
+       "len(list_filter(ws, w -> w IN ('的','是','了','在','我','有','和','不')))::DOUBLE/len(ws) AS szh FROM x), " +
+       // left fold with strict >, mirroring the Scala reduce
+       "f1 AS (SELECT doc_id, sde AS s, 'de' AS l, sen, ses, sfr, szh FROM sc), " +
+       "f2 AS (SELECT doc_id, CASE WHEN sen > s THEN sen ELSE s END AS s, " +
+       "CASE WHEN sen > s THEN 'en' ELSE l END AS l, ses, sfr, szh FROM f1), " +
+       "f3 AS (SELECT doc_id, CASE WHEN ses > s THEN ses ELSE s END AS s, " +
+       "CASE WHEN ses > s THEN 'es' ELSE l END AS l, sfr, szh FROM f2), " +
+       "f4 AS (SELECT doc_id, CASE WHEN sfr > s THEN sfr ELSE s END AS s, " +
+       "CASE WHEN sfr > s THEN 'fr' ELSE l END AS l, szh FROM f3) " +
+       "SELECT doc_id, CASE WHEN szh > s THEN 'zh' ELSE l END AS pred_lang, " +
+       "round(CASE WHEN szh > s THEN szh ELSE s END, 6) AS lang_score FROM f4"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
+       "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
+    "dedup_ngram_jaccard" -> jaccardOracle("a, b, jaccard"),
+    "dedup_minhash" -> jaccardOracle("a, b"),
+    "dedup_simhash" -> jaccardOracle("a, b"),
+
+    "emb_neardup" ->
+      ("SELECT a.vec_id AS a, b.vec_id AS b, " +
+       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+       "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"),
+    "knn_bruteforce" ->
+      ("WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+       "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim " +
+       "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+       "r AS (SELECT q_id, vec_id, sim, row_number() OVER " +
+       "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
+       "SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5"),
+    // knn_lsh: approximate — rows-only check
+
+    "ev_window_agg" ->
+      ("SELECT event_type, ts::date AS day, count(*) AS n, " +
+       "round((sum(value::DECIMAL(18,2)) / count(*))::DOUBLE, 6) AS avg_value " +
+       "FROM events GROUP BY 1, 2"),
+    "ev_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
+       "SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY 1"),
+    "ev_asof_join" ->
+      ("WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+       "SELECT p.event_id AS event_id, c.value AS asof_value " +
+       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "ev_json" ->
+      ("SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k " +
+       "FROM events GROUP BY 1"),
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
+       "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price, " +
+       "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+    "window_topk" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
+       "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) " +
+       "SELECT o_custkey, o_orderkey, rk FROM r WHERE rk <= 3"),
   )
+
+  /** Exhaustive 5-gram Jaccard ≥ 0.5 over an inverted shingle index — the
+    * shared oracle for the exact, MinHash, and SimHash dedup variants (the
+    * hash-based variants are recall-preserving pre-filters + exact verify,
+    * so their output contract equals the exhaustive computation). */
+  private def jaccardOracle(select: String): String =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
+    "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
+    "JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+    "SELECT " + select + " FROM (SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard " +
+    "FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id) " +
+    "WHERE jaccard >= 0.5"
 }

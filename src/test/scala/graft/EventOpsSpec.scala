@@ -1,0 +1,46 @@
+package graft
+
+import graft.events.EventOps
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join picks latest right row at or before left time") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:20"), "t2"),
+      (2L, ts("2024-01-01 10:00:10"), "t3")
+    ).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (2L, ts("2024-01-01 10:00:15"), 200.0)  // after t3 → no match
+    ).toDF("key", "ts", "px")
+    val got = EventOps.asofJoin(trades, quotes, "key", "ts", Seq("px"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(got == Map("t1" -> Some(100.0), "t2" -> Some(101.0), "t3" -> None))
+  }
+
+  test("asof join: simultaneous right row is visible") {
+    val l = Seq((1L, ts("2024-01-01 10:00:10"), "x")).toDF("key", "ts", "v")
+    val r = Seq((1L, ts("2024-01-01 10:00:10"), 7.0)).toDF("key", "ts", "px")
+    val got = EventOps.asofJoin(l, r, "key", "ts", Seq("px")).collect()(0)
+    assert(got.getDouble(3) == 7.0)
+  }
+
+  test("sessionize splits on gaps over threshold") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),   // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00")),   // new session (50 min gap)
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventOps.sessionize(ev, "user_id", "ts", 1800)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+}

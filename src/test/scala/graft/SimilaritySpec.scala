@@ -1,0 +1,47 @@
+package graft
+
+import graft.ml.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine in double precision") {
+    val s = vecs.filter($"vec_id" === 1).crossJoin(
+      vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).collect()(0).getDouble(0)
+    assert(math.abs(s) < 1e-12)
+  }
+
+  test("brute-force knn ranks nearest first") {
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 1), 2)
+      .orderBy("rank").collect()
+    assert(knn(0).getLong(1) == 2L) // rank 1 = vector 2
+    assert(knn.length == 2)
+  }
+
+  test("near-dup pairs above threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lsh knn recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // neighbors here are only ~0.4-0.5 cosine → short codes + many tables
+    val approx = Similarity.lshKnn(emb, queries, 5, dim = 64, numBits = 4, tables = 16)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"lsh recall $recall too low")
+  }
+}
