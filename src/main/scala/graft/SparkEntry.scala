@@ -131,6 +131,54 @@ object SparkEntry {
       graft.ml.Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 5,
         dim = 64, numBits = 4, tables = 16)
     }),
+    "knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 5,
+        numCells = 16, nprobe = 4)
+    }),
+
+    // --- structured streaming ops (batch path here; incremental path in
+    //     StreamingSpec via MemoryStream — same code, same plans) ---
+    "stream_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedAgg(graft.sources.Tables.events(s, dir))
+        .select(col("w_start").cast("date").as("day"), col("event_type"),
+          col("n"), col("sum_value"))),
+    "stream_session_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionWindowAgg(graft.sources.Tables.events(s, dir))
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"), col("sum_value"))),
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.dedupStream(
+        graft.sources.Tables.events(s, dir), Seq("user_id", "event_type"))
+        .select("user_id", "event_type")),
+    "stream_stateful_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.sources.Tables.events(s, dir).as[graft.streaming.GEvent]
+      graft.streaming.StreamOps.sessionizeStateful(ev, 1800)
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"))
+    }),
+
+    // --- multimodal binary columns (decode stub = deterministic fake codec;
+    //     plumbing real — see graft.multimodal.MultimodalOps scaladoc) ---
+    "mm_decode_meta" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps._
+      decodeMeta(syntheticMedia(t(s, dir, "documents"), "doc_id", "video")).toDF()
+        .select(col("id"), col("media_type"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("duration_ms"),
+          col("body_len").cast("long").as("body_len"))
+    }),
+    "mm_features" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps._
+      mediaFeatures(syntheticMedia(t(s, dir, "documents"), "doc_id", "image"), dim = 8).toDF()
+        .select(col("id"), col("d").cast("long").as("d"), col("stripe_sum"), col("n"))
+    }),
+    "mm_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps._
+      frameSample(syntheticMedia(t(s, dir, "documents"), "doc_id", "video"), everyMs = 250).toDF()
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_ts_ms"))
+    }),
 
     // --- temporal / event ops ---
     "ev_window_agg" -> ((s, dir) => {
@@ -295,7 +343,52 @@ object SparkEntry {
        "r AS (SELECT q_id, vec_id, sim, row_number() OVER " +
        "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
        "SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5"),
-    // knn_lsh: approximate — rows-only check
+    // knn_lsh, knn_ivf: approximate — rows-only check
+
+    "stream_window_agg" ->
+      ("SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n, " +
+       "sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2"),
+    "stream_session_window" ->
+      // Spark session_window: an event extends the session iff it lands
+      // strictly inside [last_ts, last_ts + gap); window end = last_ts + gap
+      ("WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events), " +
+       "g AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS new_s " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "s AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+       "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+       "SELECT user_id, epoch_ms(min(ts))::BIGINT AS start_ms, " +
+       "epoch_ms(max(ts) + INTERVAL 30 MINUTE)::BIGINT AS end_ms, " +
+       "count(*)::BIGINT AS n_events, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value " +
+       "FROM s GROUP BY user_id, sid"),
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_stateful_sessions" ->
+      // gap-merge uses <= gap (new session strictly beyond), end = last event
+      ("WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events), " +
+       "g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "s AS (SELECT user_id, ts, sum(new_s) OVER " +
+       "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+       "SELECT user_id, epoch_ms(min(ts))::BIGINT AS start_ms, " +
+       "epoch_ms(max(ts))::BIGINT AS end_ms, count(*)::BIGINT AS n_events " +
+       "FROM s GROUP BY user_id, sid"),
+
+    "mm_decode_meta" ->
+      ("SELECT doc_id AS id, 'video' AS media_type, 16 + doc_id % 48 AS width, " +
+       "16 + (doc_id * 7) % 48 AS height, 3::BIGINT AS channels, " +
+       "1000 + (doc_id % 60) * 500 AS duration_ms, " +
+       "256 + (doc_id % 256) * 4 AS body_len FROM documents"),
+    "mm_features" ->
+      ("WITH b AS (SELECT doc_id AS id, p, " +
+       "((doc_id % 1000003) * 31 + p * 7 + 13) % 256 AS byte FROM documents, " +
+       "LATERAL (SELECT unnest(generate_series(0, 256 + (doc_id % 256) * 4 - 1)) AS p) t) " +
+       "SELECT id, p % 8 AS d, sum(byte)::BIGINT AS stripe_sum, count(*)::BIGINT AS n " +
+       "FROM b GROUP BY 1, 2"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id AS id, i AS frame_idx, i * 250 AS frame_ts_ms FROM documents, " +
+       "LATERAL (SELECT unnest(generate_series(0, (1000 + (doc_id % 60) * 500) // 250)) AS i) t"),
 
     "ev_window_agg" ->
       ("SELECT event_type, ts::date AS day, count(*) AS n, " +

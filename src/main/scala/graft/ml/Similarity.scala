@@ -81,6 +81,55 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN. Coarse quantizer = `numCells` corpus vectors
+   * picked by deterministic hash-order sampling (a one-pass stand-in for an
+   * offline k-means; swapping in trained centroids changes no plan shape).
+   * Index build: one pass over the corpus against the broadcast centroid
+   * set, assigning each vector to its nearest cell → an inverted list
+   * shuffled by cell id. Query: rank cells per query, probe the `nprobe`
+   * nearest, exact cosine only within probed cells.
+   *
+   * Scale: the corpus is never self-joined — it is scanned once for
+   * assignment (broadcast, no shuffle of the corpus) and once per probe
+   * via a cell-keyed equi-join, so cost is O(|corpus| · nprobe / numCells)
+   * candidates instead of O(|corpus| · |queries|).
+   */
+  def ivfAssign(corpus: DataFrame, numCells: Int): DataFrame = {
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCells)
+      .select(monotonically_increasing_id().as("cell"), col("embedding").as("c_emb"))
+    val ranked = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine(col("embedding"), col("c_emb")), 6).as("c_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("cell").asc)
+    ranked.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+  }
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCells)
+      .select(monotonically_increasing_id().as("cell"), col("embedding").as("c_emb"))
+    val inverted = ivfAssign(corpus, numCells)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qw = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("c_sim"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+    val scored = probed.join(inverted, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed ANN top-k: candidates restricted to vectors sharing any of
    * several hash-table buckets, then exact cosine rank within candidates.
    * Shuffle is by bucket key — no cross join, the 100 TB path.

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful operators (matches the driver's
+  * `events` parquet schema, TESTDATA.md). */
+final case class GEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                        event_type: String, value: Double)
+
+/** Closed session emitted by [[StreamOps.sessionizeStateful]]. */
+final case class GSession(user_id: Long, session_start: java.sql.Timestamp,
+                          session_end: java.sql.Timestamp, n_events: Long,
+                          sum_value: Double)
+
+private final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/**
+ * Structured Streaming operators (SURVEY §2.7 notes the reference has no
+ * streaming surface; its closest analogue is the fs2 paged scan + insert-time
+ * stats fibers, g4s-optimizer/.../matrix/BlockingMatrix.scala:39-94). Here
+ * streams are first-class: every transform below runs identically on a
+ * `readStream` source (incremental, watermark-bounded state) and on a batch
+ * DataFrame (where the watermark is a no-op), which is what lets the driver's
+ * DuckDB oracle check the batch path while MemoryStream specs check the
+ * incremental path.
+ *
+ * Scale posture: all state is keyed and watermark-bounded, so state size is
+ * O(active keys × window), independent of total history — the property that
+ * matters at 100 TB of events.
+ */
+object StreamOps {
+
+  /** `readStream` over a parquet events directory (file source; schema must
+    * be supplied for streaming reads). Handles the driver data's
+    * TIMESTAMP(NANOS) the same way [[graft.sources.Tables.events]] does. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def watermarked(events: DataFrame, time: String, wm: String): DataFrame =
+    if (events.isStreaming) events.withWatermark(time, wm) else events
+
+  /**
+   * Tumbling-window aggregate per event type: count + exact decimal mean.
+   * Streaming: append-mode once the watermark passes the window end.
+   */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 day",
+                  wm: String = "1 hour"): DataFrame =
+    watermarked(events, "ts", wm)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /**
+   * Gap-based session windows via the built-in `session_window` — the
+   * declarative form of sessionization (merging windows within `gap`).
+   * Works identically on batch and streaming input.
+   */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       wm: String = "1 hour"): DataFrame =
+    watermarked(events, "ts", wm)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /**
+   * Exactly-once dedup on a key set within the watermark horizon
+   * (`dropDuplicatesWithinWatermark` on streams; plain dropDuplicates on
+   * batch). State is bounded by the watermark — the streaming analogue of
+   * [[graft.text.TextOps.dedupExact]].
+   */
+  def dedupStream(events: DataFrame, keys: Seq[String], wm: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", wm).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
+  /**
+   * Custom-state sessionization with `flatMapGroupsWithState` — the escape
+   * hatch for session logic `session_window` can't express (here: emit the
+   * session only when it closes, carrying sum/count). Event-time timeout =
+   * watermark-driven state eviction.
+   *
+   * In batch mode Spark runs the same function once per key with a
+   * never-firing timeout, so sessions are closed by the end-of-group flush.
+   */
+  def sessionizeStateful(events: Dataset[GEvent], gapSeconds: Long): Dataset[GSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+
+    def close(uid: Long, s: SessState): GSession =
+      GSession(uid, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+        s.n, s.sum)
+
+    val fn: (Long, Iterator[GEvent], GroupState[SessState]) => Iterator[GSession] =
+      (uid, it, state) => {
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close(uid, _)).iterator
+          state.remove()
+          out
+        } else {
+          val evs = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[GSession]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapSeconds * 1000 =>
+                cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += close(uid, s)
+                cur = Some(SessState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            if (streaming)
+              // timeout must be strictly past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
+          }
+          // batch mode: no timeout will ever fire — flush the open session
+          val tail = if (streaming) Iterator.empty else {
+            val t = cur.map(close(uid, _)).iterator; state.remove(); t
+          }
+          closed.result().iterator ++ tail
+        }
+      }
+
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

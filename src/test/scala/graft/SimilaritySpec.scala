@@ -33,6 +33,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivf knn with nprobe = numCells equals brute force exactly") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Similarity.ivfKnn(emb, queries, 5, numCells = 4, nprobe = 4)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf === exact)
+  }
+
+  test("ivf knn recall at nprobe < numCells is reasonable") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(emb, queries, 5, numCells = 8, nprobe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall too low")
+  }
+
   test("lsh knn recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$SF/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)

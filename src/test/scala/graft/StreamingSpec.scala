@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{GEvent, StreamOps}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batchEvents = Seq(
+    GEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    GEvent(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    GEvent(3, ts("2024-01-01 11:30:00"), 1, "click", 4.0), // gap 80min → new session
+    GEvent(4, ts("2024-01-02 09:00:00"), 2, "purchase", 8.0))
+
+  test("windowedAgg batch: daily tumbling windows") {
+    val out = StreamOps.windowedAgg(batchEvents.toDF())
+      .select($"w_start".cast("date").cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out === Set(("2024-01-01", "click", 3L, 7.0), ("2024-01-02", "purchase", 1L, 8.0)))
+  }
+
+  test("sessionWindowAgg batch: gap-merged session windows, end = last + gap") {
+    val out = StreamOps.sessionWindowAgg(batchEvents.toDF())
+      .select($"user_id", $"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L),
+      (1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L),
+      (2L, "2024-01-02 09:00:00", "2024-01-02 09:30:00", 1L)))
+  }
+
+  test("sessionizeStateful batch: sessions closed at end of group") {
+    val out = StreamOps.sessionizeStateful(batchEvents.toDS(), gapSeconds = 1800)
+      .select($"user_id", $"session_start".cast("string"), $"session_end".cast("string"),
+        $"n_events", $"sum_value")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 3.0),
+      (1L, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L, 4.0),
+      (2L, "2024-01-02 09:00:00", "2024-01-02 09:00:00", 1L, 8.0)))
+  }
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("windowedAgg streaming: append emission after watermark passes window end") {
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedAgg(in.toDF(), windowDur = "1 hour", wm = "10 minutes")
+      .writeStream.format("memory").queryName("wagg").outputMode("append").start()
+    try {
+      in.addData(GEvent(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+                 GEvent(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+      drain(q)
+      // advance event time far past 11:00 + wm, twice (watermark lags a batch)
+      in.addData(GEvent(3, ts("2024-01-01 13:00:00"), 2, "click", 4.0))
+      drain(q)
+      in.addData(GEvent(4, ts("2024-01-01 14:00:00"), 2, "click", 8.0))
+      drain(q)
+      val rows = spark.table("wagg")
+        .select($"w_start".cast("string"), $"event_type", $"n", $"sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful streaming: session closed by event-time timeout") {
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.sessionizeStateful(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData(GEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 GEvent(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0))
+      drain(q)
+      in.addData(GEvent(3, ts("2024-01-01 13:00:00"), 2, "click", 4.0))
+      drain(q)
+      in.addData(GEvent(4, ts("2024-01-01 15:00:00"), 2, "click", 8.0))
+      drain(q)
+      val rows = spark.table("sess")
+        .select($"user_id", $"session_start".cast("string"), $"session_end".cast("string"),
+          $"n_events", $"sum_value")
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream streaming: duplicates dropped within watermark") {
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.dedupStream(in.toDF(), Seq("event_id"), wm = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(GEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 GEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      drain(q)
+      in.addData(GEvent(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+                 GEvent(2, ts("2024-01-01 10:06:00"), 1, "click", 2.0))
+      drain(q)
+      val ids = spark.table("dedup").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("batch windowedAgg runs on the events table") {
+    val batch = StreamOps.windowedAgg(graft.sources.Tables.events(spark, SF))
+    assert(batch.count() > 0)
+  }
+}
