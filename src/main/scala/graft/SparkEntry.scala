@@ -13,8 +13,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cy_2hop")(spark, "/root/testdata/sf0.001")
 
+  /** One resident GraphDB per data directory: graph DataFrames cached,
+    * stats computed once — the "load once, query many" posture of the
+    * reference's in-memory graph (its stats are maintained online per
+    * insert; ours snapshot at first query). */
+  private val dbCache = scala.collection.concurrent.TrieMap.empty[String, GraphDB]
   private def db(spark: SparkSession, dir: String): GraphDB =
-    new GraphDB(TpchGraph(spark, dir))
+    dbCache.getOrElseUpdate(dir, new GraphDB(TpchGraph(spark, dir).cache()))
+
+  private def graph(spark: SparkSession, dir: String) = db(spark, dir).graph
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -36,7 +43,7 @@ object SparkEntry {
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
     "mxm_anypair" -> ((s, dir) => {
-      val g = TpchGraph(s, dir)
+      val g = graph(s, dir)
       val a = GrMatrix(g.edgesByType(Seq("IN_NATION")).select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
       val b = GrMatrix(g.edgesByType(Seq("IN_REGION")).select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
       GrOps.mxm(Ops.anyPair)(a, b).df.select("i", "j")
@@ -67,14 +74,68 @@ object SparkEntry {
     }),
     // per-row reduction: CONTAINS out-degree per order (distinct parts)
     "reduce_rows" -> ((s, dir) => {
-      val g = TpchGraph(s, dir)
+      val g = graph(s, dir)
       val m = GrMatrix(g.edgesByType(Seq("CONTAINS")).select(col("src").as("i"), col("dst").as("j"), lit(1L).as("v")))
       GrOps.reduceRows(Ops.plusM)(m).df
+    }),
+    // transpose + submatrix extract: nation←holder adjacency restricted to customers
+    "kernel_transpose_extract" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      GrOps.extract(m.transpose, All,
+        Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 999999999L)).df
+    }),
+    // whole-matrix fold to a scalar (reference reduceAll)
+    "kernel_reduce_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = GrMatrix(li.groupBy(col("l_orderkey").as("i"), col("l_partkey").as("j"))
+        .agg(count(lit(1)).as("v")))
+      GrOps.reduceAll(Ops.plusM)(m)
+    }),
+    // frontier-vector × matrix over ANY_PAIR: one BFS step (reference vxm)
+    "kernel_vxm" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val frontier = GrVector(t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"), lit(true).as("v")))
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      GrOps.vxm(Ops.anyPair)(frontier, m).df
+    }),
+    // mxm with a structural mask: 2-hop reach intersected with a predicate matrix
+    "kernel_mxm_masked" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val a = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val b = GrMatrix(g.edgesByType(Seq("IN_REGION"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val mask = GrMatrix(t(s, dir, "customer")
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"),
+          (col("c_custkey") % 5 + TpchGraph.RegionOff).as("j"), lit(true).as("v")))
+      GrOps.mxm(Ops.anyPair)(a, b, mask = Some(mask)).df
+    }),
+    // vector → diagonal matrix (reference assignToDiag/Diag.diag)
+    "kernel_diag" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("CONTAINS"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(1L).as("v")))
+      GrOps.diag(GrOps.reduceRows(Ops.plusM)(m)).df
+    }),
+    // region assign: splice a replacement submatrix over a row span
+    "kernel_assign" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val target = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val from = GrMatrix(t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"), lit(0L).as("j"), lit(true).as("v")))
+      GrOps.assign(target, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 499L), All, from).df
     }),
 
     // --- algorithms (SURVEY §2.6) ---
     "bfs_levels" -> ((s, dir) => {
-      val g = TpchGraph(s, dir)
+      val g = graph(s, dir)
       Algorithms.bfs(
         g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst"),
         g.nodesByLabel("customer").select("id"))
@@ -90,12 +151,12 @@ object SparkEntry {
       Algorithms.sssp(sp.unionByName(po), suppliers)
     }),
     "wcc" -> ((s, dir) => {
-      val g = TpchGraph(s, dir)
+      val g = graph(s, dir)
       val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
       Algorithms.connectedComponents(vs, g.edgesByType(Seq("IN_REGION")))
     }),
     "pagerank" -> ((s, dir) => {
-      val g = TpchGraph(s, dir)
+      val g = graph(s, dir)
       val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
       Algorithms.pageRank(vs, g.edgesByType(Seq("IN_REGION")), iters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
@@ -269,6 +330,25 @@ object SparkEntry {
     "reduce_rows" ->
       ("SELECT l_orderkey + 6000000000 AS i, count(DISTINCT l_partkey) AS v " +
        "FROM lineitem GROUP BY 1"),
+    "kernel_transpose_extract" ->
+      ("SELECT c_nationkey + 2000000000 AS i, c_custkey + 3000000000 AS j, true AS v " +
+       "FROM customer"),
+    "kernel_reduce_all" ->
+      "SELECT count(*) AS v FROM lineitem",
+    "kernel_vxm" ->
+      ("SELECT DISTINCT c_nationkey + 2000000000 AS i, true AS v FROM customer " +
+       "WHERE c_custkey < 100"),
+    "kernel_mxm_masked" ->
+      ("SELECT DISTINCT c_custkey + 3000000000 AS i, n_regionkey + 1000000000 AS j, true AS v " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE n_regionkey = c_custkey % 5"),
+    "kernel_diag" ->
+      ("SELECT l_orderkey + 6000000000 AS i, l_orderkey + 6000000000 AS j, " +
+       "count(DISTINCT l_partkey) AS v FROM lineitem GROUP BY l_orderkey"),
+    "kernel_assign" ->
+      ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
+       "FROM customer WHERE c_custkey >= 500 " +
+       "UNION ALL SELECT c_custkey + 3000000000, 0, true FROM customer WHERE c_custkey < 500"),
 
     "bfs_levels" ->
       ("SELECT c_custkey + 3000000000 AS id, 0 AS level FROM customer " +

@@ -32,7 +32,7 @@ object Algorithms {
    * @return (id BIGINT, level INT) — minimum hop count from any source
    */
   def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).cache()
     var visited = sources.select(col("id")).distinct().withColumn("level", lit(0))
     var frontier = visited
     var iter = 0
@@ -59,7 +59,7 @@ object Algorithms {
    * @return (id, dist DOUBLE)
    */
   def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w").cast("double"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double")).cache()
     var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0.0))
     var iter = 0
     var converged = false
@@ -87,7 +87,7 @@ object Algorithms {
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var comp = vertices.select(col("id")).distinct().withColumn("component", col("id"))
     var iter = 0
     var converged = false
@@ -114,8 +114,12 @@ object Algorithms {
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val v = vertices.select(col("id")).distinct().cache()
     val n = v.count()
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // outDeg and links are re-read EVERY iteration (links in the contrib
+    // join, outDeg in the dangling-mass probe) — cache both and force
+    // materialization now so no iteration re-runs the upstream edge plan.
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
     val links = edges.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
+    links.count()
     var ranks = v.withColumn("rank", lit(1.0))
     for (i <- 0 until iters) {
       val contribs = links.join(ranks, links("src") === ranks("id"))

@@ -34,6 +34,23 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def computeStats(): GraphStats = GraphStats.compute(this)
 
   def cache(): PropertyGraph = PropertyGraph(nodes.cache(), edges.cache())
+
+  /** Batch append of vertices — the Spark-native analogue of the reference's
+    * `insertVertex` (ConcurrentDirectedGraph.scala:109-125): new rows are
+    * union'd immutably; id allocation is the loader's concern (natural keys
+    * or `monotonically_increasing_id` at ingest). Missing property columns
+    * null-fill. */
+  def addNodes(rows: DataFrame): PropertyGraph =
+    PropertyGraph(nodes.unionByName(rows, allowMissingColumns = true), edges)
+
+  /** Batch append of edges (reference `insertEdge`,
+    * ConcurrentDirectedGraph.scala:141-153). No transpose maintenance —
+    * reverse traversal swaps join keys instead. */
+  def addEdges(rows: DataFrame): PropertyGraph =
+    PropertyGraph(nodes, edges.unionByName(rows, allowMissingColumns = true))
+
+  /** Point lookup (reference `getV`, ConcurrentDirectedGraph.scala:104). */
+  def node(id: Long): DataFrame = nodes.filter(col("id") === lit(id))
 }
 
 object PropertyGraph {

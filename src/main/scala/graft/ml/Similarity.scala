@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ aᵢbᵢ over two ARRAY<FLOAT/DOUBLE> columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢbᵢ over two ARRAY<FLOAT/DOUBLE> columns, in double — fused codegen
+    * loop (graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — fused codegen loop (graft.functions.CosineSimilarity);
+    * same double op sequence as [[cosineHof]], so results are bit-identical. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecCosine(a, b)
+
+  /** The composable higher-order-function form — kept as the reference
+    * semantics the native expressions must match (see SimilaritySpec). */
+  def cosineHof(a: Column, b: Column): Column = {
+    def hofDot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def hofNorm(x: Column): Column =
+      sqrt(aggregate(transform(x, v => v.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    hofDot(a, b) / (hofNorm(a) * hofNorm(b))
+  }
 
   /**
    * Brute-force cosine top-k: every query row against every corpus row.
@@ -72,9 +83,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed * 7919L + 13L)
     val bits = (0 until numBits).map { b =>
       val hp = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
-      val proj = aggregate(
-        zip_with(emb, typedLit(hp), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(emb, typedLit(hp))
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

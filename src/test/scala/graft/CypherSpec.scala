@@ -130,4 +130,15 @@ class CypherSpec extends SparkSpec {
   test("tpch graph: entry smoke") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("mutation: addNodes/addEdges visible to subsequent queries") {
+    import spark.implicits._
+    val g1 = diamond
+      .addNodes(Seq((5L, "C")).toDF("id", "label"))
+      .addEdges(Seq((2L, 5L, "Y")).toDF("src", "dst", "etype"))
+    val got = new GraphDB(g1).query("MATCH (b:B)-[:Y]->(c:C) RETURN c")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 5L))
+    assert(g1.node(5L).count() == 1)
+  }
 }

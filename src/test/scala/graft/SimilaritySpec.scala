@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native vec_cosine is bit-identical to the HOF form on real embeddings") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet").limit(200)
+    val pairs = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
+      .crossJoin(emb.select($"vec_id".as("b"), $"embedding".as("eb")))
+      .filter($"a" < $"b")
+    val diff = pairs.select(
+      Similarity.cosine($"ea", $"eb").as("fast"),
+      Similarity.cosineHof($"ea", $"eb").as("hof"))
+      .filter($"fast" =!= $"hof").count()
+    assert(diff === 0L)
+  }
+
   test("ivf knn with nprobe = numCells equals brute force exactly") {
     val emb = spark.read.parquet(s"$SF/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
