@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: per-query wall times as one JSON line.
+  *
+  * Cache hygiene: every query is timed from an identical cache state — the
+  * resident graph materialized, nothing else. After each query all caches are
+  * cleared (operators may cache scratch intermediates, e.g. shingle tables)
+  * and the graph is re-warmed OUTSIDE the timed region; without this,
+  * accumulated scratch caches from 49 queries evict each other and full-run
+  * timings diverge from isolated runs by up to ~100x in both directions
+  * (measured in round 1).
+  *
+  * Failures are reported, not swallowed: a crashing query lands in the
+  * "errors" map (and on stderr) instead of silently contributing a bogus
+  * timing with rc=0.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +25,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // load phase: resident graph + stats (not attributed to a query)
-    try SparkEntry.warm(spark, sfDir) catch { case _: Throwable => () }
+    // load phase: resident graph + stats (not attributed to any query)
+    def rewarm(): Unit =
+      try SparkEntry.warm(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
+    rewarm()
     // optional query-name filter args (dev use; driver passes none)
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // reset to the canonical cache state for the next query (untimed)
+      spark.catalog.clearCache()
+      rewarm()
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

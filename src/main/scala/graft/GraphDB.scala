@@ -24,25 +24,33 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
 
   /**
    * Run a Cypher query; result has one BIGINT id column per returned binding.
-   * Set semantics (reference Boolean-matrix ANY_PAIR) → always DISTINCT on
-   * the returned bindings.
+   * Set semantics (reference Boolean-matrix ANY_PAIR) → DISTINCT on the
+   * returned bindings, but the final duplicate elimination is SKIPPED when
+   * the compiled plan already guarantees it (PatternExec set-semantics
+   * tracking) — the plan's own projection-shrink dedup usually lands exactly
+   * on the returned bindings, and paying a second full shuffle for an
+   * already-distinct million-row result was round 1's top plan defect.
    */
-  def query(cypher: String): DataFrame = {
-    val q = CypherParser.parse(cypher)
-    val pg = Pattern.fromQuery(q)
+  def query(cypher: String): DataFrame =
+    run(Pattern.fromQuery(CypherParser.parse(cypher)))
+
+  private def run(pg: Pattern.PatternGraph): DataFrame = {
     val root = Planner.plan(pg, stats)
-    val df = PatternExec.compile(root, graph)
-    val out = df.select(pg.returns.map(col): _*).dropDuplicates()
+    val c = PatternExec.compileTracked(root, graph)
+    val projected = c.df.select(pg.returns.map(col): _*)
+    val out =
+      if (c.distinct && pg.returns.toSet == root.carried) projected
+      else projected.dropDuplicates()
     pg.limit.fold(out)(out.limit)
   }
 
   /** Like `query`, but joins each returned binding back to its node row for
     * property columns, prefixed `<binding>_` (reference MatrixTuples +
-    * DataStore.getVs render step). */
+    * DataStore.getVs render step). Parses once; the binding ids come from
+    * the same compiled plan `query` runs. */
   def queryNodes(cypher: String): DataFrame = {
-    val q = CypherParser.parse(cypher)
-    val ids = query(cypher)
-    q.returns.foldLeft(ids) { (acc, b) =>
+    val pg = Pattern.fromQuery(CypherParser.parse(cypher))
+    pg.returns.foldLeft(run(pg)) { (acc, b) =>
       val props = graph.nodes.columns.filter(_ != "id")
         .map(c => col(c).as(s"${b}_$c"))
       acc.join(graph.nodes.select((col("id").as(b) +: props.toSeq): _*), Seq(b), "left")

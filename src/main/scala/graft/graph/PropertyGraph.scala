@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
  * Core schemas (extra property columns are allowed and carried through):
  *   nodes: id BIGINT, label STRING, props...
  *   edges: src BIGINT, dst BIGINT, etype STRING, props...
+ *
+ * Invariants: `id` is unique in nodes (loaders allocate ids, mirroring the
+ * reference's monotonic id counter, DataStore.scala:44-49). `edgesDistinct`
+ * declares that (src, dst, etype) has no duplicate rows — a multigraph keeps
+ * it false and the query layer then pays a final duplicate-elimination it can
+ * otherwise skip (set-semantics tracking in PatternExec).
  */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+                               edgesDistinct: Boolean = false) {
 
   def nodesByLabel(label: String): DataFrame =
     nodes.filter(col("label") === lit(label))
@@ -33,7 +40,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   /** Snapshot statistics for the cost-based planner (reference StatsStore). */
   def computeStats(): GraphStats = GraphStats.compute(this)
 
-  def cache(): PropertyGraph = PropertyGraph(nodes.cache(), edges.cache())
+  def cache(): PropertyGraph = copy(nodes = nodes.cache(), edges = edges.cache())
 
   /** Batch append of vertices — the Spark-native analogue of the reference's
     * `insertVertex` (ConcurrentDirectedGraph.scala:109-125): new rows are
@@ -41,13 +48,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * or `monotonically_increasing_id` at ingest). Missing property columns
     * null-fill. */
   def addNodes(rows: DataFrame): PropertyGraph =
-    PropertyGraph(nodes.unionByName(rows, allowMissingColumns = true), edges)
+    copy(nodes = nodes.unionByName(rows, allowMissingColumns = true))
 
   /** Batch append of edges (reference `insertEdge`,
     * ConcurrentDirectedGraph.scala:141-153). No transpose maintenance —
     * reverse traversal swaps join keys instead. */
   def addEdges(rows: DataFrame): PropertyGraph =
-    PropertyGraph(nodes, edges.unionByName(rows, allowMissingColumns = true))
+    // appended rows may duplicate existing edges → conservatively demote
+    copy(edges = edges.unionByName(rows, allowMissingColumns = true), edgesDistinct = false)
 
   /** Point lookup (reference `getV`, ConcurrentDirectedGraph.scala:104). */
   def node(id: Long): DataFrame = nodes.filter(col("id") === lit(id))

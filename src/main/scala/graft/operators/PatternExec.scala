@@ -30,41 +30,60 @@ import graft.cypher.Ast
  */
 object PatternExec {
 
-  def compile(node: LogicNode, g: PropertyGraph): DataFrame = node match {
+  /** Compiled plan + set-semantics tracking: `distinct` = the DataFrame is
+    * provably duplicate-free on its binding columns, so downstream duplicate
+    * elimination (GraphDB.query's final set-semantics guarantee) can be
+    * skipped — one full shuffle saved per query on multi-binding returns. */
+  final case class Compiled(df: DataFrame, distinct: Boolean)
+
+  def compile(node: LogicNode, g: PropertyGraph): DataFrame =
+    compileTracked(node, g).df
+
+  def compileTracked(node: LogicNode, g: PropertyGraph): Compiled = node match {
     case GetNodes(b, label) =>
-      label.fold(g.nodes)(l => g.nodesByLabel(l)).select(col("id").as(b))
+      // node ids are unique (PropertyGraph invariant)
+      Compiled(label.fold(g.nodes)(l => g.nodesByLabel(l)).select(col("id").as(b)),
+        distinct = true)
 
     case Expand(from, fromB, edges, to, pushedLabel, keep) =>
-      val fromDF = compile(from, g)
+      val fromC = compileTracked(from, g)
       var e = edgeScan(edges, g, fromB, to)
       pushedLabel.foreach { l =>
         // FilterExpandCommutative: constrain edge endpoint by label pre-join
         e = e.join(g.nodesByLabel(l).select(col("id").as(to)), Seq(to), "left_semi")
       }
-      val joined = fromDF.join(e, Seq(fromB), "inner")
-      project(joined, keep, from.carried + to)
+      val joined = fromC.df.join(e, Seq(fromB), "inner")
+      // joined rows distinct iff frontier rows are AND the (from, to) edge
+      // pairs are unique: a single concrete type of a distinct-edged graph.
+      // Multiple types (or the undirected union) can repeat a pair.
+      val pairsUnique = g.edgesDistinct && edges.types.size == 1 && !edges.undirected
+      project(joined, keep, from.carried + to, fromC.distinct && pairsUnique)
 
     case Filter(frontier, label) =>
-      val f = compile(frontier, g)
-      f.join(g.nodesByLabel(label).select(col("id").as(frontier.head)),
-        Seq(frontier.head), "left_semi")
+      val f = compileTracked(frontier, g)
+      // left-semi never duplicates left rows → distinctness preserved
+      Compiled(f.df.join(g.nodesByLabel(label).select(col("id").as(frontier.head)),
+        Seq(frontier.head), "left_semi"), f.distinct)
 
     case PropFilter(frontier, pred) =>
-      val f = compile(frontier, g)
+      val f = compileTracked(frontier, g)
       val filtered = g.nodes.filter(predColumn(pred)).select(col("id").as(pred.binding))
-      f.join(filtered, Seq(pred.binding), "left_semi")
+      Compiled(f.df.join(filtered, Seq(pred.binding), "left_semi"), f.distinct)
 
     case EdgePredicate(frontier, edges, src, dst) =>
-      val f = compile(frontier, g)
+      val f = compileTracked(frontier, g)
       val e = edgeScan(edges, g, src, dst)
-      f.join(e, Seq(src, dst), "left_semi")
+      Compiled(f.df.join(e, Seq(src, dst), "left_semi"), f.distinct)
 
     case Join(l, r, on, keep) =>
-      val joined = compile(l, g).join(compile(r, g), Seq(on), "inner")
-      project(joined, keep, l.carried ++ r.carried)
+      val lc = compileTracked(l, g); val rc = compileTracked(r, g)
+      val joined = lc.df.join(rc.df, Seq(on), "inner")
+      project(joined, keep, l.carried ++ r.carried, lc.distinct && rc.distinct)
 
     case CartesianProduct(l, r, keep) =>
-      project(compile(l, g).crossJoin(compile(r, g)), keep, l.carried ++ r.carried)
+      val lc = compileTracked(l, g); val rc = compileTracked(r, g)
+      project(lc.df.crossJoin(rc.df), keep, l.carried ++ r.carried,
+        lc.distinct && rc.distinct)
   }
 
   /** Edge scan as a two-column (fromB, toB) DataFrame, direction resolved. */
@@ -78,11 +97,15 @@ object PatternExec {
     else fwd
   }
 
-  /** Set semantics: dedup only when the projection dropped columns. */
-  private def project(df: DataFrame, keep: Set[String], available: Set[String]): DataFrame = {
+  /** Set semantics: dedup only when the projection dropped columns (a
+    * shrinking projection can introduce duplicates even from distinct input;
+    * a full-width projection preserves whatever distinctness the input had). */
+  private def project(df: DataFrame, keep: Set[String], available: Set[String],
+                      inputDistinct: Boolean): Compiled = {
     val cols = keep.toSeq.sorted.map(col)
     val projected = df.select(cols: _*)
-    if (keep == available) projected else projected.dropDuplicates()
+    if (keep == available) Compiled(projected, inputDistinct)
+    else Compiled(projected.dropDuplicates(), distinct = true)
   }
 
   private def predColumn(p: Ast.Cmp): Column = {

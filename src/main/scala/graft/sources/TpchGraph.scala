@@ -77,6 +77,8 @@ object TpchGraph {
       .unionByName(lineitem.select((col("l_suppkey") + SupplierOff).as("src"),
         (col("l_partkey") + PartOff).as("dst"), lit("SUPPLIES").as("etype")).dropDuplicates("src", "dst"))
 
-    PropertyGraph(allNodes, allEdges)
+    // every edge type is unique on (src, dst) by construction (FK projections
+    // + explicit dropDuplicates for the lineitem-derived types)
+    PropertyGraph(allNodes, allEdges, edgesDistinct = true)
   }
 }

@@ -152,7 +152,7 @@ object TextOps {
       .join(buckets.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifyJaccard(candidates, sh, idCol, threshold)
+    verifyJaccard(candidates, df, n, idCol, textCol, threshold)
   }
 
   /**
@@ -189,23 +189,29 @@ object TextOps {
       .filter(col("a") < col("b"))
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .select("a", "b").distinct()
-    verifyJaccard(candidates, sh, idCol, threshold)
+    verifyJaccard(candidates, df, n, idCol, textCol, threshold)
   }
 
   /** Exact Jaccard verification restricted to candidate pairs (broadcast-able
     * candidate set; at scale the shingle join partitions by shingle).
     *
-    * The candidate plan is cut at an RDD boundary first: `candidates` derives
-    * from the same shingle scan it is re-joined against, and Spark's
-    * self-join attribute de-duplication silently mis-resolves the shared
-    * expression ids, dropping pairs. A fresh DataFrame over the same rows
-    * gives every column a new id (verified: identical plan with shared
-    * lineage loses 12/28 pairs; with the cut it matches the exhaustive
-    * computation exactly).
+    * The shingle table is REBUILT from the source (`shingles(df, …)`) rather
+    * than reusing the instance the candidates derive from: `candidates`
+    * carries the shingle scan in its lineage, and joining it back against
+    * the same plan object trips Spark's self-join attribute de-duplication,
+    * which silently mis-resolves the shared expression ids and drops pairs
+    * (measured in round 1: 12/28 pairs lost; regression covered by
+    * TextSpec). The rebuilt plan has fresh expression ids for the derived
+    * columns, and still hits the `sh.cache()` data — CacheManager matches
+    * cached plans by `sameResult`, which is exprId-insensitive — so nothing
+    * is recomputed and the whole verify stays one declarative codegen'd
+    * plan (round 1 used an RDD-boundary cut here, which disabled
+    * codegen/AQE across the boundary and recomputed the candidates per
+    * action).
     */
-  private def verifyJaccard(candidates0: DataFrame, sh: DataFrame,
-                            idCol: String, threshold: Double): DataFrame = {
-    val candidates = sh.sparkSession.createDataFrame(candidates0.rdd, candidates0.schema)
+  private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,
+                            idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col(idCol).as("a"), col("shingle")), "a")
