@@ -167,6 +167,39 @@ object SparkEntry {
           (col("c_custkey") % 5 + TpchGraph.RegionOff).as("j"), lit(true).as("v")))
       GrOps.mxm(Ops.anyPair)(a, b, accum = Some(Ops.lor), previous = Some(prev)).df
     }),
+    // per-row reduction with the EXACT times monoid (typed Aggregator —
+    // true product over the full domain, reference grb/GrBMonoid.scala:31-68).
+    // Values 1..3 with ≤7 cells per row keep every product exact in double.
+    "kernel_times_reduce" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = GrMatrix(li.groupBy(col("l_orderkey").as("i"), col("l_partkey").as("j"))
+        .agg(min(col("l_partkey") % 3 + 1).as("v")))
+      GrOps.reduceRows(Ops.timesM)(m).df
+        .select((col("i") + TpchGraph.OrderOff).as("i"), col("v"))
+    }),
+    // element-level point ops: single-cell delete + upsert, immutably rebuilt
+    // (reference grbv2/GrBMatrix.scala:32-46)
+    "kernel_element_ops" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      GrOps.setElement(
+        GrOps.removeElement(m, TpchGraph.CustomerOff + 1, TpchGraph.NationOff + 0),
+        7L, 7L, true).df
+    }),
+    // vxm with a vector mask (finishVec path): BFS step restricted to a
+    // node subset
+    "kernel_vxm_masked" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val frontier = GrVector(t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"), lit(true).as("v")))
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val mask = GrVector(t(s, dir, "nation").filter(col("n_nationkey") < 10)
+        .select((col("n_nationkey") + TpchGraph.NationOff).as("i"), lit(true).as("v")))
+      GrOps.vxm(Ops.anyPair)(frontier, m, mask = Some(mask)).df
+    }),
     // vector → diagonal matrix (reference assignToDiag/Diag.diag)
     "kernel_diag" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -412,6 +445,17 @@ object SparkEntry {
     "kernel_diag" ->
       ("SELECT l_orderkey + 6000000000 AS i, l_orderkey + 6000000000 AS j, " +
        "count(DISTINCT l_partkey) AS v FROM lineitem GROUP BY l_orderkey"),
+    "kernel_times_reduce" ->
+      ("WITH m AS (SELECT l_orderkey AS i, l_partkey AS j, min(l_partkey % 3 + 1) AS v " +
+       "FROM lineitem GROUP BY 1, 2) " +
+       "SELECT i + 6000000000 AS i, product(v::DOUBLE) AS v FROM m GROUP BY 1"),
+    "kernel_element_ops" ->
+      ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
+       "FROM customer WHERE NOT (c_custkey = 1 AND c_nationkey = 0) " +
+       "UNION ALL SELECT 7, 7, true"),
+    "kernel_vxm_masked" ->
+      ("SELECT DISTINCT c_nationkey + 2000000000 AS i, true AS v FROM customer " +
+       "WHERE c_custkey < 100 AND c_nationkey < 10"),
     "kernel_assign" ->
       ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
        "FROM customer WHERE c_custkey >= 500 " +

@@ -24,10 +24,16 @@ final case class GrMatrix(df: DataFrame) {
   def nvals: Long = df.count()
   def transpose: GrMatrix = GrMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")))
   def cache(): GrMatrix = GrMatrix(df.cache())
+  /** Reference lifecycle ops (grbv2/GrBMatrixOps.scala:19-155): `clear` keeps
+    * the schema, drops every cell; `duplicate` is sharing — DataFrames are
+    * immutable, so the reference's defensive copy dissolves into identity. */
+  def clear: GrMatrix = GrMatrix(df.filter(lit(false)))
+  def duplicate: GrMatrix = this
 }
 
 final case class GrVector(df: DataFrame) {
   def nvals: Long = df.count()
+  def clear: GrVector = GrVector(df.filter(lit(false)))
 }
 
 /** Element-wise binary operator over value columns (reference GrBBinaryOp catalog,
@@ -54,8 +60,10 @@ object Ops {
   val max: BinaryOp    = BinaryOp("max")(greatest(_, _))
   val plus: BinaryOp   = BinaryOp("plus")(_ + _)
   val minus: BinaryOp  = BinaryOp("minus")(_ - _)
+  val rminus: BinaryOp = BinaryOp("rminus")((a, b) => b - a)
   val times: BinaryOp  = BinaryOp("times")(_ * _)
   val div: BinaryOp    = BinaryOp("div")(_ / _)
+  val rdiv: BinaryOp   = BinaryOp("rdiv")((a, b) => b / a)
   val lor: BinaryOp    = BinaryOp("lor")(_ || _)
   val land: BinaryOp   = BinaryOp("land")(_ && _)
   val lxor: BinaryOp   = BinaryOp("lxor")(_ =!= _)
@@ -66,14 +74,39 @@ object Ops {
   val lt: BinaryOp = BinaryOp("lt")(_ < _)
   val ge: BinaryOp = BinaryOp("ge")(_ >= _)
   val le: BinaryOp = BinaryOp("le")(_ <= _)
+  // IS* comparisons to the numeric domain (GraphBLAS returns 0/1 in-domain,
+  // reference grb/GrBBinaryOp.scala:24-57); INT 0/1 here — Spark's arithmetic
+  // coercion widens it wherever the value participates in further algebra
+  private def is(name: String)(c: (Column, Column) => Column): BinaryOp =
+    BinaryOp(name)((a, b) => c(a, b).cast("int"))
+  val iseq: BinaryOp = is("iseq")(_ === _)
+  val isne: BinaryOp = is("isne")(_ =!= _)
+  val isgt: BinaryOp = is("isgt")(_ > _)
+  val islt: BinaryOp = is("islt")(_ < _)
+  val isge: BinaryOp = is("isge")(_ >= _)
+  val isle: BinaryOp = is("isle")(_ <= _)
 
   // --- monoids ---
   private val F = org.apache.spark.sql.functions
   val minM: Monoid  = Monoid("min")(F.min)((a, b) => least(a, b))
   val maxM: Monoid  = Monoid("max")(F.max)((a, b) => greatest(a, b))
   val plusM: Monoid = Monoid("plus")(F.sum)(_ + _)
-  // product monoid via exp∘Σ∘log — positive domain only, documented limit
-  val timesM: Monoid = Monoid("times")(c => exp(F.sum(log(c))))(_ * _)
+  /** Exact product monoid over the full double domain (negatives and zeros
+    * included) — a typed Aggregator, matching the reference's true per-type
+    * TIMES monoid (grb/GrBMonoid.scala:31-68). Distributed as partial
+    * products merged multiplicatively (map-side combine works: * is
+    * associative & commutative). Round 1 shipped exp∘Σ∘log, which was
+    * positive-domain only. */
+  private object ProductAgg extends org.apache.spark.sql.expressions.Aggregator[Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, a: Double): Double = b * a
+    def merge(b1: Double, b2: Double): Double = b1 * b2
+    def finish(r: Double): Double = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+  }
+  private lazy val productUdaf = F.udaf(ProductAgg, org.apache.spark.sql.Encoders.scalaDouble)
+  val timesM: Monoid = Monoid("times")(c => productUdaf(c.cast("double")))(_ * _)
   val lorM: Monoid  = Monoid("lor")(F.max)(_ || _)
   val landM: Monoid = Monoid("land")(F.min)(_ && _)
   val anyM: Monoid  = Monoid("any")(F.first(_))((a, _) => a)
@@ -124,36 +157,53 @@ object GrOps {
     finish(GrMatrix(prod), mask, complement, accum, previous)
   }
 
-  /** w = u ⊕.⊗ A (row-vector × matrix; reference vxm via mxm on 1×N). */
-  def vxm(s: Semiring)(u: GrVector, A: GrMatrix): GrVector = {
+  /** w = u ⊕.⊗ A (row-vector × matrix; reference vxm via mxm on 1×N).
+    * Mask/accumulator threading mirrors the matrix ops (the reference passes
+    * them through every kernel call, grbv2/MatrixOps.scala:164-171). */
+  def vxm(s: Semiring)(u: GrVector, A: GrMatrix,
+                       mask: Option[GrVector] = None, complement: Boolean = false,
+                       accum: Option[BinaryOp] = None, previous: Option[GrVector] = None): GrVector = {
     val j = u.df.select(col("i").as("ui"), col("v").as("uv"))
       .join(a(A), col("ui") === col("ai"))
     val out =
       if (s == anyPair) j.select(col("aj").as("i")).distinct().withColumn("v", lit(true))
       else j.groupBy(col("aj").as("i")).agg(s.plus.agg(s.times.apply(col("uv"), col("av"))).as("v"))
-    GrVector(out)
+    finishVec(GrVector(out), mask, complement, accum, previous)
   }
 
   /** eWiseAdd — union of patterns, overlaps combined (reference ElemWise.union,
     * grbv2/ElemWise.scala:12-52): full-outer join on (i,j) + coalesce. */
   def eWiseAdd(op: BinaryOp)(A: GrMatrix, B: GrMatrix,
-                             mask: Option[GrMatrix] = None, complement: Boolean = false): GrMatrix = {
+                             mask: Option[GrMatrix] = None, complement: Boolean = false,
+                             accum: Option[BinaryOp] = None, previous: Option[GrMatrix] = None): GrMatrix = {
     val out = a(A).join(b(B), col("ai") === col("bi") && col("aj") === col("bj"), "full_outer")
       .select(
         coalesce(col("ai"), col("bi")).as("i"),
         coalesce(col("aj"), col("bj")).as("j"),
         when(col("av").isNotNull && col("bv").isNotNull, op.apply(col("av"), col("bv")))
           .otherwise(coalesce(col("av"), col("bv"))).as("v"))
-    finish(GrMatrix(out), mask, complement, None, None)
+    finish(GrMatrix(out), mask, complement, accum, previous)
   }
 
   /** eWiseMult — intersection of patterns (reference ElemWise.intersect,
     * grbv2/ElemWise.scala:55-95): inner join on (i,j). */
   def eWiseMult(op: BinaryOp)(A: GrMatrix, B: GrMatrix,
-                              mask: Option[GrMatrix] = None, complement: Boolean = false): GrMatrix = {
+                              mask: Option[GrMatrix] = None, complement: Boolean = false,
+                              accum: Option[BinaryOp] = None, previous: Option[GrMatrix] = None): GrMatrix = {
     val out = a(A).join(b(B), col("ai") === col("bi") && col("aj") === col("bj"))
       .select(col("ai").as("i"), col("aj").as("j"), op.apply(col("av"), col("bv")).as("v"))
-    finish(GrMatrix(out), mask, complement, None, None)
+    finish(GrMatrix(out), mask, complement, accum, previous)
+  }
+
+  /** Element-wise union for vectors (accumulator support path). */
+  def eWiseAddVec(op: BinaryOp)(u: GrVector, w: GrVector): GrVector = {
+    val out = u.df.select(col("i").as("ui"), col("v").as("uv"))
+      .join(w.df.select(col("i").as("wi"), col("v").as("wv")),
+        col("ui") === col("wi"), "full_outer")
+      .select(coalesce(col("ui"), col("wi")).as("i"),
+        when(col("uv").isNotNull && col("wv").isNotNull, op.apply(col("uv"), col("wv")))
+          .otherwise(coalesce(col("uv"), col("wv"))).as("v"))
+    GrVector(out)
   }
 
   /** to = from(I, J) (reference extract, grbv2/MatrixOps.scala:46-75). Indices
@@ -195,6 +245,27 @@ object GrOps {
     A.df.select("i", "j", "v").exceptAll(B.df.select("i", "j", "v")).isEmpty &&
       B.df.select("i", "j", "v").exceptAll(A.df.select("i", "j", "v")).isEmpty
 
+  /** Single-cell upsert: anti-select the target cell, union the new value
+    * (reference element set, grbv2/GrBMatrix.scala:32-46 — here an immutable
+    * rebuild, the same shape as [[assign]] at 1×1 granularity). */
+  def setElement(m: GrMatrix, i: Long, j: Long, v: Any): GrMatrix = {
+    val cell = m.df.sparkSession.range(1)
+      .select(lit(i).as("i"), lit(j).as("j"),
+        lit(v).cast(m.df.schema("v").dataType).as("v"))
+    GrMatrix(m.df.filter(!(col("i") === i && col("j") === j)).unionByName(cell))
+  }
+
+  /** Single-cell delete (reference removeElement, grbv2/GrBMatrix.scala:44-46). */
+  def removeElement(m: GrMatrix, i: Long, j: Long): GrMatrix =
+    GrMatrix(m.df.filter(!(col("i") === i && col("j") === j)))
+
+  /** Point read (reference get, grbv2/GrBMatrix.scala:32-38). The one
+    * intentionally driver-side op: a single-cell probe with both predicates
+    * pushed to the scan. */
+  def getElement(m: GrMatrix, i: Long, j: Long): Option[Any] =
+    m.df.filter(col("i") === i && col("j") === j).select("v")
+      .collect().headOption.map(_.get(0))
+
   /** Apply mask then fold the accumulator with the previous output
     * (reference mask/accum args threaded through every op, MatrixOps.scala:164-171). */
   private def finish(out: GrMatrix, mask: Option[GrMatrix], complement: Boolean,
@@ -207,6 +278,22 @@ object GrOps {
     }
     (accum, previous) match {
       case (Some(op), Some(prev)) => eWiseAdd(op)(prev, masked)
+      case _ => masked
+    }
+  }
+
+  /** Vector form of [[finish]]: mask = semi/anti join on i, accum = eWiseAdd
+    * with the previous vector. */
+  private def finishVec(out: GrVector, mask: Option[GrVector], complement: Boolean,
+                        accum: Option[BinaryOp], previous: Option[GrVector]): GrVector = {
+    val masked = mask match {
+      case Some(m) =>
+        GrVector(out.df.join(m.df.select(col("i")), Seq("i"),
+          if (complement) "left_anti" else "left_semi"))
+      case None => out
+    }
+    (accum, previous) match {
+      case (Some(op), Some(prev)) => eWiseAddVec(op)(prev, masked)
       case _ => masked
     }
   }

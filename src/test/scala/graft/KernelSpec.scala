@@ -153,4 +153,82 @@ class KernelSpec extends SparkSpec {
       if (a != b) assert(!GrOps.isAll(mat(a), mat(b)))
     }
   }
+
+  test("rminus/rdiv and IS* comparison ops match fold oracles") {
+    cases(3).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      val inter = a.keySet intersect b.keySet
+      assert(toMap(GrOps.eWiseMult(Ops.rminus)(mat(a), mat(b)).df) ==
+        inter.map(k => k -> (b(k) - a(k))).toMap)
+      assert(toMap(GrOps.eWiseMult(Ops.rdiv)(mat(a), mat(b)).df) ==
+        inter.map(k => k -> (b(k) / a(k))).toMap)
+      // IS* return 0/1 in the numeric domain (int, upcast by the collect)
+      def isOracle(cmp: (Double, Double) => Boolean) =
+        inter.map(k => k -> (if (cmp(a(k), b(k))) 1 else 0)).toMap
+      def run(op: BinaryOp) = GrOps.eWiseMult(op)(mat(a), mat(b)).df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(run(Ops.iseq) == isOracle(_ == _))
+      assert(run(Ops.isne) == isOracle(_ != _))
+      assert(run(Ops.isgt) == isOracle(_ > _))
+      assert(run(Ops.islt) == isOracle(_ < _))
+      assert(run(Ops.isge) == isOracle(_ >= _))
+      assert(run(Ops.isle) == isOracle(_ <= _))
+    }
+  }
+
+  test("exact times monoid handles negatives and zeros (reduce vs fold)") {
+    import spark.implicits._
+    val m = GrMatrix(Seq(
+      (0L, 0L, 2.0), (0L, 1L, -3.0), (0L, 2L, 0.5),
+      (1L, 0L, 0.0), (1L, 1L, -4.0),
+      (2L, 2L, -1.5)).toDF("i", "j", "v"))
+    val rows = GrOps.reduceRows(Ops.timesM)(m).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(0L -> -3.0, 1L -> 0.0, 2L -> -1.5))
+    val all = GrOps.reduceAll(Ops.timesM)(m).collect()(0).getDouble(0)
+    assert(all == 0.0) // the zero cell annihilates — exp∘Σ∘log could not do this
+  }
+
+  test("eWiseAdd/eWiseMult accumulator and vxm mask/accum") {
+    cases(3).foreach { s =>
+      val (a, b, prev) = (sample(s), sample(s + 100), sample(s + 200))
+      val add = toMap(GrOps.eWiseAdd(Ops.plus)(mat(a), mat(b)).df)
+      val addAcc = toMap(GrOps.eWiseAdd(Ops.plus)(mat(a), mat(b),
+        accum = Some(Ops.plus), previous = Some(mat(prev))).df)
+      assert(addAcc == unionOracle(add, prev, _ + _))
+      val mult = toMap(GrOps.eWiseMult(Ops.times)(mat(a), mat(b)).df)
+      val multAcc = toMap(GrOps.eWiseMult(Ops.times)(mat(a), mat(b),
+        accum = Some(Ops.min), previous = Some(mat(prev))).df)
+      assert(multAcc == unionOracle(mult, prev, math.min))
+    }
+    import spark.implicits._
+    val adj = GrMatrix(Seq((0L, 1L, 1.0), (0L, 2L, 2.0), (1L, 2L, 4.0)).toDF("i", "j", "v"))
+    val u = GrVector(Seq((0L, 10.0), (1L, 20.0)).toDF("i", "v"))
+    def vecMap(v: GrVector) = v.df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // w(j) = min_i (u(i) + adj(i,j)): 1 -> 11, 2 -> min(12, 24) = 12
+    assert(vecMap(GrOps.vxm(Ops.minPlus)(u, adj)) == Map(1L -> 11.0, 2L -> 12.0))
+    val mask = GrVector(Seq((2L, true)).toDF("i", "v"))
+    assert(vecMap(GrOps.vxm(Ops.minPlus)(u, adj, mask = Some(mask))) == Map(2L -> 12.0))
+    assert(vecMap(GrOps.vxm(Ops.minPlus)(u, adj, mask = Some(mask), complement = true)) ==
+      Map(1L -> 11.0))
+    val prevV = GrVector(Seq((1L, 100.0), (5L, 7.0)).toDF("i", "v"))
+    assert(vecMap(GrOps.vxm(Ops.minPlus)(u, adj,
+      accum = Some(Ops.plus), previous = Some(prevV))) ==
+      Map(1L -> 111.0, 2L -> 12.0, 5L -> 7.0))
+  }
+
+  test("element get/set/remove point ops (immutably rebuilt)") {
+    import spark.implicits._
+    val m = GrMatrix(Seq((0L, 0L, 1.0), (1L, 2L, 3.0)).toDF("i", "j", "v"))
+    assert(GrOps.getElement(m, 1, 2).contains(3.0))
+    assert(GrOps.getElement(m, 4, 4).isEmpty)
+    val set = GrOps.setElement(m, 1, 2, 9.0)         // overwrite
+    assert(toMap(set.df) == Map((0L, 0L) -> 1.0, (1L, 2L) -> 9.0))
+    val ins = GrOps.setElement(m, 5, 5, 2.5)         // insert
+    assert(toMap(ins.df) == Map((0L, 0L) -> 1.0, (1L, 2L) -> 3.0, (5L, 5L) -> 2.5))
+    val rm = GrOps.removeElement(m, 0, 0)
+    assert(toMap(rm.df) == Map((1L, 2L) -> 3.0))
+    assert(toMap(GrOps.removeElement(m, 9, 9).df) == toMap(m.df)) // absent = no-op
+    assert(m.clear.nvals == 0 && (m.duplicate eq m))
+  }
 }
