@@ -47,8 +47,9 @@ object Planner {
       n
     }
 
-    // start from the most selective labelled binding
-    val start = comp.minBy(b => stats.nodeCount(pg.labels(b)))
+    // start from the most selective labelled binding (name tie-break for
+    // deterministic plans — golden tests depend on it)
+    val start = comp.minBy(b => (stats.nodeCount(pg.labels(b)), b))
     var node: LogicNode = applyPreds(GetNodes(start, pg.labels(start)), start)
     var card = math.max(stats.nodeCount(pg.labels(start)).toDouble, 1.0)
     var bound = Set(start)
@@ -66,7 +67,8 @@ object Planner {
         val candidates = remaining.filter(e => bound(e.src) || bound(e.dst))
         require(candidates.nonEmpty, "pattern component not connected")
         // pick the expansion with the smallest estimated output cardinality
-        val (edge, fan) = candidates.map(e => e -> fanout(e, bound, pg, stats)).minBy(_._2)
+        val (edge, fan) = candidates.map(e => e -> fanout(e, bound, pg, stats))
+          .minBy { case (e, f) => (f, e.src, e.dst) }
         val transpose = !bound(edge.src) // walking against the arrow
         val (fromB, toB) = if (transpose) (edge.dst, edge.src) else (edge.src, edge.dst)
         val toLabel = pg.labels(toB)
