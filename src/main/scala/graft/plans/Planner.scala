@@ -10,17 +10,43 @@ import graft.plans.Pattern.{PatternEdge, PatternGraph}
  * alternatives with `cost = 1.2·card + Σ children` and triplet-conditional
  * selectivities (g4s-optimizer/.../optim/impls/Operator.scala:116-148,
  * columbia/StatsCalculator.scala:19-77, optim/StatsStore.scala:111-255).
- * Here the pattern space is tiny (a handful of edges), so a greedy
- * cheapest-next-expansion enumeration with the same cardinality model
- * reproduces its choices without memo machinery; the emitted tree is already
- * join-ordered and Catalyst handles pushdown / physical join selection
- * (SURVEY §7.3). The `FilterExpandCommutative` alternative — push the target
- * label onto the edge scan vs. filter after the expand — is decided per hop
- * from label selectivity.
+ * Here the pattern space is tiny (a handful of edges), so an EXHAUSTIVE
+ * branch-and-bound search over expansion orders with the same cost model
+ * covers the reference's alternative space without memo machinery: every
+ * start binding × every admissible edge order is enumerated, the greedy
+ * (cheapest-next-expansion) plan seeds the incumbent, and prefixes are cut
+ * as soon as their accumulated cost reaches the incumbent's (cost only
+ * grows). Components above [[ExhaustiveEdgeLimit]] edges fall back to pure
+ * greedy. The emitted tree is already join-ordered; Catalyst handles
+ * pushdown / pruning / physical join selection (SURVEY §7.3). The
+ * `FilterExpandCommutative` alternative — push the target label onto the
+ * edge scan vs. filter after the expand — is decided per hop from label
+ * selectivity.
+ *
+ * Why the logical `Join` node is NOT emitted here (reference
+ * Fork2DiagFilter, optim/rules/impl/Fork2DiagFilter.scala:21-59): the
+ * reference's frontier is a single Boolean matrix that cannot carry more
+ * than (branch-start, head) bindings, so fork patterns MUST be recombined
+ * by a Join/Diag merge of separately-evaluated branches. This executor's
+ * frontier is a DataFrame that carries every still-needed binding through
+ * `Expand`, and under the shared cardinality model an in-line expansion of
+ * the second branch costs `1.2 · card(joined)` while a branch-split costs
+ * the same `1.2 · card(joined)` PLUS the separately-planned branch
+ * (`1.2 · card(branch)`), with identical join-output cardinality
+ * (card·trip/|mid| either way) — the split alternative is never strictly
+ * cheaper, so enumerating it would only widen the search space with
+ * dominated plans. `Join` remains first-class plan algebra for the
+ * programmatic entry point (reference §3.2 builds LogicNodes directly) and
+ * is compiled and tested in PatternExec (JoinSpec ports the reference's
+ * GrBTuples merge-join vectors through it).
  */
 object Planner {
 
-  final case class Planned(root: LogicNode, estCard: Double)
+  /** Components with more edges than this use greedy-only planning; below
+    * it, exhaustive search (≤ 8! orders before pruning, milliseconds). */
+  val ExhaustiveEdgeLimit = 8
+
+  final case class Planned(root: LogicNode, estCard: Double, cost: Double)
 
   def plan(pg: PatternGraph, stats: GraphStats): LogicNode = {
     val components = connectedComponents(pg)
@@ -35,56 +61,69 @@ object Planner {
   private def needed(pg: PatternGraph, remaining: Seq[PatternEdge]): Set[String] =
     pg.returns.toSet ++ remaining.flatMap(e => Seq(e.src, e.dst))
 
+  /** One planning step: the tree/bound/card/cost state of a search prefix. */
+  private final case class State(node: LogicNode, bound: Set[String],
+                                 remaining: Seq[PatternEdge],
+                                 card: Double, cost: Double)
+
   private def planComponent(pg: PatternGraph, comp: Set[String], stats: GraphStats): Planned = {
     val compEdges = pg.edges.filter(e => comp.contains(e.src))
-    val preds = pg.predicates.filter(p => comp.contains(p.binding)).toBuffer
+    val exhaustive = compEdges.size <= ExhaustiveEdgeLimit
 
-    def applyPreds(node: LogicNode, binding: String): LogicNode = {
-      var n = node
-      val (mine, rest) = preds.partition(_.binding == binding)
-      mine.foreach { p => n = PropFilter(n, p) }
-      preds.clear(); preds ++= rest
-      n
-    }
+    def applyPreds(node: LogicNode, binding: String): LogicNode =
+      pg.predicates.filter(_.binding == binding).foldLeft(node)((n, p) => PropFilter(n, p))
 
-    // start from the most selective labelled binding (name tie-break for
-    // deterministic plans — golden tests depend on it)
-    val start = comp.minBy(b => (stats.nodeCount(pg.labels(b)), b))
-    var node: LogicNode = applyPreds(GetNodes(start, pg.labels(start)), start)
-    var card = math.max(stats.nodeCount(pg.labels(start)).toDouble, 1.0)
-    var bound = Set(start)
-    var remaining = compEdges
+    // deterministic start preference: most selective label, then name — the
+    // first complete plan is the greedy one, and improvements must be strict,
+    // so ties always resolve to the greedy choice (stable golden plans)
+    val starts = comp.toSeq.sortBy(b => (stats.nodeCount(pg.labels(b)), b))
+    var best: Planned = null
 
-    while (remaining.nonEmpty) {
-      // close any cycle edges first — pure filters, they only shrink the frontier
-      val (cycles, rest) = remaining.partition(e => bound(e.src) && bound(e.dst))
+    def record(s: State): Unit =
+      if (best == null || s.cost < best.cost)
+        best = Planned(s.node, s.card, s.cost)
+
+    def step(s: State): Unit = {
+      // forced: close any cycle edges first — pure semi-filters, they only
+      // shrink the frontier, so applying them asap is always optimal
+      val (cycles, rest) = s.remaining.partition(e => s.bound(e.src) && s.bound(e.dst))
+      var node = s.node; var card = s.card; var cost = s.cost
       cycles.foreach { e =>
         node = EdgePredicate(node, GetEdges(e.types, transpose = false, e.undirected), e.src, e.dst)
         card = math.max(card * 0.5, 1.0)
+        cost += 1.2 * card
       }
-      remaining = rest
-      if (remaining.nonEmpty) {
-        val candidates = remaining.filter(e => bound(e.src) || bound(e.dst))
-        require(candidates.nonEmpty, "pattern component not connected")
-        // pick the expansion with the smallest estimated output cardinality
-        val (edge, fan) = candidates.map(e => e -> fanout(e, bound, pg, stats))
-          .minBy { case (e, f) => (f, e.src, e.dst) }
-        val transpose = !bound(edge.src) // walking against the arrow
+      if (rest.isEmpty) { record(State(node, s.bound, rest, card, cost)); return }
+      if (best != null && cost >= best.cost) return // branch-and-bound prune
+      val candidates = rest.filter(e => s.bound(e.src) || s.bound(e.dst))
+      require(candidates.nonEmpty, "pattern component not connected")
+      val ordered = candidates.map(e => e -> fanout(e, s.bound, pg, stats))
+        .sortBy { case (e, f) => (f, e.src, e.dst) }
+      val tried = if (exhaustive) ordered else ordered.take(1) // greedy = beam of 1
+      tried.foreach { case (edge, fan) =>
+        val transpose = !s.bound(edge.src) // walking against the arrow
         val (fromB, toB) = if (transpose) (edge.dst, edge.src) else (edge.src, edge.dst)
         val toLabel = pg.labels(toB)
         // FilterExpandCommutative choice: selective label → pre-filter the edge scan
         val push = toLabel.exists(_ => stats.nodeSel(toLabel) < 0.8)
-        remaining = remaining.filterNot(_ eq edge)
-        val keep = (bound + toB) intersect (needed(pg, remaining) + toB)
-        node = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected), toB,
-          if (push) toLabel else None, keep)
-        if (!push && toLabel.isDefined) node = Filter(node, toLabel.get)
-        node = applyPreds(node, toB)
-        bound += toB
-        card = math.max(card * fan, 1.0)
+        val nextRemaining = rest.filterNot(_ eq edge)
+        val keep = (s.bound + toB) intersect (needed(pg, nextRemaining) + toB)
+        var n: LogicNode = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected),
+          toB, if (push) toLabel else None, keep)
+        if (!push && toLabel.isDefined) n = Filter(n, toLabel.get)
+        n = applyPreds(n, toB)
+        val nextCard = math.max(card * fan, 1.0)
+        step(State(n, s.bound + toB, nextRemaining, nextCard, cost + 1.2 * nextCard))
       }
     }
-    Planned(node, card)
+
+    val startsTried = if (exhaustive) starts else starts.take(1)
+    startsTried.foreach { start =>
+      val node = applyPreds(GetNodes(start, pg.labels(start)), start)
+      val card = math.max(stats.nodeCount(pg.labels(start)).toDouble, 1.0)
+      step(State(node, Set(start), compEdges, card, 0.0))
+    }
+    best
   }
 
   /**
