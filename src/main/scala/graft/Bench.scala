@@ -26,10 +26,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // load phase: resident graph + stats (not attributed to any query)
-    def rewarm(): Unit =
-      try SparkEntry.warm(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
-    rewarm()
+    try SparkEntry.warm(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
+    // canonical cache state = whatever warm materialized; everything an
+    // individual query persists on top (shingle caches, iteration state,
+    // localCheckpoints) is scratch and gets dropped after the query — much
+    // cheaper than clearCache + re-warming the graph 49 times, and it keeps
+    // the resident-graph posture identical for every query.
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    def dropScratch(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+      }
     // optional query-name filter args (dev use; driver passes none)
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
@@ -41,9 +49,8 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // reset to the canonical cache state for the next query (untimed)
-      spark.catalog.clearCache()
-      rewarm()
+      dropScratch() // untimed: reset to the canonical cache state
+      System.err.println(f"[bench] $name%-26s ${dt}%.2f s" + err.fold("")(" ERR " + _))
       (name, dt, err)
     }
     def esc(s: String): String = s.flatMap {

@@ -256,6 +256,12 @@ object SparkEntry {
       graft.text.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       graft.text.TextOps.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    "text_repetition" -> ((s, dir) =>
+      graft.text.TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+    "text_gopher_filter" -> ((s, dir) =>
+      graft.text.TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")),
+    "corpus_stats" -> ((s, dir) =>
+      graft.text.TextOps.corpusStats(t(s, dir, "documents"), "source", "doc_id", "text", "lang")),
     "dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -303,6 +309,17 @@ object SparkEntry {
       graft.streaming.StreamOps.sessionizeStateful(ev, 1800)
         .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))
+    }),
+    // stream-stream interval join (batch path; incremental path in
+    // StreamingSpec): purchases joined to clicks in the preceding 30 min
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      graft.streaming.StreamOps.intervalJoin(purchases, clicks, "user_id", "ts", 1800)
+        .select(col("event_id").as("p_event_id"), col("r_event_id").as("c_event_id"))
     }),
 
     // --- multimodal binary columns (decode stub = deterministic fake codec;
@@ -517,6 +534,19 @@ object SparkEntry {
        "round(CASE WHEN szh > s THEN szh ELSE s END, 6) AS lang_score FROM f4"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "text_repetition" -> repetitionOracle(
+      "SELECT tf.doc_id AS doc_id, tf.top_token_frac, coalesce(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac " +
+      "FROM tf LEFT JOIN bs ON tf.doc_id = bs.doc_id"),
+    "text_gopher_filter" -> repetitionOracle(
+      "SELECT g.doc_id AS doc_id, (g.n_tok BETWEEN 10 AND 100000 AND g.mean_len BETWEEN 2.0 AND 10.0 " +
+      "AND g.stop_r >= 0.02 AND tf.top_token_frac < 0.20 " +
+      "AND coalesce(bs.dup_bigram_frac, 0.0) < 0.60) AS keep " +
+      "FROM gq g JOIN tf ON g.doc_id = tf.doc_id LEFT JOIN bs ON g.doc_id = bs.doc_id"),
+    "corpus_stats" ->
+      ("SELECT source, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars, " +
+       "count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique, " +
+       "round(1 - count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) * 1.0 / count(*), 6) AS dup_rate, " +
+       "count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1"),
     "dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
        "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
@@ -559,6 +589,11 @@ object SparkEntry {
        "FROM s GROUP BY user_id, sid"),
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_interval_join" ->
+      ("WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') " +
+       "SELECT p.event_id AS p_event_id, c.event_id AS c_event_id FROM p JOIN c " +
+       "ON p.user_id = c.user_id AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"),
     "stream_stateful_sessions" ->
       // gap-merge uses <= gap (new session strictly beyond), end = last event
       ("WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events), " +
@@ -693,6 +728,25 @@ object SparkEntry {
     "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
     s"SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $k"
   }
+
+  /** Shared CTE prelude for the repetition-signal oracles: per-token counts
+    * (tf = top-token fraction), word bigrams (bs = duplicate-bigram
+    * fraction), and the per-doc token/length/stopword signals (gq) the
+    * Gopher filter combines. */
+  private def repetitionOracle(select: String): String =
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+    "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), " +
+    "tf AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_frac FROM tc GROUP BY 1), " +
+    "ws AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents), " +
+    "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM ws, " +
+    "LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t WHERE len(w) >= 2), " +
+    "bs AS (SELECT doc_id, round(1 - count(DISTINCT b) * 1.0 / count(*), 6) AS dup_bigram_frac FROM bg GROUP BY 1), " +
+    "gq AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS n_tok, " +
+    "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(string_split_regex(lower(text), '\\s+')) AS mean_len, " +
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+    "x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE " +
+    "/ len(string_split_regex(lower(text), '\\s+')) AS stop_r FROM documents) " +
+    select
 
   private def jaccardOracle(select: String): String =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +

@@ -83,6 +83,28 @@ object StreamOps {
     else events.dropDuplicates(keys)
 
   /**
+   * Stream-stream (or batch) interval join: right rows with the same key
+   * whose time falls in `(left.time − windowSec, left.time]`. Right columns
+   * come back prefixed `r_`.
+   *
+   * On streams both sides are watermarked and the time-range predicate is
+   * exactly the bound Spark needs to size the join state (state retention =
+   * watermark + window); on batch the watermark is a no-op and Catalyst
+   * plans an equi-join on the key with the range as a residual filter —
+   * a shuffle hash/sort-merge join, never a cross join.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+                   windowSec: Long, wm: String = "1 hour"): DataFrame = {
+    val l = watermarked(left, time, wm)
+    val r = watermarked(right, time, wm)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+      col(s"r_$time") > col(time) - expr(s"INTERVAL $windowSec SECOND") &&
+      col(s"r_$time") <= col(time))
+  }
+
+  /**
    * Custom-state sessionization with `flatMapGroupsWithState` — the escape
    * hatch for session logic `session_window` can't express (here: emit the
    * session only when it closes, carrying sum/count). Event-time timeout =

@@ -93,6 +93,78 @@ object TextOps {
       round(best.getField("score"), 6).as("lang_score"))
   }
 
+  /**
+   * Repetition signals (the Gopher/RefinedWeb-style quality rules for
+   * machine-generated or boilerplate text): fraction of the document taken
+   * by its single most frequent token, and the duplicate-bigram fraction
+   * (1 − distinct/total word bigrams). Pure explode + per-doc aggregation —
+   * partitions by doc id, no cross-doc shuffle beyond the groupBy.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max("c") / sum("c"), 6).as("top_token_frac"))
+    val ws = tokens(col(textCol))
+    val bg = df.select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("ws")) - 2),
+          k => concat_ws(" ", slice(col("ws"), k + 1, lit(2))))).as("b"))
+    val bs = bg.groupBy(col(idCol))
+      .agg(round(lit(1) - countDistinct("b") / count(lit(1)), 6).as("dup_bigram_frac"))
+    tf.join(bs, Seq(idCol), "left")
+      .select(col(idCol), col("top_token_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /**
+   * Gopher-style document filter: the standard rule battery for pretraining
+   * corpora (word-count bounds, mean-word-length bounds, minimum stopword
+   * presence, repetition caps) composed into one boolean `keep`. Every rule
+   * is a deterministic expression so the DuckDB oracle replicates it bit-
+   * for-bit; thresholds are parameters with the published-ish defaults.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Long = 10, maxTokens: Long = 100000,
+                   minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+                   minStopwordRatio: Double = 0.02,
+                   maxTopTokenFrac: Double = 0.20,
+                   maxDupBigramFrac: Double = 0.60): DataFrame = {
+    val rep = repetitionStats(df, idCol, textCol)
+    val t = col(textCol)
+    val ws = tokens(t)
+    val nTok = size(ws).cast("double")
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / nTok
+    val stopR = size(filter(ws, w => w.isin(StopwordsEn: _*))).cast("double") / nTok
+    val base = df.select(col(idCol), nTok.as("n_tok"), meanLen.as("mean_len"), stopR.as("stop_r"))
+    base.join(rep, Seq(idCol))
+      .select(col(idCol),
+        (col("n_tok").between(minTokens, maxTokens) &&
+         col("mean_len").between(minMeanWordLen, maxMeanWordLen) &&
+         col("stop_r") >= minStopwordRatio &&
+         col("top_token_frac") < maxTopTokenFrac &&
+         col("dup_bigram_frac") < maxDupBigramFrac).as("keep"))
+  }
+
+  /**
+   * Per-source corpus statistics: doc counts, size, exact-duplicate rate
+   * (via the md5 fingerprint), language spread. The whole-corpus health
+   * dashboard for a crawl/training-data pipeline — one groupBy over the
+   * corpus, combinable aggregates only.
+   */
+  def corpusStats(df: DataFrame, sourceCol: String, idCol: String, textCol: String,
+                  langCol: String): DataFrame =
+    df.select(col(sourceCol), col(idCol), col(langCol),
+        length(col(textCol)).cast("long").as("nc"),
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")).as("fp"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("total_chars"),
+        countDistinct("fp").as("n_unique"),
+        round(lit(1) - countDistinct("fp") / count(lit(1)), 6).as("dup_rate"),
+        countDistinct(col(langCol)).as("n_langs"))
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (md5 agrees byte-for-byte with DuckDB's). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

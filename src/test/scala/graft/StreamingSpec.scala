@@ -108,4 +108,41 @@ class StreamingSpec extends SparkSpec {
     val batch = StreamOps.windowedAgg(graft.sources.Tables.events(spark, SF))
     assert(batch.count() > 0)
   }
+
+  test("intervalJoin batch: right rows within the preceding window only") {
+    val purchases = Seq(
+      GEvent(10, ts("2024-01-01 11:00:00"), 1, "purchase", 5.0),
+      GEvent(11, ts("2024-01-01 12:00:00"), 2, "purchase", 5.0)).toDF()
+    val clicks = Seq(
+      GEvent(1, ts("2024-01-01 10:45:00"), 1, "click", 1.0), // in window (15 min before)
+      GEvent(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0), // outside (40 min before)
+      GEvent(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0), // boundary: ts == purchase ts → in
+      GEvent(4, ts("2024-01-01 11:50:00"), 1, "click", 1.0), // wrong key for p11, after p10
+      GEvent(5, ts("2024-01-01 11:58:00"), 2, "click", 1.0)).toDF()
+    val out = StreamOps.intervalJoin(purchases, clicks, "user_id", "ts", windowSec = 1800)
+      .select($"event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 1L), (10L, 3L), (11L, 5L)))
+  }
+
+  test("intervalJoin streaming: stream-stream join equals the batch result") {
+    val lin = MemoryStream[GEvent]
+    val rin = MemoryStream[GEvent]
+    val q = StreamOps.intervalJoin(lin.toDF(), rin.toDF(), "user_id", "ts",
+        windowSec = 1800, wm = "10 minutes")
+      .select($"event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      rin.addData(GEvent(1, ts("2024-01-01 10:45:00"), 1, "click", 1.0),
+                  GEvent(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0))
+      lin.addData(GEvent(10, ts("2024-01-01 11:00:00"), 1, "purchase", 5.0))
+      drain(q)
+      // advance both watermarks so the 11:00 join state can emit/evict
+      rin.addData(GEvent(9, ts("2024-01-01 13:00:00"), 9, "click", 0.0))
+      lin.addData(GEvent(19, ts("2024-01-01 13:00:00"), 9, "purchase", 0.0))
+      drain(q)
+      val rows = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(rows.contains((10L, 1L)))      // in-window click joined
+      assert(!rows.contains((10L, 2L)))     // out-of-window click not joined
+    } finally q.stop()
+  }
 }
