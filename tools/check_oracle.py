@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's correctness gate: for each query dumped by
+graft.Verify, run the oracle SQL in DuckDB over the same parquet tables and
+compare rows/schema/values (columns sorted by name, rows sorted by all cols).
+Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, os
+import duckdb, pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    # normalize: floats rounded, ints as int64 where possible
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            # DuckDB returns DATE as datetime64; Spark parquet gives date objects
+            df[c] = df[c].astype(str).str.replace(" 00:00:00", "", regex=False)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    if only and name not in only:
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(d + "/*.parquet")],
+                         ignore_index=True)
+    if name not in oracle:
+        skips.append(name)
+        continue
+    try:
+        oracle_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}"))
+        continue
+    a, b = canon(spark_df), canon(oracle_df)
+    if list(a.columns) != list(b.columns):
+        fails.append((name, f"schema {list(a.columns)} vs {list(b.columns)}"))
+    elif len(a) != len(b):
+        fails.append((name, f"rows {len(a)} vs {len(b)}"))
+    else:
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=1e-5, atol=1e-6)
+            passes.append(name)
+        except AssertionError as e:
+            fails.append((name, str(e).splitlines()[0] + " ..."))
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+if skips:
+    print(f"NO_ORACLE {len(skips)}: {' '.join(skips)}")
+if fails:
+    print(f"FAIL {len(fails)}:")
+    for n, msg in fails:
+        print(f"  {n}: {msg}")
+    sys.exit(1)
