@@ -218,6 +218,42 @@ object SparkEntry {
       GrOps.assign(target, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 499L), All, from).df
     }),
 
+    // isAll structural equality (reference grbv2/MatrixOps.scala:108-160) —
+    // a driver-valued Boolean op, surfaced as a 1-row scalar query:
+    // transpose∘transpose is the identity; a row-restricted extract is not.
+    "kernel_isall" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("IN_REGION"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val eqFull = GrOps.isAll(m, m.transpose.transpose)
+      val eqSub = GrOps.isAll(m, GrOps.extract(m, Indices(Seq(TpchGraph.NationOff)), All))
+      s.range(1).select(lit(eqFull).as("eq_full"), lit(eqSub).as("eq_sub"),
+        lit(m.nvals).as("nvals"))
+    }),
+    // getElement point probe (reference grbv2/GrBMatrix.scala:32-38) — the one
+    // intentionally driver-side read, surfaced as a 1-row scalar query: probe
+    // the CONTAINS out-degree diagonal at the smallest order id.
+    "kernel_get_element" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrOps.diag(GrOps.reduceRows(Ops.plusM)(GrMatrix(
+        g.edgesByType(Seq("CONTAINS"))
+          .select(col("src").as("i"), col("dst").as("j"), lit(1L).as("v")))))
+      val k = t(s, dir, "lineitem").agg(min("l_orderkey")).first()
+        .getAs[Number](0).longValue() + TpchGraph.OrderOff
+      val hit = GrOps.getElement(m, k, k).get.asInstanceOf[Number].longValue()
+      val miss = GrOps.getElement(m, -1L, -1L) // outside every id range
+      s.range(1).select(lit(hit).as("v"), lit(miss.isEmpty).as("miss_empty"))
+    }),
+    // lifecycle: clear drops every cell, duplicate shares (reference
+    // grbv2/GrBMatrixOps.scala:19-155) — 1-row scalar query over nvals
+    "kernel_lifecycle" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("CONTAINS"))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      s.range(1).select(lit(m.clear.nvals).as("clear_nvals"),
+        lit(m.duplicate.nvals).as("dup_nvals"))
+    }),
+
     // --- algorithms (SURVEY §2.6) ---
     "bfs_levels" -> ((s, dir) => {
       val g = graph(s, dir)
@@ -477,6 +513,16 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
        "FROM customer WHERE c_custkey >= 500 " +
        "UNION ALL SELECT c_custkey + 3000000000, 0, true FROM customer WHERE c_custkey < 500"),
+
+    "kernel_isall" ->
+      ("SELECT true AS eq_full, false AS eq_sub, count(*)::BIGINT AS nvals " +
+       "FROM nation"),
+    "kernel_get_element" ->
+      ("SELECT count(DISTINCT l_partkey)::BIGINT AS v, true AS miss_empty " +
+       "FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)"),
+    "kernel_lifecycle" ->
+      ("SELECT 0::BIGINT AS clear_nvals, count(*)::BIGINT AS dup_nvals " +
+       "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"),
 
     "bfs_levels" ->
       ("SELECT c_custkey + 3000000000 AS id, 0 AS level FROM customer " +

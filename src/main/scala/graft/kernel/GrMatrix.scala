@@ -29,6 +29,28 @@ final case class GrMatrix(df: DataFrame) {
     * immutable, so the reference's defensive copy dissolves into identity. */
   def clear: GrMatrix = GrMatrix(df.filter(lit(false)))
   def duplicate: GrMatrix = this
+
+  /** Paged COO scan-out: the matrix as an iterator of `(is, js, vs)` blocks
+    * of ≤ `pageSize` cells — the reference's `BlockingMatrix.toStream`
+    * surface (g4s-optimizer/.../matrix/BlockingMatrix.scala:39-94, an
+    * fs2.Stream of ~1024-row COO extracts). Spark-native: `toLocalIterator`
+    * streams ONE partition at a time to the driver — never the whole matrix
+    * — regrouped into fixed-size pages, so peak driver memory is one page +
+    * one partition's fetch buffer regardless of matrix size. */
+  def pages(pageSize: Int = 1024): Iterator[(Array[Long], Array[Long], Array[Any])] = {
+    require(pageSize > 0, s"pageSize must be positive: $pageSize")
+    import scala.jdk.CollectionConverters._
+    df.select(org.apache.spark.sql.functions.col("i"),
+        org.apache.spark.sql.functions.col("j"),
+        org.apache.spark.sql.functions.col("v"))
+      .toLocalIterator().asScala
+      .grouped(pageSize)
+      .map { rows =>
+        (rows.map(_.getLong(0)).toArray,
+         rows.map(_.getLong(1)).toArray,
+         rows.map(_.get(2)).toArray)
+      }
+  }
 }
 
 final case class GrVector(df: DataFrame) {
@@ -133,6 +155,18 @@ final case class Span(start: Long, endInclusive: Long) extends GrRange {
 object GrOps {
   import Ops._
 
+  /** The ANY_PAIR existence-only fast path fires on OBJECT IDENTITY with the
+    * catalog ops, never on names: `BinaryOp`/`Monoid` equality would otherwise
+    * compare only the name field (the function payloads live in second
+    * parameter lists, invisible to case-class equality), so a user-defined
+    * `BinaryOp("pair")((a,b) => …)` with different semantics would silently
+    * take the existence-only shortcut. A non-catalog semiring that happens to
+    * be named "pair" takes the general path, which computes the same result
+    * for the genuine pair/any ops — the fast path is purely a plan shape
+    * optimization (join+distinct instead of join+aggregate). */
+  private def isAnyPair(s: Semiring): Boolean =
+    (s.plus eq anyM) && (s.times eq pair)
+
   private def a(m: GrMatrix): DataFrame = m.df.select(col("i").as("ai"), col("j").as("aj"), col("v").as("av"))
   private def b(m: GrMatrix): DataFrame = m.df.select(col("i").as("bi"), col("j").as("bj"), col("v").as("bv"))
 
@@ -148,7 +182,7 @@ object GrOps {
                        accum: Option[BinaryOp] = None, previous: Option[GrMatrix] = None): GrMatrix = {
     val joined = a(A).join(b(B), col("aj") === col("bi"))
     val prod =
-      if (s == anyPair)
+      if (isAnyPair(s))
         joined.select(col("ai").as("i"), col("bj").as("j")).distinct()
           .withColumn("v", lit(true))
       else
@@ -166,7 +200,7 @@ object GrOps {
     val j = u.df.select(col("i").as("ui"), col("v").as("uv"))
       .join(a(A), col("ui") === col("ai"))
     val out =
-      if (s == anyPair) j.select(col("aj").as("i")).distinct().withColumn("v", lit(true))
+      if (isAnyPair(s)) j.select(col("aj").as("i")).distinct().withColumn("v", lit(true))
       else j.groupBy(col("aj").as("i")).agg(s.plus.agg(s.times.apply(col("uv"), col("av"))).as("v"))
     finishVec(GrVector(out), mask, complement, accum, previous)
   }

@@ -217,6 +217,42 @@ class KernelSpec extends SparkSpec {
       Map(1L -> 111.0, 2L -> 12.0, 5L -> 7.0))
   }
 
+  test("user-defined op NAMED 'pair' does not trigger the ANY_PAIR fast path") {
+    // the existence-only shortcut must fire on object identity with the
+    // catalog ops, not on the name — a user semiring named any/pair with
+    // different semantics gets the general join+aggregate path
+    val F = org.apache.spark.sql.functions
+    val userAny = Monoid("any")(F.min)((x, _) => x)
+    val userPair = BinaryOp("pair")((x, y) => x + y) // NOT existence-only
+    val impostor = Semiring(userAny, userPair)
+    cases(3).foreach { s =>
+      val (a, b) = (sample(s), sample(s + 100))
+      assert(toMap(GrOps.mxm(impostor)(mat(a), mat(b)).df) ==
+        mxmOracle(a, b, math.min, _ + _))
+      // and the genuine catalog semiring still takes the structural path
+      val structural = GrOps.mxm(Ops.anyPair)(mat(a), mat(b)).df
+      assert(structural.schema("v").dataType == org.apache.spark.sql.types.BooleanType)
+    }
+  }
+
+  test("pages reassemble to the matrix at sizes 1/2/3/5/100") {
+    // mirrors reference BlockingMatrixTest's toStream round-trip
+    // (g4s-optimizer/src/test/scala/.../BlockingMatrixTest.scala)
+    cases(2).foreach { s =>
+      val a = sample(s)
+      val m = mat(a).df.repartition(3) // multiple partitions: pages span them
+      Seq(1, 2, 3, 5, 100).foreach { ps =>
+        val pgs = GrMatrix(m).pages(ps).toSeq
+        assert(pgs.forall { case (is, js, vs) =>
+          is.length <= ps && is.length == js.length && js.length == vs.length })
+        if (a.nonEmpty) assert(pgs.init.forall(_._1.length == ps)) // only last ragged
+        val rebuilt = pgs.flatMap { case (is, js, vs) =>
+          is.indices.map(k => ((is(k), js(k)), vs(k).asInstanceOf[Double])) }.toMap
+        assert(rebuilt == a && pgs.map(_._1.length).sum == a.size)
+      }
+    }
+  }
+
   test("element get/set/remove point ops (immutably rebuilt)") {
     import spark.implicits._
     val m = GrMatrix(Seq((0L, 0L, 1.0), (1L, 2L, 3.0)).toDF("i", "j", "v"))
