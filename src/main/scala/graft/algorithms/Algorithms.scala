@@ -18,6 +18,19 @@ import org.apache.spark.storage.StorageLevel
 object Algorithms {
 
   /**
+   * Thrown when an iterative algorithm exhausts its iteration budget before
+   * reaching the fixpoint. Silent truncation was round 2's one latent
+   * wrong-answer-at-scale defect: a graph deeper than `maxIter` would return
+   * whatever partial state existed when the budget ran out — correct on the
+   * 3-level test graph, silently wrong on a 64-node chain. Fail loudly
+   * instead; callers that genuinely want partial state can catch and retry
+   * with a larger budget.
+   */
+  final class BudgetExhausted(algo: String, maxIter: Int) extends IllegalStateException(
+    s"$algo did not converge within maxIter=$maxIter iterations; " +
+      s"raise maxIter — partial results would be silently wrong")
+
+  /**
    * Per-chain iteration-state manager: persists every iteration's state,
    * truncates lineage with an EAGER `localCheckpoint` every `every` rounds,
    * and — because the eager checkpoint materializes the tip into its own
@@ -53,7 +66,7 @@ object Algorithms {
    * @param sources seed vertex ids as a 1-col DataFrame "id"
    * @return (id BIGINT, level INT) — minimum hop count from any source
    */
-  def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+  def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
     val cutF = new Cutter; val cutV = new Cutter
     var visited = sources.select(col("id")).distinct().withColumn("level", lit(0))
@@ -70,6 +83,7 @@ object Algorithms {
       else visited = cutV(visited.unionByName(frontier), iter)
       iter += 1
     }
+    if (!done) throw new BudgetExhausted("bfs", maxIter)
     visited
   }
 
@@ -81,7 +95,7 @@ object Algorithms {
    * @param sources (id) seeds at distance 0
    * @return (id, dist DOUBLE)
    */
-  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("double")).cache()
     val cutter = new Cutter
     var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0.0))
@@ -100,34 +114,64 @@ object Algorithms {
       dist = next
       iter += 1
     }
+    if (!converged) throw new BudgetExhausted("sssp", maxIter)
     dist
   }
 
   /**
-   * Weakly connected components by iterative min-id propagation (HashMin).
-   * Undirected closure = union of both edge orientations.
+   * Weakly connected components by alternating large-star/small-star
+   * contraction — O(log n) rounds regardless of graph diameter (the
+   * published MapReduce connected-components algorithm; round 2's HashMin
+   * needed O(diameter) rounds, so a 64-node chain already exhausted the
+   * budget).
    *
-   * @return (id, component BIGINT = min vertex id in the component)
+   * Edges are kept oriented (hi → lo); each round is two shuffle
+   * (groupBy + join) steps:
+   *  - large-star: for each node u, re-point every neighbor v > u at
+   *    m = min(Γ(u) ∪ {u})
+   *  - small-star: orient edges hi→lo, group by the hi endpoint, connect
+   *    u and all its (smaller) neighbors to m = min(Γ⁻(u) ∪ {u})
+   * At the fixpoint the edge set is a disjoint union of stars centered at
+   * each component's minimum id.
+   *
+   * @return (id, component BIGINT = min vertex id in the component) for
+   *         every id in `vertices`
    */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val cutter = new Cutter
-    var comp = vertices.select(col("id")).distinct().withColumn("component", col("id"))
+    // canonical hi→lo orientation, self-loops dropped
+    var e = edges.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    e = cutter(e, 0)
     var iter = 0
-    var converged = false
+    var converged = e.isEmpty
     while (iter < maxIter && !converged) {
-      val prop = comp.join(und, comp("id") === und("src"))
-        .select(col("dst").as("id"), col("component"))
-        .unionByName(comp)
-        .groupBy("id").agg(min("component").as("component"))
-      val next = cutter(prop, iter)
-      converged = next.alias("n").join(comp.alias("o"), Seq("id"))
-        .filter(col("n.component") < col("o.component")).isEmpty
-      comp = next
+      // large-star over the symmetrized neighborhood
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star over the hi→lo orientation (large-star output is hi→lo
+      // already: m ≤ u < v for every emitted (v, m))
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m")) // all dst < src
+      val withMin = ls.join(ssMin, "src")
+      val ss = withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val next = cutter(ss, iter + 1)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
       iter += 1
     }
-    comp
+    if (!converged) throw new BudgetExhausted("connectedComponents", maxIter)
+    // fixpoint = disjoint stars: one (v, componentMin) edge per non-root v
+    vertices.select(col("id")).distinct()
+      .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /**

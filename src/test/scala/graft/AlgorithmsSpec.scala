@@ -1,6 +1,7 @@
 package graft
 
 import graft.algorithms.Algorithms
+import org.apache.spark.sql.functions.lit
 
 /**
  * Algorithm tests mirroring the reference's doc-tests (DocSpec.scala:31-101):
@@ -34,6 +35,45 @@ class AlgorithmsSpec extends SparkSpec {
     val got = Algorithms.connectedComponents(vs, es)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L))
+  }
+
+  test("wcc on a 64-node chain: log-round star contraction beats diameter") {
+    // HashMin needed O(diameter) rounds and silently truncated at 20 —
+    // this chain (diameter 63) is exactly the graph that broke it
+    val vs = (0L to 63L).toDF("id")
+    val es = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(vs, es, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("wcc handles shuffled ids, isolated vertices, and empty edge sets") {
+    val vs = Seq(7L, 3L, 9L, 12L, 40L, 41L).toDF("id")
+    val es = Seq((9L, 7L), (7L, 12L), (40L, 41L)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 9L -> 7L, 12L -> 7L, 3L -> 3L, 40L -> 40L, 41L -> 40L))
+    val none = Algorithms.connectedComponents(vs, es.filter($"src" < 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(7L -> 7L, 3L -> 3L, 9L -> 9L, 12L -> 12L, 40L -> 40L, 41L -> 41L))
+  }
+
+  test("iterative algorithms fail loudly when the budget exhausts") {
+    val vs = (0L to 15L).toDF("id")
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.bfs(chain, Seq(0L).toDF("id"), maxIter = 5).count()
+    }
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.sssp(chain.withColumn("w", lit(1.0)), Seq(0L).toDF("id"), maxIter = 5).count()
+    }
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.connectedComponents(vs, chain, maxIter = 1).count()
+    }
+    // and the same graph under an adequate budget is correct
+    val lv = Algorithms.bfs(chain, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv == (0L to 15L).map(i => i -> i.toInt).toMap)
   }
 
   test("pagerank: sink chain ranks ordered, mass conserved") {
