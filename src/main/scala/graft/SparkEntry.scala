@@ -51,6 +51,11 @@ object SparkEntry {
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION]->(n:nation)<-[:IN_NATION]-(su:supplier) RETURN n")),
     "cy_multi_return" -> ((s, dir) =>
       db(s, dir).query("MATCH (su:supplier)-[:SUPPLIES]->(p:part)<-[:CONTAINS]-(o:order) RETURN su, o")),
+    // bounded variable-length path (walk semantics; beyond the reference,
+    // which consumes fixed chains only — optim/QueryGraph.scala:54-67):
+    // customers to everything 1-2 hops out over the membership edges
+    "cy_varlen" -> ((s, dir) =>
+      db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
     // render path: returned binding joined back to node properties
     // (reference MatrixTuples + DataStore.getVs, Operator.scala:377-399)
     "cy_props" -> ((s, dir) =>
@@ -445,6 +450,18 @@ object SparkEntry {
     "cy_props" ->
       ("SELECT DISTINCT r_regionkey + 1000000000 AS r, 'region' AS r_label, " +
        "r_name AS r_name FROM region"),
+    // the walk-semantics contract stated as an actual recursive reach
+    "cy_varlen" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 2) " +
+       "SELECT DISTINCT src AS c, dst AS x FROM reach " +
+       "WHERE src >= 3000000000 AND src < 4000000000 AND depth BETWEEN 1 AND 2"),
 
     "mxm_anypair" ->
       ("SELECT DISTINCT c_custkey + 3000000000 AS i, n_regionkey + 1000000000 AS j " +

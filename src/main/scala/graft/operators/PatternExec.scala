@@ -47,16 +47,23 @@ object PatternExec {
 
     case Expand(from, fromB, edges, to, pushedLabel, keep) =>
       val fromC = compileTracked(from, g)
-      var e = edgeScan(edges, g, fromB, to)
+      // varlen reach is seeded from the frontier's distinct source ids so the
+      // iterated joins never materialize walks from unreachable nodes
+      val srcs = if (edges.maxHops > 1) Some(fromC.df.select(col(fromB)).distinct()) else None
+      var e = edgeScan(edges, g, fromB, to, srcs)
       pushedLabel.foreach { l =>
         // FilterExpandCommutative: constrain edge endpoint by label pre-join
+        // (for varlen this filters the WALK ENDPOINT only — intermediate
+        // levels stay unconstrained inside edgeScan, as the semantics demand)
         e = e.join(g.nodesByLabel(l).select(col("id").as(to)), Seq(to), "left_semi")
       }
       val joined = fromC.df.join(e, Seq(fromB), "inner")
       // joined rows distinct iff frontier rows are AND the (from, to) edge
-      // pairs are unique: a single concrete type of a distinct-edged graph.
-      // Multiple types (or the undirected union) can repeat a pair.
-      val pairsUnique = g.edgesDistinct && edges.types.size == 1 && !edges.undirected
+      // pairs are unique: a single concrete type of a distinct-edged graph,
+      // or a varlen reach (explicitly deduped inside edgeScan). Multiple
+      // types (or the undirected union) can repeat a pair.
+      val pairsUnique = edges.maxHops > 1 ||
+        (g.edgesDistinct && edges.types.size == 1 && !edges.undirected)
       project(joined, keep, from.carried + to, fromC.distinct && pairsUnique)
 
     case Filter(frontier, label) =>
@@ -72,7 +79,8 @@ object PatternExec {
 
     case EdgePredicate(frontier, edges, src, dst) =>
       val f = compileTracked(frontier, g)
-      val e = edgeScan(edges, g, src, dst)
+      val srcs = if (edges.maxHops > 1) Some(f.df.select(col(src)).distinct()) else None
+      val e = edgeScan(edges, g, src, dst, srcs)
       Compiled(f.df.join(e, Seq(src, dst), "left_semi"), f.distinct)
 
     case Join(l, r, on, keep) =>
@@ -86,15 +94,38 @@ object PatternExec {
         lc.distinct && rc.distinct)
   }
 
-  /** Edge scan as a two-column (fromB, toB) DataFrame, direction resolved. */
-  private def edgeScan(e: GetEdges, g: PropertyGraph, fromB: String, toB: String): DataFrame = {
+  /** Edge scan as a two-column (fromB, toB) DataFrame, direction resolved.
+    *
+    * For a variable-length pattern (`maxHops > 1`) the scan is the bounded
+    * WALK reach: pairs connected by a walk of length in [minHops, maxHops],
+    * built as maxHops−1 statically-unrolled join levels with per-level AND
+    * cross-level dedup (the per-level `distinct` is what bounds growth — a
+    * level is at most |srcs|·|nodes| pairs regardless of walk multiplicity,
+    * the same reason Boolean-matrix powers don't blow up). `srcs` restricts
+    * level 1 to the frontier's source ids, so the reach is computed for
+    * reachable starts only — the varlen analogue of pushing the frontier
+    * into the scan. */
+  private def edgeScan(e: GetEdges, g: PropertyGraph, fromB: String, toB: String,
+                       srcs: Option[DataFrame] = None): DataFrame = {
     val base = g.edgesByType(e.types)
     val fwd = base.select(col("src").as(fromB), col("dst").as(toB))
-    if (e.undirected)
-      fwd.unionByName(base.select(col("dst").as(fromB), col("src").as(toB)))
-    else if (e.transpose)
-      base.select(col("dst").as(fromB), col("src").as(toB))
-    else fwd
+    val hop1 =
+      if (e.undirected) fwd.unionByName(base.select(col("dst").as(fromB), col("src").as(toB)))
+      else if (e.transpose) base.select(col("dst").as(fromB), col("src").as(toB))
+      else fwd
+    if (e.maxHops <= 1) hop1
+    else {
+      val seeded = srcs.fold(hop1)(s => hop1.join(s, Seq(fromB), "left_semi"))
+      var level = seeded.distinct()
+      var acc = if (e.minHops <= 1) level else level.filter(lit(false))
+      for (k <- 2 to e.maxHops) {
+        val step = hop1.select(col(fromB).as("__h_src"), col(toB).as("__h_dst"))
+        level = level.join(step, level(toB) === col("__h_src"))
+          .select(col(fromB), col("__h_dst").as(toB)).distinct()
+        if (k >= e.minHops) acc = acc.unionByName(level)
+      }
+      acc.distinct()
+    }
   }
 
   /** Set semantics: dedup only when the projection dropped columns (a

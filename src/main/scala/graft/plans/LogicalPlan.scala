@@ -19,7 +19,10 @@ import graft.cypher.Ast
  */
 object Pattern {
 
-  final case class PatternEdge(src: String, dst: String, types: Seq[String], undirected: Boolean)
+  /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
+    * see Ast.RelPat); (1, 1) is a plain relationship. */
+  final case class PatternEdge(src: String, dst: String, types: Seq[String], undirected: Boolean,
+                               minHops: Int = 1, maxHops: Int = 1)
 
   final case class PatternGraph(
       labels: Map[String, Option[String]],           // binding -> label constraint
@@ -55,10 +58,11 @@ object Pattern {
       var prev = addNode(p.first)
       p.hops.foreach { case (rel, node) =>
         val cur = addNode(node)
+        val (mn, mx) = rel.hops.getOrElse((1, 1))
         rel.dir match {
-          case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false)
-          case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false)
-          case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true)
+          case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false, mn, mx)
+          case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false, mn, mx)
+          case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true, mn, mx)
         }
         prev = cur
       }
@@ -97,7 +101,8 @@ final case class GetNodes(binding: String, label: Option[String]) extends LogicN
  * the reference stores pre-flipped transpose matrices rather than computing
  * them (ConcurrentDirectedGraph.scala:146-148).
  */
-final case class GetEdges(types: Seq[String], transpose: Boolean, undirected: Boolean = false)
+final case class GetEdges(types: Seq[String], transpose: Boolean, undirected: Boolean = false,
+                          minHops: Int = 1, maxHops: Int = 1)
 
 /**
  * One-hop traversal frontier × edges (≙ Expand, LogicNode.scala:59-65).

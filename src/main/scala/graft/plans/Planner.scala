@@ -89,7 +89,8 @@ object Planner {
       val (cycles, rest) = s.remaining.partition(e => s.bound(e.src) && s.bound(e.dst))
       var node = s.node; var card = s.card; var cost = s.cost
       cycles.foreach { e =>
-        node = EdgePredicate(node, GetEdges(e.types, transpose = false, e.undirected), e.src, e.dst)
+        node = EdgePredicate(node, GetEdges(e.types, transpose = false, e.undirected,
+          e.minHops, e.maxHops), e.src, e.dst)
         card = math.max(card * 0.5, 1.0)
         cost += 1.2 * card
       }
@@ -108,8 +109,8 @@ object Planner {
         val push = toLabel.exists(_ => stats.nodeSel(toLabel) < 0.8)
         val nextRemaining = rest.filterNot(_ eq edge)
         val keep = (s.bound + toB) intersect (needed(pg, nextRemaining) + toB)
-        var n: LogicNode = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected),
-          toB, if (push) toLabel else None, keep)
+        var n: LogicNode = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected,
+          edge.minHops, edge.maxHops), toB, if (push) toLabel else None, keep)
         if (!push && toLabel.isDefined) n = Filter(n, toLabel.get)
         n = applyPreds(n, toB)
         val nextCard = math.max(card * fan, 1.0)
@@ -141,8 +142,11 @@ object Planner {
     }
     val fromLabel = if (bound(e.src)) sL else dL
     val denom = math.max(stats.nodeCount(fromLabel).toDouble, 1.0)
-    val base = trip / denom
-    if (e.undirected) base * 2 else base
+    val hop = { val b = trip / denom; if (e.undirected) b * 2 else b }
+    // varlen: endpoint pairs from walks of every length in [min, max] —
+    // estimated as the sum of per-length fan-outs (geometric in the hop fan)
+    if (e.maxHops > 1) (e.minHops to e.maxHops).map(k => math.pow(hop, k)).sum
+    else hop
   }
 
   private def connectedComponents(pg: PatternGraph): Seq[Set[String]] = {

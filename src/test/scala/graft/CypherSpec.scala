@@ -108,6 +108,58 @@ class CypherSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
   }
 
+  test("parser: variable-length ranges *n, *lo..hi, *..hi; unbounded rejected") {
+    def hops(q: String) = CypherParser.parse(q).paths.head.hops.head._1.hops
+    assert(hops("MATCH (a)-[:X*2]->(b) RETURN a") == Some((2, 2)))
+    assert(hops("MATCH (a)-[:X*1..3]->(b) RETURN a") == Some((1, 3)))
+    assert(hops("MATCH (a)-[:X*..4]->(b) RETURN a") == Some((1, 4)))
+    assert(hops("MATCH (a)-[r:X|Y*2..3]-(b) RETURN a") == Some((2, 3)))
+    assert(hops("MATCH (a)-[:X]->(b) RETURN a").isEmpty)
+    intercept[graft.cypher.ParseException] { hops("MATCH (a)-[:X*]->(b) RETURN a") }
+    intercept[graft.cypher.ParseException] { hops("MATCH (a)-[:X*2..]->(b) RETURN a") }
+    intercept[graft.cypher.ParseException] { hops("MATCH (a)-[:X*3..2]->(b) RETURN a") }
+    intercept[graft.cypher.ParseException] { hops("MATCH (a)-[:X*0..2]->(b) RETURN a") }
+  }
+
+  // chain fixture for varlen: 1 -E-> 2 -E-> 3 -E-> 4, plus 1 -E-> 3 shortcut
+  private def varlenG: PropertyGraph = PropertyGraph.fromTuples(spark,
+    nodes = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "B")),
+    edges = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 4L, "E"), (1L, 3L, "E")))
+
+  test("varlen: *1..2 walk reach from a labeled start") {
+    val db = new GraphDB(varlenG)
+    val got = db.query("MATCH (a:A)-[:E*1..2]->(x) RETURN x").collect().map(_.getLong(0)).sorted
+    // 1 hop: {2, 3}; 2 hops: 1→2→3, 1→3→4 = {3, 4}
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("varlen: minHops > 1 excludes shorter walks; pairing preserved") {
+    val db = new GraphDB(varlenG)
+    val got = db.query("MATCH (a:A)-[:E*2..3]->(x) RETURN a, x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // 2 hops: (1,3), (1,4); 3 hops: 1→2→3→4 = (1,4)
+    assert(got.toSeq == Seq((1L, 3L), (1L, 4L)))
+  }
+
+  test("varlen: incoming direction and label filter on the walk endpoint") {
+    val db = new GraphDB(varlenG)
+    val got = db.query("MATCH (x:B)<-[:E*1..3]-(a:A) RETURN x").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+    // endpoint label excludes the A-labeled node even though walks reach it
+    val got2 = db.query("MATCH (b)-[:E*1..2]->(x:B) RETURN b, x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got2.toSeq == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("varlen: undirected walks may bounce (documented walk semantics)") {
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "B")),
+      edges = Seq((1L, 2L, "E")))
+    val db = new GraphDB(g)
+    val got = db.query("MATCH (a:A)-[:E*1..2]-(x) RETURN x").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L)) // 2-hop bounce 1-2-1 reaches a itself
+  }
+
   test("WHERE property predicate") {
     val g = PropertyGraph(
       spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "B", 10.0), (3L, "B", 20.0)))
