@@ -70,9 +70,18 @@ object SparkEntry {
       val b = GrMatrix(g.edgesByType(Seq("IN_REGION")).select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
       GrOps.mxm(Ops.anyPair)(a, b).df.select("i", "j")
     }),
-    // weighted mxm over (min, plus): order→part min-qty · part→supplier min-qty
+    // weighted mxm over (min, plus): order→part min-qty · part→supplier min-qty.
+    // Both operands are built over ONE shuffle of lineitem on the contraction
+    // key (l_partkey): HashPartitioning(partkey) satisfies the clustering for
+    // both groupBys AND both sides of mxm's join on aj = bi, and the two
+    // branches' identical exchange is deduplicated by ReuseExchange — so the
+    // whole contraction runs scan → 1 shuffle → aggs + join → final (i,j)
+    // agg, instead of round 2's five exchanges (2 groupBy + 2 join re-
+    // partitions + final agg).
     "mxm_minplus" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("l_partkey"))
       val a = GrMatrix(li.groupBy(col("l_orderkey").as("i"), col("l_partkey").as("j"))
         .agg(min("l_quantity").as("v")))
       val b = GrMatrix(li.groupBy(col("l_partkey").as("i"), col("l_suppkey").as("j"))

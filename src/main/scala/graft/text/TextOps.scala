@@ -29,6 +29,14 @@ object TextOps {
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("ws")) - n),
           k => concat_ws(" ", slice(col("ws"), k + 1, lit(n))))).as("shingle"))
+      // one exchange serves the whole family: HashPartitioning(id) satisfies
+      // the clustering for BOTH the (id, shingle) distinct and every
+      // downstream per-doc groupBy (signatures, sizes) — without it each of
+      // those is its own full shuffle of the shingle table. The partition
+      // count is pinned (AQE would coalesce this small-bytes exchange to ~1
+      // partition, serializing the CPU-heavy per-doc aggregations that run
+      // on it — measured 5× slowdown on the simhash vote aggregation)
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .distinct()
   }
 
@@ -212,8 +220,14 @@ object TextOps {
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0)
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sigCols = (0 until numHashes).map(k => min(xxhash64(lit(k), col("shingle"))).as(s"s$k"))
-    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    // the K permutations rehash the 8-byte shingle hash, not the string:
+    // one string xxhash64 per shingle row, then K codegen'd long-input
+    // xxhash64 rounds (a few ns each) inside the combinable min aggregates —
+    // round 2 hashed the full string K times per row, which dominated the
+    // whole dedup (18.6 s of the sf0.1 bench)
+    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val sigCols = (0 until numHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k"))
+    val sig = hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val numBands = numHashes / bandRows
     val bandArr = array((0 until numBands).map { b =>
       val slots = (0 until bandRows).map(r => col(s"s${b * bandRows + r}"))
