@@ -51,6 +51,19 @@ class TextSpec extends SparkSpec {
     assert(exhaustive.nonEmpty) // the data has planted near-dups
   }
 
+  test("dedup scratch caches are released after the first materializing action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = TextOps.minhashDedup(docs, "doc_id", "text", threshold = 0.3)
+    result.select("a", "b").count() // first action: cache serves the 3 scans
+    // the release listener fires async on the listener bus — poll briefly
+    val deadline = System.currentTimeMillis() + 20000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"shingle cache not released: RDDs $leaked")
+    // a second action still computes the same (uncached) result
+    assert(result.count() == 3)
+  }
+
   test("token counts, quality, langid, fingerprint are deterministic projections") {
     val tc = TextOps.tokenCounts(docs, "doc_id", "text")
       .filter($"doc_id" === 1).collect()(0)
