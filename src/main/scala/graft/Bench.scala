@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
-/** Benchmark main: per-query wall times as one JSON line.
+/** Benchmark main: per-query wall times + shuffle/spill telemetry as one
+  * JSON line.
   *
   * Cache hygiene: every query is timed from an identical cache state — the
   * resident graph materialized, nothing else. After each query all caches are
@@ -11,11 +14,35 @@ import org.apache.spark.sql.SparkSession
   * timings diverge from isolated runs by up to ~100x in both directions
   * (measured in round 1).
   *
+  * Telemetry: a SparkListener accumulates task-level shuffle read/write and
+  * spill bytes; the listener bus is drained before each snapshot so the
+  * deltas attribute every task of the just-finished job to its query. Plan
+  * regressions (an extra exchange, a lost partial agg) then show up
+  * numerically even when wall-time noise masks them.
+  *
   * Failures are reported, not swallowed: a crashing query lands in the
   * "errors" map (and on stderr) instead of silently contributing a bogus
   * timing with rc=0.
   */
 object Bench {
+
+  private final class TaskMetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot(): (Long, Long, Long) = (shuffleRead.get, shuffleWrite.get, spilled.get)
+  }
+
+  private final case class QueryMetrics(shuffleRead: Long, shuffleWrite: Long, spilled: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +52,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // load phase: resident graph + stats (not attributed to any query)
     try SparkEntry.warm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
@@ -38,50 +67,69 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!baseline.contains(id)) rdd.unpersist(blocking = false)
       }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, QueryMetrics, Option[String]) = {
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+      val (r0, w0, s0) = listener.snapshot()
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+      val (r1, w1, s1) = listener.snapshot()
+      dropScratch() // untimed: reset to the canonical cache state
+      (dt, QueryMetrics(r1 - r0, w1 - w0, s1 - s0), err)
+    }
     // optional query-name filter args (dev use; driver passes none)
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropScratch() // untimed: reset to the canonical cache state
+      val (dt, qm, err) = timed(fn)
+      err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       System.err.println(f"[bench] $name%-26s ${dt}%.2f s" + err.fold("")(" ERR " + _))
-      (name, dt, err)
+      (name, dt, qm, err)
     }
     // Noise guard: shared hosts see transient CPU-steal storms that inflate
     // a random contiguous block of queries 10-100x (measured: the same query
     // 303.9 s mid-storm, 2.7 s quiet). Re-run the outliers once and keep the
-    // per-query minimum — a genuine cost reproduces, a storm does not.
+    // per-query minimum — a genuine cost reproduces, a storm does not. BOTH
+    // numbers are reported (`retries` map) so bimodal costs stay visible.
     val med = results.map(_._2).sorted.apply(results.size / 2)
     val outliers = results
-      .filter { case (_, dt, err) => err.isEmpty && dt > math.max(3 * med, 5.0) }
+      .filter { case (_, dt, _, err) => err.isEmpty && dt > math.max(3 * med, 5.0) }
       .sortBy(-_._2).take(12)
-    val retried = outliers.map { case (name, first, _) =>
-      val t0 = System.nanoTime()
-      val ok = try { wanted(name)(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropScratch()
-      val best = if (ok) math.min(first, dt) else first
-      System.err.println(f"[bench] retry $name%-20s ${dt}%.2f s -> ${best}%.2f s")
-      name -> best
+    val retried = outliers.map { case (name, first, firstQm, _) =>
+      val (dt, qm, err) = timed(wanted(name))
+      val keepRetry = err.isEmpty && dt < first
+      System.err.println(f"[bench] retry $name%-20s ${dt}%.2f s -> ${math.min(first, dt)}%.2f s")
+      name -> (first, dt, if (keepRetry) qm else firstQm, keepRetry)
     }.toMap
-    val finalResults = results.map { case (n, t, e) => (n, retried.getOrElse(n, t), e) }
+    val finalResults = results.map { case (n, t, qm, e) =>
+      retried.get(n) match {
+        case Some((first, retry, keptQm, keepRetry)) =>
+          (n, if (keepRetry) retry else first, keptQm, e)
+        case None => (n, t, qm, e)
+      }
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = finalResults.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = finalResults.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = finalResults.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val metrics = finalResults.map { case (k, _, qm, _) =>
+      s"\"$k\":{\"shuffle_read\":${qm.shuffleRead},\"shuffle_write\":${qm.shuffleWrite},\"spilled\":${qm.spilled}}"
+    }.mkString("{", ",", "}")
+    val retries = retried.toSeq.sortBy(_._1).map { case (k, (first, retry, _, _)) =>
+      s"\"$k\":{\"first\":$first,\"retry\":$retry}"
+    }.mkString("{", ",", "}")
+    val errs = finalResults.collect { case (k, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"retries":$retries,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
-    if (finalResults.exists(_._3.isDefined)) sys.exit(1)
+    if (finalResults.exists(_._4.isDefined)) sys.exit(1)
   }
 }
