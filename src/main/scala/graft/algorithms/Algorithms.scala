@@ -88,8 +88,14 @@ object Algorithms {
   }
 
   /**
-   * Single-source(s) shortest path over (min, plus): iterate
-   * `d ← d min.+ A` until fixpoint (reference DocSpec.scala:55-101).
+   * Single-source(s) shortest path over (min, plus): frontier-based
+   * Bellman–Ford (reference DocSpec.scala:55-101 iterates the full
+   * `d ← d min.+ A` product; the frontier form reaches the same fixpoint
+   * relaxing only edges out of vertices that improved last round — round 2
+   * re-joined the ENTIRE distance vector against the ENTIRE edge table
+   * every iteration AND paid a separate convergence anti-join per round,
+   * 3× the join work on a 3-level graph; here an empty improved-set IS the
+   * convergence signal, no extra probe).
    *
    * @param edges (src, dst, w DOUBLE)
    * @param sources (id) seeds at distance 0
@@ -97,21 +103,22 @@ object Algorithms {
    */
   def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("double")).cache()
-    val cutter = new Cutter
+    val cutD = new Cutter; val cutF = new Cutter
     var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0.0))
+    var frontier = dist
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val relaxed = dist.join(e, dist("id") === e("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("id").agg(min("dist").as("dist"))
-      val next = cutter(relaxed, iter)
-      // fixpoint: no vertex improved (anti-join of new state against old)
-      converged = next.alias("n").join(dist.alias("o"), Seq("id"), "left_outer")
-        .filter(col("o.dist").isNull || col("n.dist") < col("o.dist"))
-        .isEmpty
-      dist = next
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("id"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+      frontier = cutF(improved, iter)
+      if (frontier.isEmpty) converged = true
+      else dist = cutD(dist.join(frontier.select("id"), Seq("id"), "left_anti")
+        .unionByName(frontier), iter)
       iter += 1
     }
     if (!converged) throw new BudgetExhausted("sssp", maxIter)
@@ -163,7 +170,9 @@ object Algorithms {
         .unionByName(withMin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
       val next = cutter(ss, iter + 1)
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // set equality as ONE job: both multiset differences unioned (both
+      // sides are distinct, so empty symmetric difference ⇔ equal sets)
+      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
       e = next
       iter += 1
     }
