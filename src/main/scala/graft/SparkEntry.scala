@@ -312,6 +312,20 @@ object SparkEntry {
       graft.text.TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")),
     "corpus_stats" -> ((s, dir) =>
       graft.text.TextOps.corpusStats(t(s, dir, "documents"), "source", "doc_id", "text", "lang")),
+    "text_vocab" -> ((s, dir) =>
+      graft.text.TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("tf").desc, col("tok").asc).limit(100)),
+    "text_tfidf" -> ((s, dir) =>
+      graft.text.TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+    "sample_stratified" -> ((s, dir) =>
+      graft.text.TextOps.sampleStratified(t(s, dir, "documents"), "doc_id", "source",
+        SampleRates, SampleDefaultRate).select("doc_id", "source")),
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.contamination(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 3)
+    }),
     "dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -622,6 +636,32 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
        "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
+    "text_vocab" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents) " +
+       "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks " +
+       "GROUP BY 1 ORDER BY tf DESC, tok ASC LIMIT 100"),
+    "text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+       "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+       "nv AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+       "s AS (SELECT tf.doc_id, tf.tok, tf.tf * ln(((SELECT n FROM nv) + 1) / (dfreq.df + 1)) AS tfidf " +
+       "FROM tf JOIN dfreq USING (tok)), " +
+       "r AS (SELECT doc_id, tok, tfidf, row_number() OVER " +
+       "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
+       "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
+    "sample_stratified" -> stratifiedOracle,
+    "decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws " +
+       "FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t WHERE len(ws) >= 3), " +
+       "b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE source = 'src0'), " +
+       "c AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') " +
+       "SELECT c.doc_id AS doc_id, b.bench_id AS bench_id, count(*) AS shared " +
+       "FROM c JOIN b USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3"),
     "dedup_ngram_jaccard" -> jaccardOracle("a, b, jaccard"),
     "dedup_minhash" -> jaccardOracle("a, b"),
     "dedup_simhash" -> jaccardOracle("a, b"),
@@ -754,6 +794,21 @@ object SparkEntry {
       s"FROM v LEFT JOIN c$i c ON v.id = c.id)"
     }.mkString(", ")
     base + stages + s" SELECT id, round(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Stratified-sampling config shared by the query and its oracle: the
+    * oracle CASE is generated from the SAME map and threshold function the
+    * Spark plan uses, so both engines compare identical md5-prefix strings. */
+  private val SampleRates = Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 1.0)
+  private val SampleDefaultRate = 0.8
+
+  private def stratifiedOracle: String = {
+    import graft.text.TextOps.rateThresholdHex
+    val cases = SampleRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN '$s' THEN '${rateThresholdHex(r)}'" }
+      .mkString(" ")
+    "SELECT doc_id, source FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
+      s"(CASE source $cases ELSE '${rateThresholdHex(SampleDefaultRate)}' END)"
   }
 
   private def cosSql(a: String, b: String): String =

@@ -175,6 +175,87 @@ object TextOps {
         round(lit(1) - countDistinct("fp") / count(lit(1)), 6).as("dup_rate"),
         countDistinct(col(langCol)).as("n_langs"))
 
+  /**
+   * Corpus vocabulary: global term frequency + document frequency per token
+   * — the "build the vocab / IDF table" step of a training-data pipeline.
+   * One explode + one token-keyed groupBy with map-side-combinable
+   * aggregates; at 100 TB this partitions by token hash and AQE absorbs
+   * stopword skew.
+   */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+
+  /**
+   * Per-document top-k TF-IDF terms (idf = ln((N+1)/(df+1))): term
+   * frequencies and document frequencies as two combinable aggregations,
+   * the corpus size broadcast into the plan as a 1-row aggregate (never a
+   * driver-side count), rank via a per-doc window. Deterministic total
+   * order (tfidf desc, token asc) so the top-k boundary is stable across
+   * engines and partitionings.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"),
+        (col("tf") * log((col("__n") + 1) / (col("df") + 1))).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
+  /**
+   * Deterministic stratified sampling: keep a row iff the first 8 hex chars
+   * of md5(id) fall below the stratum's rate threshold. Engine-portable by
+   * construction (md5 agrees byte-for-byte across Spark/DuckDB; the
+   * comparison is a plain ASCII string compare), reproducible across runs
+   * and cluster sizes — the properties a training-data sampling step needs
+   * (a `rand()` sample is neither). Pure per-row projection: no shuffle.
+   */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val cond = rates.toSeq.sortBy(_._1).foldRight(h < lit(rateThresholdHex(defaultRate))) {
+      case ((stratum, r), acc) =>
+        when(col(strataCol) === stratum, h < lit(rateThresholdHex(r))).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+
+  /** Sampling-rate threshold in md5-prefix space: an 8-hex-char string such
+    * that `hex8 < threshold` keeps ≈ rate of uniform hashes. "g" sorts above
+    * every hex string (keep all); "" below every one (keep none). */
+  def rateThresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) ""
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /**
+   * Benchmark decontamination: corpus documents sharing ≥ `minShared`
+   * distinct word n-grams with any benchmark document — the standard
+   * eval-set contamination check run before training. An inverted
+   * shingle-index join (benchmark side is small → broadcast) + one
+   * combinable (corpus doc, benchmark doc) count; never an all-pairs
+   * comparison.
+   *
+   * @return (idCol, bench_id, shared) — one row per contaminated pair
+   */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+                    n: Int, minShared: Long): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n)
+    val bs = shingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    cs.join(bs, "shingle")
+      .groupBy(col(idCol), col("bench_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (md5 agrees byte-for-byte with DuckDB's). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

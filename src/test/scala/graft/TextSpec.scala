@@ -64,6 +64,46 @@ class TextSpec extends SparkSpec {
     assert(result.count() == 3)
   }
 
+  test("vocabulary: tf counts every occurrence, df counts documents once") {
+    val v = TextOps.vocabulary(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("the") == (6L, 3L))  // docs 1, 2, 4: twice each
+    assert(v("text") == (1L, 1L))
+    assert(v("cat") == (1L, 1L))
+  }
+
+  test("tfidf: rare terms outrank ubiquitous ones; rank window is per-doc") {
+    val top = TextOps.tfIdfTopTerms(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(top.count(_._1 == 1L) == 2)
+    // doc2's most distinctive term is its unique word, not the repeated 'the'
+    assert(top.collect { case (2L, tok, 1) => tok }.head == "cat")
+    // every doc has a rank-1 entry
+    assert(top.filter(_._3 == 1).map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("stratified sampling keeps none at 0, all at 1, and is reproducible") {
+    val ids = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("source", ($"doc_id" % 2 === 0).cast("string"))
+    val all = TextOps.sampleStratified(ids, "doc_id", "source", Map("true" -> 1.0), 0.0)
+    assert(all.filter($"source" === "true").count() == 500)
+    assert(all.filter($"source" === "false").count() == 0)
+    val half = TextOps.sampleStratified(ids, "doc_id", "source", Map.empty, 0.5)
+    val n1 = half.count(); val n2 = half.count()
+    assert(n1 == n2 && n1 > 350 && n1 < 650) // deterministic, ≈ rate
+  }
+
+  test("contamination: near-dup docs across corpus/benchmark split are flagged") {
+    val bench = docs.filter($"doc_id" === 1)
+    val corpus = docs.filter($"doc_id" =!= 1)
+    val hits = TextOps.contamination(corpus, bench, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 2 (near-dup) and 4 (exact dup) share ≥3 3-grams with doc 1; doc 3 none
+    assert(hits.map(_._1).toSet == Set(2L, 4L))
+    assert(hits.forall(_._2 == 1L))
+    assert(hits.collect { case (4L, _, s) => s }.head == 7L) // 9 words → 7 3-grams
+  }
+
   test("token counts, quality, langid, fingerprint are deterministic projections") {
     val tc = TextOps.tokenCounts(docs, "doc_id", "text")
       .filter($"doc_id" === 1).collect()(0)
