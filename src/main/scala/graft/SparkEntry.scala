@@ -352,6 +352,10 @@ object SparkEntry {
       graft.ml.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 5,
         numCells = 16, nprobe = 4)
     }),
+    // cluster-bucketed semantic dedup (the sub-quadratic approximate
+    // complement to emb_neardup's exact triangle join)
+    "emb_semantic_dedup" -> ((s, dir) =>
+      graft.ml.Similarity.semanticNearDup(t(s, dir, "embeddings"), 0.4, numCells = 16)),
 
     // --- structured streaming ops (batch path here; incremental path in
     //     StreamingSpec via MemoryStream — same code, same plans) ---
@@ -681,6 +685,7 @@ object SparkEntry {
     // both ANN variants are fully deterministic given the md5 centroid order /
     // the seeded hyperplane constants, so their oracles ARE SQL-expressible
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
+    "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->
@@ -814,15 +819,29 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 6)"
 
+  /** Shared deterministic-quantizer CTEs (= Similarity.ivfCentroids +
+    * ivfAssign): centroids in md5-of-id order, nearest-cell assignment. */
+  private def ivfCentAsgSql(numCells: Int): String =
+    "cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, " +
+    s"embedding AS c_emb FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $numCells), " +
+    "asg AS (SELECT vec_id, embedding, cell FROM (SELECT e.vec_id, e.embedding, c.cell, " +
+    s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell ASC) AS rk " +
+    "FROM embeddings e CROSS JOIN cent c) WHERE rk = 1)"
+
+  /** Cluster-bucketed semantic dedup oracle: within-cell exact-cosine pairs
+    * over the same deterministic quantizer as Similarity.semanticNearDup. */
+  private def semanticDedupOracle(numCells: Int, threshold: Double): String =
+    s"WITH ${ivfCentAsgSql(numCells)} " +
+    s"SELECT a, b, sim FROM (SELECT x.vec_id AS a, y.vec_id AS b, " +
+    s"${cosSql("x.embedding", "y.embedding")} AS sim " +
+    "FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id) " +
+    s"WHERE sim >= $threshold"
+
   /** IVF oracle: centroid CTE in md5-of-id order (= Similarity.ivfCentroids),
     * nearest-cell assignment CTE, nprobe probe CTE, exact cosine rank within
     * probed cells — the same deterministic pipeline as Similarity.ivfKnn. */
   private def ivfOracle(numCells: Int, nprobe: Int, k: Int): String =
-    "WITH cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, " +
-    s"embedding AS c_emb FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $numCells), " +
-    "asg AS (SELECT vec_id, embedding, cell FROM (SELECT e.vec_id, e.embedding, c.cell, " +
-    s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell ASC) AS rk " +
-    "FROM embeddings e CROSS JOIN cent c) WHERE rk = 1), " +
+    s"WITH ${ivfCentAsgSql(numCells)}, " +
     "probe AS (SELECT q_id, q_emb, cell FROM (SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cell, " +
     s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.cell ASC) AS rk " +
     s"FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rk <= $nprobe), " +

@@ -33,6 +33,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semantic near-dup: subset of exact pairs, finds same-cell neighbors") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semantic = Similarity.semanticNearDup(emb, 0.4, numCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(semantic.nonEmpty)
+    assert(semantic.forall { case (a, b, s) => a < b && s >= 0.4 })
+    assert(semantic.map(t => (t._1, t._2)).toSet.subsetOf(exact))
+    // one cell per vector → each pair appears exactly once
+    assert(semantic.map(t => (t._1, t._2)).distinct.length == semantic.length)
+  }
+
   test("native vec_cosine is bit-identical to the HOF form on real embeddings") {
     val emb = spark.read.parquet(s"$SF/embeddings.parquet").limit(200)
     val pairs = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
