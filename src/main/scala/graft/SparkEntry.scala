@@ -356,6 +356,13 @@ object SparkEntry {
     // complement to emb_neardup's exact triangle join)
     "emb_semantic_dedup" -> ((s, dir) =>
       graft.ml.Similarity.semanticNearDup(t(s, dir, "embeddings"), 0.4, numCells = 16)),
+    // spherical k-means training (the offline quantizer for IVF/semantic
+    // dedup); long-form (cell, dim, mean) output so the hash compare sees
+    // scalars, not engine-specific array renderings
+    "kmeans_train" -> ((s, dir) =>
+      graft.ml.Similarity.kmeansCentroids(t(s, dir, "embeddings"), 8, 2)
+        .select(col("cell"), posexplode(col("c_emb")).as(Seq("p", "m")))
+        .select(col("cell"), col("p").cast("long").as("p"), round(col("m"), 6).as("m"))),
 
     // --- structured streaming ops (batch path here; incremental path in
     //     StreamingSpec via MemoryStream — same code, same plans) ---
@@ -686,6 +693,7 @@ object SparkEntry {
     // the seeded hyperplane constants, so their oracles ARE SQL-expressible
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
     "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
+    "kmeans_train" -> kmeansOracle(k = 8, iters = 2),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->
@@ -836,6 +844,26 @@ object SparkEntry {
     s"${cosSql("x.embedding", "y.embedding")} AS sim " +
     "FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id) " +
     s"WHERE sim >= $threshold"
+
+  /** k-means oracle: md5-ordered init, then per iteration an assignment CTE
+    * (rounded-cosine argmax, cell tie-break) and a per-dimension mean CTE
+    * (DECIMAL(28,12)-exact sum ÷ count in double) — the identical float
+    * recurrence Similarity.kmeansCentroids runs, so centroids agree to the
+    * last bit before the final round-to-6. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val init =
+      "c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, " +
+      s"CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k)"
+    val stages = (1 to iters).map { i =>
+      s"a$i AS (SELECT cell, embedding FROM (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS embedding, c.cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell ASC) AS rk " +
+      s"FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rk = 1), " +
+      s"m$i AS (SELECT cell, gs - 1 AS p, sum(embedding[gs]::DECIMAL(28,12))::DOUBLE / count(*) AS m " +
+      s"FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS gs) t GROUP BY 1, 2), " +
+      s"c$i AS (SELECT cell, list(m ORDER BY p) AS c_emb FROM m$i GROUP BY cell)"
+    }.mkString(", ")
+    s"WITH $init, $stages SELECT cell, p, round(m, 6) AS m FROM m$iters"
+  }
 
   /** IVF oracle: centroid CTE in md5-of-id order (= Similarity.ivfCentroids),
     * nearest-cell assignment CTE, nprobe probe CTE, exact cosine rank within

@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     assert(semantic.map(t => (t._1, t._2)).distinct.length == semantic.length)
   }
 
+  test("kmeans: separated clusters recover their members' exact means") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes + their perturbed copies
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.9f)), (6L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(pts, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(cent.length == 2)
+    // each centroid is the exact per-dimension mean of one axis cluster
+    val sums = cent.map(_._2.sum).sorted
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-6)) // float32 inputs: ~1e-7 ulps
+    val x = cent.map(_._2.head).sorted
+    assert(x.head < 0.2 && x.last > 0.8) // one centroid per axis cluster
+  }
+
   test("native vec_cosine is bit-identical to the HOF form on real embeddings") {
     val emb = spark.read.parquet(s"$SF/embeddings.parquet").limit(200)
     val pairs = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
