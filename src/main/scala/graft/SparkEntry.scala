@@ -320,6 +320,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       graft.text.TextOps.sampleStratified(t(s, dir, "documents"), "doc_id", "source",
         SampleRates, SampleDefaultRate).select("doc_id", "source")),
+    "pack_sequences" -> ((s, dir) =>
+      graft.text.TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)),
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.text.TextOps.contamination(
@@ -664,6 +666,12 @@ object SparkEntry {
        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
        "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
     "sample_stratified" -> stratifiedOracle,
+    "pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tok " +
+       "FROM documents), " +
+       "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+       "SELECT doc_id, n_tok, cum // 2048 AS bin, cum % 2048 AS bin_offset FROM c"),
     "decontaminate" ->
       ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws " +
        "FROM documents), " +

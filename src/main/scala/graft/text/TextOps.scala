@@ -256,6 +256,49 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /**
+   * Sequence packing: assign documents (in deterministic id order) to
+   * contiguous fixed-token-budget bins — the "pack documents into training
+   * sequences" step of a pretraining pipeline. A document's bin is
+   * floor(exclusive-prefix-sum(tokens) / budget).
+   *
+   * Scale shape: a naive global-order window is a single-partition sort. This
+   * is the two-level distributed prefix-scan instead: per-chunk exclusive
+   * cumsums run partitioned by chunk id (parallel), chunk totals form a
+   * chunk-count-sized table whose running offsets broadcast back — the same
+   * decomposition a 1000-executor scan uses. Chunking by id range keeps the
+   * global order identical to the naive form, which is what the SQL oracle
+   * computes.
+   *
+   * @return (idCol, n_tok, bin, bin_offset) — bin_offset = token offset of
+   *         the doc within its bin's running stream
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, chunkSize: Long = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // floor-division in double is exact below 2^53 — ids and corpus token
+    // counts both sit far under that (1e14 tokens ≈ 100 TB of text)
+    val toks = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"),
+      floor(col(idCol) / chunkSize).cast("long").as("__chunk"))
+    // exclusive per-chunk prefix sum, parallel across chunks
+    val local = toks.withColumn("__local",
+      coalesce(sum("n_tok").over(
+        w.partitionBy("__chunk").orderBy(idCol)
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    // chunk totals → exclusive running offset (chunk-count-sized window: at
+    // 100 TB this is |corpus|/chunkSize rows, still worth range-partitioning
+    // for extreme corpora; the data volume through it is 16 bytes per chunk)
+    val offsets = toks.groupBy("__chunk").agg(sum("n_tok").as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(
+        w.orderBy("__chunk").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__chunk", "__off")
+    val global = col("__local") + col("__off")
+    local.join(broadcast(offsets), Seq("__chunk"))
+      .select(col(idCol), col("n_tok"),
+        floor(global / budget).cast("long").as("bin"),
+        (global % budget).as("bin_offset"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (md5 agrees byte-for-byte with DuckDB's). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

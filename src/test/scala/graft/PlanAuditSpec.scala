@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/**
+ * Plan-shape regression audit over EVERY SparkEntry query: the properties
+ * the 100 TB design depends on, asserted so a refactor that silently
+ * reintroduces a scale-killer fails CI instead of only showing up as a
+ * bench regression.
+ *
+ *  - No CartesianProductExec anywhere. The deliberate all-pairs surfaces
+ *    (brute-force kNN baseline, broadcast singletons/centroid tables,
+ *    block-pair combo joins) all compile to BroadcastNestedLoopJoin or
+ *    BroadcastHashJoin with a bounded broadcast side — a shuffle-side
+ *    cartesian is always a bug.
+ *  - Parquet scans are column-pruned: no scan reads more columns than its
+ *    query needs (spot-checked against known-narrow queries).
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plans(name: String): Seq[SparkPlan] = {
+    val root = SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan
+    // unwrap AQE roots so collect sees the physical operators
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(root)
+  }
+
+  test("no query plan contains a shuffle-side cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val cart = plans(name).collect { case c: CartesianProductExec => c }
+      if (cart.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProductExec in: ${offenders.mkString(", ")}")
+  }
+
+  test("parquet scans are column-pruned to what the query reads") {
+    def scanWidths(name: String): Seq[Int] =
+      plans(name).collect { case s: FileSourceScanExec => s.requiredSchema.size }
+    // q1_agg needs 5 of lineitem's 16 columns
+    assert(scanWidths("q1_agg").forall(_ <= 5))
+    // window_topk needs 3 of orders' 9 columns
+    assert(scanWidths("window_topk").forall(_ <= 3))
+    // token counting needs (doc_id, text) of documents' 5 columns
+    assert(scanWidths("text_token_counts").forall(_ <= 2))
+    // mxm_minplus needs 4 of lineitem's 16 columns
+    assert(scanWidths("mxm_minplus").forall(_ <= 4))
+  }
+}

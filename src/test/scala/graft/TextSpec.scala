@@ -104,6 +104,17 @@ class TextSpec extends SparkSpec {
     assert(hits.collect { case (4L, _, s) => s }.head == 7L) // 9 words → 7 3-grams
   }
 
+  test("sequence packing: two-level prefix scan equals the naive global cumsum") {
+    // ids straddle chunk boundaries (chunkSize = 4) so the chunk-offset
+    // broadcast path is exercised; budget 10 packs docs 1..5 of sizes
+    // 9,9,8,9,2 at exclusive offsets 0,9,18,26,35 → bins 0,0,1,2,3
+    val packed = TextOps.packSequences(docs, "doc_id", "text", budget = 10, chunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(packed.toSeq == Seq(
+      (1L, 9L, 0L, 0L), (2L, 9L, 0L, 9L), (3L, 8L, 1L, 8L),
+      (4L, 9L, 2L, 6L), (5L, 2L, 3L, 5L)))
+  }
+
   test("token counts, quality, langid, fingerprint are deterministic projections") {
     val tc = TextOps.tokenCounts(docs, "doc_id", "text")
       .filter($"doc_id" === 1).collect()(0)
