@@ -444,6 +444,18 @@ object SparkEntry {
       graft.events.EventOps.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
     }),
+    // forward as-of with tolerance: each purchase's NEXT click within 10
+    // minutes (same union-merge plan, reversed scan order + post-mask)
+    "ev_asof_forward" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.events.EventOps.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"),
+        forward = true, toleranceMillis = Some(600000L))
+        .select(col("event_id"), col("asof_value"))
+    }),
     "ev_json" -> ((s, dir) => {
       val ev = graft.sources.Tables.events(s, dir)
       ev.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -768,6 +780,13 @@ object SparkEntry {
        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
        "SELECT p.event_id AS event_id, c.value AS asof_value " +
        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "ev_asof_forward" ->
+      ("WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+       "SELECT p.event_id AS event_id, " +
+       "CASE WHEN c.ts IS NOT NULL AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 600000 " +
+       "THEN c.value END AS asof_value " +
+       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"),
     "ev_json" ->
       ("SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k " +
        "FROM events GROUP BY 1"),

@@ -13,37 +13,52 @@ import org.apache.spark.sql.functions._
 object EventOps {
 
   /**
-   * As-of join: for each left row, the latest right row with the same key
-   * and rightTime ≤ leftTime.
+   * As-of join: for each left row, the nearest right row with the same key —
+   * backward (latest rightTime ≤ leftTime, the default) or `forward`
+   * (earliest rightTime ≥ leftTime), optionally bounded by
+   * `toleranceMillis` (a match farther than the tolerance yields null, the
+   * pandas merge_asof contract).
    *
    * Implemented as the union-merge trick: tag both sides, sort within key by
-   * time, and carry the last-seen right row forward with a running window —
-   * one shuffle by key, no range cross-join, skew-safe under AQE. This is
-   * the scalable shape for 100 TB (a per-key sort-merge, same cost class as
-   * a sort-merge join).
+   * time (reversed for forward), and carry the last-seen right row with a
+   * running window — one shuffle by key, no range cross-join, skew-safe
+   * under AQE. This is the scalable shape for 100 TB (a per-key sort-merge,
+   * same cost class as a sort-merge join); tolerance is a post-mask, not a
+   * range join.
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String], forward: Boolean = false,
+               toleranceMillis: Option[Long] = None): DataFrame = {
     val lp = left.columns.filterNot(c => c == key || c == time)
+    val carryCols = rightCols :+ time // right timestamp rides along for the tolerance mask
     val l = left.select(
       Seq(col(key), col(time)) ++ lp.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(null).cast(right.schema(time).dataType).as(s"__r_$time") :+
         lit(1).as("__side"): _*)
     val r = right.select(
       Seq(col(key), col(time)) ++
         lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(c => col(c).as(s"__r_$c")) :+
+        col(time).as(s"__r_$time") :+
         lit(0).as("__side"): _*)
     // right rows sort before left rows at the same timestamp (side 0 < 1):
-    // an exactly-simultaneous right row IS visible to the left row.
-    val w = Window.partitionBy(key).orderBy(col(time).asc, col("__side").asc)
+    // an exactly-simultaneous right row IS visible to the left row, in
+    // either direction (≤ / ≥ are both inclusive).
+    val ord = if (forward) col(time).desc else col(time).asc
+    val w = Window.partitionBy(key).orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val withinTol = toleranceMillis match {
+      case Some(tol) =>
+        abs(unix_millis(col(time)) - unix_millis(col(s"__last_$time"))) <= tol
+      case None => lit(true)
     }
     carried.filter(col("__side") === 1)
       .select(Seq(col(key), col(time)) ++ lp.map(col) ++
-        rightCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => when(withinTol, col(s"__last_$c")).as(s"asof_$c")): _*)
   }
 
   /**

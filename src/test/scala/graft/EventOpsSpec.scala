@@ -31,6 +31,32 @@ class EventOpsSpec extends SparkSpec {
     assert(got.getDouble(3) == 7.0)
   }
 
+  test("asof forward picks earliest right row at or after; tolerance masks far matches") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),  // next quote at :10 (5 s away)
+      (1L, ts("2024-01-01 10:00:20"), "t2"),  // next quote at 10:05:00 (280 s away)
+      (2L, ts("2024-01-01 10:00:10"), "t3")   // no later quote
+    ).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (1L, ts("2024-01-01 10:05:00"), 102.0),
+      (2L, ts("2024-01-01 10:00:00"), 200.0)  // before t3 → no forward match
+    ).toDF("key", "ts", "px")
+    val fwd = EventOps.asofJoin(trades, quotes, "key", "ts", Seq("px"), forward = true)
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(fwd == Map("t1" -> Some(101.0), "t2" -> Some(102.0), "t3" -> None))
+    val tol = EventOps.asofJoin(trades, quotes, "key", "ts", Seq("px"),
+      forward = true, toleranceMillis = Some(60000L))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(tol == Map("t1" -> Some(101.0), "t2" -> None, "t3" -> None))
+    // simultaneous right row is visible forward too (≥ is inclusive)
+    val simul = EventOps.asofJoin(trades,
+      Seq((1L, ts("2024-01-01 10:00:05"), 99.0)).toDF("key", "ts", "px"),
+      "key", "ts", Seq("px"), forward = true)
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(simul("t1").contains(99.0))
+  }
+
   test("sessionize splits on gaps over threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
