@@ -38,10 +38,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val root = Planner.plan(pg, stats)
     val c = PatternExec.compileTracked(root, graph)
     val projected = c.df.select(pg.returns.map(col): _*)
-    val out =
+    val deduped =
       if (c.distinct && pg.returns.toSet == root.carried) projected
       else projected.dropDuplicates()
-    pg.limit.fold(out)(out.limit)
+    // ORDER BY over returned bindings (beyond the reference — relational
+    // surface Spark gives for free; a TakeOrderedAndProject when LIMIT
+    // follows, so the sort never materializes globally)
+    val ordered =
+      if (pg.orderBy.isEmpty) deduped
+      else deduped.orderBy(pg.orderBy.map(k =>
+        if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
+    pg.limit.fold(ordered)(ordered.limit)
   }
 
   /** Like `query`, but joins each returned binding back to its node row for

@@ -56,6 +56,11 @@ object SparkEntry {
     // customers to everything 1-2 hops out over the membership edges
     "cy_varlen" -> ((s, dir) =>
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
+    // ORDER BY + LIMIT through the Cypher surface (TakeOrderedAndProject —
+    // the sort never materializes globally)
+    "cy_orderby" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN c, n ORDER BY c DESC, n LIMIT 20")),
     // render path: returned binding joined back to node properties
     // (reference MatrixTuples + DataStore.getVs, Operator.scala:377-399)
     "cy_props" -> ((s, dir) =>
@@ -498,6 +503,9 @@ object SparkEntry {
     "cy_props" ->
       ("SELECT DISTINCT r_regionkey + 1000000000 AS r, 'region' AS r_label, " +
        "r_name AS r_name FROM region"),
+    "cy_orderby" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer ORDER BY c DESC, n LIMIT 20"),
     // the walk-semantics contract stated as an actual recursive reach
     "cy_varlen" ->
       ("WITH RECURSIVE edge AS (" +

@@ -30,6 +30,7 @@ object Pattern {
       predicates: Seq[Ast.Cmp],                      // WHERE conjuncts per binding
       returns: Seq[String],
       distinct: Boolean,
+      orderBy: Seq[Ast.SortKey],
       limit: Option[Int]) {
     def bindings: Set[String] = labels.keySet
   }
@@ -70,8 +71,12 @@ object Pattern {
     val unknown = q.returns.filterNot(labels.contains)
     if (unknown.nonEmpty)
       throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
+    val unknownSort = q.orderBy.map(_.binding).filterNot(q.returns.contains)
+    if (unknownSort.nonEmpty)
+      throw new graft.cypher.ParseException(
+        s"ORDER BY references non-returned bindings: ${unknownSort.mkString(",")}")
     val cmps = q.where.collect { case c: Ast.Cmp => c }
-    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.limit)
+    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.orderBy, q.limit)
   }
 }
 

@@ -27,6 +27,22 @@ class CypherSpec extends SparkSpec {
     assert(q.distinct && q.limit.contains(5))
   }
 
+  test("parser: ORDER BY with directions; unknown sort binding rejected") {
+    val q = CypherParser.parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b ORDER BY b DESC, a LIMIT 3")
+    assert(q.orderBy == Seq(Ast.SortKey("b", asc = false), Ast.SortKey("a", asc = true)))
+    assert(q.limit.contains(3))
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse("MATCH (a:A)-[:X]->(b:B) RETURN a ORDER BY b"))
+    }
+  }
+
+  test("ORDER BY executes: diamond 1-hop descending") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b DESC LIMIT 1")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L))
+  }
+
   test("pattern graph: INCOMING normalized by endpoint swap") {
     val pg = Pattern.fromQuery(CypherParser.parse("MATCH (a:A)<-[:X]-(b:B) RETURN a"))
     assert(pg.edges == Vector(Pattern.PatternEdge("b", "a", Seq("X"), undirected = false)))

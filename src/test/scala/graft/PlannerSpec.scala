@@ -24,7 +24,7 @@ class PlannerSpec extends AnyFunSuite {
 
   private def pg(edges: Vector[PatternEdge], labels: Map[String, Option[String]],
                  returns: Seq[String]): PatternGraph =
-    PatternGraph(labels, edges, Seq.empty, returns, distinct = false, limit = None)
+    PatternGraph(labels, edges, Seq.empty, returns, distinct = false, orderBy = Seq.empty, limit = None)
 
   private def stats(nodes: Map[String, Long], edges: Map[String, Long],
                     triplets: Map[(String, String, String), Long]): GraphStats =
