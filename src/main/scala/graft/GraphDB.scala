@@ -37,16 +37,25 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
     val root = Planner.plan(pg, stats)
     val c = PatternExec.compileTracked(root, graph)
-    val projected = c.df.select(pg.returns.map(col): _*)
+    val projected = c.df.select(pg.referenced.map(col): _*)
     val deduped =
-      if (c.distinct && pg.returns.toSet == root.carried) projected
+      if (c.distinct && pg.referenced.toSet == root.carried) projected
       else projected.dropDuplicates()
-    // ORDER BY over returned bindings (beyond the reference — relational
-    // surface Spark gives for free; a TakeOrderedAndProject when LIMIT
-    // follows, so the sort never materializes globally)
+    // count(b) = number of DISTINCT matches per group (set semantics; the
+    // input is already duplicate-free, so this is one combinable groupBy)
+    val aggregated =
+      if (pg.counts.isEmpty) deduped
+      else {
+        val aggs = pg.counts.map(b => countDistinct(col(b)).as(s"count_$b"))
+        if (pg.returns.isEmpty) deduped.agg(aggs.head, aggs.tail: _*)
+        else deduped.groupBy(pg.returns.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    // ORDER BY over returned bindings / count aliases (beyond the reference
+    // — relational surface Spark gives for free; a TakeOrderedAndProject
+    // when LIMIT follows, so the sort never materializes globally)
     val ordered =
-      if (pg.orderBy.isEmpty) deduped
-      else deduped.orderBy(pg.orderBy.map(k =>
+      if (pg.orderBy.isEmpty) aggregated
+      else aggregated.orderBy(pg.orderBy.map(k =>
         if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
     pg.limit.fold(ordered)(ordered.limit)
   }

@@ -56,6 +56,10 @@ object SparkEntry {
     // customers to everything 1-2 hops out over the membership edges
     "cy_varlen" -> ((s, dir) =>
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
+    // count() aggregation (set semantics: distinct matches per group)
+    "cy_count" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n, count(c) ORDER BY n")),
     // ORDER BY + LIMIT through the Cypher surface (TakeOrderedAndProject —
     // the sort never materializes globally)
     "cy_orderby" -> ((s, dir) =>
@@ -503,6 +507,9 @@ object SparkEntry {
     "cy_props" ->
       ("SELECT DISTINCT r_regionkey + 1000000000 AS r, 'region' AS r_label, " +
        "r_name AS r_name FROM region"),
+    "cy_count" ->
+      ("SELECT c_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS count_c " +
+       "FROM customer GROUP BY 1 ORDER BY n"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),

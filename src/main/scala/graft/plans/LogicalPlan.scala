@@ -28,11 +28,14 @@ object Pattern {
       labels: Map[String, Option[String]],           // binding -> label constraint
       edges: Vector[PatternEdge],
       predicates: Seq[Ast.Cmp],                      // WHERE conjuncts per binding
-      returns: Seq[String],
+      returns: Seq[String],                          // group (plain) return bindings
+      counts: Seq[String] = Seq.empty,               // count(b) aggregated bindings
       distinct: Boolean,
       orderBy: Seq[Ast.SortKey],
       limit: Option[Int]) {
     def bindings: Set[String] = labels.keySet
+    /** Every binding the result depends on (group keys + counted). */
+    def referenced: Seq[String] = returns ++ counts
   }
 
   /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST). */
@@ -68,15 +71,19 @@ object Pattern {
         prev = cur
       }
     }
-    val unknown = q.returns.filterNot(labels.contains)
+    val group = q.returns.filterNot(_.count).map(_.binding)
+    val counts = q.returns.filter(_.count).map(_.binding)
+    val unknown = (group ++ counts).filterNot(labels.contains)
     if (unknown.nonEmpty)
       throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
-    val unknownSort = q.orderBy.map(_.binding).filterNot(q.returns.contains)
+    // sort keys: group bindings or count aliases (count_<binding>)
+    val sortable = group.toSet ++ counts.map("count_" + _)
+    val unknownSort = q.orderBy.map(_.binding).filterNot(sortable)
     if (unknownSort.nonEmpty)
       throw new graft.cypher.ParseException(
         s"ORDER BY references non-returned bindings: ${unknownSort.mkString(",")}")
     val cmps = q.where.collect { case c: Ast.Cmp => c }
-    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.orderBy, q.limit)
+    PatternGraph(labels.toMap, edges.result(), cmps, group, counts, q.distinct, q.orderBy, q.limit)
   }
 }
 

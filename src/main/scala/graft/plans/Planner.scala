@@ -59,7 +59,7 @@ object Planner {
 
   /** Bindings needed downstream of a point where `remaining` edges are unprocessed. */
   private def needed(pg: PatternGraph, remaining: Seq[PatternEdge]): Set[String] =
-    pg.returns.toSet ++ remaining.flatMap(e => Seq(e.src, e.dst))
+    pg.referenced.toSet ++ remaining.flatMap(e => Seq(e.src, e.dst))
 
   /** One planning step: the tree/bound/card/cost state of a search prefix. */
   private final case class State(node: LogicNode, bound: Set[String],

@@ -17,7 +17,7 @@ class CypherSpec extends SparkSpec {
     val hops = q.paths.head.hops
     assert(hops(0)._1 == Ast.RelPat(Seq("X"), Ast.Out))
     assert(hops(1)._1 == Ast.RelPat(Seq("Y", "Z"), Ast.In))
-    assert(q.returns == Seq("a", "c"))
+    assert(q.returns == Seq(Ast.Ret("a", count = false), Ast.Ret("c", count = false)))
   }
 
   test("parser: WHERE and LIMIT") {
@@ -34,6 +34,24 @@ class CypherSpec extends SparkSpec {
     intercept[graft.cypher.ParseException] {
       Pattern.fromQuery(CypherParser.parse("MATCH (a:A)-[:X]->(b:B) RETURN a ORDER BY b"))
     }
+  }
+
+  test("count aggregation: per-group and global distinct counts") {
+    val db = new GraphDB(diamond)
+    val perA = db.query("MATCH (a:A)-[:X]->(b:B) RETURN a, count(b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perA.toSeq == Seq((1L, 2L)))
+    val global = db.query("MATCH (a:A)-[:X]->(b:B) RETURN count(b)")
+      .collect().map(_.getLong(0))
+    assert(global.toSeq == Seq(2L))
+    // set semantics: two b-paths (a→b1→c, a→b2→c) reach c, ONE distinct a
+    val cnt = db.query("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c, count(a)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cnt.toSeq == Seq((4L, 1L)))
+    // ORDER BY a count alias
+    val ord = db.query("MATCH (a:A)-[:X]->(b:B) RETURN a, count(b) ORDER BY count_b DESC LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ord.toSeq == Seq((1L, 2L)))
   }
 
   test("ORDER BY executes: diamond 1-hop descending") {
