@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.graph.{GraphStats, PropertyGraph}
 import graft.cypher.CypherParser
@@ -38,24 +38,55 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val root = Planner.plan(pg, stats)
     val c = PatternExec.compileTracked(root, graph)
     val projected = c.df.select(pg.referenced.map(col): _*)
-    val deduped =
+    val matches =
       if (c.distinct && pg.referenced.toSet == root.carried) projected
       else projected.dropDuplicates()
-    // count(b) = number of DISTINCT matches per group (set semantics; the
-    // input is already duplicate-free, so this is one combinable groupBy)
+    // property access: one broadcast-friendly join per binding that needs
+    // values, AFTER the set-semantics dedup so each distinct match contributes
+    // its property exactly once (left join: ids always resolve — PropertyGraph
+    // invariant — but stay robust to partial node tables)
+    val propsNeeded = pg.items.filter(_.prop.isDefined)
+      .groupBy(_.binding).view.mapValues(_.flatMap(_.prop).distinct).toMap
+    val withProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
+      val sel = graph.nodes.select(
+        (col("id").as(b) +: ps.map(p => col(p).as(s"${b}_$p"))): _*)
+      acc.join(sel, Seq(b), "left")
+    }
+    def valueOf(i: cypher.Ast.Ret): Column =
+      i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+    // aggregates run over the distinct matches (set semantics): count(b) =
+    // distinct matches per group; sum/min/max/avg fold each distinct match's
+    // property once. All combinable — one map-side-partial groupBy.
     val aggregated =
-      if (pg.counts.isEmpty) deduped
+      if (pg.aggItems.isEmpty)
+        withProps.select(pg.groupItems.map(i => valueOf(i).as(i.outName)): _*)
       else {
-        val aggs = pg.counts.map(b => countDistinct(col(b)).as(s"count_$b"))
-        if (pg.returns.isEmpty) deduped.agg(aggs.head, aggs.tail: _*)
-        else deduped.groupBy(pg.returns.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        val aggs = pg.aggItems.map { i =>
+          (i.agg.get match {
+            case "count" => countDistinct(col(i.binding))
+            case "sum"   => sum(valueOf(i))
+            case "min"   => min(valueOf(i))
+            case "max"   => max(valueOf(i))
+            case "avg"   => avg(valueOf(i))
+          }).as(i.outName)
+        }
+        if (pg.groupItems.isEmpty) withProps.agg(aggs.head, aggs.tail: _*)
+        else withProps.groupBy(pg.groupItems.map(i => valueOf(i).as(i.outName)): _*)
+          .agg(aggs.head, aggs.tail: _*)
       }
-    // ORDER BY over returned bindings / count aliases (beyond the reference
-    // — relational surface Spark gives for free; a TakeOrderedAndProject
-    // when LIMIT follows, so the sort never materializes globally)
+    // RETURN DISTINCT dedups the projected VALUES — distinct matches can
+    // share a property value; id-only returns are already distinct (no-op
+    // skipped). Aggregated results are one row per group already.
+    val distincted =
+      if (pg.distinct && pg.aggItems.isEmpty && pg.items.exists(_.prop.isDefined))
+        aggregated.dropDuplicates()
+      else aggregated
+    // ORDER BY over output columns (beyond the reference — relational surface
+    // Spark gives for free; a TakeOrderedAndProject when LIMIT follows, so
+    // the sort never materializes globally)
     val ordered =
-      if (pg.orderBy.isEmpty) aggregated
-      else aggregated.orderBy(pg.orderBy.map(k =>
+      if (pg.orderBy.isEmpty) distincted
+      else distincted.orderBy(pg.orderBy.map(k =>
         if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
     pg.limit.fold(ordered)(ordered.limit)
   }

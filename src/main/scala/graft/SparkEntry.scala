@@ -70,6 +70,18 @@ object SparkEntry {
     "cy_props" -> ((s, dir) =>
       db(s, dir).queryNodes("MATCH (n:nation)-[:IN_REGION]->(r:region) RETURN r")
         .select(col("r"), col("r_label"), col("r_name"))),
+    // property projection in RETURN (`c.name`) — values joined per distinct
+    // match AFTER the set-semantics dedup, one broadcastable join per binding
+    "cy_return_props" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE c.value > 9000 " +
+        "RETURN c.name, n.name ORDER BY c.name LIMIT 50")),
+    // property aggregates over distinct matches: count/sum/max per group —
+    // one combinable groupBy after the match dedup
+    "cy_agg_props" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:order) " +
+        "RETURN n.name, count(c), sum(o.value), max(o.value) ORDER BY n.name")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -510,6 +522,15 @@ object SparkEntry {
     "cy_count" ->
       ("SELECT c_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer GROUP BY 1 ORDER BY n"),
+    "cy_return_props" ->
+      ("SELECT c_name AS c_name, n_name AS n_name FROM customer " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE c_acctbal > 9000 ORDER BY c_name LIMIT 50"),
+    "cy_agg_props" ->
+      ("SELECT n_name AS n_name, count(DISTINCT c_custkey) AS count_c, " +
+       "sum(o_totalprice) AS sum_o_value, max(o_totalprice) AS max_o_value " +
+       "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
+       "JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY n_name"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),

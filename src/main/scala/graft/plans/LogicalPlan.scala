@@ -28,14 +28,19 @@ object Pattern {
       labels: Map[String, Option[String]],           // binding -> label constraint
       edges: Vector[PatternEdge],
       predicates: Seq[Ast.Cmp],                      // WHERE conjuncts per binding
-      returns: Seq[String],                          // group (plain) return bindings
-      counts: Seq[String] = Seq.empty,               // count(b) aggregated bindings
+      items: Seq[Ast.Ret],                           // RETURN items (see Ast.Ret)
       distinct: Boolean,
       orderBy: Seq[Ast.SortKey],
       limit: Option[Int]) {
     def bindings: Set[String] = labels.keySet
-    /** Every binding the result depends on (group keys + counted). */
-    def referenced: Seq[String] = returns ++ counts
+    /** Non-aggregated items — the grouping keys when aggregates are present. */
+    def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
+    def aggItems: Seq[Ast.Ret] = items.filter(_.agg.isDefined)
+    /** Plain id-only returned bindings (the reference's whole surface). */
+    def returns: Seq[String] =
+      items.collect { case Ast.Ret(b, None, None) => b }
+    /** Every binding the result depends on (distinct, in first-use order). */
+    def referenced: Seq[String] = items.map(_.binding).distinct
   }
 
   /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST). */
@@ -71,19 +76,17 @@ object Pattern {
         prev = cur
       }
     }
-    val group = q.returns.filterNot(_.count).map(_.binding)
-    val counts = q.returns.filter(_.count).map(_.binding)
-    val unknown = (group ++ counts).filterNot(labels.contains)
+    val unknown = q.returns.map(_.binding).filterNot(labels.contains)
     if (unknown.nonEmpty)
       throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
-    // sort keys: group bindings or count aliases (count_<binding>)
-    val sortable = group.toSet ++ counts.map("count_" + _)
+    // sort keys must name an output column (binding, b_prop, count_b, agg_b_prop)
+    val sortable = q.returns.map(_.outName).toSet
     val unknownSort = q.orderBy.map(_.binding).filterNot(sortable)
     if (unknownSort.nonEmpty)
       throw new graft.cypher.ParseException(
-        s"ORDER BY references non-returned bindings: ${unknownSort.mkString(",")}")
+        s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
     val cmps = q.where.collect { case c: Ast.Cmp => c }
-    PatternGraph(labels.toMap, edges.result(), cmps, group, counts, q.distinct, q.orderBy, q.limit)
+    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.orderBy, q.limit)
   }
 }
 

@@ -17,7 +17,7 @@ class CypherSpec extends SparkSpec {
     val hops = q.paths.head.hops
     assert(hops(0)._1 == Ast.RelPat(Seq("X"), Ast.Out))
     assert(hops(1)._1 == Ast.RelPat(Seq("Y", "Z"), Ast.In))
-    assert(q.returns == Seq(Ast.Ret("a", count = false), Ast.Ret("c", count = false)))
+    assert(q.returns == Seq(Ast.Ret("a"), Ast.Ret("c")))
   }
 
   test("parser: WHERE and LIMIT") {
@@ -203,6 +203,59 @@ class CypherSpec extends SparkSpec {
     val got = db.query("MATCH (a:A)-[:X]->(b:B) WHERE b.value > 15 RETURN b")
       .collect().map(_.getLong(0))
     assert(got.toSeq == Seq(3L))
+  }
+
+  test("parser: property returns and aggregates with output names") {
+    val q = CypherParser.parse(
+      "MATCH (a:A)-[:X]->(b:B) RETURN a.name, count(b), sum(b.value), avg(b.value) " +
+      "ORDER BY a.name, sum_b_value DESC")
+    assert(q.returns == Seq(
+      Ast.Ret("a", Some("name")), Ast.Ret("b", agg = Some("count")),
+      Ast.Ret("b", Some("value"), Some("sum")), Ast.Ret("b", Some("value"), Some("avg"))))
+    assert(q.returns.map(_.outName) ==
+      Seq("a_name", "count_b", "sum_b_value", "avg_b_value"))
+    assert(q.orderBy == Seq(Ast.SortKey("a_name", asc = true),
+      Ast.SortKey("sum_b_value", asc = false)))
+    // count() takes a binding (set semantics); sum() needs a property
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN count(a.name)")
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN sum(a)")
+    }
+  }
+
+  // property fixture: a:A -X-> {b2 (x, 10), b3 (y, 20), b4 (x, 10)}
+  private def propsG: PropertyGraph = PropertyGraph(
+    spark.createDataFrame(Seq(
+      (1L, "A", "a1", 1.0), (2L, "B", "x", 10.0), (3L, "B", "y", 20.0), (4L, "B", "x", 10.0)))
+      .toDF("id", "label", "name", "value"),
+    spark.createDataFrame(Seq((1L, 2L, "X"), (1L, 3L, "X"), (1L, 4L, "X")))
+      .toDF("src", "dst", "etype"))
+
+  test("property returns: values joined per distinct match; DISTINCT dedups values") {
+    val db = new GraphDB(propsG)
+    val rows = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b.name, b.value ORDER BY b.value DESC, b.name")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("y", 20.0), ("x", 10.0), ("x", 10.0)))
+    val distinct = db.query("MATCH (a:A)-[:X]->(b:B) RETURN DISTINCT b.name ORDER BY b_name")
+      .collect().map(_.getString(0))
+    assert(distinct.toSeq == Seq("x", "y"))
+  }
+
+  test("property aggregates: sum/min/max/avg over distinct matches, grouped and global") {
+    val db = new GraphDB(propsG)
+    val grouped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN a.name, count(b), sum(b.value), min(b.value), max(b.value)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(grouped.toSeq == Seq(("a1", 3L, 40.0, 10.0, 20.0)))
+    val global = db.query("MATCH (a:A)-[:X]->(b:B) RETURN avg(b.value)")
+      .collect().map(_.getDouble(0))
+    assert(global.toSeq == Seq(40.0 / 3))
+    // grouping by a VALUE merges bindings sharing it: two b's named x
+    val byName = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b.name, count(b) ORDER BY b_name")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(byName.toSeq == Seq(("x", 2L), ("y", 1L)))
   }
 
   test("tpch graph: 1-hop matches relational oracle") {

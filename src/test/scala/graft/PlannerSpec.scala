@@ -24,7 +24,8 @@ class PlannerSpec extends AnyFunSuite {
 
   private def pg(edges: Vector[PatternEdge], labels: Map[String, Option[String]],
                  returns: Seq[String]): PatternGraph =
-    PatternGraph(labels, edges, Seq.empty, returns, distinct = false, orderBy = Seq.empty, limit = None)
+    PatternGraph(labels, edges, Seq.empty, returns.map(b => graft.cypher.Ast.Ret(b)),
+      distinct = false, orderBy = Seq.empty, limit = None)
 
   private def stats(nodes: Map[String, Long], edges: Map[String, Long],
                     triplets: Map[(String, String, String), Long]): GraphStats =
