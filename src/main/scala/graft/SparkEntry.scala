@@ -38,6 +38,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
+    * as a shared CTE prelude (canonical a < b orientation). */
+  private val cosupplyCte: String =
+    "WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem), " +
+    "shared AS (SELECT a.s AS a, b.s AS b, count(*) AS c FROM sp a " +
+    "JOIN sp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2), " +
+    "e AS (SELECT a, b FROM shared WHERE c >= 0.6 * (SELECT max(c) FROM shared))"
+
+  /** Strong co-supply graph: supplier pairs sharing ≥ 60% of the maximum
+    * shared-part count. One distinct projection, one part-keyed self-join
+    * (never supplier×supplier), one broadcast threshold scalar. */
+  private def cosupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val shared = sp.as("a").join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src"), col("b.s").as("dst")).agg(count(lit(1)).as("c"))
+    shared.crossJoin(broadcast(shared.agg(max("c").as("mx"))))
+      .filter(col("c") >= lit(0.6) * col("mx"))
+      .select("src", "dst")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Cypher pattern matching (reference's core surface) ---
@@ -317,6 +338,20 @@ object SparkEntry {
       Algorithms.pageRank(vs, g.edgesByType(Seq("IN_REGION")), iters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    // triangle count / clustering coefficient / Adamic-Adar over the strong
+    // co-supply graph (suppliers sharing ≥ 60% of the max shared-part count —
+    // the bipartite projection + strong-edge threshold every recommender
+    // pipeline builds). The threshold scalar is broadcast into the plan.
+    "triangle_count" -> ((s, dir) =>
+      Algorithms.triangleCount(
+        t(s, dir, "supplier").select(col("s_suppkey").as("id")), cosupplyEdges(s, dir))),
+    "clustering_coeff" -> ((s, dir) =>
+      Algorithms.clusteringCoefficient(
+        t(s, dir, "supplier").select(col("s_suppkey").as("id")), cosupplyEdges(s, dir))
+        .select(col("id"), col("degree"), round(col("lcc"), 6).as("lcc"))),
+    "adamic_adar" -> ((s, dir) =>
+      Algorithms.adamicAdar(cosupplyEdges(s, dir))
+        .select(col("u"), col("v"), round(col("score"), 6).as("score"))),
 
     // --- text analysis / dedup (training-data pipeline ops) ---
     "text_token_counts" -> ((s, dir) =>
@@ -644,6 +679,34 @@ object SparkEntry {
     // pagerank is a fixed 10-iteration computation → 10 chained CTE stages
     // replicating Algorithms.pageRank's exact recurrence (incl. dangling mass)
     "pagerank" -> pagerankOracle(iters = 10, damping = 0.85),
+    "triangle_count" ->
+      (cosupplyCte +
+       ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +
+       ", tri AS (SELECT x, y, z FROM wed WHERE EXISTS (SELECT 1 FROM e WHERE e.a = wed.x AND e.b = wed.z))" +
+       ", pv AS (SELECT unnest([x, y, z]) AS id FROM tri)" +
+       ", cnt AS (SELECT id, count(*) AS t FROM pv GROUP BY 1) " +
+       "SELECT s_suppkey AS id, coalesce(t, 0) AS triangles " +
+       "FROM supplier LEFT JOIN cnt ON s_suppkey = cnt.id"),
+    "clustering_coeff" ->
+      (cosupplyCte +
+       ", deg AS (SELECT id, count(*) AS degree FROM " +
+       "(SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)" +
+       ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +
+       ", tri AS (SELECT x, y, z FROM wed WHERE EXISTS (SELECT 1 FROM e WHERE e.a = wed.x AND e.b = wed.z))" +
+       ", pv AS (SELECT unnest([x, y, z]) AS id FROM tri)" +
+       ", cnt AS (SELECT id, count(*) AS t FROM pv GROUP BY 1) " +
+       "SELECT s_suppkey AS id, coalesce(degree, 0) AS degree, " +
+       "CASE WHEN coalesce(degree, 0) < 2 THEN 0.0 " +
+       "ELSE round(2.0 * coalesce(t, 0) / (degree * (degree - 1)), 6) END AS lcc " +
+       "FROM supplier LEFT JOIN deg ON s_suppkey = deg.id LEFT JOIN cnt ON s_suppkey = cnt.id"),
+    "adamic_adar" ->
+      (cosupplyCte +
+       ", sym AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e)" +
+       ", dg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1)" +
+       ", pairs AS (SELECT l.n AS u, r.n AS v, round(sum(1.0 / ln(dg.deg)), 6) AS score " +
+       "FROM sym l JOIN sym r ON l.w = r.w AND l.n < r.n JOIN dg ON dg.w = l.w GROUP BY 1, 2) " +
+       "SELECT u, v, score FROM pairs " +
+       "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pairs.u AND e.b = pairs.v)"),
 
     "text_token_counts" ->
       ("SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS ws_tokens, " +

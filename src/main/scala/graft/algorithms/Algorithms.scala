@@ -184,6 +184,89 @@ object Algorithms {
   }
 
   /**
+   * Per-vertex triangle count over an undirected simple graph.
+   *
+   * Plan shape (the standard distributed wedge-closure join, not a matrix
+   * cube): canonicalize each edge to lo→hi once, so every triangle
+   * {a < b < c} is counted exactly once as the wedge a→b→c closed by a→c —
+   * two shuffle joins on single keys plus one semi-join on the (x, z) pair,
+   * no squaring of the adjacency matrix and no all-pairs anywhere. The wedge
+   * table is the scale hazard (Σ deg²); at 100× the canonical orientation
+   * keeps it bounded by ordering wedges through the middle vertex, the same
+   * reason the classic MapReduce algorithm survives power-law graphs.
+   *
+   * @param vertices (id) — vertices to report (isolated ⇒ 0)
+   * @param edges (src, dst), direction ignored, self-loops dropped
+   * @return (id, triangles BIGINT)
+   */
+  def triangleCount(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).cache()
+    val tri = triangles(e)
+    val perV = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id")).distinct()
+      .join(perV, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /**
+   * Local clustering coefficient: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+   * 0 for degree < 2. Same wedge-closure core as [[triangleCount]] plus one
+   * degree aggregation over the symmetrized edge set.
+   *
+   * @return (id, degree BIGINT, lcc DOUBLE)
+   */
+  def clusteringCoefficient(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).cache()
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val perV = triangles(e).select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id")).distinct()
+      .join(deg, Seq("id"), "left").join(perV, Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"),
+        when(coalesce(col("degree"), lit(0L)) < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1)))).as("lcc"))
+  }
+
+  /**
+   * Adamic–Adar link-prediction scores for NON-adjacent vertex pairs:
+   * score(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1 / ln(deg w). The classic
+   * common-neighbor measure, routed through each shared neighbor w — one
+   * self-join of the symmetrized incidence list keyed on w (never an
+   * all-pairs product), then an anti-join drops already-connected pairs.
+   * At scale the join fan-out is Σ deg(w)², the same wedge bound as
+   * [[triangleCount]]; power-law hubs are the skew risk and AQE's skew-join
+   * split handles them.
+   *
+   * @return (u, v, score DOUBLE) with u < v, only pairs with ≥1 common neighbor
+   */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).cache()
+    val sym = e.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
+    val inc = sym.join(deg, "w")
+    val pairs = inc.as("l").join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("u"), col("r.n").as("v"), (lit(1.0) / log(col("l.deg"))).as("s"))
+      .groupBy("u", "v").agg(sum("s").as("score"))
+    pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
+  }
+
+  /** lo→hi canonical orientation, self-loops dropped, deduped. */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Ordered triangles (x < y < z) of a canonical lo→hi edge set. */
+  private def triangles(e: DataFrame): DataFrame = {
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges.join(e, wedges("x") === e("a") && wedges("z") === e("b"), "left_semi")
+  }
+
+  /**
    * PageRank, fixed iteration count (deterministic for oracle-less
    * cross-checks). Dangling mass is redistributed uniformly.
    *

@@ -76,6 +76,42 @@ class AlgorithmsSpec extends SparkSpec {
     assert(lv == (0L to 15L).map(i => i -> i.toInt).toMap)
   }
 
+  // K4 minus edge (2,3), plus pendant 5: triangles {0,1,2} and {0,1,3}
+  private def triG = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 1L), (4L, 5L))
+    .toDF("src", "dst")
+
+  test("triangle count: per-vertex, direction-agnostic, isolated = 0") {
+    val vs = (0L to 6L).toDF("id")
+    val got = Algorithms.triangleCount(vs, triG)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+    // duplicate + reversed edges don't change the count
+    val noisy = triG.unionAll(triG.select($"dst".as("src"), $"src".as("dst")))
+    val got2 = Algorithms.triangleCount(vs, noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("clustering coefficient: closed ratios per vertex") {
+    val vs = (0L to 5L).toDF("id")
+    val got = Algorithms.clusteringCoefficient(vs, triG)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (id, d, l) => id -> ((d, math.rint(l * 1e6) / 1e6)) }.toMap
+    // deg(0)=3 nbrs {1,2,3}: pairs 3, closed {1,2},{1,3} → 2/3
+    assert(got(0L) == ((3L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(1L) == ((3L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(2L) == ((2L, 1.0)) && got(3L) == ((2L, 1.0)))
+    assert(got(4L) == ((1L, 0.0)) && got(5L) == ((1L, 0.0))) // deg < 2 → 0
+  }
+
+  test("adamic-adar: scores via common neighbors, adjacent pairs excluded") {
+    val got = Algorithms.adamicAdar(triG)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // non-adjacent pair (2,3): common neighbors {0, 1}, both deg 3
+    assert(got.keySet == Set((2L, 3L)))
+    assert(math.abs(got((2L, 3L)) - 2.0 / math.log(3.0)) < 1e-9)
+  }
+
   test("pagerank: sink chain ranks ordered, mass conserved") {
     val vs = (0L to 2L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
