@@ -371,6 +371,16 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("tf").desc, col("tok").asc).limit(100)),
+    // PII scrub: the synthetic corpus carries no natural PII, so the query
+    // injects a deterministic email/IP/phone per doc (same expression in the
+    // oracle) and redacts it — exercising the real regex catalog end-to-end
+    "text_pii_redact" -> ((s, dir) => {
+      val doctored = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"), lit("@example.com ip 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".9 tel 555-867-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      graft.text.TextOps.redactPii(doctored, "doc_id", "text")
+    }),
     "text_tfidf" -> ((s, dir) =>
       graft.text.TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
     "sample_stratified" -> ((s, dir) =>
@@ -517,6 +527,14 @@ object SparkEntry {
       ev.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type").agg(sum("k").as("sum_k"))
     }),
+    // ordered funnel: view → click → purchase; one combinable min-agg per
+    // step, stage i gated on strictly-after stage i−1
+    "ev_funnel" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.events.EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .select("user_id", "stage")
+    }),
 
     // --- relational surface (free via Spark SQL; reference §2.7 absent ops) ---
     "q1_agg" -> ((s, dir) =>
@@ -526,6 +544,23 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n"))),
+    // ROLLUP hierarchy totals — one pass, partial-agg per grouping set
+    "olap_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+    // exact linear-interpolated quantiles per group (matches DuckDB
+    // quantile_cont; `percentile` is Spark's exact implementation, fine at
+    // any scale that can sort a group — for sketch-sized state use
+    // percentile_approx instead)
+    "ev_percentiles" -> ((s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))),
     "window_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -895,6 +930,37 @@ object SparkEntry {
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
        "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price, " +
        "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+    "olap_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +
+       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "ev_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.25), 6) AS p25, " +
+       "round(quantile_cont(value, 0.5), 6) AS p50, " +
+       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1"),
+    "ev_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+       "WHERE event_type = 'view' GROUP BY 1), " +
+       "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+       "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
+       "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+       "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) " +
+       "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+       "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
+       "FROM (SELECT DISTINCT user_id FROM events) u " +
+       "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "text_pii_redact" ->
+      ("WITH x AS (SELECT doc_id, text || ' contact u' || doc_id || " +
+       "'@example.com ip 10.0.' || (doc_id % 256) || '.9 tel 555-867-' || " +
+       "lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t FROM documents) " +
+       "SELECT doc_id, " +
+       "regexp_replace(regexp_replace(regexp_replace(t, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+       "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'), " +
+       "'\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '[PHONE]', 'g') AS redacted, " +
+       "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email, " +
+       "len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4, " +
+       "len(regexp_extract_all(t, '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b'))::BIGINT AS n_phone FROM x"),
     "window_topk" ->
       ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) " +

@@ -62,6 +62,47 @@ object EventOps {
   }
 
   /**
+   * Ordered funnel analysis: the furthest stage each key reached walking
+   * `steps` in order — stage i counts only if an event of step i occurred
+   * STRICTLY AFTER the time stage i−1 was first reached (the standard
+   * product-analytics funnel contract; simultaneous events don't advance).
+   *
+   * One filtered min-aggregation per step (k passes for a k-step funnel,
+   * k is small and static), each a combinable groupBy joined back on the
+   * key — no window over the whole event history, no per-key sort. Keys
+   * that never reached step 1 report stage 0.
+   *
+   * @return (key, stage INT, step_1_ts .. step_k_ts TIMESTAMP nullable)
+   */
+  def funnel(events: DataFrame, key: String, time: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val keys = events.select(col(key)).distinct()
+    // fold: stage times accumulate as columns __t1..__tk
+    val staged = steps.zipWithIndex.foldLeft(keys) { case (acc, (step, i)) =>
+      val prev = if (i == 0) None else Some(s"__t$i")
+      val hits = prev match {
+        case None =>
+          events.filter(col(typeCol) === step)
+            .groupBy(col(key)).agg(min(col(time)).as(s"__t${i + 1}"))
+        case Some(pcol) =>
+          events.filter(col(typeCol) === step)
+            .join(acc.select(col(key), col(pcol)), Seq(key))
+            .filter(col(time) > col(pcol))
+            .groupBy(col(key)).agg(min(col(time)).as(s"__t${i + 1}"))
+      }
+      acc.join(hits, Seq(key), "left")
+    }
+    // fold ascending so the HIGHEST reached stage's check ends up outermost
+    val stage = steps.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(s"__t${i + 1}").isNotNull, lit(i + 1)).otherwise(els)
+    }
+    staged.select(
+      col(key) +: stage.as("stage") +:
+        steps.indices.map(i => col(s"__t${i + 1}").as(s"step${i + 1}_ts")): _*)
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when the gap to the
    * previous event of the same key exceeds `gapSeconds`.
    * @return input rows + session_id (per-key ordinal, 1-based)

@@ -311,6 +311,36 @@ object TextOps {
       .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * PII redaction patterns, ordered (emails redact before IPs so an
+   * address-like domain never half-redacts). Kept to the regex subset
+   * where Java and RE2 agree (char classes, bounded reps, `\b`) so the
+   * DuckDB oracle replicates matches exactly.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b")
+
+  /**
+   * PII scrub for training corpora: replaces each [[PiiPatterns]] match with
+   * its `[KIND]` placeholder and reports per-kind match counts (counted on
+   * the ORIGINAL text, so downstream filters can drop PII-heavy docs even
+   * though the text is already clean). Pure per-row projection — codegen'd
+   * `regexp_replace`/`regexp_extract_all`, no shuffle, no UDF.
+   *
+   * @return (id, redacted STRING, n_email, n_ipv4, n_phone BIGINT)
+   */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"[${name.toUpperCase}]")
+    }
+    val counts = PiiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard over an inverted shingle index:
    * self-join on shingle → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
    * This IS the scalable shape (index join, not cross join).

@@ -57,6 +57,28 @@ class EventOpsSpec extends SparkSpec {
     assert(simul("t1").contains(99.0))
   }
 
+  test("funnel: stage gated on strictly-after ordering, per key") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      // u2: purchase BEFORE the first view→click chain completes → stage 2
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "click"),
+      // u3: click only (no view first) → stage 0
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // u4: simultaneous view+click does NOT advance (strictly after)
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1))
+  }
+
   test("sessionize splits on gaps over threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

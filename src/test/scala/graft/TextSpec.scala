@@ -115,6 +115,20 @@ class TextSpec extends SparkSpec {
       (4L, 9L, 2L, 6L), (5L, 2L, 3L, 5L)))
   }
 
+  test("pii redaction: all kinds replaced, counts from the original text") {
+    val pii = Seq(
+      (1L, "mail a.user+x@sub.example.org then 10.0.0.1 and 555-867-5309 done"),
+      (2L, "two mails a@b.io c@d.co one bad ip 999999 and no phone"),
+      (3L, "clean text with nothing to hide")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(pii, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("mail [EMAIL] then [IPV4] and [PHONE] done", 1L, 1L, 1L)))
+    assert(got(2L)._2 == 2L && got(2L)._3 == 0L && got(2L)._4 == 0L)
+    assert(got(3L) == (("clean text with nothing to hide", 0L, 0L, 0L)))
+  }
+
   test("token counts, quality, langid, fingerprint are deterministic projections") {
     val tc = TextOps.tokenCounts(docs, "doc_id", "text")
       .filter($"doc_id" === 1).collect()(0)
