@@ -40,23 +40,43 @@ object SparkEntry {
 
   /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
     * as a shared CTE prelude (canonical a < b orientation). */
-  private val cosupplyCte: String =
+  private def cosupplyCte(frac: Double): String =
     "WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem), " +
     "shared AS (SELECT a.s AS a, b.s AS b, count(*) AS c FROM sp a " +
     "JOIN sp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2), " +
-    "e AS (SELECT a, b FROM shared WHERE c >= 0.6 * (SELECT max(c) FROM shared))"
+    s"e AS (SELECT a, b FROM shared WHERE c >= $frac * (SELECT max(c) FROM shared))"
 
-  /** Strong co-supply graph: supplier pairs sharing ≥ 60% of the maximum
+  /** Strong co-supply graph: supplier pairs sharing ≥ frac of the maximum
     * shared-part count. One distinct projection, one part-keyed self-join
     * (never supplier×supplier), one broadcast threshold scalar. */
-  private def cosupplyEdges(s: SparkSession, dir: String): DataFrame = {
+  private def cosupplyEdges(s: SparkSession, dir: String, frac: Double = 0.6): DataFrame = {
     val sp = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
     val shared = sp.as("a").join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("src"), col("b.s").as("dst")).agg(count(lit(1)).as("c"))
     shared.crossJoin(broadcast(shared.agg(max("c").as("mx"))))
-      .filter(col("c") >= lit(0.6) * col("mx"))
+      .filter(col("c") >= lit(frac) * col("mx"))
       .select("src", "dst")
+  }
+
+  /** The k-core peel unrolled to `stages` fixed CTE rounds (same device as
+    * [[pagerankOracle]]); correct whenever the peel converges within the
+    * unroll depth — 3 rounds at sf0.01 against 8 stages here. */
+  private def kcoreOracle(frac: Double, k: Int, stages: Int): String = {
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each stage references its
+    // predecessor several times — unmaterialized this repo-scans the parquet
+    // O(4^stages) times (observed as a file-handle explosion)
+    val sb = new StringBuilder(cosupplyCte(frac))
+    sb.append(", e0 AS MATERIALIZED (SELECT a, b FROM e)")
+    for (i <- 0 until stages) {
+      sb.append(s", a${i + 1} AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e$i " +
+        s"UNION ALL SELECT b AS id FROM e$i) GROUP BY id HAVING count(*) >= $k)")
+      sb.append(s", e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i " +
+        s"WHERE a IN (SELECT id FROM a${i + 1}) AND b IN (SELECT id FROM a${i + 1}))")
+    }
+    sb.append(s" SELECT DISTINCT id FROM (SELECT a AS id FROM e$stages " +
+      s"UNION ALL SELECT b AS id FROM e$stages)")
+    sb.toString
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -352,6 +372,10 @@ object SparkEntry {
     "adamic_adar" -> ((s, dir) =>
       Algorithms.adamicAdar(cosupplyEdges(s, dir))
         .select(col("u"), col("v"), round(col("score"), 6).as("score"))),
+    // k-core membership by synchronous peeling (sparser 0.85-threshold
+    // graph so the peel actually cascades — 3 rounds at sf0.01)
+    "kcore" -> ((s, dir) =>
+      Algorithms.kCore(cosupplyEdges(s, dir, 0.85), k = 10)),
 
     // --- text analysis / dedup (training-data pipeline ops) ---
     "text_token_counts" -> ((s, dir) =>
@@ -431,6 +455,9 @@ object SparkEntry {
       graft.ml.Similarity.kmeansCentroids(t(s, dir, "embeddings"), 8, 2)
         .select(col("cell"), posexplode(col("c_emb")).as(Seq("p", "m")))
         .select(col("cell"), col("p").cast("long").as("p"), round(col("m"), 6).as("m"))),
+    // per-label centroids: one posexplode + one combinable (label, dim) agg
+    "emb_centroids" -> ((s, dir) =>
+      graft.ml.Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
 
     // --- structured streaming ops (batch path here; incremental path in
     //     StreamingSpec via MemoryStream — same code, same plans) ---
@@ -715,7 +742,7 @@ object SparkEntry {
     // replicating Algorithms.pageRank's exact recurrence (incl. dangling mass)
     "pagerank" -> pagerankOracle(iters = 10, damping = 0.85),
     "triangle_count" ->
-      (cosupplyCte +
+      (cosupplyCte(0.6) +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +
        ", tri AS (SELECT x, y, z FROM wed WHERE EXISTS (SELECT 1 FROM e WHERE e.a = wed.x AND e.b = wed.z))" +
        ", pv AS (SELECT unnest([x, y, z]) AS id FROM tri)" +
@@ -723,7 +750,7 @@ object SparkEntry {
        "SELECT s_suppkey AS id, coalesce(t, 0) AS triangles " +
        "FROM supplier LEFT JOIN cnt ON s_suppkey = cnt.id"),
     "clustering_coeff" ->
-      (cosupplyCte +
+      (cosupplyCte(0.6) +
        ", deg AS (SELECT id, count(*) AS degree FROM " +
        "(SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)" +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +
@@ -735,7 +762,7 @@ object SparkEntry {
        "ELSE round(2.0 * coalesce(t, 0) / (degree * (degree - 1)), 6) END AS lcc " +
        "FROM supplier LEFT JOIN deg ON s_suppkey = deg.id LEFT JOIN cnt ON s_suppkey = cnt.id"),
     "adamic_adar" ->
-      (cosupplyCte +
+      (cosupplyCte(0.6) +
        ", sym AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e)" +
        ", dg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1)" +
        ", pairs AS (SELECT l.n AS u, r.n AS v, round(sum(1.0 / ln(dg.deg)), 6) AS score " +
@@ -848,6 +875,12 @@ object SparkEntry {
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
     "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
     "kmeans_train" -> kmeansOracle(k = 8, iters = 2),
+    "kcore" -> kcoreOracle(frac = 0.85, k = 10, stages = 8),
+    "emb_centroids" ->
+      ("WITH x AS (SELECT label, unnest(embedding) AS v, " +
+       "unnest(range(len(embedding))) AS dim FROM embeddings) " +
+       "SELECT label, dim, round((sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) " +
+       "/ count(*))::DOUBLE, 6) AS mean FROM x GROUP BY 1, 2"),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->

@@ -254,6 +254,42 @@ object Algorithms {
     pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
   }
 
+  /**
+   * k-core membership: the maximal subgraph where every vertex has degree
+   * ≥ k, by synchronous peeling — each round drops all vertices currently
+   * under degree k and the edges touching them, until nothing changes.
+   * Rounds are bounded by the peel depth (≤ degeneracy ordering length),
+   * not the diameter; each round is one degree aggregation + two semi-joins.
+   * Converges when the (monotonically shrinking) edge set stops changing,
+   * detected by an empty one-sided difference — one job, no count compare.
+   *
+   * @return (id) — vertices of the k-core
+   */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    val cutter = new Cutter
+    var e = cutter(canonicalEdges(edges), 0)
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      val alive = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("id")
+      val pruned = e
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+      val next = cutter(pruned, iter + 1)
+      // peeling only removes edges: fixpoint ⇔ nothing was removed
+      converged = e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new BudgetExhausted("kCore", maxIter)
+    // every k-core vertex (k ≥ 1) is incident to a surviving edge
+    e.select(col("a").as("id")).unionByName(e.select(col("b").as("id"))).distinct()
+  }
+
   /** lo→hi canonical orientation, self-loops dropped, deduped. */
   private def canonicalEdges(edges: DataFrame): DataFrame =
     edges.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

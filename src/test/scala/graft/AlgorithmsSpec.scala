@@ -112,6 +112,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(got((2L, 3L)) - 2.0 / math.log(3.0)) < 1e-9)
   }
 
+  test("k-core: peeling cascades; empty core; budget exhaustion throws") {
+    // triangle {0,1,2} + tail 2-3-4: peeling the tail at k=2 cascades
+    // (4 drops, then 3) before the fixpoint
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val core2 = Algorithms.kCore(es, 2).collect().map(_.getLong(0)).sorted
+    assert(core2.toSeq == Seq(0L, 1L, 2L))
+    assert(Algorithms.kCore(es, 3).isEmpty) // no 3-core anywhere
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.kCore(es, 2, maxIter = 1).count()
+    }
+  }
+
   test("pagerank: sink chain ranks ordered, mass conserved") {
     val vs = (0L to 2L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
