@@ -588,6 +588,17 @@ object SparkEntry {
           round(expr("percentile(value, 0.25)"), 6).as("p25"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"))),
+    // running total per key — frame-bounded window agg, decimal accumulation
+    // so the cumulative sum is partition-order independent
+    "window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+    }),
     "window_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -998,6 +1009,11 @@ object SparkEntry {
       ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) " +
        "SELECT o_custkey, o_orderkey, rk FROM r WHERE rk <= 3"),
+    "window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE " +
+       "AS running_total FROM orders"),
   )
 
   /** Exhaustive 5-gram Jaccard ≥ 0.5 over an inverted shingle index — the
