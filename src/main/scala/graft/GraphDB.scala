@@ -35,12 +35,36 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     run(Pattern.fromQuery(CypherParser.parse(cypher)))
 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
-    val root = Planner.plan(pg, stats)
+    // the required pattern must carry everything the result needs from it,
+    // plus every optional group's join keys
+    val mainNeeded =
+      (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
+    val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
+      optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None)
+    val root = Planner.plan(mainPg, stats)
     val c = PatternExec.compileTracked(root, graph)
-    val projected = c.df.select(pg.referenced.map(col): _*)
-    val matches =
-      if (c.distinct && pg.referenced.toSet == root.carried) projected
+    val projected = c.df.select(mainNeeded.map(col): _*)
+    val mainMatches =
+      if (c.distinct && mainNeeded.toSet == root.carried) projected
       else projected.dropDuplicates()
+    // OPTIONAL MATCH: each group plans + compiles as its own pattern
+    // (stats-ordered like the main one), dedups to its distinct matches,
+    // and LEFT-joins on the shared bindings — unmatched rows keep nulls,
+    // multiple optional matches fan the row out (one row per distinct
+    // combined match, the same set semantics as the required part)
+    val matches = pg.optional.foldLeft(mainMatches) { (acc, g) =>
+      val fragNeeded =
+        (g.shared ++ pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
+      val fragPg = Pattern.PatternGraph(g.labels, g.edges, Seq.empty,
+        fragNeeded.map(b => cypher.Ast.Ret(b)), distinct = false, Seq.empty, None)
+      val fr = Planner.plan(fragPg, stats)
+      val fc = PatternExec.compileTracked(fr, graph)
+      val fproj = fc.df.select(fragNeeded.map(col): _*)
+      val fded =
+        if (fc.distinct && fragNeeded.toSet == fr.carried) fproj
+        else fproj.dropDuplicates()
+      acc.join(fded, g.shared, "left")
+    }
     // property access: one broadcast-friendly join per binding that needs
     // values, AFTER the set-semantics dedup so each distinct match contributes
     // its property exactly once (left join: ids always resolve — PropertyGraph

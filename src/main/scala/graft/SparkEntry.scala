@@ -123,6 +123,17 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:order) " +
         "RETURN n.name, count(c), sum(o.value), max(o.value) ORDER BY n.name")),
+    // OPTIONAL MATCH: required match left-joined to the optional fragment —
+    // customers with zero orders keep their row (count 0)
+    "cy_optional" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o:order) " +
+        "RETURN c, count(o)")),
+    // optional + property projection: unmatched side renders null props
+    "cy_optional_props" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) OPTIONAL MATCH (n)<-[:IN_NATION]-(s:supplier) " +
+        "RETURN n.name, count(s), max(s.value) ORDER BY n.name")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -639,6 +650,14 @@ object SparkEntry {
        "sum(o_totalprice) AS sum_o_value, max(o_totalprice) AS max_o_value " +
        "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
        "JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY n_name"),
+    "cy_optional" ->
+      ("SELECT c_custkey + 3000000000 AS c, count(DISTINCT o_orderkey) AS count_o " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1"),
+    "cy_optional_props" ->
+      ("SELECT n_name AS n_name, count(DISTINCT s_suppkey) AS count_s, " +
+       "max(s_acctbal) AS max_s_value " +
+       "FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n_name"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),

@@ -24,14 +24,24 @@ object Pattern {
   final case class PatternEdge(src: String, dst: String, types: Seq[String], undirected: Boolean,
                                minHops: Int = 1, maxHops: Int = 1)
 
+  /** One OPTIONAL MATCH clause: its own label scope + edges, left-joined to
+    * the required match on `shared` (the bindings it has in common with it). */
+  final case class OptionalGroup(
+      labels: Map[String, Option[String]],
+      edges: Vector[PatternEdge],
+      shared: Seq[String]) {
+    def bindings: Set[String] = labels.keySet
+  }
+
   final case class PatternGraph(
-      labels: Map[String, Option[String]],           // binding -> label constraint
+      labels: Map[String, Option[String]],           // REQUIRED-pattern bindings -> label
       edges: Vector[PatternEdge],
       predicates: Seq[Ast.Cmp],                      // WHERE conjuncts per binding
       items: Seq[Ast.Ret],                           // RETURN items (see Ast.Ret)
       distinct: Boolean,
       orderBy: Seq[Ast.SortKey],
-      limit: Option[Int]) {
+      limit: Option[Int],
+      optional: Seq[OptionalGroup] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present. */
     def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
@@ -43,40 +53,65 @@ object Pattern {
     def referenced: Seq[String] = items.map(_.binding).distinct
   }
 
-  /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST). */
+  /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST).
+    * OPTIONAL MATCH groups build their own label scopes (seeded from the
+    * required pattern's constraints for shared bindings, so conflicts are
+    * caught across scopes). */
   def fromQuery(q: Ast.Query): PatternGraph = {
     var fresh = 0
     def freshName(): String = { fresh += 1; s"__v$fresh" }
-    val labels = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
-    val edges = Vector.newBuilder[PatternEdge]
-    def addNode(n: Ast.NodePat): String = {
-      val name = n.name.getOrElse(freshName())
-      // later mentions may add a label to an already-seen binding
-      labels.get(name) match {
-        case Some(None) | None => labels(name) = n.label.orElse(labels.get(name).flatten)
-        case Some(Some(existing)) =>
-          n.label.foreach { l =>
-            if (l != existing)
-              throw new graft.cypher.ParseException(
-                s"binding $name has conflicting labels $existing and $l")
-          }
-      }
-      name
-    }
-    q.paths.foreach { p =>
-      var prev = addNode(p.first)
-      p.hops.foreach { case (rel, node) =>
-        val cur = addNode(node)
-        val (mn, mx) = rel.hops.getOrElse((1, 1))
-        rel.dir match {
-          case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false, mn, mx)
-          case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false, mn, mx)
-          case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true, mn, mx)
+
+    def buildScope(paths: Seq[Ast.Path], inherited: Map[String, Option[String]])
+        : (Map[String, Option[String]], Vector[PatternEdge]) = {
+      val labels = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+      val edges = Vector.newBuilder[PatternEdge]
+      def addNode(n: Ast.NodePat): String = {
+        val name = n.name.getOrElse(freshName())
+        // first mention in this scope inherits the outer constraint
+        val current = labels.get(name).orElse(inherited.get(name)).flatten
+        (current, n.label) match {
+          case (Some(existing), Some(l)) if l != existing =>
+            throw new graft.cypher.ParseException(
+              s"binding $name has conflicting labels $existing and $l")
+          case _ => labels(name) = n.label.orElse(current)
         }
-        prev = cur
+        name
       }
+      paths.foreach { p =>
+        var prev = addNode(p.first)
+        p.hops.foreach { case (rel, node) =>
+          val cur = addNode(node)
+          val (mn, mx) = rel.hops.getOrElse((1, 1))
+          rel.dir match {
+            case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false, mn, mx)
+            case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false, mn, mx)
+            case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true, mn, mx)
+          }
+          prev = cur
+        }
+      }
+      (labels.toMap, edges.result())
     }
-    val unknown = q.returns.map(_.binding).filterNot(labels.contains)
+
+    val (mainLabels, mainEdges) = buildScope(q.paths, Map.empty)
+    val groups = q.optional.map { paths =>
+      val (gl, ge) = buildScope(paths, mainLabels)
+      val shared = gl.keys.filter(mainLabels.contains).toSeq
+      if (shared.isEmpty)
+        throw new graft.cypher.ParseException(
+          "OPTIONAL MATCH must share at least one binding with MATCH")
+      OptionalGroup(gl, ge, shared)
+    }
+    // an optional-only binding may not span two groups (its null semantics
+    // would depend on group evaluation order)
+    val optOnly = groups.map(_.bindings -- mainLabels.keySet)
+    for { i <- optOnly.indices; j <- 0 until i }
+      if ((optOnly(i) & optOnly(j)).nonEmpty)
+        throw new graft.cypher.ParseException(
+          s"binding ${(optOnly(i) & optOnly(j)).head} appears in two OPTIONAL MATCH clauses")
+
+    val allBindings = mainLabels.keySet ++ groups.flatMap(_.bindings)
+    val unknown = q.returns.map(_.binding).filterNot(allBindings)
     if (unknown.nonEmpty)
       throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
     // sort keys must name an output column (binding, b_prop, count_b, agg_b_prop)
@@ -86,7 +121,12 @@ object Pattern {
       throw new graft.cypher.ParseException(
         s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
     val cmps = q.where.collect { case c: Ast.Cmp => c }
-    PatternGraph(labels.toMap, edges.result(), cmps, q.returns, q.distinct, q.orderBy, q.limit)
+    val badPred = cmps.map(_.binding).filterNot(mainLabels.contains)
+    if (badPred.nonEmpty)
+      throw new graft.cypher.ParseException(
+        s"WHERE references optional/unbound bindings: ${badPred.mkString(",")} " +
+          "(the single WHERE clause applies to the required pattern)")
+    PatternGraph(mainLabels, mainEdges, cmps, q.returns, q.distinct, q.orderBy, q.limit, groups)
   }
 }
 

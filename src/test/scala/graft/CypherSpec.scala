@@ -258,6 +258,45 @@ class CypherSpec extends SparkSpec {
     assert(byName.toSeq == Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("optional match: unmatched rows keep nulls; multiple matches fan out") {
+    val db = new GraphDB(diamond)
+    // every B reached from a; c:C has no X edge out → null b
+    val rows = db.query("MATCH (n) OPTIONAL MATCH (n)-[:X]->(b:B) RETURN n, b")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(rows.toSeq == Seq((1L, 2L), (1L, 3L), (2L, -1L), (3L, -1L), (4L, -1L)))
+    // count over an optional binding skips nulls (openCypher count semantics)
+    val counts = db.query("MATCH (n) OPTIONAL MATCH (n)-[:X]->(b:B) RETURN n, count(b) ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.toSeq == Seq((1L, 2L), (2L, 0L), (3L, 0L), (4L, 0L)))
+  }
+
+  test("optional match: two independent groups; label filter inside the group") {
+    val db = new GraphDB(diamond)
+    val rows = db.query(
+      "MATCH (b:B) OPTIONAL MATCH (a:A)-[:X]->(b) OPTIONAL MATCH (b)-[:Y]->(c:C) RETURN b, a, c")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((2L, 1L, 4L), (3L, 1L, 4L)))
+  }
+
+  test("optional match: validation — disconnected group, WHERE on optional, cross-group binding") {
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse("MATCH (a:A) OPTIONAL MATCH (x:B)-[:Y]->(y:C) RETURN a"))
+    }
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 1 RETURN a"))
+    }
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) OPTIONAL MATCH (b)-[:Y]->(c) RETURN a"))
+    }
+    // conflicting label across scopes is caught
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse("MATCH (a:A) OPTIONAL MATCH (a:B)-[:X]->(b) RETURN a"))
+    }
+  }
+
   test("tpch graph: 1-hop matches relational oracle") {
     val db = new GraphDB(sources.TpchGraph(spark, SF))
     val got = db.query("MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n").count()
