@@ -48,10 +48,18 @@ object SparkEntry {
 
   /** Strong co-supply graph: supplier pairs sharing ≥ frac of the maximum
     * shared-part count. One distinct projection, one part-keyed self-join
-    * (never supplier×supplier), one broadcast threshold scalar. */
+    * (never supplier×supplier), one broadcast threshold scalar.
+    *
+    * The explicit repartition on `p` is load-bearing: HashPartitioning(p)
+    * satisfies the distinct's ClusteredDistribution(s,p) AND both sides of
+    * the part-keyed self-join, so dedup + join ride ONE exchange (the two
+    * join branches dedupe via ReuseExchange). The remaining big shuffle —
+    * the pair-count aggregation (8.7M wedge pairs → 499.5k supplier pairs
+    * at sf0.1) — is the inherent cost of pair counting. */
   private def cosupplyEdges(s: SparkSession, dir: String, frac: Double = 0.6): DataFrame = {
     val sp = t(s, dir, "lineitem")
-      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .repartition(col("p")).distinct()
     val shared = sp.as("a").join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("src"), col("b.s").as("dst")).agg(count(lit(1)).as("c"))
     shared.crossJoin(broadcast(shared.agg(max("c").as("mx"))))

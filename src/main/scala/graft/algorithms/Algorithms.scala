@@ -260,8 +260,12 @@ object Algorithms {
    * under degree k and the edges touching them, until nothing changes.
    * Rounds are bounded by the peel depth (≤ degeneracy ordering length),
    * not the diameter; each round is one degree aggregation + two semi-joins.
-   * Converges when the (monotonically shrinking) edge set stops changing,
-   * detected by an empty one-sided difference — one job, no count compare.
+   * Peeling only removes edges (pruned ⊆ e), so fixpoint ⇔ the edge COUNT
+   * is unchanged — the per-round `count()` on the freshly-persisted state
+   * doubles as the convergence probe AND fully populates its cache before
+   * the next round references it 4× (degree union twice, both semi-joins);
+   * an `exceptAll` probe would shuffle both full edge sets every round for
+   * the same answer.
    *
    * @return (id) — vertices of the k-core
    */
@@ -269,8 +273,9 @@ object Algorithms {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     val cutter = new Cutter
     var e = cutter(canonicalEdges(edges), 0)
+    var n = e.count()
     var iter = 0
-    var converged = e.isEmpty
+    var converged = n == 0
     while (iter < maxIter && !converged) {
       val alive = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
@@ -280,9 +285,10 @@ object Algorithms {
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
       val next = cutter(pruned, iter + 1)
-      // peeling only removes edges: fixpoint ⇔ nothing was removed
-      converged = e.exceptAll(next).isEmpty
+      val m = next.count()
+      converged = m == n
       e = next
+      n = m
       iter += 1
     }
     if (!converged) throw new BudgetExhausted("kCore", maxIter)
