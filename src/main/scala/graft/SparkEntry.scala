@@ -590,6 +590,29 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n"))),
+    // skew-aware join: heavy-hitter detection + salted replication; the
+    // threshold (40 rows/key) splits sf0.01's ~60-rows-per-supplier keys so
+    // BOTH the hot (salted) and cold (plain) paths carry rows through the
+    // correctness gate. Result ≡ plain inner join — the oracle is exactly that.
+    "skew_join" -> ((s, dir) =>
+      graft.operators.SkewJoin.saltedJoin(
+        t(s, dir, "lineitem").select("l_suppkey", "l_quantity"),
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        "l_suppkey", "s_suppkey", salts = 8, hotThreshold = 40)
+        .groupBy("s_nationkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+    // partitioned-parquet sink round trip: write documents hive-partitioned
+    // by (lang, source) sorted by doc_id, read the layout back and project —
+    // exercising the full sink path (partition-dir encoding, one file per
+    // partition, in-file sort) against the identity oracle
+    "sink_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+      graft.sources.Writer.writePartitioned(
+        t(s, dir, "documents"), out, Seq("lang", "source"), sortCols = Seq("doc_id"))
+      graft.sources.Writer.readPartitioned(s, out)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // ROLLUP hierarchy totals — one pass, partial-agg per grouping set
     "olap_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1001,6 +1024,11 @@ object SparkEntry {
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
        "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price, " +
        "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+    "skew_join" ->
+      ("SELECT s_nationkey, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
+       "count(*) AS n FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"),
+    "sink_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     "olap_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +

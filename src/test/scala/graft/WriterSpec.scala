@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Writer
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Writer's layout contract: hive partition dirs, bounded file counts,
+  * in-file sort for row-group statistics, lossless round trip. */
+class WriterSpec extends SparkSpec {
+
+  private def leafDirs(root: Path): Seq[Path] =
+    Files.walk(root).iterator().asScala.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("=") &&
+        Files.list(p).iterator().asScala.exists(f =>
+          f.getFileName.toString.endsWith(".parquet"))).toSeq
+
+  private def parquetFiles(dir: Path): Seq[Path] =
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+
+  private lazy val docs = spark.read.parquet(s"$SF/documents.parquet")
+
+  test("one file per partition by default; round trip is lossless") {
+    val root = Files.createTempDirectory("graft-writer")
+    Writer.writePartitioned(docs, root.toString, Seq("lang", "source"))
+    val leaves = leafDirs(root)
+    assert(leaves.nonEmpty, "expected hive-style lang=/source= directories")
+    assert(leaves.forall(d => parquetFiles(d).size == 1),
+      "default layout must write exactly one file per hive-partition")
+    val back = Writer.readPartitioned(spark, root.toString)
+      .select(docs.columns.map(col): _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("filesPerPartition spreads a partition over bounded files; maxRecordsPerFile caps rows") {
+    val root = Files.createTempDirectory("graft-writer-split")
+    Writer.writePartitioned(docs, root.toString, Seq("lang"),
+      filesPerPartition = 3, maxRecordsPerFile = 40)
+    val leaves = leafDirs(root)
+    assert(leaves.nonEmpty)
+    leaves.foreach { d =>
+      val files = parquetFiles(d)
+      // 3 salt tasks, each further split by the 40-record cap
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val n = spark.read.parquet(f.toString).count()
+        assert(n <= 40, s"file $f has $n rows > maxRecordsPerFile")
+      }
+    }
+    val back = Writer.readPartitioned(spark, root.toString)
+      .select(docs.columns.map(col): _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("sortCols orders rows inside each file (selective row-group stats)") {
+    val root = Files.createTempDirectory("graft-writer-sorted")
+    Writer.writePartitioned(docs, root.toString, Seq("lang"), sortCols = Seq("doc_id"))
+    leafDirs(root).foreach { d =>
+      parquetFiles(d).foreach { f =>
+        val ids = spark.read.parquet(f.toString).select("doc_id")
+          .as[Long](spark.implicits.newLongEncoder).collect()
+        assert(ids.sameElements(ids.sorted), s"file $f is not sorted by doc_id")
+      }
+    }
+  }
+
+  test("reads with a partition filter prune to the matching directory") {
+    val root = Files.createTempDirectory("graft-writer-prune")
+    Writer.writePartitioned(docs, root.toString, Seq("lang"))
+    val one = Writer.readPartitioned(spark, root.toString).filter(col("lang") === "en")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected a partition filter on lang in the scan:\n$scan")
+    assert(one.count() == docs.filter(col("lang") === "en").count())
+  }
+}
