@@ -431,6 +431,12 @@ object SparkEntry {
         SampleRates, SampleDefaultRate).select("doc_id", "source")),
     "pack_sequences" -> ((s, dir) =>
       graft.text.TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)),
+    // fixed-size character chunks with overlap (RAG splitter) — pure
+    // per-row projection, runs inside the scan stage
+    "chunk_docs" -> ((s, dir) =>
+      graft.text.TextOps.chunk(t(s, dir, "documents"), "doc_id", "text", 200, 50)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"))),
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.text.TextOps.contamination(
@@ -477,6 +483,15 @@ object SparkEntry {
     // per-label centroids: one posexplode + one combinable (label, dim) agg
     "emb_centroids" -> ((s, dir) =>
       graft.ml.Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
+    // symmetric int8 quantization digest: integer code sums pin every code
+    // exactly; recon_cos is the quality gate a pipeline checks before
+    // swapping its ANN index to int8
+    "emb_quantize" -> ((s, dir) =>
+      graft.ml.Quantization.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x * x).as("q_norm2"),
+          round(col("recon_cos"), 6).as("recon_cos"))),
 
     // --- structured streaming ops (batch path here; incremental path in
     //     StreamingSpec via MemoryStream — same code, same plans) ---
@@ -906,6 +921,10 @@ object SparkEntry {
        "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
        "SELECT doc_id, n_tok, cum // 2048 AS bin, cum % 2048 AS bin_offset FROM c"),
+    "chunk_docs" ->
+      ("SELECT doc_id, gs AS chunk_id, substring(text, CAST(gs AS INTEGER) * 150 + 1, 200) AS chunk_text " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +
+       "greatest((length(text) + 99) // 150, 1) - 1)) AS gs) t"),
     "decontaminate" ->
       ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws " +
        "FROM documents), " +
@@ -936,6 +955,16 @@ object SparkEntry {
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
     "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
     "kmeans_train" -> kmeansOracle(k = 8, iters = 2),
+    "emb_quantize" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+       "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v), " +
+       "q AS (SELECT vec_id, e, scale, list_transform(e, x -> CASE WHEN scale = 0 THEN 0 " +
+       "ELSE CAST(round(x / scale) AS BIGINT) END) AS qv FROM s) " +
+       "SELECT vec_id, round(scale, 6) AS scale, " +
+       "CAST(list_sum(qv) AS BIGINT) AS q_sum, " +
+       "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2, " +
+       "round(list_cosine_similarity(e, list_transform(qv, x -> CAST(x AS DOUBLE))), 6) AS recon_cos " +
+       "FROM q"),
     "kcore" -> kcoreOracle(frac = 0.85, k = 10, stages = 8),
     "emb_centroids" ->
       ("WITH x AS (SELECT label, unnest(embedding) AS v, " +

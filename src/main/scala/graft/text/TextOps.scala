@@ -299,6 +299,34 @@ object TextOps {
         (global % budget).as("bin_offset"))
   }
 
+  /**
+   * Fixed-size character chunks with overlap — the RAG/context-window
+   * splitter every training-data pipeline needs. Chunk i covers
+   * `[i·step, i·step + size)` with `step = size − overlap`; the chunk count
+   * `max(1, ⌈(len − overlap) / step⌉)` stops exactly when the previous
+   * chunk already reached the end of the document (no redundant tail chunk
+   * fully contained in its predecessor), and every document yields at least
+   * one chunk.
+   *
+   * Pure per-row projection (`sequence` + `explode` + `substr`) — no
+   * shuffle, no state; at 100 TB this runs entirely inside the scan stage.
+   *
+   * @return (idCol, chunk_id INT, chunk_text) — chunk_id is 0-based
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be > 0, got $size")
+    require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size, got $overlap")
+    val step = size - overlap
+    val len = length(col(textCol))
+    val nChunks = greatest(lit(1),
+      floor((len - overlap + step - 1).cast("double") / step).cast("int"))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        col(textCol).substr(col("chunk_id") * step + 1, lit(size)).as("chunk_text"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (md5 agrees byte-for-byte with DuckDB's). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

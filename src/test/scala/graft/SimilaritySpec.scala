@@ -109,4 +109,24 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"lsh recall $recall too low")
   }
+
+  test("int8 quantization: codes in range, zero vector safe, recon cosine high") {
+    import graft.ml.Quantization
+    val withZero = vecs.unionByName(
+      Seq((5L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val q = Quantization.quantizeInt8(withZero, "vec_id", "embedding")
+    val m = q.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    // unit basis vector quantizes exactly
+    assert(m(1L)._1 == 1.0 / 127 && m(1L)._2 == Seq(127, 0, 0) && m(1L)._3 == 1.0)
+    // all codes within int8 range
+    assert(m.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    // zero vector: scale 0, all-zero codes, exact reconstruction by definition
+    assert(m(5L)._1 == 0.0 && m(5L)._2 == Seq(0, 0, 0) && m(5L)._3 == 1.0)
+    // reconstruction quality on real embeddings: int8 loses < 1e-3 cosine
+    val real = Quantization.quantizeInt8(
+      spark.read.parquet(s"$SF/embeddings.parquet"), "vec_id", "embedding")
+    val minCos = real.agg(min("recon_cos")).collect()(0).getDouble(0)
+    assert(minCos > 0.999, s"worst reconstruction cosine $minCos")
+  }
 }

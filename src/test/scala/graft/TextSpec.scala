@@ -141,4 +141,19 @@ class TextSpec extends SparkSpec {
     // exact dups share a fingerprint
     assert(fp.filter($"doc_id".isin(1L, 4L)).select("fp").distinct().count() == 1)
   }
+
+  test("chunk: overlap coverage, no redundant tail, short docs yield one chunk") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "abcdefghijklm")).toDF("doc_id", "text")
+    // size 8, overlap 4 → step 4; nChunks = max(1, ceil((len-4)/4))
+    val ch = TextOps.chunk(d, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(ch == Set(
+      (1L, 0, "abcdefgh"), (1L, 1, "efghij"),            // len 10 → 2 chunks
+      (2L, 0, "abc"),                                    // short doc → 1 chunk
+      (3L, 0, "abcdefgh"), (3L, 1, "efghijkl"), (3L, 2, "ijklm"))) // len 13 → 3
+    // zero overlap degenerates to a plain fixed-width split
+    val zeroOverlap = TextOps.chunk(d, "doc_id", "text", 5, 0)
+      .filter($"doc_id" === 3).collect().map(_.getString(2)).toSeq
+    assert(zeroOverlap == Seq("abcde", "fghij", "klm"))
+  }
 }
