@@ -31,8 +31,74 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    * on the returned bindings, and paying a second full shuffle for an
    * already-distinct million-row result was round 1's top plan defect.
    */
-  def query(cypher: String): DataFrame =
-    run(Pattern.fromQuery(CypherParser.parse(cypher)))
+  def query(cypher: String): DataFrame = {
+    val q = CypherParser.parse(cypher)
+    q.shortest match {
+      case Some(sp) => runShortest(sp, q)
+      case None     => run(Pattern.fromQuery(q))
+    }
+  }
+
+  /**
+   * `MATCH p = shortestPath((a)-[:T*]->(b))`: per endpoint pair, the
+   * minimum path length over the typed edges — compiled to a per-source
+   * BFS ([[graft.algorithms.Algorithms.bfsPerSource]]) instead of the
+   * pattern planner: BFS converges level by level, so the unbounded `*`
+   * that the varlen Expand must reject is exactly what it handles, and the
+   * level it first reaches a vertex at IS the shortest length (no min-agg
+   * over an unrolled walk table). RETURN supports the endpoint bindings,
+   * their properties, and `length(p)`.
+   */
+  private def runShortest(sp: cypher.Ast.Shortest, q: cypher.Ast.Query): DataFrame = {
+    import graft.cypher.Ast
+    val srcName = sp.src.name.getOrElse("__src")
+    val dstName = sp.dst.name.getOrElse("__dst")
+    val lenName = s"length_${sp.pathVar}"
+    q.returns.foreach { r =>
+      r.agg match {
+        case Some("length") =>
+          if (r.binding != sp.pathVar) throw new cypher.ParseException(
+            s"length(${r.binding}): unknown path variable (expected ${sp.pathVar})")
+        case Some(a) => throw new cypher.ParseException(
+          s"$a() is not supported with shortestPath")
+        case None =>
+          if (r.binding != srcName && r.binding != dstName)
+            throw new cypher.ParseException(
+              s"unknown binding ${r.binding} in shortestPath RETURN")
+      }
+    }
+    val base = graph.edgesByType(sp.rel.types).select(col("src"), col("dst"))
+    val e = sp.rel.dir match {
+      case Ast.Out  => base
+      case Ast.In   => base.select(col("dst").as("src"), col("src").as("dst"))
+      case Ast.Both => base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val srcIds = sp.src.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
+    val dstIds = sp.dst.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
+    val (lo, hi) = sp.rel.hops.getOrElse((1, 1))
+    val matches = graft.algorithms.Algorithms.bfsPerSource(e, srcIds)
+      .filter(col("level") >= lo && col("level") <= hi) // drops the level-0 seeds
+      .join(dstIds, Seq("id"), "left_semi")
+      .select(col("src").as(srcName), col("id").as(dstName),
+        col("level").cast("long").as(lenName))
+    val propsNeeded = q.returns.filter(r => r.agg.isEmpty && r.prop.isDefined)
+      .groupBy(_.binding).view.mapValues(_.flatMap(_.prop).distinct).toMap
+    val withProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
+      val sel = graph.nodes.select(
+        (col("id").as(b) +: ps.map(p => col(p).as(s"${b}_$p"))): _*)
+      acc.join(sel, Seq(b), "left")
+    }
+    def valueOf(i: Ast.Ret): Column =
+      if (i.agg.contains("length")) col(lenName)
+      else i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+    val projected = withProps.select(q.returns.map(i => valueOf(i).as(i.outName)): _*)
+    val distincted = if (q.distinct) projected.dropDuplicates() else projected
+    val ordered =
+      if (q.orderBy.isEmpty) distincted
+      else distincted.orderBy(q.orderBy.map(k =>
+        if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
+    q.limit.fold(ordered)(ordered.limit)
+  }
 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
     // the required pattern must carry everything the result needs from it,

@@ -105,6 +105,13 @@ object SparkEntry {
     // customers to everything 1-2 hops out over the membership edges
     "cy_varlen" -> ((s, dir) =>
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
+    // shortestPath: per-source BFS, min level per endpoint pair — the
+    // unlabeled source mixes depths (nations reach regions at 1, customers
+    // and suppliers at 2), so the min-length semantics are actually exercised
+    "cy_shortest" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = shortestPath((n)-[:IN_REGION|IN_NATION*]->(r:region)) " +
+        "RETURN n, r, length(p)")),
     // count() aggregation (set semantics: distinct matches per group)
     "cy_count" -> ((s, dir) =>
       db(s, dir).query(
@@ -720,6 +727,18 @@ object SparkEntry {
        "SELECT DISTINCT src AS c, dst AS x FROM reach " +
        "WHERE src >= 3000000000 AND src < 4000000000 AND depth BETWEEN 1 AND 2"),
 
+    // min path length per endpoint pair, as a genuine recursive min-reach
+    "cy_shortest" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8) " +
+       "SELECT src AS n, dst AS r, min(depth)::BIGINT AS length_p FROM reach " +
+       "WHERE dst >= 1000000000 AND dst < 2000000000 GROUP BY 1, 2"),
     "mxm_anypair" ->
       ("SELECT DISTINCT c_custkey + 3000000000 AS i, n_regionkey + 1000000000 AS j " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +

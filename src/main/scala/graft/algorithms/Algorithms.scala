@@ -88,6 +88,41 @@ object Algorithms {
   }
 
   /**
+   * Per-source BFS levels: like [[bfs]], but each source tracks its own
+   * visited set, so the result is the minimum hop count for every
+   * (source, reachable vertex) PAIR — the kernel under Cypher
+   * `shortestPath((a)-[:T*]->(b))`. The frontier key is (src, id); at scale
+   * the state is O(Σ per-source reachability), the honest cost of all-pairs-
+   * from-sources shortest paths — bound the source set, not the algorithm.
+   *
+   * @param edges (src BIGINT, dst BIGINT)
+   * @param sources seed vertex ids as a 1-col DataFrame "id"
+   * @return (src BIGINT, id BIGINT, level INT) — level ≥ 1 rows only appear
+   *         for vertices actually reached; level 0 rows seed every source
+   */
+  def bfsPerSource(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    val cutF = new Cutter; val cutV = new Cutter
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id").as("src"), col("id"), lit(0).as("level"))
+    var frontier = visited
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = frontier.join(e, frontier("id") === col("e_src"))
+        .select(col("src"), col("e_dst").as("id")).distinct()
+        .join(visited.select("src", "id"), Seq("src", "id"), "left_anti")
+        .withColumn("level", lit(iter + 1))
+      frontier = cutF(next, iter)
+      if (frontier.isEmpty) done = true
+      else visited = cutV(visited.unionByName(frontier), iter)
+      iter += 1
+    }
+    if (!done) throw new BudgetExhausted("bfsPerSource", maxIter)
+    visited
+  }
+
+  /**
    * Single-source(s) shortest path over (min, plus): frontier-based
    * Bellman–Ford (reference DocSpec.scala:55-101 iterates the full
    * `d ← d min.+ A` product; the frontier form reaches the same fixpoint

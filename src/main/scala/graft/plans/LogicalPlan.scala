@@ -58,6 +58,8 @@ object Pattern {
     * required pattern's constraints for shared bindings, so conflicts are
     * caught across scopes). */
   def fromQuery(q: Ast.Query): PatternGraph = {
+    require(q.shortest.isEmpty,
+      "shortestPath queries compile to a per-source BFS (GraphDB.query), not a pattern plan")
     var fresh = 0
     def freshName(): String = { fresh += 1; s"__v$fresh" }
 

@@ -305,6 +305,55 @@ class CypherSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("shortestPath: min level per endpoint pair, shortcut beats long way") {
+    import spark.implicits._
+    // 1→2→3→4 chain plus a 1→4 shortcut: shortest 1⇝4 is 1, not 3
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "M"), (3L, "M"), (4L, "Z")),
+      edges = Seq((1L, 2L, "T"), (2L, 3L, "T"), (3L, 4L, "T"), (1L, 4L, "T")))
+    val db = new GraphDB(g)
+    val got = db.query(
+      "MATCH p = shortestPath((a:A)-[:T*]->(z)) RETURN a, z, length(p)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L)))
+    // bounded upper limit prunes deeper matches
+    val capped = db.query(
+      "MATCH p = shortestPath((a:A)-[:T*..1]->(z)) RETURN a, z, length(p)")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((2L, 1L), (4L, 1L)))
+    // incoming direction swaps the traversal
+    val rev = db.query(
+      "MATCH p = shortestPath((z:Z)<-[:T*]-(a)) RETURN z, a, length(p)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rev == Set((4L, 1L, 1L), (4L, 2L, 2L), (4L, 3L, 1L)))
+  }
+
+  test("shortestPath: parser accepts unbounded * only there; invalid forms rejected") {
+    val q = CypherParser.parse(
+      "MATCH p = shortestPath((a:A)-[:T*]->(b:B)) RETURN a, b, length(p)")
+    assert(q.shortest.get.pathVar == "p")
+    assert(q.shortest.get.rel.hops.contains((1, Int.MaxValue)))
+    assert(q.returns.contains(Ast.Ret("p", None, Some("length"))))
+    // plain varlen still requires an upper bound
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A)-[:T*]->(b:B) RETURN a, b")
+    }
+    // shortestPath cannot combine with other patterns or WHERE
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse(
+        "MATCH p = shortestPath((a:A)-[:T*]->(b)), (c:C) RETURN a, b, c")
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse(
+        "MATCH p = shortestPath((a:A)-[:T*]->(b)) WHERE a.value > 1 RETURN a, b")
+    }
+    // length() of an unknown path variable is rejected at compile
+    intercept[graft.cypher.ParseException] {
+      new GraphDB(diamond).query(
+        "MATCH q = shortestPath((a:A)-[:X*]->(b:B)) RETURN a, b, length(p)")
+    }
+  }
+
   test("tpch graph: entry smoke") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
