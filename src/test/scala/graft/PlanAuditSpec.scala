@@ -39,6 +39,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProductExec in: ${offenders.mkString(", ")}")
   }
 
+  test("pure-projection operators run with zero exchanges (scan-stage only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // these must stay embarrassingly parallel: any exchange here is a bug
+    for (name <- Seq("chunk_docs", "emb_quantize", "text_token_counts",
+                     "text_quality", "text_langid", "text_fingerprint", "text_pii_redact")) {
+      val shuffles = plans(name).count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 0, s"$name: expected a shuffle-free projection, found $shuffles exchanges")
+    }
+  }
+
+  test("skew join broadcasts the hot-key set and salts via explode") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val ps = plans("skew_join")
+    assert(ps.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "hot/cold split must probe a BROADCAST hot-key set, not shuffle for it")
+    assert(ps.exists(_.toString.contains("explode")),
+      "hot build side must be salted via explode replication")
+  }
+
   test("parquet scans are column-pruned to what the query reads") {
     def scanWidths(name: String): Seq[Int] =
       plans(name).collect { case s: FileSourceScanExec => s.requiredSchema.size }
