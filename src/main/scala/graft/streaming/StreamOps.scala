@@ -163,4 +163,29 @@ object StreamOps {
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /**
+   * Continuous ingestion into the partitioned lake layout: every micro-batch
+   * lands through [[graft.sources.Writer.writePartitioned]] under
+   * `path/batch_id=N/`, so each batch keeps the same pruning/file-count/
+   * sort guarantees as the batch sink AND the directory is idempotent under
+   * replay — a restarted query overwrites its own batch directory instead
+   * of duplicating rows (the classic exactly-once-to-files device
+   * `foreachBatch` exists for; Spark's own file sink gets this from its
+   * transaction log, but then the layout can't repartition per batch).
+   * Downstream readers see one more partition column, `batch_id`.
+   *
+   * @return the started query (caller manages its lifecycle)
+   */
+  def writePartitionedStream(stream: DataFrame, path: String, partitionCols: Seq[String],
+                             checkpoint: String, sortCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Writer.writePartitioned(
+          batch, s"$path/batch_id=$batchId", partitionCols, sortCols = sortCols)
+      }
+      .start()
 }

@@ -145,4 +145,28 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.contains((10L, 2L)))     // out-of-window click not joined
     } finally q.stop()
   }
+
+  test("writePartitionedStream: micro-batches land in the partitioned layout, idempotent per batch") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.writePartitionedStream(in.toDF(), s"$root/data",
+      partitionCols = Seq("event_type"), checkpoint = s"$root/ckpt")
+    try {
+      in.addData(batchEvents.take(2): _*)
+      drain(q)
+      in.addData(batchEvents.drop(2): _*)
+      drain(q)
+      val back = spark.read.parquet(s"$root/data")
+      // everything arrived exactly once, with batch_id + event_type partitions
+      assert(back.count() == batchEvents.size)
+      assert(back.columns.contains("batch_id") && back.columns.contains("event_type"))
+      assert(back.select("event_id").as[Long].collect().toSet ==
+        batchEvents.map(_.event_id).toSet)
+      // partition pruning works on the layout
+      assert(back.filter(col("event_type") === "purchase").count() == 1)
+      // per-batch directories: batch 0 has the first two events only
+      assert(spark.read.parquet(s"$root/data/batch_id=0").count() == 2)
+    } finally q.stop()
+  }
 }
