@@ -73,7 +73,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       case Ast.In   => base.select(col("dst").as("src"), col("src").as("dst"))
       case Ast.Both => base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
     }
+    // only sources with a qualifying out-edge can ever reach anything at
+    // level ≥ 1 — the semi-join prunes the level-0 seed state the BFS
+    // carries through every round (an unlabeled source pattern otherwise
+    // seeds EVERY node: 186k seeds for 16k movers at sf0.1)
     val srcIds = sp.src.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
+      .join(e.select(col("src").as("id")), Seq("id"), "left_semi")
     val dstIds = sp.dst.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
     val (lo, hi) = sp.rel.hops.getOrElse((1, 1))
     val matches = graft.algorithms.Algorithms.bfsPerSource(e, srcIds)
