@@ -87,6 +87,30 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Synchronous label propagation unrolled to `stages` fixed CTE rounds
+    * (same device as [[kcoreOracle]]) over the symmetrized membership
+    * hierarchy: per round, each vertex takes the most frequent neighbor
+    * label (ties → smallest), exactly the argmax the Spark operator's
+    * `max_by` computes. */
+  private def lpaOracle(stages: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e0 AS (" +
+      "SELECT n_nationkey + 2000000000 AS a, n_regionkey + 1000000000 AS b FROM nation " +
+      "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+      "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+      "e AS MATERIALIZED (SELECT a AS id, b AS nb FROM e0 UNION SELECT b, a FROM e0), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lab FROM e)")
+    for (i <- 1 to stages) {
+      sb.append(s", c$i AS MATERIALIZED (SELECT e.id, l.lab, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} l ON e.nb = l.id GROUP BY 1, 2)")
+      sb.append(s", l$i AS MATERIALIZED (SELECT id, lab FROM (SELECT id, lab, " +
+        "row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn " +
+        s"FROM c$i) WHERE rn = 1)")
+    }
+    sb.append(s" SELECT id, lab AS community FROM l$stages")
+    sb.toString
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Cypher pattern matching (reference's core surface) ---
@@ -105,6 +129,16 @@ object SparkEntry {
     // customers to everything 1-2 hops out over the membership edges
     "cy_varlen" -> ((s, dir) =>
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
+    // the StatsStore surface as a query: label/type cardinalities (what the
+    // cost-based planner consumes), oracled independently from the base
+    // tables rather than through the graph derivation it describes
+    "graph_summary" -> ((s, dir) => {
+      val g = graph(s, dir)
+      g.nodes.groupBy("label").agg(count(lit(1)).as("n"))
+        .select(lit("node").as("kind"), col("label").as("key"), col("n"))
+        .unionByName(g.edges.groupBy("etype").agg(count(lit(1)).as("n"))
+          .select(lit("edge").as("kind"), col("etype").as("key"), col("n")))
+    }),
     // shortestPath: per-source BFS, min level per endpoint pair — the
     // unlabeled source mixes depths (nations reach regions at 1, customers
     // and suppliers at 2), so the min-length semantics are actually exercised
@@ -402,6 +436,16 @@ object SparkEntry {
     // graph so the peel actually cascades — 3 rounds at sf0.01)
     "kcore" -> ((s, dir) =>
       Algorithms.kCore(cosupplyEdges(s, dir, 0.85), k = 10)),
+    // synchronous fixed-round label propagation over the symmetrized
+    // membership hierarchy (vertices = the edge endpoints, so the oracle
+    // derives the identical vertex set; isolated-vertex semantics are
+    // pinned in AlgorithmsSpec instead)
+    "lpa" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val e = g.edgesByType(Seq("IN_REGION", "IN_NATION")).select("src", "dst")
+      val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      Algorithms.labelPropagation(vs, e, iters = 3)
+    }),
 
     // --- text analysis / dedup (training-data pipeline ops) ---
     "text_token_counts" -> ((s, dir) =>
@@ -727,6 +771,21 @@ object SparkEntry {
        "SELECT DISTINCT src AS c, dst AS x FROM reach " +
        "WHERE src >= 3000000000 AND src < 4000000000 AND depth BETWEEN 1 AND 2"),
 
+    "graph_summary" ->
+      ("SELECT 'node' AS kind, 'region' AS key, count(*) AS n FROM region " +
+       "UNION ALL SELECT 'node', 'nation', count(*) FROM nation " +
+       "UNION ALL SELECT 'node', 'customer', count(*) FROM customer " +
+       "UNION ALL SELECT 'node', 'supplier', count(*) FROM supplier " +
+       "UNION ALL SELECT 'node', 'part', count(*) FROM part " +
+       "UNION ALL SELECT 'node', 'order', count(*) FROM orders " +
+       "UNION ALL SELECT 'edge', 'IN_REGION', count(*) FROM nation " +
+       "UNION ALL SELECT 'edge', 'IN_NATION', (SELECT count(*) FROM customer) + " +
+       "(SELECT count(*) FROM supplier) " +
+       "UNION ALL SELECT 'edge', 'PLACED', count(*) FROM orders " +
+       "UNION ALL SELECT 'edge', 'CONTAINS', " +
+       "(SELECT count(DISTINCT (l_orderkey, l_partkey)) FROM lineitem) " +
+       "UNION ALL SELECT 'edge', 'SUPPLIES', " +
+       "(SELECT count(DISTINCT (l_suppkey, l_partkey)) FROM lineitem)"),
     // min path length per endpoint pair, as a genuine recursive min-reach
     "cy_shortest" ->
       ("WITH RECURSIVE edge AS (" +
@@ -985,6 +1044,7 @@ object SparkEntry {
        "round(list_cosine_similarity(e, list_transform(qv, x -> CAST(x AS DOUBLE))), 6) AS recon_cos " +
        "FROM q"),
     "kcore" -> kcoreOracle(frac = 0.85, k = 10, stages = 8),
+    "lpa" -> lpaOracle(stages = 3),
     "emb_centroids" ->
       ("WITH x AS (SELECT label, unnest(embedding) AS v, " +
        "unnest(range(len(embedding))) AS dim FROM embeddings) " +

@@ -331,6 +331,45 @@ object Algorithms {
     e.select(col("a").as("id")).unionByName(e.select(col("b").as("id"))).distinct()
   }
 
+  /**
+   * Synchronous label propagation (community detection) with a FIXED round
+   * count: every round, each vertex adopts the most frequent label among
+   * its neighbors, ties broken toward the SMALLEST label; vertices with no
+   * neighbors keep their current label. Labels initialize to the vertex id.
+   *
+   * Deliberately synchronous + fixed-round: async LPA (and convergence-
+   * stopped sync LPA, which can oscillate on bipartite structures) is
+   * run-order-dependent; this variant is deterministic, re-runnable, and
+   * oracle-comparable. Each round is two shuffles — a neighbor-label count
+   * (map-side combinable) and a `max_by` argmax per vertex — over the
+   * symmetrized edge set, cached once.
+   *
+   * @param vertices (id) — vertices to report
+   * @param edges (src, dst), direction ignored, self-loops dropped
+   * @return (id, community BIGINT)
+   */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val cutter = new Cutter
+    val e0 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src").as("id"), col("dst").as("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cutter(vertices.select(col("id")).distinct()
+      .withColumn("lab", col("id")), 0)
+    for (i <- 1 to iters) {
+      val cnt = sym.join(labels.select(col("id").as("nb"), col("lab")), "nb")
+        .groupBy("id", "lab").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, −lab) lexicographically
+      val picked = cnt.groupBy("id")
+        .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("t"))).as("new_lab"))
+      labels = cutter(labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab")), i)
+    }
+    labels.select(col("id"), col("lab").as("community"))
+  }
+
   /** lo→hi canonical orientation, self-loops dropped, deduped. */
   private def canonicalEdges(edges: DataFrame): DataFrame =
     edges.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))

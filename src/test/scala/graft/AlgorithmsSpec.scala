@@ -141,4 +141,18 @@ class AlgorithmsSpec extends SparkSpec {
     val byLevel = lv.groupBy("level").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(byLevel(1) == 25 && byLevel(2) == 5) // 25 nations, 5 regions
   }
+
+  test("label propagation: disjoint triangles converge to min id; isolated keeps own") {
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                 (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = Algorithms.labelPropagation(vs, es, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // iters = 0 is the identity labelling
+    val id0 = Algorithms.labelPropagation(vs, es, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0.forall { case (k, v) => k == v })
+  }
 }
