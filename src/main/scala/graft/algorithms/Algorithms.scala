@@ -3,6 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.util.CacheLifecycle.releaseOnFirstAction
 
 /**
  * Iterative graph algorithms over edge DataFrames — the Spark-native story
@@ -53,9 +54,13 @@ object Algorithms {
         cp
       } else cached
     }
-    // NOTE: up to `every` DataFrames stay persisted at the end of a run —
-    // they may back the returned result's lineage. Callers that need a
-    // pristine session (Bench) drop scratch caches between queries.
+    // Plain-persisted (never checkpointed) tips still pending at the end of
+    // a run — up to `every` of them back the returned result's lineage.
+    // Each algorithm hands these plus its edge caches to
+    // releaseOnFirstAction, so the first caller action runs fully cached
+    // and the session is left clean (localCheckpoint blocks are the one
+    // exception: lineage-truncated, reclaimed by the ContextCleaner on GC).
+    def leftovers: Seq[DataFrame] = pending.toList
   }
 
   /**
@@ -84,7 +89,7 @@ object Algorithms {
       iter += 1
     }
     if (!done) throw new BudgetExhausted("bfs", maxIter)
-    visited
+    releaseOnFirstAction(visited, e +: (cutF.leftovers ++ cutV.leftovers): _*)
   }
 
   /**
@@ -119,7 +124,7 @@ object Algorithms {
       iter += 1
     }
     if (!done) throw new BudgetExhausted("bfsPerSource", maxIter)
-    visited
+    releaseOnFirstAction(visited, e +: (cutF.leftovers ++ cutV.leftovers): _*)
   }
 
   /**
@@ -157,7 +162,7 @@ object Algorithms {
       iter += 1
     }
     if (!converged) throw new BudgetExhausted("sssp", maxIter)
-    dist
+    releaseOnFirstAction(dist, e +: (cutD.leftovers ++ cutF.leftovers): _*)
   }
 
   /**
@@ -213,9 +218,11 @@ object Algorithms {
     }
     if (!converged) throw new BudgetExhausted("connectedComponents", maxIter)
     // fixpoint = disjoint stars: one (v, componentMin) edge per non-root v
-    vertices.select(col("id")).distinct()
-      .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    releaseOnFirstAction(
+      vertices.select(col("id")).distinct()
+        .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component")),
+      cutter.leftovers: _*)
   }
 
   /**
@@ -239,9 +246,11 @@ object Algorithms {
     val tri = triangles(e)
     val perV = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    vertices.select(col("id")).distinct()
-      .join(perV, Seq("id"), "left")
-      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    releaseOnFirstAction(
+      vertices.select(col("id")).distinct()
+        .join(perV, Seq("id"), "left")
+        .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles")),
+      e)
   }
 
   /**
@@ -257,12 +266,14 @@ object Algorithms {
       .groupBy("id").agg(count(lit(1)).as("degree"))
     val perV = triangles(e).select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    vertices.select(col("id")).distinct()
-      .join(deg, Seq("id"), "left").join(perV, Seq("id"), "left")
-      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"),
-        when(coalesce(col("degree"), lit(0L)) < 2, lit(0.0))
-          .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-            (col("degree") * (col("degree") - lit(1)))).as("lcc"))
+    releaseOnFirstAction(
+      vertices.select(col("id")).distinct()
+        .join(deg, Seq("id"), "left").join(perV, Seq("id"), "left")
+        .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"),
+          when(coalesce(col("degree"), lit(0L)) < 2, lit(0.0))
+            .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - lit(1)))).as("lcc")),
+      e)
   }
 
   /**
@@ -286,7 +297,8 @@ object Algorithms {
     val pairs = inc.as("l").join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .select(col("l.n").as("u"), col("r.n").as("v"), (lit(1.0) / log(col("l.deg"))).as("s"))
       .groupBy("u", "v").agg(sum("s").as("score"))
-    pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
+    releaseOnFirstAction(
+      pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti"), e)
   }
 
   /**
@@ -328,7 +340,9 @@ object Algorithms {
     }
     if (!converged) throw new BudgetExhausted("kCore", maxIter)
     // every k-core vertex (k ≥ 1) is incident to a surviving edge
-    e.select(col("a").as("id")).unionByName(e.select(col("b").as("id"))).distinct()
+    releaseOnFirstAction(
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id"))).distinct(),
+      cutter.leftovers: _*)
   }
 
   /**
@@ -367,7 +381,8 @@ object Algorithms {
       labels = cutter(labels.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab")), i)
     }
-    labels.select(col("id"), col("lab").as("community"))
+    releaseOnFirstAction(labels.select(col("id"), col("lab").as("community")),
+      sym +: cutter.leftovers: _*)
   }
 
   /** lo→hi canonical orientation, self-loops dropped, deduped. */
@@ -420,6 +435,6 @@ object Algorithms {
           (lit(1 - damping) + lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") / lit(n.toDouble))).as("rank"))
       ranks = cutter(next, i)
     }
-    ranks
+    releaseOnFirstAction(ranks, Seq(v, outDeg, links) ++ cutter.leftovers: _*)
   }
 }

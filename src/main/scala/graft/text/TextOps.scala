@@ -2,8 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
+import graft.util.CacheLifecycle.releaseOnFirstAction
 
 /**
  * Text-analysis and deduplication operators for large-scale training-data
@@ -462,42 +461,6 @@ object TextOps {
     releaseOnFirstAction(verifyJaccard(candidates, df, n, idCol, textCol, threshold), sh)
   }
 
-  /**
-   * Operator-owned scratch-cache lifecycle: unpersist `scratch` after the
-   * first action that materializes `result` (or a derivation of it)
-   * completes. Within that one action the cache does its whole job — the
-   * plan scans the shingle table 2-3× (signatures, candidates, verify) and
-   * all scans after the first hit the materialized blocks — but round 2
-   * left the cache registered forever, so a long-lived session accumulated
-   * one shingle cache per dedup call (the bench masked it by dropping
-   * scratch RDDs between queries; a library must clean up after itself).
-   *
-   * Mechanism: a self-deregistering QueryExecutionListener keyed on the
-   * result's analyzed plan via exprId-insensitive `sameResult` — any action
-   * whose plan contains the result subtree (count, collect, write, or a
-   * caller's projection of it) triggers the release. Listener callbacks are
-   * async (listener-bus), so the unpersist lands shortly after the action
-   * returns; subsequent actions on the same result simply recompute without
-   * the cache (CacheManager substitution is per-action), trading repeat-use
-   * speed for bounded memory — the right default for a library operator.
-   */
-  private def releaseOnFirstAction(result: DataFrame, scratch: DataFrame): DataFrame = {
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
-          scratch.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
-    result
-  }
 
   /** Exact Jaccard verification restricted to candidate pairs (broadcast-able
     * candidate set; at scale the shingle join partitions by shingle).

@@ -1,0 +1,57 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Operator-owned scratch-cache lifecycle, shared by every operator family
+ * that persists intermediate state (dedup shingle tables, iterative-
+ * algorithm edge caches and iteration tips).
+ */
+object CacheLifecycle {
+
+  /**
+   * Unpersist each `scratch` frame after the first action that materializes
+   * `result` (or a derivation of it) completes. Within that one action the
+   * caches do their whole job — e.g. a dedup plan scans the shingle table
+   * 2-3× (signatures, candidates, verify) and all scans after the first hit
+   * the materialized blocks — but leaving them registered forever means a
+   * long-lived session accumulates one scratch cache per operator call
+   * (round 2's defect in the dedup family; the bench masked it by dropping
+   * scratch RDDs between queries — a library must clean up after itself).
+   *
+   * Mechanism: a self-deregistering QueryExecutionListener keyed on the
+   * result's analyzed plan via exprId-insensitive `sameResult` — any action
+   * whose plan contains the result subtree (count, collect, write, or a
+   * caller's projection of it) triggers the release. Listener callbacks are
+   * async (listener-bus), so the unpersist lands shortly after the action
+   * returns; subsequent actions on the same result simply recompute without
+   * the cache (CacheManager substitution is per-action), trading repeat-use
+   * speed for bounded memory — the right default for a library operator.
+   *
+   * Contract: `scratch` frames must be plain `persist`ed caches whose
+   * lineage can recompute them. NEVER pass a `localCheckpoint`ed frame —
+   * its lineage is truncated, so evicting its blocks loses the data
+   * irrecoverably (checkpoint blocks are instead reclaimed by the
+   * ContextCleaner once the frame is unreachable).
+   */
+  def releaseOnFirstAction(result: DataFrame, scratch: DataFrame*): DataFrame = {
+    if (scratch.isEmpty) return result
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target))) {
+          scratch.foreach(_.unpersist(blocking = false))
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

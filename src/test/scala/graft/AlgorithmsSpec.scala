@@ -155,4 +155,24 @@ class AlgorithmsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(id0.forall { case (k, v) => k == v })
   }
+
+  test("algorithm scratch caches are released after the first materializing action") {
+    // iters = 1 keeps the run short of the Cutter's first localCheckpoint
+    // (every 3 rounds), so every persisted frame — the symmetrized edge
+    // cache and both iteration tips — is a plain recomputable cache and the
+    // release must leave the session completely clean.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val vs = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val result = Algorithms.labelPropagation(vs, es, iters = 1)
+    val first = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the release listener fires async on the listener bus — poll briefly
+    val deadline = System.currentTimeMillis() + 20000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"algorithm scratch not released: RDDs $leaked")
+    // a second action recomputes the same result without the caches
+    val second = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(second == first && first(2L) == 1L)
+  }
 }
