@@ -102,7 +102,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (q.orderBy.isEmpty) distincted
       else distincted.orderBy(q.orderBy.map(k =>
         if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
-    q.limit.fold(ordered)(ordered.limit)
+    val skipped = q.skip.fold(ordered)(ordered.offset)
+    q.limit.fold(skipped)(skipped.limit)
   }
 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
@@ -111,7 +112,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val mainNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
-      optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None)
+      optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
+      skip = None)
     val root = Planner.plan(mainPg, stats)
     val c = PatternExec.compileTracked(root, graph)
     val projected = c.df.select(mainNeeded.map(col): _*)
@@ -178,12 +180,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       else aggregated
     // ORDER BY over output columns (beyond the reference — relational surface
     // Spark gives for free; a TakeOrderedAndProject when LIMIT follows, so
-    // the sort never materializes globally)
+    // the sort never materializes globally). SKIP (Cypher's OFFSET) drops
+    // rows after the sort, before LIMIT — Spark plans offset+limit together
+    // as one global take, so a paged query still never materializes the
+    // full sorted result.
     val ordered =
       if (pg.orderBy.isEmpty) distincted
       else distincted.orderBy(pg.orderBy.map(k =>
         if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
-    pg.limit.fold(ordered)(ordered.limit)
+    val skipped = pg.skip.fold(ordered)(ordered.offset)
+    pg.limit.fold(skipped)(skipped.limit)
   }
 
   /** Like `query`, but joins each returned binding back to its node row for

@@ -155,6 +155,11 @@ object SparkEntry {
     "cy_orderby" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN c, n ORDER BY c DESC, n LIMIT 20")),
+    // SKIP pages past the first 10 rows of the same sorted result — Spark
+    // plans offset+limit as one global take, no full sort materialization
+    "cy_skip" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN c, n ORDER BY c DESC, n SKIP 10 LIMIT 20")),
     // render path: returned binding joined back to node properties
     // (reference MatrixTuples + DataStore.getVs, Operator.scala:377-399)
     "cy_props" -> ((s, dir) =>
@@ -416,6 +421,17 @@ object SparkEntry {
       val g = graph(s, dir)
       val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
       Algorithms.pageRank(vs, g.edgesByType(Seq("IN_REGION")), iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+    // personalized PageRank: walks restart at region 0's nations, so ranks
+    // measure proximity to that seed set (dangling regions hand their mass
+    // back to the seeds)
+    "ppr" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
+      val seeds = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select((col("n_nationkey") + TpchGraph.NationOff).as("id"))
+      Algorithms.personalizedPageRank(vs, g.edgesByType(Seq("IN_REGION")), seeds, iters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
     // triangle count / clustering coefficient / Adamic-Adar over the strong
@@ -758,6 +774,9 @@ object SparkEntry {
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),
+    "cy_skip" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer ORDER BY c DESC, n LIMIT 20 OFFSET 10"),
     // the walk-semantics contract stated as an actual recursive reach
     "cy_varlen" ->
       ("WITH RECURSIVE edge AS (" +
@@ -895,6 +914,7 @@ object SparkEntry {
     // pagerank is a fixed 10-iteration computation → 10 chained CTE stages
     // replicating Algorithms.pageRank's exact recurrence (incl. dangling mass)
     "pagerank" -> pagerankOracle(iters = 10, damping = 0.85),
+    "ppr" -> pprOracle(iters = 10, damping = 0.85),
     "triangle_count" ->
       (cosupplyCte(0.6) +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +
@@ -1209,6 +1229,34 @@ object SparkEntry {
       s"r${i + 1} AS MATERIALIZED (SELECT v.id, $oneMinusD + $d * (coalesce(c.contrib, 0) " +
       s"+ (SELECT dm FROM d$i) / (SELECT n FROM nv)) AS rank " +
       s"FROM v LEFT JOIN c$i c ON v.id = c.id)"
+    }.mkString(", ")
+    base + stages + s" SELECT id, round(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Personalized variant of [[pagerankOracle]]: teleport vector p = 1/|S|
+    * over region 0's nations, ranks initialize to p (unit mass), dangling
+    * mass restarts at the seeds (dm·p). Same double-typed unrolled-CTE
+    * device so both engines iterate identical FP recurrences. */
+  private def pprOracle(iters: Int, damping: Double): String = {
+    val d = damping.toString
+    val oneMinusD = (1 - damping).toString
+    val base =
+      "WITH v AS MATERIALIZED (SELECT n_nationkey + 2000000000 AS id FROM nation " +
+      "UNION ALL SELECT r_regionkey + 1000000000 FROM region), " +
+      "e AS MATERIALIZED (SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation), " +
+      "s AS MATERIALIZED (SELECT n_nationkey + 2000000000 AS id FROM nation WHERE n_regionkey = 0), " +
+      "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1), " +
+      "p AS MATERIALIZED (SELECT v.id, CASE WHEN v.id IN (SELECT id FROM s) " +
+      "THEN 1.0::DOUBLE / (SELECT count(*) FROM s) ELSE 0.0::DOUBLE END AS p FROM v), " +
+      "r0 AS MATERIALIZED (SELECT id, p AS rank FROM p), "
+    val stages = (0 until iters).map { i =>
+      s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / deg.deg) AS contrib " +
+      s"FROM e JOIN r$i r ON e.src = r.id JOIN deg ON e.src = deg.id GROUP BY 1), " +
+      s"d$i AS MATERIALIZED (SELECT 1.0::DOUBLE - coalesce(sum(rank), 0) AS dm " +
+      s"FROM r$i WHERE id IN (SELECT id FROM deg)), " +
+      s"r${i + 1} AS MATERIALIZED (SELECT p.id, $oneMinusD * p.p + $d * (coalesce(c.contrib, 0) " +
+      s"+ (SELECT dm FROM d$i) * p.p) AS rank " +
+      s"FROM p LEFT JOIN c$i c ON p.id = c.id)"
     }.mkString(", ")
     base + stages + s" SELECT id, round(rank, 6) AS rank FROM r$iters"
   }

@@ -437,4 +437,51 @@ object Algorithms {
     }
     releaseOnFirstAction(ranks, Seq(v, outDeg, links) ++ cutter.leftovers: _*)
   }
+
+  /**
+   * Personalized PageRank: random walks restart at the `sources` set instead
+   * of uniformly, so ranks measure proximity to the sources — the standard
+   * seeded-recommendation / related-entities primitive. Teleport vector
+   * p(v) = 1/|S| for v ∈ S else 0; ranks initialize to p (total mass 1) and
+   * iterate rank' = (1−d)·p + d·(contrib + danglingMass·p), which conserves
+   * the unit mass exactly (dangling mass restarts at the sources, like every
+   * walk). Fixed iteration count, deterministic — oracle-comparable via the
+   * same unrolled-CTE device as [[pageRank]].
+   *
+   * Same plan shape as [[pageRank]]: links/out-degrees cached once, the
+   * dangling-mass term a broadcast singleton folded into the plan (no
+   * per-iteration driver action), lineage cut every few rounds.
+   *
+   * @param sources restart vertices (rows absent from `vertices` are ignored)
+   * @return (id, rank DOUBLE), ranks sum to ~1
+   */
+  def personalizedPageRank(vertices: DataFrame, edges: DataFrame, sources: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val v = vertices.select(col("id")).distinct().cache()
+    val srcs = sources.select(col("id")).distinct()
+      .join(v, Seq("id"), "left_semi").cache()
+    val nS = srcs.count()
+    require(nS > 0, "personalizedPageRank needs at least one source present in `vertices`")
+    val p = v.join(srcs.withColumn("__p", lit(1.0 / nS)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p")).cache()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
+    val links = edges.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
+    links.count()
+    val cutter = new Cutter
+    var ranks = p.select(col("id"), col("p").as("rank"))
+    for (i <- 0 until iters) {
+      val contribs = links.join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val dangling = ranks.join(outDeg, Seq("id"), "left_semi")
+        .agg((lit(1.0) - sum("rank")).as("__dm"))
+      val next = p.join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1 - damping) * col("p") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") * col("p"))).as("rank"))
+      ranks = cutter(next, i)
+    }
+    releaseOnFirstAction(ranks, Seq(v, srcs, p, outDeg, links) ++ cutter.leftovers: _*)
+  }
 }

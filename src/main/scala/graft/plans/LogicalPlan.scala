@@ -41,6 +41,7 @@ object Pattern {
       distinct: Boolean,
       orderBy: Seq[Ast.SortKey],
       limit: Option[Int],
+      skip: Option[Int] = None,
       optional: Seq[OptionalGroup] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present. */
@@ -128,7 +129,8 @@ object Pattern {
       throw new graft.cypher.ParseException(
         s"WHERE references optional/unbound bindings: ${badPred.mkString(",")} " +
           "(the single WHERE clause applies to the required pattern)")
-    PatternGraph(mainLabels, mainEdges, cmps, q.returns, q.distinct, q.orderBy, q.limit, groups)
+    PatternGraph(mainLabels, mainEdges, cmps, q.returns, q.distinct, q.orderBy, q.limit,
+      q.skip, groups)
   }
 }
 

@@ -156,6 +156,27 @@ class AlgorithmsSpec extends SparkSpec {
     assert(id0.forall { case (k, v) => k == v })
   }
 
+  test("personalized pagerank: restarts at the seed, dangling mass returns to it") {
+    // 0 → 1, seed {0}, d = 0.85. Hand-computed:
+    //   r0 = (1, 0)
+    //   r1(0) = 0.15·1 + 0.85·(0 + dm·1), dm = 1 − r0(0) = 0      → 0.15
+    //   r1(1) = 0.85·(r0(0)/1)                                    → 0.85
+    //   r2(0) = 0.15 + 0.85·(0 + (1 − r1(0))·1) = 0.15 + 0.7225   → 0.8725
+    //   r2(1) = 0.85·(r1(0)/1) = 0.85·0.15                        → 0.1275
+    val vs = Seq(0L, 1L).toDF("id")
+    val es = Seq((0L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Algorithms.personalizedPageRank(vs, es, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L) - 0.8725) < 1e-12 && math.abs(got(1L) - 0.1275) < 1e-12)
+    // mass conserved at 1 and concentrated near the seed
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // a seed absent from `vertices` is ignored; an empty effective seed set throws
+    intercept[IllegalArgumentException] {
+      Algorithms.personalizedPageRank(vs, es, Seq(42L).toDF("id"), iters = 1)
+    }
+  }
+
   test("algorithm scratch caches are released after the first materializing action") {
     // iters = 1 keeps the run short of the Cutter's first localCheckpoint
     // (every 3 rounds), so every persisted frame — the symmetrized edge

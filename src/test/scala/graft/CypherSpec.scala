@@ -61,6 +61,22 @@ class CypherSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L))
   }
 
+  test("SKIP pages past sorted rows, composes with LIMIT") {
+    val db = new GraphDB(diamond)
+    // sorted b's are [2, 3]; SKIP 1 drops the first
+    val skipped = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b SKIP 1")
+      .collect().map(_.getLong(0))
+    assert(skipped.toSeq == Seq(3L))
+    val paged = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b SKIP 1 LIMIT 1")
+      .collect().map(_.getLong(0))
+    assert(paged.toSeq == Seq(3L))
+    val beyond = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b SKIP 5")
+      .collect()
+    assert(beyond.isEmpty)
+    val q = CypherParser.parse("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b SKIP 2 LIMIT 4")
+    assert(q.skip.contains(2) && q.limit.contains(4))
+  }
+
   test("pattern graph: INCOMING normalized by endpoint swap") {
     val pg = Pattern.fromQuery(CypherParser.parse("MATCH (a:A)<-[:X]-(b:B) RETURN a"))
     assert(pg.edges == Vector(Pattern.PatternEdge("b", "a", Seq("X"), undirected = false)))
