@@ -701,6 +701,12 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
+    // CUBE: all 2^k grouping sets in the same single Expand+partial-agg pass
+    "olap_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
     // exact linear-interpolated quantiles per group (matches DuckDB
     // quantile_cont; `percentile` is Spark's exact implementation, fine at
     // any scale that can sort a group — for sketch-sized state use
@@ -1161,6 +1167,10 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +
        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "olap_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +
+       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
     "ev_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.25), 6) AS p25, " +
        "round(quantile_cont(value, 0.5), 6) AS p50, " +
