@@ -434,6 +434,16 @@ object SparkEntry {
       Algorithms.personalizedPageRank(vs, g.edgesByType(Seq("IN_REGION")), seeds, iters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
+    // harmonic centrality over the geography DAG — per-source BFS + one agg
+    "harmonic" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vs = g.nodes
+        .filter(col("label").isin("customer", "supplier", "nation", "region"))
+        .select("id")
+      val e = g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst")
+      Algorithms.harmonicCentrality(vs, e)
+        .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
+    }),
     // triangle count / clustering coefficient / Adamic-Adar over the strong
     // co-supply graph (suppliers sharing ≥ 60% of the max shared-part count —
     // the bipartite projection + strong-edge threshold every recommender
@@ -921,6 +931,22 @@ object SparkEntry {
     // replicating Algorithms.pageRank's exact recurrence (incl. dangling mass)
     "pagerank" -> pagerankOracle(iters = 10, damping = 0.85),
     "ppr" -> pprOracle(iters = 10, damping = 0.85),
+    "harmonic" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2), " +
+       "v AS (SELECT r_regionkey + 1000000000 AS id FROM region " +
+       "UNION ALL SELECT n_nationkey + 2000000000 FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000 FROM supplier) " +
+       "SELECT v.id, round(coalesce(sum(1.0::DOUBLE / d), 0), 6) AS harmonic " +
+       "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
     "triangle_count" ->
       (cosupplyCte(0.6) +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +

@@ -128,6 +128,33 @@ object Algorithms {
   }
 
   /**
+   * Harmonic centrality over directed edges: H(v) = Σ_{u ≠ v reachable from v}
+   * 1 / d(v, u) — the closeness variant that handles disconnected graphs
+   * gracefully (unreachable vertices contribute 0 instead of poisoning an
+   * average). Built on [[bfsPerSource]]: one BFS state keyed (src, id), one
+   * aggregation; seeds are pruned to vertices with an out-edge (the rest
+   * score 0 via the final left join instead of carrying dead seed state
+   * through every round).
+   *
+   * At scale the state is O(Σ per-source reachability) — the honest cost of
+   * all-sources shortest paths; bound the vertex set, not the algorithm.
+   *
+   * @param vertices (id) — vertices to report (no out-edges ⇒ 0.0)
+   * @param edges (src, dst)
+   * @return (id, harmonic DOUBLE)
+   */
+  def harmonicCentrality(vertices: DataFrame, edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val vs = vertices.select(col("id")).distinct()
+    val seeds = vs.join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
+    val h = bfsPerSource(edges, seeds, maxIter)
+      .filter(col("level") > 0)
+      .groupBy(col("src").as("id"))
+      .agg(sum(lit(1.0) / col("level")).as("harmonic"))
+    vs.join(h, Seq("id"), "left")
+      .select(col("id"), coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /**
    * Single-source(s) shortest path over (min, plus): frontier-based
    * Bellman–Ford (reference DocSpec.scala:55-101 iterates the full
    * `d ← d min.+ A` product; the frontier form reaches the same fixpoint

@@ -156,6 +156,16 @@ class AlgorithmsSpec extends SparkSpec {
     assert(id0.forall { case (k, v) => k == v })
   }
 
+  test("harmonic centrality: inverse-distance sums, sinks and isolated score 0") {
+    // 0→1→2 with shortcut 0→2: H(0) = 1/1 + 1/1 = 2 (shortcut wins),
+    // H(1) = 1, H(2) = 0 (sink), H(9) = 0 (isolated)
+    val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val got = Algorithms.harmonicCentrality(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 2.0, 1L -> 1.0, 2L -> 0.0, 9L -> 0.0))
+  }
+
   test("personalized pagerank: restarts at the seed, dangling mass returns to it") {
     // 0 → 1, seed {0}, d = 0.85. Hand-computed:
     //   r0 = (1, 0)
