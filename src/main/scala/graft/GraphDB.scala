@@ -198,7 +198,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     * the same compiled plan `query` runs. */
   def queryNodes(cypher: String): DataFrame = {
     val pg = Pattern.fromQuery(CypherParser.parse(cypher))
-    pg.returns.foldLeft(run(pg)) { (acc, b) =>
+    // key on each plain binding's OUTPUT name, so `RETURN c AS customer`
+    // joins (and prefixes properties) as `customer`, matching run()'s columns
+    val outs = pg.items.collect { case r @ graft.cypher.Ast.Ret(_, None, None, _) => r.outName }
+    outs.foldLeft(run(pg)) { (acc, b) =>
       val props = graph.nodes.columns.filter(_ != "id")
         .map(c => col(c).as(s"${b}_$c"))
       acc.join(graph.nodes.select((col("id").as(b) +: props.toSeq): _*), Seq(b), "left")

@@ -150,6 +150,11 @@ object SparkEntry {
     "cy_count" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n, count(c) ORDER BY n")),
+    // AS aliases rename output columns; ORDER BY refers to the alias
+    "cy_alias" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "RETURN n AS nation_id, count(c) AS customers ORDER BY customers DESC, nation_id LIMIT 10")),
     // ORDER BY + LIMIT through the Cypher surface (TakeOrderedAndProject —
     // the sort never materializes globally)
     "cy_orderby" -> ((s, dir) =>
@@ -770,6 +775,10 @@ object SparkEntry {
     "cy_count" ->
       ("SELECT c_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer GROUP BY 1 ORDER BY n"),
+    "cy_alias" ->
+      ("SELECT c_nationkey + 2000000000 AS nation_id, " +
+       "count(DISTINCT c_custkey) AS customers " +
+       "FROM customer GROUP BY 1 ORDER BY customers DESC, nation_id LIMIT 10"),
     "cy_return_props" ->
       ("SELECT c_name AS c_name, n_name AS n_name FROM customer " +
        "JOIN nation ON c_nationkey = n_nationkey " +

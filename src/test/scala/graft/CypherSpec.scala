@@ -61,6 +61,18 @@ class CypherSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L))
   }
 
+  test("AS aliases rename output columns; ORDER BY and queryNodes use the alias") {
+    val db = new GraphDB(diamond)
+    val df = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b AS target, count(a) AS n ORDER BY target DESC")
+    assert(df.columns.toSeq == Seq("target", "n"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 1L), (2L, 1L)))
+    // render path prefixes properties with the alias
+    val rendered = db.queryNodes("MATCH (a:A)-[:X]->(b:B) RETURN b AS t")
+    assert(rendered.columns.contains("t") && rendered.columns.contains("t_label"))
+  }
+
   test("SKIP pages past sorted rows, composes with LIMIT") {
     val db = new GraphDB(diamond)
     // sorted b's are [2, 3]; SKIP 1 drops the first
