@@ -463,6 +463,9 @@ object SparkEntry {
     "adamic_adar" -> ((s, dir) =>
       Algorithms.adamicAdar(cosupplyEdges(s, dir))
         .select(col("u"), col("v"), round(col("score"), 6).as("score"))),
+    "neighbor_jaccard" -> ((s, dir) =>
+      Algorithms.neighborhoodJaccard(cosupplyEdges(s, dir))
+        .select(col("u"), col("v"), round(col("score"), 6).as("score"))),
     // k-core membership by synchronous peeling (sparser 0.85-threshold
     // graph so the peel actually cascades — 3 rounds at sf0.01)
     "kcore" -> ((s, dir) =>
@@ -982,6 +985,16 @@ object SparkEntry {
        ", dg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1)" +
        ", pairs AS (SELECT l.n AS u, r.n AS v, round(sum(1.0 / ln(dg.deg)), 6) AS score " +
        "FROM sym l JOIN sym r ON l.w = r.w AND l.n < r.n JOIN dg ON dg.w = l.w GROUP BY 1, 2) " +
+       "SELECT u, v, score FROM pairs " +
+       "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pairs.u AND e.b = pairs.v)"),
+    "neighbor_jaccard" ->
+      (cosupplyCte(0.6) +
+       ", sym AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e)" +
+       ", dg AS (SELECT n, count(*) AS deg FROM sym GROUP BY 1)" +
+       ", inter AS (SELECT l.n AS u, r.n AS v, count(*) AS i " +
+       "FROM sym l JOIN sym r ON l.w = r.w AND l.n < r.n GROUP BY 1, 2)" +
+       ", pairs AS (SELECT u, v, round(i::DOUBLE / (du.deg + dv.deg - i), 6) AS score " +
+       "FROM inter JOIN dg du ON du.n = inter.u JOIN dg dv ON dv.n = inter.v) " +
        "SELECT u, v, score FROM pairs " +
        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pairs.u AND e.b = pairs.v)"),
 

@@ -329,6 +329,33 @@ object Algorithms {
   }
 
   /**
+   * Neighborhood-overlap (Jaccard) link prediction for NON-adjacent vertex
+   * pairs: score(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|. Same shared-neighbor
+   * join shape as [[adamicAdar]] — one self-join of the symmetrized
+   * incidence list keyed on the common neighbor (never all-pairs), one
+   * degree aggregate, an anti-join dropping already-connected pairs. The
+   * union size comes from inclusion–exclusion (du + dv − inter), so no
+   * second pair join is needed. Σ deg² wedge bound; AQE splits hub skew.
+   *
+   * @return (u, v, score DOUBLE) with u < v, only pairs with ≥1 common neighbor
+   */
+  def neighborhoodJaccard(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).cache()
+    val sym = e.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("w"), col("a").as("n")))
+    val inter = sym.as("l").join(sym.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("u"), col("r.n").as("v")).agg(count(lit(1)).as("inter"))
+    val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
+    val scored = inter
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        (col("inter") / (col("du") + col("dv") - col("inter"))).as("score"))
+    releaseOnFirstAction(
+      scored.join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti"), e)
+  }
+
+  /**
    * k-core membership: the maximal subgraph where every vertex has degree
    * ≥ k, by synchronous peeling — each round drops all vertices currently
    * under degree k and the edges touching them, until nothing changes.

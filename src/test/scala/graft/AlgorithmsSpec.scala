@@ -112,6 +112,13 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(got((2L, 3L)) - 2.0 / math.log(3.0)) < 1e-9)
   }
 
+  test("neighborhood jaccard: overlap ratio via inclusion-exclusion, adjacent excluded") {
+    val got = Algorithms.neighborhoodJaccard(triG)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (2,3): Γ(2) = Γ(3) = {0,1} → |∩| = 2, |∪| = 2 + 2 − 2 = 2 → score 1.0
+    assert(got == Map((2L, 3L) -> 1.0))
+  }
+
   test("k-core: peeling cascades; empty core; budget exhaustion throws") {
     // triangle {0,1,2} + tail 2-3-4: peeling the tail at k=2 cascades
     // (4 drops, then 3) before the fixpoint
