@@ -343,12 +343,17 @@ object Algorithms {
     val e = canonicalEdges(edges).cache()
     val sym = e.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e.select(col("b").as("w"), col("a").as("n")))
+    // the wedge self-join + (u,v) aggregation carries the O(Σ deg²) pair
+    // table — keep it lean (no degree columns through the shuffle) and
+    // attach the vertex-count-sized degree table afterwards as two
+    // EXPLICIT broadcast joins (deg derives from sym, so the optimizer has
+    // no size stats and would otherwise sort-merge the big side twice)
+    val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
     val inter = sym.as("l").join(sym.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .groupBy(col("l.n").as("u"), col("r.n").as("v")).agg(count(lit(1)).as("inter"))
-    val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
     val scored = inter
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), "v")
       .select(col("u"), col("v"),
         (col("inter") / (col("du") + col("dv") - col("inter"))).as("score"))
     releaseOnFirstAction(
