@@ -320,7 +320,10 @@ object Algorithms {
     val sym = e.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e.select(col("b").as("w"), col("a").as("n")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
-    val inc = sym.join(deg, "w")
+    // deg is vertex-sized but derives from sym (no size stats) — broadcast
+    // it explicitly so the incidence list isn't sorted for a merge join
+    // before the wedge self-join re-sorts it by w anyway
+    val inc = sym.join(broadcast(deg), "w")
     val pairs = inc.as("l").join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .select(col("l.n").as("u"), col("r.n").as("v"), (lit(1.0) / log(col("l.deg"))).as("s"))
       .groupBy("u", "v").agg(sum("s").as("score"))
