@@ -322,7 +322,10 @@ object Algorithms {
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
     // deg is vertex-sized but derives from sym (no size stats) — broadcast
     // it explicitly so the incidence list isn't sorted for a merge join
-    // before the wedge self-join re-sorts it by w anyway
+    // before the wedge self-join re-sorts it by w anyway. Broadcast bound:
+    // any graph whose Σ deg² pair table is tractable has an active-vertex
+    // set orders of magnitude smaller — the ~16 B/vertex deg table fits
+    // wherever this operator is feasible at all.
     val inc = sym.join(broadcast(deg), "w")
     val pairs = inc.as("l").join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .select(col("l.n").as("u"), col("r.n").as("v"), (lit(1.0) / log(col("l.deg"))).as("s"))
@@ -350,7 +353,9 @@ object Algorithms {
     // table — keep it lean (no degree columns through the shuffle) and
     // attach the vertex-count-sized degree table afterwards as two
     // EXPLICIT broadcast joins (deg derives from sym, so the optimizer has
-    // no size stats and would otherwise sort-merge the big side twice)
+    // no size stats and would otherwise sort-merge the big side twice).
+    // Broadcast bound: feasible Σ deg² implies a deg table far smaller
+    // than the pair table this operator already materializes.
     val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
     val inter = sym.as("l").join(sym.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .groupBy(col("l.n").as("u"), col("r.n").as("v")).agg(count(lit(1)).as("inter"))
