@@ -592,6 +592,17 @@ object SparkEntry {
       graft.streaming.StreamOps.dedupStream(
         graft.sources.Tables.events(s, dir), Seq("user_id", "event_type"))
         .select("user_id", "event_type")),
+    // incremental-ingest dedup: src0's batch survives only where its
+    // fingerprint is absent from the historical (non-src0) corpus
+    "stream_corpus_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = graft.text.TextOps.fingerprint(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      val corpus = graft.text.TextOps.fingerprint(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+      graft.streaming.StreamOps.dedupAgainstCorpus(incoming, corpus, Seq("fp"))
+        .select("doc_id")
+    }),
     "stream_stateful_sessions" -> ((s, dir) => {
       import s.implicits._
       val ev = graft.sources.Tables.events(s, dir).as[graft.streaming.GEvent]
@@ -1144,6 +1155,11 @@ object SparkEntry {
        "FROM s GROUP BY user_id, sid"),
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_corpus_dedup" ->
+      ("WITH fp AS (SELECT doc_id, source, " +
+       "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents) " +
+       "SELECT doc_id FROM fp a WHERE a.source = 'src0' AND NOT EXISTS " +
+       "(SELECT 1 FROM fp b WHERE b.source <> 'src0' AND b.fp = a.fp)"),
     "stream_interval_join" ->
       ("WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') " +

@@ -83,6 +83,21 @@ object StreamOps {
     else events.dropDuplicates(keys)
 
   /**
+   * Dedup incoming rows against a STATIC historical corpus: left-anti join
+   * on the key columns. On a stream this is a stream-static anti join —
+   * STATELESS (the static side is re-read per micro-batch; nothing
+   * accumulates in the state store), which makes it the incremental-ingest
+   * complement of [[dedupStream]]: dedupStream bounds duplicates within the
+   * watermark horizon, this drops anything history has already seen — the
+   * streaming analogue of [[graft.text.TextOps.dedupExact]] against an
+   * existing corpus. Identical code path on batch. At 100 TB the corpus
+   * side should be a bucketed/partitioned fingerprint table so each
+   * micro-batch probes, not scans.
+   */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(corpus.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+
+  /**
    * Stream-stream (or batch) interval join: right rows with the same key
    * whose time falls in `(left.time − windowSec, left.time]`. Right columns
    * come back prefixed `r_`.

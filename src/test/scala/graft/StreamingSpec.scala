@@ -146,6 +146,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpus: stream-static anti join equals batch") {
+    val corpus = Seq((10L, "aa"), (11L, "bb")).toDF("doc_id", "fp")
+    val batchIn = Seq((1L, "aa"), (2L, "cc"), (3L, "bb"), (4L, "dd")).toDF("doc_id", "fp")
+    val batchOut = StreamOps.dedupAgainstCorpus(batchIn, corpus, Seq("fp"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchOut == Set(2L, 4L))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupAgainstCorpus(in.toDF().toDF("doc_id", "fp"), corpus, Seq("fp"))
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      in.addData((1L, "aa"), (2L, "cc"))
+      drain(q)
+      in.addData((3L, "bb"), (4L, "dd"))
+      drain(q)
+      assert(spark.table("cdedup").select("doc_id").as[Long].collect().toSet == batchOut)
+    } finally q.stop()
+  }
+
   test("writePartitionedStream: micro-batches land in the partitioned layout, idempotent per batch") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink")
