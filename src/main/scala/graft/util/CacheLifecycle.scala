@@ -35,6 +35,11 @@ object CacheLifecycle {
    * its lineage is truncated, so evicting its blocks loses the data
    * irrecoverably (checkpoint blocks are instead reclaimed by the
    * ContextCleaner once the frame is unreachable).
+   *
+   * A result that is constructed but never acted on leaves its listener
+   * registered (one small object holding two plan references — no executor
+   * memory); the first action on ANY derivation, however late, still
+   * releases the scratch.
    */
   def releaseOnFirstAction(result: DataFrame, scratch: DataFrame*): DataFrame = {
     if (scratch.isEmpty) return result
