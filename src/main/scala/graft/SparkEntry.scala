@@ -193,6 +193,17 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (n:nation) OPTIONAL MATCH (n)<-[:IN_NATION]-(s:supplier) " +
         "RETURN n.name, count(s), max(s.value) ORDER BY n.name")),
+    // WHERE conjunctions across bindings: each conjunct compiles to its own
+    // PropFilter semi-join at the binding's expansion point
+    "cy_where_and" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WHERE c.value > 5000 AND n.name = 'NATION_3' RETURN c, n")),
+    // edge-property predicate on a relationship variable: the filter rides
+    // the edge scan (pushed into the parquet read next to the type filter)
+    "cy_edge_prop" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (o:order)-[r:CONTAINS]->(p:part) WHERE r.weight >= 45 RETURN o, p")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -362,6 +373,43 @@ object SparkEntry {
       val from = GrMatrix(t(s, dir, "customer").filter(col("c_custkey") < 500)
         .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"), lit(0L).as("j"), lit(true).as("v")))
       GrOps.assign(target, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 499L), All, from).df
+    }),
+    // extract with mask + accumulator threaded through the kernel's shared
+    // finish path (reference extract takes both, grbv2/MatrixOps.scala:46-75):
+    // customer rows of the nation adjacency, masked to even custkeys, lor-
+    // accumulated onto the supplier rows as the previous output
+    "kernel_extract_masked" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val mask = GrMatrix(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"),
+          (col("c_nationkey") + TpchGraph.NationOff).as("j"), lit(true).as("v")))
+      val prev = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      GrOps.extract(m, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 999L), All,
+        mask = Some(mask), accum = Some(Ops.lor), previous = Some(prev)).df
+    }),
+    // masked region assign (reference assign takes mask/accum too,
+    // grbv2/MatrixOps.scala:78-105): even-custkey cells in the region are
+    // overwritten by the splice, odd-custkey cells keep their old value
+    "kernel_assign_masked" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val target = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val from = GrMatrix(t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select((col("c_custkey") + TpchGraph.CustomerOff).as("i"), lit(0L).as("j"), lit(true).as("v")))
+      val even = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+      val mask = GrMatrix(
+        even.select((col("c_custkey") + TpchGraph.CustomerOff).as("i"),
+            (col("c_nationkey") + TpchGraph.NationOff).as("j"), lit(true).as("v"))
+          .unionByName(even.select((col("c_custkey") + TpchGraph.CustomerOff).as("i"),
+            lit(0L).as("j"), lit(true).as("v"))))
+      GrOps.assign(target, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 499L), All, from,
+        mask = Some(mask)).df
     }),
 
     // isAll structural equality (reference grbv2/MatrixOps.scala:108-160) —
@@ -810,6 +858,13 @@ object SparkEntry {
        "max(s_acctbal) AS max_s_value " +
        "FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY n_name"),
+    "cy_where_and" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE c_acctbal > 5000 AND n_name = 'NATION_3'"),
+    "cy_edge_prop" ->
+      ("SELECT l_orderkey + 6000000000 AS o, l_partkey + 5000000000 AS p " +
+       "FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) >= 45"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),
@@ -923,6 +978,17 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
        "FROM customer WHERE c_custkey >= 500 " +
        "UNION ALL SELECT c_custkey + 3000000000, 0, true FROM customer WHERE c_custkey < 500"),
+    "kernel_extract_masked" ->
+      ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
+       "FROM customer WHERE c_custkey BETWEEN 0 AND 999 AND c_custkey % 2 = 0 " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000, true FROM supplier"),
+    "kernel_assign_masked" ->
+      ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
+       "FROM customer WHERE c_custkey >= 500 " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000, true " +
+       "FROM customer WHERE c_custkey < 500 AND c_custkey % 2 = 1 " +
+       "UNION ALL SELECT c_custkey + 3000000000, 0, true " +
+       "FROM customer WHERE c_custkey < 500 AND c_custkey % 2 = 0"),
 
     "kernel_isall" ->
       ("SELECT true AS eq_full, false AS eq_sub, count(*)::BIGINT AS nvals " +
@@ -1083,7 +1149,10 @@ object SparkEntry {
        "FROM documents), " +
        "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
-       "SELECT doc_id, n_tok, cum // 2048 AS bin, cum % 2048 AS bin_offset FROM c"),
+       // DuckDB's windowed sum() yields HUGEINT; without the casts bin/bin_offset
+       // surface as float64 and the driver's type-sensitive hash trips even though
+       // values are identical (verified row-for-row in round 3).
+       "SELECT doc_id, n_tok, (cum // 2048)::BIGINT AS bin, (cum % 2048)::BIGINT AS bin_offset FROM c"),
     "chunk_docs" ->
       ("SELECT doc_id, gs AS chunk_id, substring(text, CAST(gs AS INTEGER) * 150 + 1, 200) AS chunk_text " +
        "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +

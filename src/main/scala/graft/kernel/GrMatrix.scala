@@ -242,19 +242,51 @@ object GrOps {
 
   /** to = from(I, J) (reference extract, grbv2/MatrixOps.scala:46-75). Indices
     * are NOT re-based — callers keep the global id space (the Spark model has
-    * no dense-index assumption to preserve). */
-  def extract(from: GrMatrix, rows: GrRange, cols: GrRange): GrMatrix = {
+    * no dense-index assumption to preserve). Mask/accum are threaded exactly
+    * like every other kernel op (the reference passes them through extract
+    * too, MatrixOps.scala:46-75): mask = semi/anti join, accum = eWiseAdd
+    * with the previous output. */
+  def extract(from: GrMatrix, rows: GrRange, cols: GrRange,
+              mask: Option[GrMatrix] = None, complement: Boolean = false,
+              accum: Option[BinaryOp] = None, previous: Option[GrMatrix] = None): GrMatrix = {
     val p = Seq(rows.pred(col("i")), cols.pred(col("j"))).flatten
       .reduceOption(_ && _).getOrElse(lit(true))
-    GrMatrix(from.df.filter(p))
+    finish(GrMatrix(from.df.filter(p)), mask, complement, accum, previous)
   }
 
-  /** target(I,J) = from — immutably rebuilt: anti-select the region, union the
-    * source (reference assign, grbv2/MatrixOps.scala:78-105). */
-  def assign(target: GrMatrix, rows: GrRange, cols: GrRange, from: GrMatrix): GrMatrix = {
+  /** target⟨mask⟩(I,J) ⊙= from — immutably rebuilt (reference assign,
+    * grbv2/MatrixOps.scala:78-105, which takes mask and accum like every
+    * kernel op). GraphBLAS semantics without REPLACE: cells outside the
+    * (I,J) region are untouched; inside the region, mask-false cells keep
+    * their old value; mask-true cells get `from` — combined with the old
+    * value via `accum` when given, else replacing it (a mask-true cell with
+    * no `from` entry is deleted without accum, kept with accum — eWiseAdd's
+    * union semantics give the latter for free). */
+  def assign(target: GrMatrix, rows: GrRange, cols: GrRange, from: GrMatrix,
+             mask: Option[GrMatrix] = None, complement: Boolean = false,
+             accum: Option[BinaryOp] = None): GrMatrix = {
     val p = Seq(rows.pred(col("i")), cols.pred(col("j"))).flatten
       .reduceOption(_ && _).getOrElse(lit(true))
-    GrMatrix(target.df.filter(!p).unionByName(from.df))
+    val outside = target.df.filter(!p)
+    val regionOld = GrMatrix(target.df.filter(p))
+    val maskKeys = mask.map(_.df.select(col("i"), col("j")))
+    val maskedNew = maskKeys match {
+      case Some(mk) => GrMatrix(from.df.join(mk, Seq("i", "j"),
+        if (complement) "left_anti" else "left_semi"))
+      case None => GrMatrix(from.df)
+    }
+    val region = accum match {
+      case Some(op) => eWiseAdd(op)(regionOld, maskedNew)
+      case None =>
+        // mask-false region cells survive the overwrite
+        val kept = maskKeys match {
+          case Some(mk) => regionOld.df.join(mk, Seq("i", "j"),
+            if (complement) "left_semi" else "left_anti")
+          case None => regionOld.df.filter(lit(false))
+        }
+        GrMatrix(maskedNew.df.select(col("i"), col("j"), col("v")).unionByName(kept))
+    }
+    GrMatrix(outside.unionByName(region.df.select(col("i"), col("j"), col("v"))))
   }
 
   /** Per-row reduction to a vector (reference reduceRows, grbv2/GrBMatrix.scala:50-65). */

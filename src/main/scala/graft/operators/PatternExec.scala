@@ -107,7 +107,10 @@ object PatternExec {
     * into the scan. */
   private def edgeScan(e: GetEdges, g: PropertyGraph, fromB: String, toB: String,
                        srcs: Option[DataFrame] = None): DataFrame = {
-    val base = g.edgesByType(e.types)
+    // edge-property predicates filter the scan before the endpoint swap, so
+    // they hold regardless of direction/transpose and Catalyst pushes them
+    // into the parquet read alongside the type filter
+    val base = e.preds.foldLeft(g.edgesByType(e.types))((df, p) => df.filter(predColumn(p)))
     val fwd = base.select(col("src").as(fromB), col("dst").as(toB))
     val hop1 =
       if (e.undirected) fwd.unionByName(base.select(col("dst").as(fromB), col("src").as(toB)))

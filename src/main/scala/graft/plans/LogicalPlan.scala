@@ -20,9 +20,12 @@ import graft.cypher.Ast
 object Pattern {
 
   /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
-    * see Ast.RelPat); (1, 1) is a plain relationship. */
+    * see Ast.RelPat); (1, 1) is a plain relationship. `name` is the
+    * relationship variable when the query bound one (`-[r:T]->`), the anchor
+    * for WHERE edge-property predicates. */
   final case class PatternEdge(src: String, dst: String, types: Seq[String], undirected: Boolean,
-                               minHops: Int = 1, maxHops: Int = 1)
+                               minHops: Int = 1, maxHops: Int = 1,
+                               name: Option[String] = None)
 
   /** One OPTIONAL MATCH clause: its own label scope + edges, left-joined to
     * the required match on `shared` (the bindings it has in common with it). */
@@ -42,7 +45,8 @@ object Pattern {
       orderBy: Seq[Ast.SortKey],
       limit: Option[Int],
       skip: Option[Int] = None,
-      optional: Seq[OptionalGroup] = Seq.empty) {
+      optional: Seq[OptionalGroup] = Seq.empty,
+      edgePredicates: Seq[Ast.Cmp] = Seq.empty) {       // WHERE conjuncts on rel variables
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present. */
     def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
@@ -86,9 +90,9 @@ object Pattern {
           val cur = addNode(node)
           val (mn, mx) = rel.hops.getOrElse((1, 1))
           rel.dir match {
-            case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false, mn, mx)
-            case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false, mn, mx)
-            case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true, mn, mx)
+            case Ast.Out  => edges += PatternEdge(prev, cur, rel.types, undirected = false, mn, mx, rel.name)
+            case Ast.In   => edges += PatternEdge(cur, prev, rel.types, undirected = false, mn, mx, rel.name)
+            case Ast.Both => edges += PatternEdge(prev, cur, rel.types, undirected = true, mn, mx, rel.name)
           }
           prev = cur
         }
@@ -124,13 +128,29 @@ object Pattern {
       throw new graft.cypher.ParseException(
         s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
     val cmps = q.where.collect { case c: Ast.Cmp => c }
-    val badPred = cmps.map(_.binding).filterNot(mainLabels.contains)
+    // relationship variables of the REQUIRED pattern: WHERE r.prop anchors
+    // here. A name may not collide with a node binding or repeat.
+    val edgeNames = mainEdges.flatMap(e => e.name.map(_ -> e))
+    edgeNames.groupBy(_._1).foreach { case (n, es) =>
+      if (es.size > 1) throw new graft.cypher.ParseException(
+        s"relationship variable $n is bound more than once")
+      if (mainLabels.contains(n)) throw new graft.cypher.ParseException(
+        s"$n names both a node and a relationship")
+    }
+    val edgeByName = edgeNames.toMap
+    val (edgeCmps, nodeCmps) = cmps.partition(c => edgeByName.contains(c.binding))
+    edgeCmps.foreach { c =>
+      if (edgeByName(c.binding).maxHops > 1) throw new graft.cypher.ParseException(
+        s"edge predicate on variable-length relationship ${c.binding} is not supported " +
+          "(a varlen variable binds a list of relationships)")
+    }
+    val badPred = nodeCmps.map(_.binding).filterNot(mainLabels.contains)
     if (badPred.nonEmpty)
       throw new graft.cypher.ParseException(
         s"WHERE references optional/unbound bindings: ${badPred.mkString(",")} " +
           "(the single WHERE clause applies to the required pattern)")
-    PatternGraph(mainLabels, mainEdges, cmps, q.returns, q.distinct, q.orderBy, q.limit,
-      q.skip, groups)
+    PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, q.orderBy, q.limit,
+      q.skip, groups, edgeCmps)
   }
 }
 
@@ -158,10 +178,13 @@ final case class GetNodes(binding: String, label: Option[String]) extends LogicN
  * LogicNode.scala:51-56). `transpose` = walk against edge direction; in Spark
  * it dissolves into swapping which endpoint is the join key — matching how
  * the reference stores pre-flipped transpose matrices rather than computing
- * them (ConcurrentDirectedGraph.scala:146-148).
+ * them (ConcurrentDirectedGraph.scala:146-148). `preds` are WHERE
+ * edge-property predicates on this relationship — applied to the scan BEFORE
+ * the endpoint swap/join, so Catalyst pushes them into the parquet read.
  */
 final case class GetEdges(types: Seq[String], transpose: Boolean, undirected: Boolean = false,
-                          minHops: Int = 1, maxHops: Int = 1)
+                          minHops: Int = 1, maxHops: Int = 1,
+                          preds: Seq[Ast.Cmp] = Seq.empty)
 
 /**
  * One-hop traversal frontier × edges (≙ Expand, LogicNode.scala:59-65).

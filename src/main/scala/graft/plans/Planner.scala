@@ -73,6 +73,10 @@ object Planner {
     def applyPreds(node: LogicNode, binding: String): LogicNode =
       pg.predicates.filter(_.binding == binding).foldLeft(node)((n, p) => PropFilter(n, p))
 
+    // WHERE conjuncts on this edge's relationship variable ride the edge scan
+    def edgePreds(e: PatternEdge): Seq[graft.cypher.Ast.Cmp] =
+      e.name.map(n => pg.edgePredicates.filter(_.binding == n)).getOrElse(Seq.empty)
+
     // deterministic start preference: most selective label, then name — the
     // first complete plan is the greedy one, and improvements must be strict,
     // so ties always resolve to the greedy choice (stable golden plans)
@@ -90,7 +94,7 @@ object Planner {
       var node = s.node; var card = s.card; var cost = s.cost
       cycles.foreach { e =>
         node = EdgePredicate(node, GetEdges(e.types, transpose = false, e.undirected,
-          e.minHops, e.maxHops), e.src, e.dst)
+          e.minHops, e.maxHops, edgePreds(e)), e.src, e.dst)
         card = math.max(card * 0.5, 1.0)
         cost += 1.2 * card
       }
@@ -110,7 +114,7 @@ object Planner {
         val nextRemaining = rest.filterNot(_ eq edge)
         val keep = (s.bound + toB) intersect (needed(pg, nextRemaining) + toB)
         var n: LogicNode = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected,
-          edge.minHops, edge.maxHops), toB, if (push) toLabel else None, keep)
+          edge.minHops, edge.maxHops, edgePreds(edge)), toB, if (push) toLabel else None, keep)
         if (!push && toLabel.isDefined) n = Filter(n, toLabel.get)
         n = applyPreds(n, toB)
         val nextCard = math.max(card * fan, 1.0)

@@ -30,6 +30,8 @@ import graft.graph.PropertyGraph
  *
  * Node property columns: name STRING (entity name or null), value DOUBLE
  * (acctbal / retailprice / totalprice as applicable).
+ * Edge property column: weight DOUBLE (PLACED = o_totalprice; CONTAINS /
+ * SUPPLIES = min l_quantity over the deduped lineitem rows; else null).
  */
 object TpchGraph {
   val RegionOff   = 1000000000L
@@ -63,19 +65,30 @@ object TpchGraph {
         .unionByName(nodes(part, "p_partkey", PartOff, "part", col("p_name"), col("p_retailprice")))
         .unionByName(nodes(orders, "o_orderkey", OrderOff, "order", nullS, col("o_totalprice")))
 
+    // Edge property `weight DOUBLE`: o_totalprice on PLACED; for the
+    // lineitem-derived types the dedup is a groupBy so the surviving edge
+    // carries min(l_quantity) — same shuffle the dropDuplicates paid, and it
+    // gives WHERE r.weight predicates a DuckDB-expressible oracle
+    // (HAVING min(l_quantity) ...)
+    val nullW = lit(null).cast("double").as("weight")
     val allEdges =
       nation.select((col("n_nationkey").cast("long") + NationOff).as("src"),
-        (col("n_regionkey").cast("long") + RegionOff).as("dst"), lit("IN_REGION").as("etype"))
+        (col("n_regionkey").cast("long") + RegionOff).as("dst"), lit("IN_REGION").as("etype"), nullW)
       .unionByName(customer.select((col("c_custkey") + CustomerOff).as("src"),
-        (col("c_nationkey").cast("long") + NationOff).as("dst"), lit("IN_NATION").as("etype")))
+        (col("c_nationkey").cast("long") + NationOff).as("dst"), lit("IN_NATION").as("etype"), nullW))
       .unionByName(supplier.select((col("s_suppkey") + SupplierOff).as("src"),
-        (col("s_nationkey").cast("long") + NationOff).as("dst"), lit("IN_NATION").as("etype")))
+        (col("s_nationkey").cast("long") + NationOff).as("dst"), lit("IN_NATION").as("etype"), nullW))
       .unionByName(orders.select((col("o_custkey") + CustomerOff).as("src"),
-        (col("o_orderkey") + OrderOff).as("dst"), lit("PLACED").as("etype")))
-      .unionByName(lineitem.select((col("l_orderkey") + OrderOff).as("src"),
-        (col("l_partkey") + PartOff).as("dst"), lit("CONTAINS").as("etype")).dropDuplicates("src", "dst"))
-      .unionByName(lineitem.select((col("l_suppkey") + SupplierOff).as("src"),
-        (col("l_partkey") + PartOff).as("dst"), lit("SUPPLIES").as("etype")).dropDuplicates("src", "dst"))
+        (col("o_orderkey") + OrderOff).as("dst"), lit("PLACED").as("etype"),
+        col("o_totalprice").cast("double").as("weight")))
+      .unionByName(lineitem
+        .groupBy((col("l_orderkey") + OrderOff).as("src"), (col("l_partkey") + PartOff).as("dst"))
+        .agg(min(col("l_quantity")).cast("double").as("weight"))
+        .select(col("src"), col("dst"), lit("CONTAINS").as("etype"), col("weight")))
+      .unionByName(lineitem
+        .groupBy((col("l_suppkey") + SupplierOff).as("src"), (col("l_partkey") + PartOff).as("dst"))
+        .agg(min(col("l_quantity")).cast("double").as("weight"))
+        .select(col("src"), col("dst"), lit("SUPPLIES").as("etype"), col("weight")))
 
     // every edge type is unique on (src, dst) by construction (FK projections
     // + explicit dropDuplicates for the lineitem-derived types)

@@ -233,6 +233,43 @@ class CypherSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L))
   }
 
+  test("WHERE conjunctions across bindings; edge-property predicates") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "A", 9.0), (3L, "B", 10.0), (4L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X", 1.0), (1L, 4L, "X", 7.0),
+        (2L, 3L, "X", 8.0), (2L, 4L, "X", 2.0))).toDF("src", "dst", "etype", "w"))
+    val db = new GraphDB(g)
+    // AND conjuncts on two different bindings stack as separate PropFilters
+    val and = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.value > 6 AND b.value > 15 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(and.toSeq == Seq((2L, 4L)))
+    // edge predicate filters the relationship rows themselves
+    val ep = db.query("MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 7 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ep == Set((1L, 4L), (2L, 3L)))
+    // node + edge predicates compose in one WHERE
+    val both = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 7 AND b.value > 15 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(both.toSeq == Seq((1L, 4L)))
+    // edge predicate against the walk direction (incoming): same edge rows
+    val inc = db.query("MATCH (b:B)<-[r:X]-(a:A) WHERE r.w >= 7 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((1L, 4L), (2L, 3L)))
+    // validation: varlen rel variable, duplicate rel variable, name collision
+    intercept[graft.cypher.ParseException](Pattern.fromQuery(CypherParser.parse(
+      "MATCH (a:A)-[r:X*1..2]->(b:B) WHERE r.w > 1 RETURN a")))
+    intercept[graft.cypher.ParseException](Pattern.fromQuery(CypherParser.parse(
+      "MATCH (a:A)-[r:X]->(b:B)-[r:X]->(c:B) RETURN a")))
+    intercept[graft.cypher.ParseException](Pattern.fromQuery(CypherParser.parse(
+      "MATCH (a:A)-[a:X]->(b:B) RETURN a")))
+    // a predicate naming neither a node nor a rel variable still errors
+    intercept[graft.cypher.ParseException](Pattern.fromQuery(CypherParser.parse(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE z.w > 1 RETURN a")))
+  }
+
   test("parser: property returns and aggregates with output names") {
     val q = CypherParser.parse(
       "MATCH (a:A)-[:X]->(b:B) RETURN a.name, count(b), sum(b.value), avg(b.value) " +

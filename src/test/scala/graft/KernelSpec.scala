@@ -136,6 +136,37 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("extract/assign with mask and accumulator match driver oracles") {
+    // reference extract/assign thread mask+accum like every kernel op
+    // (grbv2/MatrixOps.scala:46-105)
+    cases(3).foreach { s =>
+      val (a, mk, prev) = (sample(s), sample(s + 100), sample(s + 200))
+      val from = sample(s + 300).view.filterKeys(_._1 <= 2).toMap
+      val span = Span(0, 2)
+      def inSpan(k: (Long, Long)): Boolean = k._1 >= 0 && k._1 <= 2
+      val exM = toMap(GrOps.extract(mat(a), span, All, mask = Some(mat(mk))).df)
+      assert(exM == a.view.filterKeys(k => inSpan(k) && mk.contains(k)).toMap)
+      val exC = toMap(GrOps.extract(mat(a), span, All,
+        mask = Some(mat(mk)), complement = true).df)
+      assert(exC == a.view.filterKeys(k => inSpan(k) && !mk.contains(k)).toMap)
+      val exA = toMap(GrOps.extract(mat(a), span, All,
+        accum = Some(Ops.plus), previous = Some(mat(prev))).df)
+      assert(exA == unionOracle(a.view.filterKeys(inSpan).toMap, prev, _ + _))
+      // masked overwrite: mask-true region cells take `from` (absent `from`
+      // cell = delete), mask-false region cells keep their old value
+      val asM = toMap(GrOps.assign(mat(a), span, All, mat(from), mask = Some(mat(mk))).df)
+      assert(asM ==
+        a.view.filterKeys(k => !inSpan(k)).toMap ++
+        a.view.filterKeys(k => inSpan(k) && !mk.contains(k)).toMap ++
+        from.view.filterKeys(mk.contains).toMap)
+      // accumulating assign: the region folds old ⊕ new with union semantics
+      val asA = toMap(GrOps.assign(mat(a), span, All, mat(from), accum = Some(Ops.plus)).df)
+      assert(asA ==
+        a.view.filterKeys(k => !inSpan(k)).toMap ++
+        unionOracle(a.view.filterKeys(inSpan).toMap, from, _ + _))
+    }
+  }
+
   test("vxm BFS step: frontier × adjacency over anyPair") {
     import spark.implicits._
     val adj = GrMatrix(Seq((0L, 1L, true), (1L, 2L, true), (1L, 3L, true)).toDF("i", "j", "v"))
