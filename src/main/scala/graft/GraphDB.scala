@@ -19,6 +19,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
 
   lazy val stats: GraphStats = precomputed.getOrElse(graph.computeStats())
 
+  /** Mutation at the GraphDB level returns a NEW GraphDB whose stats are
+    * recomputed (lazily, on first plan) over the mutated graph — the
+    * freshness contract the reference keeps by updating StatsStore per
+    * insert (ConcurrentDirectedGraph.scala:121-124,151-152). The old
+    * GraphDB keeps its snapshot, so in-flight plans are unaffected; going
+    * through `graph.addNodes` directly and reusing the old GraphDB is the
+    * one way to plan against stale stats, and PropertyGraph's scaladoc
+    * says to rebuild. */
+  def addNodes(rows: DataFrame): GraphDB = new GraphDB(graph.addNodes(rows))
+  def addEdges(rows: DataFrame): GraphDB = new GraphDB(graph.addEdges(rows))
+
   def plan(cypher: String): LogicNode =
     Planner.plan(Pattern.fromQuery(CypherParser.parse(cypher)), stats)
 
@@ -98,22 +109,32 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       else i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
     val projected = withProps.select(q.returns.map(i => valueOf(i).as(i.outName)): _*)
     val distincted = if (q.distinct) projected.dropDuplicates() else projected
+    // ORDER BY accepts the pre-alias default name of a renamed item, same
+    // contract as the pattern path (Pattern.fromQuery's sortKeyToOut)
+    val sortKeyToOut = (q.returns.filter(_.alias.isDefined)
+      .map(r => r.defaultName -> r.outName) ++
+      q.returns.map(_.outName).map(n => n -> n)).toMap
     val ordered =
       if (q.orderBy.isEmpty) distincted
-      else distincted.orderBy(q.orderBy.map(k =>
-        if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
+      else distincted.orderBy(q.orderBy.map { k =>
+        val c = col(sortKeyToOut.getOrElse(k.binding, k.binding))
+        if (k.asc) c.asc else c.desc
+      }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
     q.limit.fold(skipped)(skipped.limit)
   }
 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
     // the required pattern must carry everything the result needs from it,
-    // plus every optional group's join keys
-    val mainNeeded =
+    // plus every optional group's join keys, plus the bindings the residual
+    // WHERE predicates read (possibly beyond the returned set)
+    val baseNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
+    val resBindings = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).map(_._1).distinct
+    val mainNeeded = (baseNeeded ++ resBindings).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
       optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
-      skip = None)
+      skip = None, residual = Seq.empty)
     val root = Planner.plan(mainPg, stats)
     val c = PatternExec.compileTracked(root, graph)
     val projected = c.df.select(mainNeeded.map(col): _*)
@@ -139,16 +160,32 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       acc.join(fded, g.shared, "left")
     }
     // property access: one broadcast-friendly join per binding that needs
-    // values, AFTER the set-semantics dedup so each distinct match contributes
-    // its property exactly once (left join: ids always resolve — PropertyGraph
-    // invariant — but stay robust to partial node tables)
-    val propsNeeded = pg.items.filter(_.prop.isDefined)
-      .groupBy(_.binding).view.mapValues(_.flatMap(_.prop).distinct).toMap
-    val withProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
+    // values — for RETURN items AND residual WHERE predicates — AFTER the
+    // set-semantics dedup so each distinct match contributes its property
+    // exactly once (left join: ids always resolve — PropertyGraph invariant
+    // — but stay robust to partial node tables)
+    val itemProps = pg.items.filter(_.prop.isDefined).map(i => i.binding -> i.prop.get)
+    val resProps = pg.residual.flatMap(cypher.Ast.Pred.refs(_))
+    val propsNeeded = (itemProps ++ resProps).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val withAllProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
       val sel = graph.nodes.select(
         (col("id").as(b) +: ps.map(p => col(p).as(s"${b}_$p"))): _*)
       acc.join(sel, Seq(b), "left")
     }
+    // residual WHERE: boolean structure / IS NULL over `binding_prop`
+    // columns. When a predicate reads a binding that is NOT returned, the
+    // match granularity was widened to carry it — restore the returned
+    // granularity afterwards (one dropDuplicates on the returned id
+    // columns; their property columns are functionally dependent)
+    val filtered = pg.residual.foldLeft(withAllProps)((acc, p) =>
+      acc.filter(operators.Preds.column(p, (b, pr) => col(s"${b}_$pr"))))
+    val withProps =
+      if (pg.residual.nonEmpty && mainNeeded != baseNeeded) {
+        val optCols = pg.optional.flatMap(g =>
+          pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
+        filtered.dropDuplicates(baseNeeded ++ optCols)
+      } else filtered
     def valueOf(i: cypher.Ast.Ret): Column =
       i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
     // aggregates run over the distinct matches (set semantics): count(b) =

@@ -179,9 +179,13 @@ object SparkEntry {
     // property aggregates over distinct matches: count/sum/max per group —
     // one combinable groupBy after the match dedup
     "cy_agg_props" -> ((s, dir) =>
+      // round the float sum on both sides: double summation is order-
+      // nondeterministic in the last bits; inputs are 2-decimal money, so
+      // round(·, 2) restores the exact value deterministically
       db(s, dir).query(
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:order) " +
-        "RETURN n.name, count(c), sum(o.value), max(o.value) ORDER BY n.name")),
+        "RETURN n.name, count(c), sum(o.value), max(o.value) ORDER BY n.name")
+        .withColumn("sum_o_value", round(col("sum_o_value"), 2))),
     // OPTIONAL MATCH: required match left-joined to the optional fragment —
     // customers with zero orders keep their row (count 0)
     "cy_optional" -> ((s, dir) =>
@@ -204,6 +208,30 @@ object SparkEntry {
     "cy_edge_prop" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (o:order)-[r:CONTAINS]->(p:part) WHERE r.weight >= 45 RETURN o, p")),
+    // WHERE disjunction across bindings — not pushable to either scan, so it
+    // compiles to a residual filter over the matched rows with both property
+    // columns joined back
+    "cy_where_or" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WHERE c.value > 9900 OR n.name = 'NATION_3' RETURN c, n")),
+    // NOT over a disjunction on a binding that is NOT returned: the match
+    // carries the extra binding for the filter, then restores the returned
+    // set-semantics granularity (distinct nations)
+    "cy_where_not" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
+        "WHERE NOT (c.value < 9000 OR c.name ENDS WITH '7') RETURN n ORDER BY n")),
+    // string predicates as bare conjuncts ride the pushdown path (filters
+    // reach the node parquet scan); IS NULL inside a disjunction is residual
+    "cy_string_ops" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) WHERE c.name STARTS WITH 'Customer#0000001' " +
+        "AND c.name ENDS WITH '9' RETURN c.name ORDER BY c.name")),
+    "cy_isnull_or" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) WHERE n.name IS NULL OR n.name STARTS WITH 'NATION_1' " +
+        "RETURN n.name ORDER BY n.name")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -417,12 +445,16 @@ object SparkEntry {
     // transpose∘transpose is the identity; a row-restricted extract is not.
     "kernel_isall" -> ((s, dir) => {
       val g = graph(s, dir)
+      // cache(): isAll runs two exceptAll actions plus the nvals count over
+      // the same operand — one scan job, three probe reuses
       val m = GrMatrix(g.edgesByType(Seq("IN_REGION"))
-        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v"))).cache()
       val eqFull = GrOps.isAll(m, m.transpose.transpose)
       val eqSub = GrOps.isAll(m, GrOps.extract(m, Indices(Seq(TpchGraph.NationOff)), All))
-      s.range(1).select(lit(eqFull).as("eq_full"), lit(eqSub).as("eq_sub"),
+      val out = s.range(1).select(lit(eqFull).as("eq_full"), lit(eqSub).as("eq_sub"),
         lit(m.nvals).as("nvals"))
+      m.df.unpersist()
+      out
     }),
     // getElement point probe (reference grbv2/GrBMatrix.scala:32-38) — the one
     // intentionally driver-side read, surfaced as a 1-row scalar query: probe
@@ -847,7 +879,7 @@ object SparkEntry {
        "WHERE c_acctbal > 9000 ORDER BY c_name LIMIT 50"),
     "cy_agg_props" ->
       ("SELECT n_name AS n_name, count(DISTINCT c_custkey) AS count_c, " +
-       "sum(o_totalprice) AS sum_o_value, max(o_totalprice) AS max_o_value " +
+       "round(sum(o_totalprice), 2) AS sum_o_value, max(o_totalprice) AS max_o_value " +
        "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
        "JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY n_name"),
     "cy_optional" ->
@@ -865,6 +897,19 @@ object SparkEntry {
     "cy_edge_prop" ->
       ("SELECT l_orderkey + 6000000000 AS o, l_partkey + 5000000000 AS p " +
        "FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) >= 45"),
+    "cy_where_or" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE c_acctbal > 9900 OR n_name = 'NATION_3'"),
+    "cy_where_not" ->
+      ("SELECT DISTINCT c_nationkey + 2000000000 AS n FROM customer " +
+       "WHERE NOT (c_acctbal < 9000 OR c_name LIKE '%7') ORDER BY n"),
+    "cy_string_ops" ->
+      ("SELECT c_name AS c_name FROM customer " +
+       "WHERE c_name LIKE 'Customer#0000001%' AND c_name LIKE '%9' ORDER BY c_name"),
+    "cy_isnull_or" ->
+      ("SELECT n_name AS n_name FROM nation " +
+       "WHERE n_name IS NULL OR n_name LIKE 'NATION_1%' ORDER BY n_name"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),

@@ -18,6 +18,12 @@ import graft.util.CacheLifecycle.releaseOnFirstAction
  */
 object Algorithms {
 
+  /** Vertex-count gate for the link predictors' explicit degree-table
+    * broadcasts: ≤ 8 M vertices ≈ 128 MB of (id, deg) rows — comfortably
+    * within executor/driver broadcast budgets; above it the hint is dropped
+    * and AQE picks the join strategy from runtime sizes. */
+  private val MaxBroadcastVertices: Long = 8L * 1024 * 1024
+
   /**
    * Thrown when an iterative algorithm exhausts its iteration budget before
    * reaching the fixpoint. Silent truncation was round 2's one latent
@@ -303,6 +309,56 @@ object Algorithms {
       e)
   }
 
+  /** Degree at or above which a common-neighbor key counts as a hub and its
+    * wedge pairs are generated via per-key block decomposition instead of a
+    * single join partition (4096² ≈ 16.7 M pairs is where one straggler
+    * partition starts to dominate a stage). */
+  private val HubDegree = 4096L
+
+  /**
+   * All wedge triples (u, v, deg_w) with u < v through a common neighbor w,
+   * from a symmetrized incidence list `sym(w, n)` and a degree table
+   * `deg(w, deg)` — the shared pair-generation core of [[adamicAdar]] and
+   * [[neighborhoodJaccard]].
+   *
+   * Skew device: keys with deg(w) ≥ `hubDeg` would put deg² pair-rows in a
+   * single join partition (a power-law hub at deg 10⁶ is 10¹² pairs — AQE's
+   * skew split only repartitions INPUT rows, it cannot split the output
+   * explosion of one key). Hub keys instead take a per-key block
+   * decomposition (the [[graft.ml.Similarity.nearDupPairs]] triangle-combo
+   * device applied per key): each hub adjacency is hashed into `blocks`
+   * buckets and every unordered bucket pair joins separately, so a hub's
+   * pairs spread over `blocks` shuffle keys at the cost of replicating its
+   * incidence rows (blocks+1)/2 times. Cold keys keep the plain self-join —
+   * no replication, no extra shuffle.
+   */
+  private def wedgeTriples(sym: DataFrame, deg: DataFrame, degHint: DataFrame => DataFrame,
+                           hubDeg: Long, blocks: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val inc = sym.join(degHint(deg), "w")
+    val cold = inc.filter(col("deg") < hubDeg)
+    val hot = inc.filter(col("deg") >= hubDeg)
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("u"), col("r.n").as("v"), col("l.deg").as("wdeg"))
+    // unordered block pairs, orientation alternated for balance (each cross
+    // pair lands in exactly one combo row; diagonal combos keep n_l < n_r)
+    val combos = (for { i <- 0 until blocks; j <- i until blocks } yield
+      if ((i + j) % 2 == 0) (i, j) else (j, i)).toDF("bx", "cby")
+    val hl = hot.select(col("w"), col("n").as("ln"), col("deg"),
+      pmod(xxhash64(col("n")), lit(blocks)).cast("int").as("bx"))
+    val hr = hot.select(col("w").as("rw"), col("n").as("rn"),
+      pmod(xxhash64(col("n")), lit(blocks)).cast("int").as("rby"))
+    val hotPairs = hl.join(broadcast(combos), Seq("bx"))
+      .join(hr, col("w") === col("rw") && col("cby") === col("rby"))
+      .filter((col("bx") =!= col("rby") && col("ln") =!= col("rn")) ||
+              (col("bx") === col("rby") && col("ln") < col("rn")))
+      .select(least(col("ln"), col("rn")).as("u"),
+        greatest(col("ln"), col("rn")).as("v"), col("deg").as("wdeg"))
+    coldPairs.unionByName(hotPairs)
+  }
+
   /**
    * Adamic–Adar link-prediction scores for NON-adjacent vertex pairs:
    * score(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1 / ln(deg w). The classic
@@ -310,28 +366,33 @@ object Algorithms {
    * self-join of the symmetrized incidence list keyed on w (never an
    * all-pairs product), then an anti-join drops already-connected pairs.
    * At scale the join fan-out is Σ deg(w)², the same wedge bound as
-   * [[triangleCount]]; power-law hubs are the skew risk and AQE's skew-join
-   * split handles them.
+   * [[triangleCount]]; power-law hubs take the [[wedgeTriples]] per-key
+   * block decomposition, everything else the plain self-join.
    *
    * @return (u, v, score DOUBLE) with u < v, only pairs with ≥1 common neighbor
    */
-  def adamicAdar(edges: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame, hubDeg: Long = HubDegree, blocks: Int = 8): DataFrame = {
     val e = canonicalEdges(edges).cache()
     val sym = e.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e.select(col("b").as("w"), col("a").as("n")))
+    // deg is vertex-sized but derives from sym (no size stats), so the
+    // static planner would sort-merge — broadcast it explicitly so the
+    // incidence list isn't sorted before the wedge self-join re-sorts it by
+    // w anyway. The hint is GATED on a measured vertex count: a tractable
+    // Σ deg² pair table does NOT bound the vertex count (1 B vertices of
+    // degree ~2 has a modest wedge table but a deg table far past any
+    // broadcast limit), so above the gate we fall back to a shuffle join
+    // and let AQE size it. deg is persisted — the count and the join share
+    // one computation — and released with the rest of the scratch.
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
-    // deg is vertex-sized but derives from sym (no size stats) — broadcast
-    // it explicitly so the incidence list isn't sorted for a merge join
-    // before the wedge self-join re-sorts it by w anyway. Broadcast bound:
-    // any graph whose Σ deg² pair table is tractable has an active-vertex
-    // set orders of magnitude smaller — the ~16 B/vertex deg table fits
-    // wherever this operator is feasible at all.
-    val inc = sym.join(broadcast(deg), "w")
-    val pairs = inc.as("l").join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
-      .select(col("l.n").as("u"), col("r.n").as("v"), (lit(1.0) / log(col("l.deg"))).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degHint: DataFrame => DataFrame =
+      if (deg.count() <= MaxBroadcastVertices) broadcast(_) else identity
+    val pairs = wedgeTriples(sym, deg, degHint, hubDeg, blocks)
+      .select(col("u"), col("v"), (lit(1.0) / log(col("wdeg"))).as("s"))
       .groupBy("u", "v").agg(sum("s").as("score"))
     releaseOnFirstAction(
-      pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti"), e)
+      pairs.join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti"), e, deg)
   }
 
   /**
@@ -345,27 +406,32 @@ object Algorithms {
    *
    * @return (u, v, score DOUBLE) with u < v, only pairs with ≥1 common neighbor
    */
-  def neighborhoodJaccard(edges: DataFrame): DataFrame = {
+  def neighborhoodJaccard(edges: DataFrame, hubDeg: Long = HubDegree, blocks: Int = 8): DataFrame = {
     val e = canonicalEdges(edges).cache()
     val sym = e.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e.select(col("b").as("w"), col("a").as("n")))
-    // the wedge self-join + (u,v) aggregation carries the O(Σ deg²) pair
-    // table — keep it lean (no degree columns through the shuffle) and
-    // attach the vertex-count-sized degree table afterwards as two
-    // EXPLICIT broadcast joins (deg derives from sym, so the optimizer has
-    // no size stats and would otherwise sort-merge the big side twice).
-    // Broadcast bound: feasible Σ deg² implies a deg table far smaller
-    // than the pair table this operator already materializes.
+    // the wedge pair generation (hub-salted, shared with adamicAdar) carries
+    // the O(Σ deg²) pair table; the vertex-count-sized degree table attaches
+    // afterwards as two EXPLICIT broadcast joins (deg derives from sym, so
+    // the static optimizer has no size stats and would otherwise sort-merge
+    // the big side twice). Gated on a measured vertex count, as in
+    // [[adamicAdar]]: a tractable pair table does not bound the vertex
+    // count, so above the gate fall back to shuffle joins and let AQE size
+    // them.
     val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
-    val inter = sym.as("l").join(sym.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
-      .groupBy(col("l.n").as("u"), col("r.n").as("v")).agg(count(lit(1)).as("inter"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degHint: DataFrame => DataFrame =
+      if (deg.count() <= MaxBroadcastVertices) broadcast(_) else identity
+    val inter = wedgeTriples(sym, deg.select(col("id").as("w"), col("deg")), degHint,
+        hubDeg, blocks)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("inter"))
     val scored = inter
-      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), "u")
-      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), "v")
+      .join(degHint(deg.select(col("id").as("u"), col("deg").as("du"))), "u")
+      .join(degHint(deg.select(col("id").as("v"), col("deg").as("dv"))), "v")
       .select(col("u"), col("v"),
         (col("inter") / (col("du") + col("dv") - col("inter"))).as("score"))
     releaseOnFirstAction(
-      scored.join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti"), e)
+      scored.join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti"), e, deg)
   }
 
   /**

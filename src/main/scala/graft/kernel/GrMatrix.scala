@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
  * eWiseAdd with the prior output.
  */
 final case class GrMatrix(df: DataFrame) {
-  def nvals: Long = df.count()
+  /** Memoized — the wrapper is immutable, so the count is stable; repeated
+    * scalar probes (isAll + nvals in one driver-valued query) pay one job. */
+  lazy val nvals: Long = df.count()
   def transpose: GrMatrix = GrMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")))
   def cache(): GrMatrix = GrMatrix(df.cache())
   /** Reference lifecycle ops (grbv2/GrBMatrixOps.scala:19-155): `clear` keeps
@@ -54,7 +56,7 @@ final case class GrMatrix(df: DataFrame) {
 }
 
 final case class GrVector(df: DataFrame) {
-  def nvals: Long = df.count()
+  lazy val nvals: Long = df.count()
   def clear: GrVector = GrVector(df.filter(lit(false)))
 }
 

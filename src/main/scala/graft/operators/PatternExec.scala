@@ -142,16 +142,7 @@ object PatternExec {
     else Compiled(projected.dropDuplicates(), distinct = true)
   }
 
-  private def predColumn(p: Ast.Cmp): Column = {
-    val c = col(p.prop)
-    val v = lit(p.value)
-    p.op match {
-      case "="  => c === v
-      case "<>" => c =!= v
-      case "<"  => c < v
-      case "<=" => c <= v
-      case ">"  => c > v
-      case ">=" => c >= v
-    }
-  }
+  /** Pushdown predicate over a node/edge scan: columns are bare property
+    * names, so Catalyst pushes the comparison into the parquet read. */
+  private def predColumn(p: Ast.Cmp): Column = Preds.column(p, (_, prop) => col(prop))
 }

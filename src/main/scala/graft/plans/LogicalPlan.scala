@@ -46,7 +46,12 @@ object Pattern {
       limit: Option[Int],
       skip: Option[Int] = None,
       optional: Seq[OptionalGroup] = Seq.empty,
-      edgePredicates: Seq[Ast.Cmp] = Seq.empty) {       // WHERE conjuncts on rel variables
+      edgePredicates: Seq[Ast.Cmp] = Seq.empty,        // WHERE conjuncts on rel variables
+      /** WHERE conjuncts with boolean structure (OR / NOT / nested AND) or
+        * IS NULL — not pushable to a single binding's scan; GraphDB.run
+        * applies them over the matched rows with the referenced property
+        * columns joined back, then restores set-semantics granularity. */
+      residual: Seq[Ast.Pred] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present. */
     def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
@@ -121,13 +126,25 @@ object Pattern {
     val unknown = q.returns.map(_.binding).filterNot(allBindings)
     if (unknown.nonEmpty)
       throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
-    // sort keys must name an output column (binding, b_prop, count_b, agg_b_prop)
-    val sortable = q.returns.map(_.outName).toSet
-    val unknownSort = q.orderBy.map(_.binding).filterNot(sortable)
+    // sort keys name an output column (binding, b_prop, count_b, agg_b_prop)
+    // either by its AS alias or by its pre-alias default name — openCypher
+    // permits ordering by the underlying expression of a renamed item. A
+    // pre-alias name shadowed by another item's alias resolves to the item
+    // that OWNS the alias (aliases are the output schema; defaults only
+    // fill the gaps).
+    val aliasNames = q.returns.map(_.outName).map(n => n -> n)
+    val preAliasNames = q.returns.filter(_.alias.isDefined)
+      .map(r => r.defaultName -> r.outName)
+    val sortKeyToOut = (preAliasNames ++ aliasNames).toMap
+    val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
     if (unknownSort.nonEmpty)
       throw new graft.cypher.ParseException(
         s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
+    val orderByResolved = q.orderBy.map(k => k.copy(binding = sortKeyToOut(k.binding)))
+    // bare comparisons push down to the binding's scan; anything with
+    // boolean structure or IS NULL is residual (filtered post-match)
     val cmps = q.where.collect { case c: Ast.Cmp => c }
+    val residual = q.where.filterNot(_.isInstanceOf[Ast.Cmp])
     // relationship variables of the REQUIRED pattern: WHERE r.prop anchors
     // here. A name may not collide with a node binding or repeat.
     val edgeNames = mainEdges.flatMap(e => e.name.map(_ -> e))
@@ -149,8 +166,20 @@ object Pattern {
       throw new graft.cypher.ParseException(
         s"WHERE references optional/unbound bindings: ${badPred.mkString(",")} " +
           "(the single WHERE clause applies to the required pattern)")
-    PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, q.orderBy, q.limit,
-      q.skip, groups, edgeCmps)
+    // residual predicates may reference required-pattern NODE bindings only:
+    // relationship properties inside OR/NOT would need the edge columns
+    // carried through the whole match, and optional bindings would change
+    // the left-join semantics — both rejected loudly
+    val resBindings = residual.flatMap(Ast.Pred.refs(_)).map(_._1).distinct
+    resBindings.filterNot(mainLabels.contains).foreach { b =>
+      if (edgeByName.contains(b)) throw new graft.cypher.ParseException(
+        s"relationship property of $b may only appear as a bare AND conjunct, not inside OR/NOT")
+      else throw new graft.cypher.ParseException(
+        s"WHERE references optional/unbound bindings: $b " +
+          "(the single WHERE clause applies to the required pattern)")
+    }
+    PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, orderByResolved,
+      q.limit, q.skip, groups, edgeCmps, residual)
   }
 }
 

@@ -36,21 +36,32 @@ object CacheLifecycle {
    * irrecoverably (checkpoint blocks are instead reclaimed by the
    * ContextCleaner once the frame is unreachable).
    *
-   * A result that is constructed but never acted on leaves its listener
-   * registered (one small object holding two plan references — no executor
-   * memory); the first action on ANY derivation, however late, still
-   * releases the scratch.
+   * A result that is constructed but never acted on cannot hold its
+   * listener forever: each registered listener pays a `sameResult` tree-walk
+   * on EVERY later query in the session, so abandoned results would
+   * accumulate per-query overhead. After [[ExpiryBudget]] non-matching
+   * query executions the listener gives up — it releases the scratch and
+   * deregisters. That is safe by the recomputability contract above: if the
+   * abandoned result IS acted on even later, it recomputes the scratch
+   * lineage without the cache, which is the same behavior as the second
+   * action on a released result.
    */
+  private val ExpiryBudget = 256
+
   def releaseOnFirstAction(result: DataFrame, scratch: DataFrame*): DataFrame = {
     if (scratch.isEmpty) return result
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
+      // listener-bus delivery is single-threaded per listener → plain var
+      private var remaining = ExpiryBudget
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        remaining -= 1
+        if (remaining <= 0 || qe.analyzed.exists(_.sameResult(target))) {
           scratch.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }
+      }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =

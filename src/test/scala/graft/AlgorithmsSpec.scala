@@ -119,6 +119,27 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Map((2L, 3L) -> 1.0))
   }
 
+  test("link predictors: hub-salted block path matches the plain self-join") {
+    // star hub 0 -> {1..8} plus a triangle closing some pairs: with
+    // hubDeg = 1 EVERY key routes through the block decomposition; results
+    // must be identical to the all-cold path (hubDeg huge) for both
+    // predictors, across block counts that do and don't divide the degrees
+    val es = (1L to 8L).map(i => (0L, i)) ++ Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    val df = es.toDF("src", "dst")
+    for (blocks <- Seq(2, 3, 8)) {
+      val aaCold = Algorithms.adamicAdar(df, hubDeg = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)).toMap
+      val aaHot = Algorithms.adamicAdar(df, hubDeg = 1L, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)).toMap
+      assert(aaHot == aaCold, s"adamicAdar blocks=$blocks")
+      val njCold = Algorithms.neighborhoodJaccard(df, hubDeg = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)).toMap
+      val njHot = Algorithms.neighborhoodJaccard(df, hubDeg = 1L, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)).toMap
+      assert(njHot == njCold, s"neighborhoodJaccard blocks=$blocks")
+    }
+  }
+
   test("k-core: peeling cascades; empty core; budget exhaustion throws") {
     // triangle {0,1,2} + tail 2-3-4: peeling the tail at k=2 cascades
     // (4 drops, then 3) before the fixpoint

@@ -73,6 +73,35 @@ class CypherSpec extends SparkSpec {
     assert(rendered.columns.contains("t") && rendered.columns.contains("t_label"))
   }
 
+  test("ORDER BY also accepts the pre-alias name of a renamed item") {
+    val db = new GraphDB(diamond)
+    // openCypher: ordering by the underlying expression of an AS-renamed item
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b AS target ORDER BY b DESC")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 2L))
+    val agg = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b AS t, count(a) AS n ORDER BY count_a DESC, b ASC")
+    assert(agg.columns.toSeq == Seq("t", "n"))
+    assert(agg.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // a name that is neither an alias nor a pre-alias default still fails loudly
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A)-[:X]->(b:B) RETURN b AS t ORDER BY c"))
+    }
+  }
+
+  test("SKIP/LIMIT operands validated at parse time") {
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN a SKIP -5")
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN a LIMIT 2.9")
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN a SKIP 1 LIMIT -1")
+    }
+  }
+
   test("SKIP pages past sorted rows, composes with LIMIT") {
     val db = new GraphDB(diamond)
     // sorted b's are [2, 3]; SKIP 1 drops the first
@@ -323,6 +352,60 @@ class CypherSpec extends SparkSpec {
     assert(byName.toSeq == Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("WHERE boolean structure: OR/NOT/parens residual, string ops pushdown, IS NULL") {
+    val db = new GraphDB(propsG)
+    // disjunction across one binding's props — residual filter, both returned
+    val or = db.query("MATCH (a:A)-[:X]->(b:B) WHERE b.value > 15 OR b.name = 'x' RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(or.toSeq == Seq(2L, 3L, 4L))
+    // NOT over a disjunction; the pred binding is NOT returned → the match
+    // is widened to carry b, then restored to distinct a's
+    val not = db.query("MATCH (a:A)-[:X]->(b:B) WHERE NOT (b.value > 15 OR b.name = 'zzz') RETURN a")
+      .collect().map(_.getLong(0))
+    assert(not.toSeq == Seq(1L))
+    // string predicates as bare conjuncts ride the pushdown path
+    val sw = db.query("MATCH (b:B) WHERE b.name STARTS WITH 'x' RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(sw.toSeq == Seq(2L, 4L))
+    val ct = db.query("MATCH (n) WHERE n.name CONTAINS '1' RETURN n")
+      .collect().map(_.getLong(0))
+    assert(ct.toSeq == Seq(1L))
+    // AND binds tighter than OR: y OR (x AND value>15) → only y
+    val prec = db.query(
+      "MATCH (b:B) WHERE b.name = 'y' OR b.name = 'x' AND b.value > 15 RETURN b")
+      .collect().map(_.getLong(0))
+    assert(prec.toSeq == Seq(3L))
+    // parens override: (y OR x) AND value<15 → the two x's
+    val par = db.query(
+      "MATCH (b:B) WHERE (b.name = 'y' OR b.name = 'x') AND b.value < 15 RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(par.toSeq == Seq(2L, 4L))
+    // IS NULL / IS NOT NULL inside a disjunction
+    val nn = db.query(
+      "MATCH (n) WHERE n.name IS NULL OR n.name ENDS WITH '1' RETURN n")
+      .collect().map(_.getLong(0))
+    assert(nn.toSeq == Seq(1L))
+    // mixed: pushdown conjunct + residual disjunction in one WHERE
+    val mixed = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.name = 'a1' AND (b.value > 15 OR b.name = 'x') RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(mixed.toSeq == Seq(2L, 3L, 4L))
+    // aggregation over residual-filtered matches keeps returned granularity
+    val agg = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE b.value < 15 OR b.name = 'y' RETURN a, count(b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(agg.toSeq == Seq((1L, 3L)))
+    // residual may not reference an edge variable or an optional binding
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A)-[r:X]->(b:B) WHERE r.w > 1 OR b.value > 1 RETURN b"))
+    }
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 1 OR a.value > 1 RETURN a, b"))
+    }
+  }
+
   test("optional match: unmatched rows keep nulls; multiple matches fan out") {
     val db = new GraphDB(diamond)
     // every B reached from a; c:C has no X edge out → null b
@@ -432,5 +515,25 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(4L, 5L))
     assert(g1.node(5L).count() == 1)
+  }
+
+  test("mutation: GraphDB.addNodes/addEdges plans with fresh stats") {
+    import spark.implicits._
+    val db0 = new GraphDB(diamond)
+    val before = db0.stats // force the pre-mutation snapshot
+    val db1 = db0
+      .addNodes(Seq((5L, "C"), (6L, "C")).toDF("id", "label"))
+      .addEdges(Seq((2L, 5L, "Y"), (2L, 6L, "Y")).toDF("src", "dst", "etype"))
+    // the new GraphDB recomputes stats over the mutated graph...
+    assert(db1.stats.nodeCounts("C") == before.nodeCounts("C") + 2)
+    assert(db1.stats.edgeCounts("Y") == before.edgeCounts("Y") + 2)
+    assert(db1.stats.tripletCount(Some("B"), Seq("Y"), Some("C")) ==
+      before.tripletCount(Some("B"), Seq("Y"), Some("C")) + 2)
+    // ...the old one keeps its snapshot (in-flight plans unaffected)
+    assert(db0.stats eq before)
+    // and the post-mutation plan sees the new rows
+    val got = db1.query("MATCH (b:B)-[:Y]->(c:C) RETURN c")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 5L, 6L))
   }
 }
