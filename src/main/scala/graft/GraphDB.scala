@@ -46,8 +46,75 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val q = CypherParser.parse(cypher)
     q.shortest match {
       case Some(sp) => runShortest(sp, q)
-      case None     => run(Pattern.fromQuery(q))
+      case None => q.withClause match {
+        case Some(w) => runWith(q, w)
+        case None    => run(Pattern.fromQuery(q))
+      }
     }
+  }
+
+  /**
+   * `MATCH … WITH <items> [WHERE …] RETURN …`: stage 1 runs the match with
+   * the WITH items as its projection (full pushdown/residual WHERE machinery
+   * applies before the pipe); the WITH WHERE then filters the stage-1 OUTPUT
+   * rows (post-aggregation — SQL's HAVING — referencing items by output
+   * name); stage 2 projects or re-aggregates those columns. Post-WITH rows
+   * are plain rows, so stage-2 `count(x)` counts them (openCypher), not the
+   * pre-WITH distinct-match semantics.
+   */
+  private def runWith(q: cypher.Ast.Query, w: cypher.Ast.WithClause): DataFrame = {
+    import graft.cypher.Ast
+    val stage1 = run(Pattern.fromQuery(q.copy(returns = w.items, distinct = w.distinct,
+      orderBy = Seq.empty, limit = None, skip = None, withClause = None)))
+    val withCols = w.items.map(_.outName)
+    val colSet = withCols.toSet
+    w.where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
+      if (p.nonEmpty) throw new cypher.ParseException(
+        s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
+      if (!colSet(b)) throw new cypher.ParseException(
+        s"WITH … WHERE references $b, not among the WITH items: ${withCols.mkString(",")}")
+    }
+    val having = w.where.foldLeft(stage1)((acc, p) =>
+      acc.filter(operators.Preds.column(p, (b, _) => col(b))))
+    q.returns.foreach { r =>
+      if (r.prop.isDefined) throw new cypher.ParseException(
+        s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
+          "(project the property in the WITH items instead)")
+      if (!colSet(r.binding)) throw new cypher.ParseException(
+        s"RETURN references ${r.binding}, not among the WITH items: ${withCols.mkString(",")}")
+    }
+    val aggItems = q.returns.filter(_.agg.isDefined)
+    val groupItems = q.returns.filter(_.agg.isEmpty)
+    val projected =
+      if (aggItems.isEmpty) having.select(q.returns.map(i => col(i.binding).as(i.outName)): _*)
+      else {
+        val aggs = aggItems.map { i =>
+          (i.agg.get match {
+            case "count" => count(col(i.binding))
+            case "sum"   => sum(col(i.binding))
+            case "min"   => min(col(i.binding))
+            case "max"   => max(col(i.binding))
+            case "avg"   => avg(col(i.binding))
+            case other   => throw new cypher.ParseException(s"$other() is not supported after WITH")
+          }).as(i.outName)
+        }
+        if (groupItems.isEmpty) having.agg(aggs.head, aggs.tail: _*)
+        else having.groupBy(groupItems.map(i => col(i.binding).as(i.outName)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    val distincted = if (q.distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
+    val sortKeyToOut = (q.returns.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
+      q.returns.map(_.outName).map(n => n -> n)).toMap
+    val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
+    if (unknownSort.nonEmpty) throw new cypher.ParseException(
+      s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
+    val ordered =
+      if (q.orderBy.isEmpty) distincted
+      else distincted.orderBy(q.orderBy.map { k =>
+        val c = col(sortKeyToOut(k.binding)); if (k.asc) c.asc else c.desc
+      }: _*)
+    val skipped = q.skip.fold(ordered)(ordered.offset)
+    q.limit.fold(skipped)(skipped.limit)
   }
 
   /**

@@ -232,6 +232,19 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (n:nation) WHERE n.name IS NULL OR n.name STARTS WITH 'NATION_1' " +
         "RETURN n.name ORDER BY n.name")),
+    // WITH pipeline: aggregate per nation, HAVING-filter on the aggregate,
+    // return the surviving groups
+    "cy_with_having" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
+        "WITH n.name AS nation, count(c) AS n_cust WHERE n_cust >= 60 " +
+        "RETURN nation, n_cust ORDER BY nation")),
+    // WITH then a second aggregation stage over the piped columns
+    "cy_with_agg" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
+        "WITH n, count(c) AS n_cust " +
+        "RETURN min(n_cust), max(n_cust), sum(n_cust), count(n)")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -616,6 +629,18 @@ object SparkEntry {
       graft.text.TextOps.minhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
       graft.text.TextOps.simhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
+    // pairs → connected components → one canonical doc per cluster: the
+    // drop decision every dedup pipeline actually ships (non-transitive
+    // similarity, transitive drop)
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.TextOps.minhashDedup(docs, "doc_id", "text").select("a", "b")
+      graft.text.TextOps.dedupClusters(docs, "doc_id", pairs)
+    }),
+    // verbatim 8-grams shared across docs + per-doc boilerplate fraction
+    "text_boilerplate" -> ((s, dir) =>
+      graft.text.TextOps.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)),
 
     // --- embedding similarity ---
     "emb_neardup" -> ((s, dir) =>
@@ -910,6 +935,15 @@ object SparkEntry {
     "cy_isnull_or" ->
       ("SELECT n_name AS n_name FROM nation " +
        "WHERE n_name IS NULL OR n_name LIKE 'NATION_1%' ORDER BY n_name"),
+    "cy_with_having" ->
+      ("SELECT n_name AS nation, count(DISTINCT c_custkey)::BIGINT AS n_cust " +
+       "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 HAVING count(DISTINCT c_custkey) >= 60 ORDER BY nation"),
+    "cy_with_agg" ->
+      ("WITH per AS (SELECT n_nationkey, count(DISTINCT c_custkey)::BIGINT AS n_cust " +
+       "FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY 1) " +
+       "SELECT min(n_cust)::BIGINT AS min_n_cust, max(n_cust)::BIGINT AS max_n_cust, " +
+       "sum(n_cust)::BIGINT AS sum_n_cust, count(*)::BIGINT AS count_n FROM per"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),
@@ -1214,6 +1248,31 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle("a, b, jaccard"),
     "dedup_minhash" -> jaccardOracle("a, b"),
     "dedup_simhash" -> jaccardOracle("a, b"),
+    // clusters = transitive closure of the jaccard-0.5 pair graph (the
+    // minhash verify contract); min label propagation in a recursive CTE
+    "dedup_clusters" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
+       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+       "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
+       "JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+       "jp AS (SELECT a, b FROM (SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard " +
+       "FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id) WHERE jaccard >= 0.5), " +
+       "edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp), " +
+       "reach AS (SELECT doc_id AS u, doc_id AS lbl FROM documents " +
+       "UNION SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u) " +
+       "SELECT u AS doc_id, min(lbl)::BIGINT AS canonical, u = min(lbl) AS keep " +
+       "FROM reach GROUP BY 1"),
+    "text_boilerplate" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || " +
+       "ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS shingle " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t WHERE len(ws) >= 8), " +
+       "b AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2) " +
+       "SELECT doc_id, count(*)::BIGINT AS n_ngrams, count(b.shingle)::BIGINT AS n_boiler, " +
+       "round(count(b.shingle) * 1.0 / count(*), 6) AS boiler_frac " +
+       "FROM sh LEFT JOIN b USING (shingle) GROUP BY 1"),
 
     "emb_neardup" ->
       ("SELECT a.vec_id AS a, b.vec_id AS b, " +

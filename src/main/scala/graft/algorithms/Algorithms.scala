@@ -333,10 +333,17 @@ object Algorithms {
    * no replication, no extra shuffle.
    */
   private def wedgeTriples(sym: DataFrame, deg: DataFrame, degHint: DataFrame => DataFrame,
-                           hubDeg: Long, blocks: Int): DataFrame = {
+                           hubDeg: Long, blocks: Int, maxDeg: Long): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     val inc = sym.join(degHint(deg), "w")
+    // the caller measured the max degree in the same job as the broadcast
+    // gate: with no hub anywhere, skip the hot branch entirely — no filter,
+    // no second scan of the incidence join, no empty union leg
+    if (maxDeg < hubDeg)
+      return inc.as("l")
+        .join(inc.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+        .select(col("l.n").as("u"), col("r.n").as("v"), col("l.deg").as("wdeg"))
     val cold = inc.filter(col("deg") < hubDeg)
     val hot = inc.filter(col("deg") >= hubDeg)
     val coldPairs = cold.as("l")
@@ -386,9 +393,13 @@ object Algorithms {
     // one computation — and released with the rest of the scratch.
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one gate job reads both the vertex count (broadcast gate) and the max
+    // degree (hub-path gate) off the persisted degree table
+    val gate = deg.agg(count(lit(1)).as("nv"), max(col("deg")).as("md")).first()
+    val (nV, maxDeg) = (gate.getLong(0), if (gate.isNullAt(1)) 0L else gate.getLong(1))
     val degHint: DataFrame => DataFrame =
-      if (deg.count() <= MaxBroadcastVertices) broadcast(_) else identity
-    val pairs = wedgeTriples(sym, deg, degHint, hubDeg, blocks)
+      if (nV <= MaxBroadcastVertices) broadcast(_) else identity
+    val pairs = wedgeTriples(sym, deg, degHint, hubDeg, blocks, maxDeg)
       .select(col("u"), col("v"), (lit(1.0) / log(col("wdeg"))).as("s"))
       .groupBy("u", "v").agg(sum("s").as("score"))
     releaseOnFirstAction(
@@ -420,10 +431,12 @@ object Algorithms {
     // them.
     val deg = sym.groupBy(col("n").as("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val gate = deg.agg(count(lit(1)).as("nv"), max(col("deg")).as("md")).first()
+    val (nV, maxDeg) = (gate.getLong(0), if (gate.isNullAt(1)) 0L else gate.getLong(1))
     val degHint: DataFrame => DataFrame =
-      if (deg.count() <= MaxBroadcastVertices) broadcast(_) else identity
+      if (nV <= MaxBroadcastVertices) broadcast(_) else identity
     val inter = wedgeTriples(sym, deg.select(col("id").as("w"), col("deg")), degHint,
-        hubDeg, blocks)
+        hubDeg, blocks, maxDeg)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("inter"))
     val scored = inter
       .join(degHint(deg.select(col("id").as("u"), col("deg").as("du"))), "u")

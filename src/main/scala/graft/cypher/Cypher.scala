@@ -92,6 +92,15 @@ object Ast {
       case (None, None)       => binding
     }
   }
+  /** `MATCH … WITH <items> [WHERE <preds>] RETURN …` — one pipeline stage:
+    * the WITH items project/aggregate the match (same grammar and set
+    * semantics as RETURN), the optional WHERE filters the WITH OUTPUT rows
+    * (Cypher's post-aggregation filter, SQL's HAVING) and refers to items
+    * by their output name (`n`, `count_c`, or an AS alias) — bare names,
+    * no dots: after WITH only the projected columns exist. RETURN then
+    * projects or re-aggregates over those columns. */
+  final case class WithClause(items: Seq[Ret], distinct: Boolean, where: Seq[Pred])
+
   /** `MATCH p = shortestPath((a)-[:T*]->(b))` — per endpoint pair (a, b),
     * the minimum-length path over the typed edges; `length(p)` in RETURN
     * projects that length. The variable-length bound MAY be unbounded here
@@ -107,7 +116,8 @@ object Ast {
       orderBy: Seq[SortKey],
       limit: Option[Int],
       skip: Option[Int] = None,       // `SKIP n` — rows dropped before LIMIT
-      shortest: Option[Shortest] = None)
+      shortest: Option[Shortest] = None,
+      withClause: Option[WithClause] = None)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -196,10 +206,11 @@ object CypherParser {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
         preds ++= Pred.conjuncts(orExpr())
       }
-      if (!kw("RETURN")) err("expected RETURN")
-      val distinct = kw("DISTINCT")
       val aggNames = Set("count", "sum", "min", "max", "avg")
-      def retItem(): Ret = {
+      // `afterWith`: items reference the WITH output columns by bare name,
+      // so aggregates over a bare column (`sum(n)`) are legal and property
+      // access is not
+      def retItem(afterWith: Boolean = false): Ret = {
         val name = ident()
         ws()
         val base = if (name.toLowerCase == "length" && peek == '(') {
@@ -210,9 +221,11 @@ object CypherParser {
           val p = if (tryEat('.')) Some(ident()) else None
           eat(')')
           val a = name.toLowerCase
+          if (p.isDefined && afterWith)
+            err(s"$a($b.${p.get}): property access is not available after WITH")
           if (a == "count" && p.isDefined)
             err("count() takes a binding, not a property (set semantics counts matches)")
-          if (a != "count" && p.isEmpty)
+          if (a != "count" && p.isEmpty && !afterWith)
             err(s"$a() requires a property argument: $a(binding.prop)")
           Ret(b, p, Some(a))
         } else {
@@ -222,8 +235,22 @@ object CypherParser {
         // `AS alias` renames the output column; ORDER BY refers to it
         if (kw("AS")) base.copy(alias = Some(ident())) else base
       }
-      val rets = scala.collection.mutable.ArrayBuffer(retItem())
-      while (tryEat(',')) rets += retItem()
+      // WITH pipeline stage (items + HAVING-style WHERE over output names)
+      var withClause: Option[WithClause] = None
+      if (kw("WITH")) {
+        if (shortest.isDefined) err("WITH is not supported with shortestPath")
+        val wDistinct = kw("DISTINCT")
+        val wItems = scala.collection.mutable.ArrayBuffer(retItem())
+        while (tryEat(',')) wItems += retItem()
+        val wPreds =
+          if (kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true)) else Seq.empty
+        withClause = Some(WithClause(wItems.toSeq, wDistinct, wPreds))
+      }
+      if (!kw("RETURN")) err("expected RETURN")
+      val distinct = kw("DISTINCT")
+      val afterWith = withClause.isDefined
+      val rets = scala.collection.mutable.ArrayBuffer(retItem(afterWith))
+      while (tryEat(',')) rets += retItem(afterWith)
       val order = scala.collection.mutable.ArrayBuffer[SortKey]()
       if (kw("ORDER")) {
         if (!kw("BY")) err("expected BY after ORDER")
@@ -241,7 +268,7 @@ object CypherParser {
       ws()
       if (i < s.length) err("trailing input")
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest)
+        limit, skip, shortest, withClause)
     }
 
     private def path(): Path = {
@@ -317,29 +344,32 @@ object CypherParser {
       s.substring(start, i).toInt
     }
 
-    private def orExpr(): Pred = {
-      var l = andExpr()
-      while (kw("OR")) l = Or(l, andExpr())
+    /** `bareAtoms`: WITH…WHERE filters the WITH output, where atoms are bare
+      * output-column names (`n_cust > 2`), not `binding.prop` — encoded as
+      * Cmp/IsNull with prop = "" (the compiler resolves "" to the column
+      * itself). */
+    private def orExpr(bareAtoms: Boolean = false): Pred = {
+      var l = andExpr(bareAtoms)
+      while (kw("OR")) l = Or(l, andExpr(bareAtoms))
       l
     }
 
-    private def andExpr(): Pred = {
-      var l = unaryPred()
-      while (kw("AND")) l = And(l, unaryPred())
+    private def andExpr(bareAtoms: Boolean): Pred = {
+      var l = unaryPred(bareAtoms)
+      while (kw("AND")) l = And(l, unaryPred(bareAtoms))
       l
     }
 
-    private def unaryPred(): Pred = {
+    private def unaryPred(bareAtoms: Boolean): Pred = {
       ws()
-      if (kw("NOT")) Not(unaryPred())
-      else if (peek == '(') { eat('('); val p = orExpr(); eat(')'); p }
-      else pred()
+      if (kw("NOT")) Not(unaryPred(bareAtoms))
+      else if (peek == '(') { eat('('); val p = orExpr(bareAtoms); eat(')'); p }
+      else pred(bareAtoms)
     }
 
-    private def pred(): Pred = {
+    private def pred(bareAtoms: Boolean = false): Pred = {
       val b = ident()
-      eat('.')
-      val p = ident()
+      val p = if (bareAtoms) "" else { eat('.'); ident() }
       ws()
       if (kw("IS")) {
         val neg = kw("NOT")

@@ -479,6 +479,63 @@ object TextOps {
     * codegen/AQE across the boundary and recomputed the candidates per
     * action).
     */
+  /**
+   * End-to-end near-dup resolution: dup PAIRS → dup CLUSTERS → one kept
+   * canonical doc per cluster — the step every web-scale dedup pipeline
+   * runs after pair generation. Near-duplicate similarity is not
+   * transitive, but the drop decision must be (if a~b and b~c, dropping b
+   * against a must not resurrect c), so clusters are the connected
+   * components of the pair graph — computed with the same alternating
+   * star contraction as [[graft.algorithms.Algorithms.connectedComponents]]
+   * (O(log n) rounds, diameter-independent; dup chains in web corpora can
+   * be thousands of docs long).
+   *
+   * @param pairs (a, b) doc-id dup pairs from any of the pair generators
+   * @return (idCol, canonical BIGINT = min doc id of its cluster,
+   *         keep BOOLEAN = this doc is its cluster's canonical) for EVERY
+   *         doc — singletons are their own canonical
+   */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val members = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    val comp = graft.algorithms.Algorithms.connectedComponents(
+      members, pairs.select(col("a").as("src"), col("b").as("dst")))
+    docs.select(col(idCol))
+      .join(comp.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical"))
+      .withColumn("keep", col(idCol) === col("canonical"))
+  }
+
+  /**
+   * Corpus boilerplate detection: word n-grams shared verbatim by at least
+   * `minDocs` distinct documents (headers, footers, license blurbs,
+   * navigation chrome), and each document's boilerplate fraction — the
+   * standard span-level signal used to strip template text before
+   * training. One inverted-index pass: distinct (doc, shingle) explode,
+   * an n_docs count per shingle (combinable agg), and a semi-join back —
+   * never a doc×doc comparison, so the shape survives 100 TB; the join
+   * key is the 8-byte shingle hash, not the string.
+   *
+   * @return (idCol, n_ngrams, n_boiler, boiler_frac DOUBLE rounded to 6)
+   *         for every doc with at least one n-gram
+   */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, minDocs: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val shc = sh.persist()
+    val boiler = shc.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val perDoc = shc.join(boiler, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    val out = shc.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", round(col("n_boiler") / col("n_ngrams"), 6))
+    releaseOnFirstAction(out, shc)
+  }
+
   private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,
                             idCol: String, textCol: String, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)

@@ -406,6 +406,45 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("WITH pipeline: project/aggregate, HAVING filter, second-stage aggregation") {
+    val db = new GraphDB(propsG)
+    // per-source aggregation piped into a HAVING filter
+    val hav = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n WHERE n >= 2 " +
+      "RETURN nm, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hav.toSeq == Seq(("x", 2L)))
+    // second aggregation stage over the piped columns (post-WITH rows are
+    // plain rows: count counts them)
+    val agg = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "RETURN sum(n), min(n), max(n), count(nm)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(agg.toSeq == Seq((3L, 1L, 2L, 2L)))
+    // plain passthrough + ORDER BY/LIMIT on the second stage
+    val top = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.value AS v, b.name AS nm " +
+      "RETURN nm, v ORDER BY v DESC, nm LIMIT 1")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(top.toSeq == Seq(("y", 20.0)))
+    // boolean HAVING over output names
+    val bool = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "WHERE n >= 2 OR nm = 'y' RETURN nm ORDER BY nm")
+      .collect().map(_.getString(0))
+    assert(bool.toSeq == Seq("x", "y"))
+    // errors: dotted refs after WITH, unknown columns
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WITH b RETURN b.name")
+    }
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WITH b AS x WHERE y > 1 RETURN x")
+    }
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WITH b AS x RETURN z")
+    }
+  }
+
   test("optional match: unmatched rows keep nulls; multiple matches fan out") {
     val db = new GraphDB(diamond)
     // every B reached from a; c:C has no X edge out → null b

@@ -69,6 +69,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hub-salted wedge path: block combos broadcast, no cartesian, keys salted") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // force every common-neighbor key through the hot path; disable
+    // auto-broadcast so the hot self-join's exchange (invisible at toy
+    // scale, where AQE would broadcast the whole side) stays in the plan —
+    // the HINTED broadcasts (combos, deg) are unaffected
+    val es = ((1L to 8L).map(i => (0L, i)) ++ Seq((1L, 2L), (5L, 6L))).toDF("src", "dst")
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    // the conf is read at PLANNING time, so the whole plan build stays
+    // inside the conf window
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val ps =
+      try expand(graft.algorithms.Algorithms.adamicAdar(es, hubDeg = 1L, blocks = 4)
+        .queryExecution.executedPlan)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!ps.exists(_.isInstanceOf[CartesianProductExec]),
+      "block decomposition must never compile to a shuffle-side cartesian")
+    assert(ps.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the combo table and degree table must ride broadcast joins")
+    // the hot self-join's shuffle keys must include the block column, so a
+    // hub key's pairs spread across `blocks` partitions instead of one
+    val shuffleKeys = ps.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(shuffleKeys.exists(k => k.contains("rby") || k.contains("cby")),
+      s"hot-path shuffle must partition by (w, block), got: ${shuffleKeys.mkString(" | ")}")
+  }
+
   test("parquet scans are column-pruned to what the query reads") {
     def scanWidths(name: String): Seq[Int] =
       plans(name).collect { case s: FileSourceScanExec => s.requiredSchema.size }

@@ -115,6 +115,34 @@ class TextSpec extends SparkSpec {
       (4L, 9L, 2L, 6L), (5L, 2L, 3L, 5L)))
   }
 
+  test("dedup clusters: transitive closure of pairs, canonical = min id, singletons kept") {
+    // pairs 1-2, 2-4 form one cluster {1,2,4}; 3 and 5 are singletons
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("a", "b")
+    val got = TextOps.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 1L, false), (5L, 5L, true)))
+    // end-to-end over the minhash pair generator: 1, 2, 4 collapse (2 is a
+    // near-dup of 1 at jaccard 0.5 exactly? verify via the exact pair set)
+    val mh = TextOps.minhashDedup(docs, "doc_id", "text").select("a", "b")
+    val e2e = TextOps.dedupClusters(docs, "doc_id", mh)
+      .filter(!$"keep").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(e2e.toSeq == Seq((2L, 1L), (4L, 1L)))
+  }
+
+  test("boilerplate: shared n-grams counted per doc, fraction over doc n-grams") {
+    // with n=5, docs 1/2/4 share 'the quick brown fox jumps' etc.; doc 3
+    // shares nothing; doc 5 has no 5-grams
+    val got = TextOps.boilerplateStats(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 9 words → 5 shingles; 1 and 4 are identical → all 5 boilerplate;
+    // 2 differs in the last word → shares the first 4
+    assert(got(1L) == ((5L, 5L, 1.0)) && got(4L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((5L, 4L, 0.8)))
+    assert(got(3L) == ((4L, 0L, 0.0))) // 8 words → 4 shingles, none shared
+    assert(!got.contains(5L))          // too short for any shingle
+  }
+
   test("pii redaction: all kinds replaced, counts from the original text") {
     val pii = Seq(
       (1L, "mail a.user+x@sub.example.org then 10.0.0.1 and 555-867-5309 done"),
