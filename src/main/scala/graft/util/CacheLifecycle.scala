@@ -48,9 +48,17 @@ object CacheLifecycle {
    */
   private val ExpiryBudget = 256
 
+  /** Session-conf opt-out: with `spark.graft.retainScratch=true` the scratch
+    * caches are left registered and the caller owns their lifecycle
+    * (`unpersist` / `spark.catalog.clearCache()`). For interactive or
+    * bench-retry use where the same result is acted on repeatedly and the
+    * recompute-after-release tradeoff is wrong. */
+  val RetainScratchKey = "spark.graft.retainScratch"
+
   def releaseOnFirstAction(result: DataFrame, scratch: DataFrame*): DataFrame = {
     if (scratch.isEmpty) return result
     val spark = result.sparkSession
+    if (spark.conf.getOption(RetainScratchKey).exists(_.toBoolean)) return result
     val target = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       // listener-bus delivery is single-threaded per listener → plain var
