@@ -90,7 +90,8 @@ object Algorithms {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("level", lit(iter + 1))
       frontier = cutF(next, iter)
-      if (frontier.isEmpty) done = true
+      // full-materializing count, not isEmpty — see connectedComponents
+      if (frontier.count() == 0L) done = true
       else visited = cutV(visited.unionByName(frontier), iter)
       iter += 1
     }
@@ -125,7 +126,8 @@ object Algorithms {
         .join(visited.select("src", "id"), Seq("src", "id"), "left_anti")
         .withColumn("level", lit(iter + 1))
       frontier = cutF(next, iter)
-      if (frontier.isEmpty) done = true
+      // full-materializing count, not isEmpty — see connectedComponents
+      if (frontier.count() == 0L) done = true
       else visited = cutV(visited.unionByName(frontier), iter)
       iter += 1
     }
@@ -189,7 +191,8 @@ object Algorithms {
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("id"), col("nd").as("dist"))
       frontier = cutF(improved, iter)
-      if (frontier.isEmpty) converged = true
+      // full-materializing count, not isEmpty — see connectedComponents
+      if (frontier.count() == 0L) converged = true
       else dist = cutD(dist.join(frontier.select("id"), Seq("id"), "left_anti")
         .unionByName(frontier), iter)
       iter += 1
@@ -218,12 +221,22 @@ object Algorithms {
    *         every id in `vertices`
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val cutter = new Cutter
-    // canonical hi→lo orientation, self-loops dropped
+    // Eager localCheckpoint at entry AND per iteration — not the every-3
+    // Cutter cadence the frontier algorithms use. CC is the one algorithm
+    // routinely fed a deep upstream plan (an LSH dedup pipeline's pair
+    // table): until a checkpoint lands, EVERY action here re-walks that
+    // full analyzed tree driver-side (cache-lookup sameResult checks +
+    // re-analysis), which measured 40+ s of jobless driver gaps on the
+    // minhash pair graph — 10× the actual cluster work. Rooting each round
+    // at a leaf RDD makes per-round planning O(one round's 7 operators),
+    // and the materialization is not extra work: the set-equality
+    // convergence check needs the full edge set each round anyway. The
+    // checkpoint blocks of dropped rounds are reclaimed by the
+    // ContextCleaner as references lapse.
     var e = edges.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    e = cutter(e, 0)
+      .localCheckpoint(true)
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIter && !converged) {
@@ -242,20 +255,19 @@ object Algorithms {
       val ss = withMin.select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(withMin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
-      val next = cutter(ss, iter + 1)
+      val next = ss.localCheckpoint(true)
       // set equality as ONE job: both multiset differences unioned (both
-      // sides are distinct, so empty symmetric difference ⇔ equal sets)
-      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
+      // sides are distinct, so empty symmetric difference ⇔ equal sets);
+      // both sides are checkpointed leaves, so this is a tiny-plan job
+      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).count() == 0L
       e = next
       iter += 1
     }
     if (!converged) throw new BudgetExhausted("connectedComponents", maxIter)
     // fixpoint = disjoint stars: one (v, componentMin) edge per non-root v
-    releaseOnFirstAction(
-      vertices.select(col("id")).distinct()
-        .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("component")),
-      cutter.leftovers: _*)
+    vertices.select(col("id")).distinct()
+      .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /**
