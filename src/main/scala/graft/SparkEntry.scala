@@ -645,6 +645,18 @@ object SparkEntry {
     // own unigram distribution
     "text_unigram_lm" -> ((s, dir) =>
       graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // tokenize -> vocab-id encode (the step before pack_sequences)
+    "text_encode" -> ((s, dir) =>
+      graft.text.TextOps.encodeDocs(t(s, dir, "documents"), "doc_id", "text", 512)),
+    // per-source quota: top 25 docs per source by quality score
+    "sample_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(graft.text.TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("score")), Seq("doc_id"))
+      graft.text.TextOps.quotaPerGroup(scored, "source", 25,
+        col("score").desc, col("doc_id").asc)
+    }),
 
     // --- embedding similarity ---
     "emb_neardup" -> ((s, dir) =>
@@ -1292,6 +1304,30 @@ object SparkEntry {
        "n AS (SELECT count(*) AS nt FROM tk) " +
        "SELECT doc_id, count(*)::BIGINT AS n_tok, round(avg(ln(c * 1.0 / nt)), 6) AS logprob " +
        "FROM tk JOIN freq USING (tok) CROSS JOIN n GROUP BY 1"),
+    "text_encode" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +
+       "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x), " +
+       "tk AS (SELECT doc_id, tok, (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INT AS pos " +
+       "FROM raw WHERE tok <> ''), " +
+       "freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1), " +
+       "vocab AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS tok_id " +
+       "FROM freq ORDER BY c DESC, tok ASC LIMIT 512) " +
+       "SELECT doc_id, pos, tk.tok, coalesce(tok_id, 0)::BIGINT AS tok_id " +
+       "FROM tk LEFT JOIN vocab USING (tok)"),
+    "sample_quota" ->
+      ("WITH x AS (SELECT doc_id, source, len(text)::DOUBLE AS nc, " +
+       "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +
+       "len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS ntok, " +
+       "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+       "w -> w IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE AS stop, " +
+       "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws FROM documents), " +
+       "sc AS (SELECT doc_id, source, round(least(1.0, greatest(0.0, alpha/nc*0.5 + " +
+       "least(stop/ntok*5.0, 1.0)*0.3 + " +
+       "CASE WHEN nws/ntok BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)), 6) AS score FROM x), " +
+       "rk AS (SELECT doc_id, source, score, (row_number() OVER " +
+       "(PARTITION BY source ORDER BY score DESC, doc_id ASC))::INT AS rk FROM sc) " +
+       "SELECT doc_id, source, score, rk FROM rk WHERE rk <= 25"),
 
     "emb_neardup" ->
       ("SELECT a.vec_id AS a, b.vec_id AS b, " +

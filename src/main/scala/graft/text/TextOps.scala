@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.CacheLifecycle.releaseOnFirstAction
 
@@ -535,6 +536,59 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"),
         round(avg(log(col("c") / col("n_total"))), 6).as("logprob"))
     releaseOnFirstAction(out, tc)
+  }
+
+  /**
+   * Token-id encoding against a corpus-derived vocabulary — the step between
+   * tokenization and [[packSequences]] in a training pipeline. The
+   * vocabulary is the `vocabSize` most frequent tokens (count desc, token
+   * asc — a total order, so the vocab boundary is deterministic), ids
+   * 1..vocabSize by rank; out-of-vocabulary tokens encode as 0.
+   *
+   * Scale shape: the top-k vocab is a distributed TakeOrdered (orderBy +
+   * limit — partial top-k per partition, never a full sort), the rank
+   * assignment is a window over the vocabSize-row result (bounded by
+   * contract, single partition by design), and the encode itself is one
+   * broadcast join on the token — the token stream never shuffles. Per-doc
+   * positions come from a window partitioned by document, bounded by
+   * document length.
+   *
+   * @return (idCol, pos INT 0-based over non-empty tokens, tok, tok_id
+   *         BIGINT; 0 = OOV)
+   */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("sp", "tok")))
+      .filter(col("tok") =!= "")
+    val tc = toks.persist()
+    val seq0 = tc.withColumn("pos",
+      row_number().over(Window.partitionBy(col(idCol)).orderBy(col("sp"))) - 1)
+    val vocab = tc.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    val vid = vocab.withColumn("tok_id",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)).cast("long"))
+    val out = seq0.join(broadcast(vid.select(col("tok"), col("tok_id"))), Seq("tok"), "left")
+      .select(col(idCol), col("pos"), col("tok"),
+        coalesce(col("tok_id"), lit(0L)).as("tok_id"))
+    releaseOnFirstAction(out, tc)
+  }
+
+  /**
+   * Per-group quota: keep at most `k` rows per group under the given
+   * ordering — the per-source cap production corpus recipes apply so no
+   * single domain/source dominates the training mix. Callers pass a
+   * deterministic total order (e.g. quality desc, id asc) or the kept set
+   * is not reproducible.
+   *
+   * One window shuffle on the group key; a pathologically hot group bounds
+   * a partition at its row count — acceptable for source-sized groups (the
+   * cap is about such groups existing); for adversarial skew compose with
+   * a pre-filter or sample.
+   *
+   * @return input columns + `rk` (1-based rank within the group)
+   */
+  def quotaPerGroup(df: DataFrame, groupCol: String, k: Int, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /**

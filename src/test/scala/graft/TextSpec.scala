@@ -184,4 +184,28 @@ class TextSpec extends SparkSpec {
       .filter($"doc_id" === 3).collect().map(_.getString(2)).toSeq
     assert(zeroOverlap == Seq("abcde", "fghij", "klm"))
   }
+
+  test("encodeDocs: rank-by-frequency vocab, OOV as 0, per-doc positions") {
+    val d = Seq((1L, "b b a a a c"), (2L, "a x b")).toDF("doc_id", "text")
+    // freq: a=4, b=3, c=1, x=1 → vocab size 2 = {a→1, b→2}; c,x OOV
+    val got = TextOps.encodeDocs(d, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0, "b", 2L), (1L, 1, "b", 2L), (1L, 2, "a", 1L),
+      (1L, 3, "a", 1L), (1L, 4, "a", 1L), (1L, 5, "c", 0L),
+      (2L, 0, "a", 1L), (2L, 1, "x", 0L), (2L, 2, "b", 2L)))
+    // tie-break at the vocab boundary is (count desc, token asc): c before x
+    val v3 = TextOps.encodeDocs(d, "doc_id", "text", 3)
+      .filter($"tok" === "c" || $"tok" === "x")
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(v3 == Map("c" -> 3L, "x" -> 0L))
+  }
+
+  test("quotaPerGroup: caps each group under the given order, rank exposed") {
+    val d = Seq(("s1", 1L, 0.9), ("s1", 2L, 0.8), ("s1", 3L, 0.7),
+                ("s2", 4L, 0.5), ("s2", 5L, 0.5)).toDF("source", "doc_id", "score")
+    val got = TextOps.quotaPerGroup(d, "source", 2, $"score".desc, $"doc_id".asc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == Set(("s1", 1L, 1), ("s1", 2L, 2), ("s2", 4L, 1), ("s2", 5L, 2)))
+  }
 }
