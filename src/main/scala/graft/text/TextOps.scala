@@ -497,20 +497,26 @@ object TextOps {
    *         doc — singletons are their own canonical
    */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    // PIN the pair table: the component loop runs one action per round, and
-    // an uncached pair input would recompute its whole upstream (an LSH
-    // dedup pipeline) every round — measured 14x on the minhash pairs
-    val p = pairs.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CUT the pair table's lineage with an eager localCheckpoint, don't just
+    // persist it: the pair table is the small distillate of a deep pipeline
+    // (an LSH dedup's shingle/band/verify tree), and while a persist keeps
+    // the DATA cached, every downstream action still re-walks the full
+    // analyzed tree driver-side (cache-lookup sameResult checks +
+    // re-analysis) — measured 40+ s of jobless driver gaps across the
+    // component loop's per-round actions on the minhash pipeline. After the
+    // checkpoint, members/component/result plans all root at a leaf RDD.
+    // Tradeoff (same as connectedComponents' internal checkpoints): blocks
+    // are lineage-free, so losing an executor fails the job instead of
+    // recomputing — acceptable for the bounded-size pair distillate.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
     val members = p.select(col("a").as("id"))
       .unionByName(p.select(col("b").as("id"))).distinct()
     val comp = graft.algorithms.Algorithms.connectedComponents(
       members, p.select(col("a").as("src"), col("b").as("dst")))
-    val out = docs.select(col(idCol))
+    docs.select(col(idCol))
       .join(comp.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical"))
       .withColumn("keep", col(idCol) === col("canonical"))
-    releaseOnFirstAction(out, p)
   }
 
   /**
