@@ -106,6 +106,32 @@ class PlanAuditSpec extends SparkSpec {
       s"hot-path shuffle must partition by (w, block), got: ${shuffleKeys.mkString(" | ")}")
   }
 
+  test("round-4 ops: encode broadcasts its vocab, quota/retention stay single-shuffle-per-stage") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    // text_encode: the token stream must meet the vocab via BROADCAST (the
+    // stream never shuffles on tok), and the vocab top-k must be a
+    // TakeOrdered, never a global sort of the frequency table
+    val enc = plans("text_encode")
+    assert(enc.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "vocab must broadcast onto the token stream")
+    assert(!enc.exists(p => p.isInstanceOf[SortExec] &&
+        p.asInstanceOf[SortExec].global &&
+        !p.toString.contains("pos")),  // the per-doc window sort is local to doc partitions
+      s"vocab top-k must be TakeOrdered, found a global sort")
+    assert(enc.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "vocab selection must compile to TakeOrderedAndProject (distributed partial top-k)")
+    // sample_quota: one window shuffle on the group key; the rank filter
+    // must not introduce extra exchanges beyond the score join's
+    val quota = plans("sample_quota")
+    assert(quota.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2,
+      "quota: expected at most score-join + window exchanges")
+    // ev_retention: cohort sizes must broadcast onto the activity rollup
+    assert(plans("ev_retention").exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "retention: cohort-size table must broadcast")
+  }
+
   test("parquet scans are column-pruned to what the query reads") {
     def scanWidths(name: String): Seq[Int] =
       plans(name).collect { case s: FileSourceScanExec => s.requiredSchema.size }
