@@ -865,6 +865,18 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
+    // pivot with an EXPLICIT value list — one partial-agg pass, no
+    // distinct-values pre-job (the implicit form runs one); at scale the
+    // wide row beats a (key, type) long table only when the type domain is
+    // small and known, which is exactly the explicit-list contract
+    "olap_pivot" -> ((s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("day"), coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"))),
     // exact linear-interpolated quantiles per group (matches DuckDB
     // quantile_cont; `percentile` is Spark's exact implementation, fine at
     // any scale that can sort a group — for sketch-sized state use
@@ -1464,6 +1476,12 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +
        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "olap_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+       "count(*) FILTER (event_type = 'view')::BIGINT AS n_view, " +
+       "count(*) FILTER (event_type = 'click')::BIGINT AS n_click, " +
+       "count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase " +
+       "FROM events GROUP BY 1"),
     "olap_cube" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +
