@@ -768,6 +768,13 @@ object SparkEntry {
       frameSample(syntheticMedia(t(s, dir, "documents"), "doc_id", "video"), everyMs = 250).toDF()
         .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_ts_ms"))
     }),
+    "mm_resize" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps._
+      resize(syntheticMedia(t(s, dir, "documents"), "doc_id", "image"), outW = 8, outH = 8).toDF()
+        .select(col("id"), col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("out_len").cast("long").as("out_len"), col("body_sum"))
+    }),
 
     // --- temporal / event ops ---
     "ev_window_agg" -> ((s, dir) => {
@@ -1433,6 +1440,13 @@ object SparkEntry {
        "LATERAL (SELECT unnest(generate_series(0, 256 + (doc_id % 256) * 4 - 1)) AS p) t) " +
        "SELECT id, p % 8 AS d, sum(byte)::BIGINT AS stripe_sum, count(*)::BIGINT AS n " +
        "FROM b GROUP BY 1, 2"),
+    "mm_resize" ->
+      ("WITH k AS (SELECT doc_id AS id, 256 + (doc_id % 256) * 4 AS n FROM documents), " +
+       "s AS (SELECT id, ((doc_id_i * n) // 64) AS p FROM (SELECT id, n, " +
+       "unnest(generate_series(0, 63)) AS doc_id_i FROM k)) " +
+       "SELECT id, 8::BIGINT AS out_w, 8::BIGINT AS out_h, 64::BIGINT AS out_len, " +
+       "sum(((id % 1000003) * 31 + p * 7 + 13) % 256)::BIGINT AS body_sum " +
+       "FROM s GROUP BY 1"),
     "mm_frame_sample" ->
       ("SELECT doc_id AS id, i AS frame_idx, i * 250 AS frame_ts_ms FROM documents, " +
        "LATERAL (SELECT unnest(generate_series(0, (1000 + (doc_id % 60) * 500) // 250)) AS i) t"),

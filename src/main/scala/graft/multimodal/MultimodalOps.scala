@@ -18,6 +18,9 @@ final case class MediaFeature(id: Long, d: Int, stripe_sum: Long, n: Long)
 
 final case class MediaFrame(id: Long, frame_idx: Int, frame_ts_ms: Long)
 
+final case class MediaResized(id: Long, out_w: Int, out_h: Int,
+                              out_len: Int, body_sum: Long)
+
 /**
  * Multimodal (image/audio/video) column operators. The reference has no
  * multimodal surface at all (SURVEY §2.7); this module supplies the
@@ -119,6 +122,34 @@ object MultimodalOps {
           p += 1
         }
         (0 until dim).iterator.map(d => MediaFeature(r.id, d, sums(d), counts(d)))
+      }
+    }
+  }
+
+  /**
+   * Nearest-neighbor resize to an `outW`×`outH` thumbnail: sample
+   * `outW·outH` pseudo-pixels at stride positions `⌊i·n/k⌋` over the
+   * decoded body (a real codec resamples the H×W×C pixel grid; the synthetic
+   * body is 1-D, so the stride sampling IS its nearest-neighbor resize).
+   * Output keeps the resized length and a body checksum rather than the
+   * bytes so the contract hash-oracles exactly; the byte array is built and
+   * summed the way a real thumbnail stage would, one decoder per partition.
+   */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val body = SyntheticCodec.decodeBody(r.content)
+        val k = outW * outH
+        val out = new Array[Byte](k)
+        var i = 0; var sum = 0L
+        while (i < k) {
+          out(i) = body(((i.toLong * body.length) / k).toInt)
+          sum += out(i) & 0xFF
+          i += 1
+        }
+        MediaResized(r.id, outW, outH, k, sum)
       }
     }
   }

@@ -50,6 +50,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.last.frame_ts_ms === dur)
   }
 
+  test("resize: nearest-neighbor stride sample, checksum matches a direct decode") {
+    val id = 300L // bodyLen = 256 + 44*4 = 432
+    val r = resize(syntheticMedia(Seq(id).toDF("doc_id"), "doc_id", "image"), 8, 8)
+      .collect().head
+    assert(r.out_w === 8 && r.out_h === 8 && r.out_len === 64)
+    val n = SyntheticCodec.bodyLen(id)
+    val expected = (0 until 64).map(i => SyntheticCodec.bodyByte(id, ((i.toLong * n) / 64).toInt).toLong).sum
+    assert(r.body_sum === expected)
+  }
+
   test("distributed path: features over the documents table are non-empty and 8-striped") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val feats = mediaFeatures(syntheticMedia(docs, "doc_id", "image"), dim = 8)
