@@ -680,6 +680,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       graft.ml.Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10), 0.3)
     }),
+    // ANN evaluation: recall@5 of the LSH index vs exact brute force
+    "knn_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.ml.Similarity.recallAtK(
+        graft.ml.Similarity.lshKnn(emb, qs, 5, dim = 64, numBits = 4, tables = 16),
+        graft.ml.Similarity.bruteForceKnn(emb, qs, 5), 5)
+    }),
     // cluster-bucketed semantic dedup (the sub-quadratic approximate
     // complement to emb_neardup's exact triangle join)
     "emb_semantic_dedup" -> ((s, dir) =>
@@ -1368,6 +1376,18 @@ object SparkEntry {
     // both ANN variants are fully deterministic given the md5 centroid order /
     // the seeded hyperplane constants, so their oracles ARE SQL-expressible
     "knn_ivf" -> ivfOracle(numCells = 16, nprobe = 4, k = 5),
+    "knn_recall" ->
+      ("WITH b AS (SELECT q_id, vec_id FROM (" +
+       "WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+       "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim " +
+       "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+       "r AS (SELECT q_id, vec_id, row_number() OVER " +
+       "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
+       "SELECT q_id, vec_id FROM r WHERE rank <= 5)), " +
+       "l AS (SELECT q_id, vec_id FROM (" + lshOracle(dim = 64, numBits = 4, tables = 16, k = 5) + ")) " +
+       "SELECT b.q_id, count(l.vec_id)::BIGINT AS hits, " +
+       "round(count(l.vec_id) / 5.0, 6) AS recall " +
+       "FROM b LEFT JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id GROUP BY 1"),
     "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
     "kmeans_train" -> kmeansOracle(k = 8, iters = 2),
     "emb_quantize" ->

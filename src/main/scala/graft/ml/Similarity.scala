@@ -59,6 +59,27 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate ANN result against the exact one — the
+   * evaluation metric every ANN deployment tracks ("measure, don't guess":
+   * an index whose recall nobody measured is a silent-quality bug at 100 TB).
+   * Both inputs are (q_id, vec_id, …) top-k tables, e.g. [[lshKnn]] vs
+   * [[bruteForceKnn]] at the same k. One groupBy over the exact side with a
+   * membership left-join — both sides are |queries|·k rows, so this is
+   * metric-sized work regardless of corpus size.
+   *
+   * @return (q_id, hits BIGINT = |approx ∩ exact|, recall DOUBLE = hits/k)
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exact.select(col("q_id"), col("vec_id"))
+      .join(a, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /**
    * Range search: ALL corpus vectors within cosine ≥ `minSim` of each query
    * — the radius-query sibling of [[bruteForceKnn]] (retrieval pipelines use
    * it for "everything this similar", dedup pipelines for "candidates above

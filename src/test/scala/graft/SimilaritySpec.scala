@@ -110,6 +110,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"lsh recall $recall too low")
   }
 
+  test("recallAtK: exact-vs-itself is 1.0, disjoint approx is 0.0, partial counts hits") {
+    import graft.ml.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)).toDF("q_id", "vec_id")
+    val self = Similarity.recallAtK(exact, exact, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self == Map(1L -> 1.0, 2L -> 1.0))
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 99L)).toDF("q_id", "vec_id")
+    val got = Similarity.recallAtK(approx, exact, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+
   test("int8 quantization: codes in range, zero vector safe, recon cosine high") {
     import graft.ml.Quantization
     val withZero = vecs.unionByName(
