@@ -645,6 +645,10 @@ object SparkEntry {
     // own unigram distribution
     "text_unigram_lm" -> ((s, dir) =>
       graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // bigram LM: transition-probability quality filter (word salad scores
+    // low even when its unigrams are common)
+    "text_bigram_lm" -> ((s, dir) =>
+      graft.text.TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
     // tokenize -> vocab-id encode (the step before pack_sequences)
     "text_encode" -> ((s, dir) =>
       graft.text.TextOps.encodeDocs(t(s, dir, "documents"), "doc_id", "text", 512)),
@@ -1331,6 +1335,19 @@ object SparkEntry {
        "n AS (SELECT count(*) AS nt FROM tk) " +
        "SELECT doc_id, count(*)::BIGINT AS n_tok, round(avg(ln(c * 1.0 / nt)), 6) AS logprob " +
        "FROM tk JOIN freq USING (tok) CROSS JOIN n GROUP BY 1"),
+    "text_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +
+       "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x), " +
+       "tk AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn " +
+       "FROM raw WHERE tok <> ''), " +
+       "big AS (SELECT a.doc_id, a.tok AS prev, b.tok AS tok FROM tk a " +
+       "JOIN tk b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1), " +
+       "c2 AS (SELECT prev, tok, count(*) AS c2 FROM big GROUP BY 1, 2), " +
+       "c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY 1) " +
+       "SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+       "round(avg(ln(c2 * 1.0 / c1)), 6) AS logprob " +
+       "FROM big JOIN c2 USING (prev, tok) JOIN c1 USING (prev) GROUP BY 1"),
     "text_encode" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
        "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +

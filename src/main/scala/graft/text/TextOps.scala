@@ -545,6 +545,40 @@ object TextOps {
   }
 
   /**
+   * Bigram language-model score: each document's mean conditional
+   * log-probability ln P(tok | prev) under the corpus's own bigram
+   * distribution, P(tok|prev) = c(prev,tok) / Σ_t c(prev,t) — the
+   * KenLM-style upgrade over [[unigramLogProb]] (word-salad text scores low
+   * even when its unigrams are common, because its TRANSITIONS are rare).
+   * Self-trained on observed bigrams, so the conditional is well-defined
+   * for every bigram that occurs. Docs with < 2 non-empty tokens have no
+   * bigrams and are absent from the output (no transitions to score).
+   *
+   * Shape: adjacent pairs via a per-doc window (bounded by document
+   * length), then two combinable count aggregations keyed on the bigram /
+   * its prefix and one join keyed on the bigram — inverted-index shape, the
+   * token stream never self-joins.
+   *
+   * @return (idCol, n_bigrams BIGINT, logprob DOUBLE = mean ln P rounded 6)
+   */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("sp", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sp"))
+    val big = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(idCol), col("prev"), col("tok"))
+    val bc = big.persist()
+    val c2 = bc.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val c1 = bc.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val out = bc.join(c2, Seq("prev", "tok")).join(c1, Seq("prev"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2") / col("c1"))), 6).as("logprob"))
+    releaseOnFirstAction(out, bc)
+  }
+
+  /**
    * Token-id encoding against a corpus-derived vocabulary — the step between
    * tokenization and [[packSequences]] in a training pipeline. The
    * vocabulary is the `vocabSize` most frequent tokens (count desc, token

@@ -201,6 +201,19 @@ class TextSpec extends SparkSpec {
     assert(v3 == Map("c" -> 3L, "x" -> 0L))
   }
 
+  test("bigramLogProb: conditional transition probs, short docs absent") {
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    // bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,c)
+    // c1(a)=3 [a→b ×2, a→c], c1(b)=1; c2(a,b)=2, c2(b,a)=1, c2(a,c)=1
+    // doc1: mean ln of [2/3, 1/1, 2/3]; doc2: ln(1/3); doc3: no bigrams
+    val got = TextOps.bigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val d1 = (math.log(2.0 / 3) + math.log(1.0) + math.log(2.0 / 3)) / 3
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-6)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - math.log(1.0 / 3)) < 1e-6)
+  }
+
   test("quotaPerGroup: caps each group under the given order, rank exposed") {
     val d = Seq(("s1", 1L, 0.9), ("s1", 2L, 0.8), ("s1", 3L, 0.7),
                 ("s2", 4L, 0.5), ("s2", 5L, 0.5)).toDF("source", "doc_id", "score")
