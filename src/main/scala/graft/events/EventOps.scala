@@ -120,7 +120,11 @@ object EventOps {
     val act = activeDays.join(first, Seq(userCol))
       .select(col("cohort"), datediff(col("p"), col("cohort")).as("k"))
       .groupBy("cohort", "k").agg(count(lit(1)).as("n_active"))
-    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    // cohort size ≡ the k=0 row (a user's first-activity day is by
+    // definition an active day), so sizes derive from `act` itself — no
+    // third pass over the event table
+    val sizes = act.filter(col("k") === 0)
+      .select(col("cohort"), col("n_active").as("n_users"))
     act.join(broadcast(sizes), Seq("cohort"))
       .select(col("cohort"), col("k"), col("n_active"),
         round(col("n_active") / col("n_users"), 6).as("retention"))
