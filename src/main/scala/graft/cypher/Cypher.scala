@@ -140,8 +140,11 @@ object CypherParser {
     private def tryEat(c: Char): Boolean = { ws(); if (peek == c) { i += 1; true } else false }
     private def kw(k: String): Boolean = {
       ws()
+      // '_' is an identifier char, so it must also end the keyword-boundary
+      // check: `not_x` is an identifier, not NOT + `_x`
+      def identChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
       if (s.regionMatches(true, i, k, 0, k.length) &&
-          (i + k.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + k.length)))) {
+          (i + k.length >= s.length || !identChar(s.charAt(i + k.length)))) {
         i += k.length; true
       } else false
     }

@@ -65,12 +65,16 @@ object Similarity {
    * Both inputs are (q_id, vec_id, …) top-k tables, e.g. [[lshKnn]] vs
    * [[bruteForceKnn]] at the same k. One groupBy over the exact side with a
    * membership left-join — both sides are |queries|·k rows, so this is
-   * metric-sized work regardless of corpus size.
+   * metric-sized work regardless of corpus size. The approx side is
+   * deduplicated on (q_id, vec_id) before the join, so a sloppy input
+   * carrying duplicate hits (e.g. a multi-table LSH union) cannot fan the
+   * join out and push recall above 1.0.
    *
    * @return (q_id, hits BIGINT = |approx ∩ exact|, recall DOUBLE = hits/k)
    */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val a = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+    val a = approx.select(col("q_id"), col("vec_id")).dropDuplicates("q_id", "vec_id")
+      .withColumn("hit", lit(1L))
     exact.select(col("q_id"), col("vec_id"))
       .join(a, Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
