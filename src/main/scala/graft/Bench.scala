@@ -102,8 +102,18 @@ object Bench {
     val outliers = results
       .filter { case (_, dt, _, err) => err.isEmpty && dt > math.max(3 * med, 5.0) }
       .sortBy(-_._2).take(20)
+    // Retries run with retainScratch=true: the outlier hypothesis is "storm
+    // noise", so the retry must measure the PLAN, not a cold recompute of a
+    // result whose scratch caches the first run's releaseOnFirstAction
+    // listener already dropped (r4 driver evidence: pagerank first 12.9 s,
+    // retry 71.9 s — the retry re-acted on a released chain mid-storm).
+    // timed()'s dropScratch() still resets the cache state afterwards, so
+    // retained scratch never leaks into the next retry.
     val retried = outliers.map { case (name, first, firstQm, _) =>
-      val (dt, qm, err) = timed(wanted(name))
+      spark.conf.set(graft.util.CacheLifecycle.RetainScratchKey, "true")
+      val (dt, qm, err) =
+        try timed(wanted(name))
+        finally spark.conf.unset(graft.util.CacheLifecycle.RetainScratchKey)
       val keepRetry = err.isEmpty && dt < first
       System.err.println(f"[bench] retry $name%-20s ${dt}%.2f s -> ${math.min(first, dt)}%.2f s")
       name -> (first, dt, if (keepRetry) qm else firstQm, keepRetry)
@@ -130,7 +140,15 @@ object Bench {
     val errs = finalResults.collect { case (k, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"retries":$retries,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"retries":$retries,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line can exceed a log-capture tail window (r4: the driver's
+    // BENCH artifact recorded rc=0 but a truncated JSON → parsed:null and the
+    // per-query evidence was lost). Persist the same line to a file so the
+    // full record survives regardless of how stdout is captured.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
     spark.stop()
     if (finalResults.exists(_._4.isDefined)) sys.exit(1)
   }

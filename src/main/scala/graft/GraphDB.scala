@@ -15,6 +15,14 @@ import graft.operators.PatternExec
  * Stats are snapshotted once per GraphDB, mirroring the reference's
  * `withStats(_.copy)` snapshot-before-plan (GraphDB.scala:25).
  */
+object GraphDB {
+  /** Session conf: refuse a `shortestPath` whose (pruned) seed set exceeds
+    * this many sources — the guard on per-source-BFS state explosion at
+    * scale. 0 disables the bound (and skips the count job). */
+  val ShortestMaxSourcesKey = "spark.graft.shortest.maxSources"
+  val DefaultShortestMaxSources = 1000000L
+}
+
 final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = None) {
 
   lazy val stats: GraphStats = precomputed.getOrElse(graph.computeStats())
@@ -42,67 +50,109 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    * on the returned bindings, and paying a second full shuffle for an
    * already-distinct million-row result was round 1's top plan defect.
    */
-  def query(cypher: String): DataFrame = {
-    val q = CypherParser.parse(cypher)
-    q.shortest match {
-      case Some(sp) => runShortest(sp, q)
-      case None => q.withClause match {
-        case Some(w) => runWith(q, w)
-        case None    => run(Pattern.fromQuery(q))
+  def query(cypherText: String): DataFrame = {
+    val (qs, all) = CypherParser.parseUnion(cypherText)
+    val dfs = qs.map(runQuery)
+    if (dfs.lengthIs == 1) dfs.head
+    else {
+      // UNION branches must agree on the output schema BY NAME (openCypher);
+      // unionByName then keeps column order stable regardless of each
+      // branch's internal projection order
+      val cols0 = dfs.head.columns.toSeq
+      dfs.tail.foreach { d =>
+        if (d.columns.toSeq != cols0) throw new cypher.ParseException(
+          s"UNION branches must return the same columns: " +
+            s"${cols0.mkString(",")} vs ${d.columns.mkString(",")}")
       }
+      val u = dfs.reduce(_.unionByName(_))
+      // UNION dedups across branches (the query-surface eWiseAdd over set
+      // semantics); UNION ALL keeps every branch row
+      if (all) u else u.dropDuplicates()
     }
   }
 
+  private def runQuery(q: cypher.Ast.Query): DataFrame =
+    q.shortest match {
+      case Some(sp) => runShortest(sp, q)
+      case None =>
+        if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
+        else run(Pattern.fromQuery(q))
+    }
+
   /**
-   * `MATCH … WITH <items> [WHERE …] RETURN …`: stage 1 runs the match with
-   * the WITH items as its projection (full pushdown/residual WHERE machinery
-   * applies before the pipe); the WITH WHERE then filters the stage-1 OUTPUT
-   * rows (post-aggregation — SQL's HAVING — referencing items by output
-   * name); stage 2 projects or re-aggregates those columns. Post-WITH rows
-   * are plain rows, so stage-2 `count(x)` counts them (openCypher), not the
-   * pre-WITH distinct-match semantics.
+   * `MATCH … WITH <items> [WHERE …] (WITH …)* RETURN …`: the FIRST stage
+   * runs the match with its WITH items as the projection (full pushdown /
+   * residual WHERE machinery applies before the pipe); each stage's WHERE
+   * then filters that stage's OUTPUT rows (post-aggregation — SQL's HAVING
+   * — referencing items by output name); every LATER stage (and the final
+   * RETURN) projects or re-aggregates the previous stage's bare columns.
+   * Post-WITH rows are plain rows, so a later `count(x)` counts rows
+   * (openCypher), not the pre-WITH distinct-match semantics. The whole
+   * chain stays one declarative plan — Catalyst sees N chained
+   * project/aggregate/filter blocks, no materialization between stages.
    */
-  private def runWith(q: cypher.Ast.Query, w: cypher.Ast.WithClause): DataFrame = {
+  private def runWith(q: cypher.Ast.Query, ws: Seq[cypher.Ast.WithClause]): DataFrame = {
     import graft.cypher.Ast
-    val stage1 = run(Pattern.fromQuery(q.copy(returns = w.items, distinct = w.distinct,
-      orderBy = Seq.empty, limit = None, skip = None, withClause = None)))
-    val withCols = w.items.map(_.outName)
-    val colSet = withCols.toSet
-    w.where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
-      if (p.nonEmpty) throw new cypher.ParseException(
-        s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
-      if (!colSet(b)) throw new cypher.ParseException(
-        s"WITH … WHERE references $b, not among the WITH items: ${withCols.mkString(",")}")
-    }
-    val having = w.where.foldLeft(stage1)((acc, p) =>
-      acc.filter(operators.Preds.column(p, (b, _) => col(b))))
-    q.returns.foreach { r =>
-      if (r.prop.isDefined) throw new cypher.ParseException(
-        s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
-          "(project the property in the WITH items instead)")
-      if (!colSet(r.binding)) throw new cypher.ParseException(
-        s"RETURN references ${r.binding}, not among the WITH items: ${withCols.mkString(",")}")
-    }
-    val aggItems = q.returns.filter(_.agg.isDefined)
-    val groupItems = q.returns.filter(_.agg.isEmpty)
-    val projected =
-      if (aggItems.isEmpty) having.select(q.returns.map(i => col(i.binding).as(i.outName)): _*)
-      else {
-        val aggs = aggItems.map { i =>
-          (i.agg.get match {
-            case "count" => count(col(i.binding))
-            case "sum"   => sum(col(i.binding))
-            case "min"   => min(col(i.binding))
-            case "max"   => max(col(i.binding))
-            case "avg"   => avg(col(i.binding))
-            case other   => throw new cypher.ParseException(s"$other() is not supported after WITH")
-          }).as(i.outName)
-        }
-        if (groupItems.isEmpty) having.agg(aggs.head, aggs.tail: _*)
-        else having.groupBy(groupItems.map(i => col(i.binding).as(i.outName)): _*)
-          .agg(aggs.head, aggs.tail: _*)
+
+    // HAVING-style filter over a stage's output columns (bare names only)
+    def havingFilter(df: DataFrame, cols: Seq[String], where: Seq[Ast.Pred]): DataFrame = {
+      val colSet = cols.toSet
+      where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
+        if (p.nonEmpty) throw new cypher.ParseException(
+          s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
+        if (!colSet(b)) throw new cypher.ParseException(
+          s"WITH … WHERE references $b, not among the WITH items: ${cols.mkString(",")}")
       }
-    val distincted = if (q.distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
+      where.foldLeft(df)((acc, p) =>
+        acc.filter(operators.Preds.column(p, (b, _) => col(b))))
+    }
+
+    // project or re-aggregate a stage's bare columns (WITH stages ≥ 2 and
+    // the final RETURN share this scope rule)
+    def projectStage(df: DataFrame, cols: Seq[String], items: Seq[Ast.Ret],
+                     distinct: Boolean, stage: String): DataFrame = {
+      val colSet = cols.toSet
+      items.foreach { r =>
+        if (r.prop.isDefined) throw new cypher.ParseException(
+          s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
+            "(project the property in the WITH items instead)")
+        if (!colSet(r.binding)) throw new cypher.ParseException(
+          s"$stage references ${r.binding}, not among the WITH items: ${cols.mkString(",")}")
+      }
+      val aggItems = items.filter(_.agg.isDefined)
+      val groupItems = items.filter(_.agg.isEmpty)
+      val projected =
+        if (aggItems.isEmpty) df.select(items.map(i => col(i.binding).as(i.outName)): _*)
+        else {
+          val aggs = aggItems.map { i =>
+            (i.agg.get match {
+              case "count" => count(col(i.binding))
+              case "sum"   => sum(col(i.binding))
+              case "min"   => min(col(i.binding))
+              case "max"   => max(col(i.binding))
+              case "avg"   => avg(col(i.binding))
+              case other   => throw new cypher.ParseException(s"$other() is not supported after WITH")
+            }).as(i.outName)
+          }
+          if (groupItems.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(groupItems.map(i => col(i.binding).as(i.outName)): _*)
+            .agg(aggs.head, aggs.tail: _*)
+        }
+      if (distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
+    }
+
+    val first = ws.head
+    val stage1 = run(Pattern.fromQuery(q.copy(returns = first.items, distinct = first.distinct,
+      orderBy = Seq.empty, limit = None, skip = None, withClauses = Seq.empty)))
+    var cols = first.items.map(_.outName)
+    var piped = havingFilter(stage1, cols, first.where)
+    ws.tail.foreach { w =>
+      piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
+      cols = w.items.map(_.outName)
+      piped = havingFilter(piped, cols, w.where)
+    }
+    val distincted = projectStage(piped, cols, q.returns,
+      distinct = q.distinct, stage = "RETURN")
     val sortKeyToOut = (q.returns.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
       q.returns.map(_.outName).map(n => n -> n)).toMap
     val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
@@ -126,6 +176,18 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    * level it first reaches a vertex at IS the shortest length (no min-agg
    * over an unrolled walk table). RETURN supports the endpoint bindings,
    * their properties, and `length(p)`.
+   *
+   * SOURCE-SET BOUND: per-source BFS state is O(|sources| × reachability) —
+   * an unselective source label on a 100×-scale graph is a state explosion
+   * no partitioning fixes. The seed set (after the out-edge semi-join
+   * prune) is therefore counted up front and the query REFUSES loudly past
+   * [[GraphDB.ShortestMaxSourcesKey]] (default 1,000,000) instead of
+   * grinding the cluster down: narrow the source label, or raise/disable
+   * the conf (0 = unbounded) when the state budget is a deliberate choice.
+   * The count is one node-scan + semi-join job — noise next to the BFS it
+   * guards, and the landmark estimator ([[graft.algorithms.Algorithms
+   * .harmonicLandmark]]) is the sampled alternative when all-sources
+   * distances were the goal.
    */
   private def runShortest(sp: cypher.Ast.Shortest, q: cypher.Ast.Query): DataFrame = {
     import graft.cypher.Ast
@@ -157,6 +219,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // seeds EVERY node: 186k seeds for 16k movers at sf0.1)
     val srcIds = sp.src.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
       .join(e.select(col("src").as("id")), Seq("id"), "left_semi")
+    val spark = graph.nodes.sparkSession
+    val maxSources = spark.conf.getOption(GraphDB.ShortestMaxSourcesKey)
+      .map(_.toLong).getOrElse(GraphDB.DefaultShortestMaxSources)
+    if (maxSources > 0) {
+      val nSrc = srcIds.count()
+      if (nSrc > maxSources) throw new IllegalStateException(
+        s"shortestPath seeds $nSrc sources (label ${sp.src.label.getOrElse("<any>")}); " +
+          s"per-source BFS state is O(sources × reachability) and the configured bound is " +
+          s"$maxSources (${GraphDB.ShortestMaxSourcesKey}; 0 disables). Narrow the source " +
+          "label, or raise the bound if this state budget is deliberate.")
+    }
     val dstIds = sp.dst.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
     val (lo, hi) = sp.rel.hops.getOrElse((1, 1))
     val matches = graft.algorithms.Algorithms.bfsPerSource(e, srcIds)

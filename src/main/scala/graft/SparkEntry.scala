@@ -542,6 +542,19 @@ object SparkEntry {
       Algorithms.harmonicCentrality(vs, e)
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
     }),
+    // landmark-sampled harmonic centrality — the 100×-scale default for the
+    // family: k=8 md5-ordered landmarks, ONE reversed per-source BFS with
+    // O(k · reachability) state, unbiased n/k scaling (exact `harmonic`
+    // above is the opt-in for graphs that can afford all-sources state)
+    "harmonic_landmark" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vs = g.nodes
+        .filter(col("label").isin("customer", "supplier", "nation", "region"))
+        .select("id")
+      val e = g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst")
+      Algorithms.harmonicLandmark(vs, e, k = 8)
+        .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
+    }),
     // triangle count / clustering coefficient / Adamic-Adar over the strong
     // co-supply graph (suppliers sharing ≥ 60% of the max shared-part count —
     // the bipartite projection + strong-edge threshold every recommender
@@ -1170,6 +1183,30 @@ object SparkEntry {
        "UNION ALL SELECT s_suppkey + 4000000000 FROM supplier) " +
        "SELECT v.id, round(coalesce(sum(1.0::DOUBLE / d), 0), 6) AS harmonic " +
        "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
+    // landmark harmonic: REVERSED edges, seeds = the k=8 md5-order sample
+    // (deterministic in both engines), Ĥ(v) = hsum · (n/8). n/8.0 is an
+    // exact double (power-of-two divisor), so the multiply associates
+    // identically to the Spark side's hsum * lit(n/k) and round(…, 6)
+    // hashes equal.
+    "harmonic_landmark" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_regionkey + 1000000000 AS src, n_nationkey + 2000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_nationkey + 2000000000, c_custkey + 3000000000 FROM customer " +
+       "UNION ALL SELECT s_nationkey + 2000000000, s_suppkey + 4000000000 FROM supplier), " +
+       "v AS (SELECT r_regionkey + 1000000000 AS id FROM region " +
+       "UNION ALL SELECT n_nationkey + 2000000000 FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000 FROM supplier), " +
+       "lm AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT lm.id, e.dst, 1 FROM lm JOIN edge e ON lm.id = e.src " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach WHERE src <> dst GROUP BY 1, 2), " +
+       "hs AS (SELECT dst AS id, sum(1.0::DOUBLE / d) AS hsum FROM sp GROUP BY 1), " +
+       "nk AS (SELECT count(*) AS n FROM v) " +
+       "SELECT v.id, round(coalesce(hsum, 0) * ((SELECT n FROM nk) / 8.0), 6) AS harmonic " +
+       "FROM v LEFT JOIN hs ON v.id = hs.id"),
     "triangle_count" ->
       (cosupplyCte(0.6) +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +

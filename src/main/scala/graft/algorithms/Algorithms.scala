@@ -145,7 +145,10 @@ object Algorithms {
    * through every round).
    *
    * At scale the state is O(Σ per-source reachability) — the honest cost of
-   * all-sources shortest paths; bound the vertex set, not the algorithm.
+   * all-sources shortest paths; this exact form is the OPT-IN for graphs
+   * small enough to afford it. The scale default is
+   * [[harmonicLandmark]]: k sampled landmarks, O(k · reachability) state,
+   * unbiased estimate.
    *
    * @param vertices (id) — vertices to report (no out-edges ⇒ 0.0)
    * @param edges (src, dst)
@@ -160,6 +163,58 @@ object Algorithms {
       .agg(sum(lit(1.0) / col("level")).as("harmonic"))
     vs.join(h, Seq("id"), "left")
       .select(col("id"), coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /**
+   * Landmark-approximated harmonic centrality — the Eppstein–Wang sampling
+   * estimator (SODA'01, closeness variant) applied to H(v) = Σ_{u≠v}
+   * 1/d(v,u): sample k landmark TARGETS uniformly and estimate
+   *
+   *   Ĥ(v) = (n/k) · Σ_{l ∈ L} 1/d(v, l)
+   *
+   * Each u ∈ V lands in a uniform k-subset L with probability k/n, so
+   * E[Σ_{l∈L} 1/d(v,l)] = (k/n)·H(v) (the u = v term contributes 0 — BFS
+   * never re-reaches its own seed) — the n/k scale makes it unbiased;
+   * variance falls as 1/k.
+   *
+   * Landmark selection is md5-of-id order (the engine-portable uniform
+   * device [[graft.ml.Similarity.ivfCentroids]] uses): deterministic, so an
+   * external oracle reproduces the exact sample, and md5 of the decimal id
+   * string is agreed byte-for-byte across engines.
+   *
+   * Mechanics: d(v → l) for ALL v at once = one per-source BFS over the
+   * TRANSPOSED edges seeded at the k landmarks (a reversed BFS from l
+   * reaches v at level d iff the original graph has a length-d path
+   * v → l). State is O(k · reachability) — bounded by construction, the
+   * 100×-scale default — vs the exact [[harmonicCentrality]]'s
+   * O(Σ per-source reachability).
+   *
+   * @param vertices (id) — vertices to report (nothing reaches a landmark ⇒ 0.0)
+   * @param edges (src, dst)
+   * @param k landmark count (clamped to |vertices|; k = n degenerates to
+   *          the exact harmonic with scale 1)
+   * @return (id, harmonic DOUBLE) — estimate, exact when k = n
+   */
+  def harmonicLandmark(vertices: DataFrame, edges: DataFrame, k: Int,
+                       maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"harmonicLandmark needs k >= 1, got $k")
+    val vs = vertices.select(col("id")).distinct()
+    // n is needed as a plan scalar for the n/k scale; one vertex-count job.
+    // The landmark sample itself is a distributed TakeOrdered (limit k over
+    // the md5 order), never a full sort.
+    val n = vs.count()
+    val kk = math.min(k.toLong, math.max(n, 1L))
+    val landmarks = vs
+      .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("id")).limit(kk.toInt).select("id")
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val h = bfsPerSource(rev, landmarks, maxIter)
+      .filter(col("level") > 0) // level-0 seed rows are not distances
+      .groupBy(col("id"))
+      .agg(sum(lit(1.0) / col("level")).as("hsum"))
+    vs.join(h, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("hsum"), lit(0.0)) * lit(n.toDouble / kk)).as("harmonic"))
   }
 
   /**
@@ -387,6 +442,15 @@ object Algorithms {
    * At scale the join fan-out is Σ deg(w)², the same wedge bound as
    * [[triangleCount]]; power-law hubs take the [[wedgeTriples]] per-key
    * block decomposition, everything else the plain self-join.
+   *
+   * EAGER AT CALL TIME: the broadcast/hub gate runs one Spark job (a
+   * 2-scalar agg over the persisted degree table) before returning, so this
+   * is NOT a lazy plan-construction call — callers that build DataFrames
+   * ahead of execution pay that job and hold the persisted deg table until
+   * the first action releases it (or the expiry budget does,
+   * [[graft.util.CacheLifecycle]]). The gate must be a measured number: a
+   * static guess either mis-broadcasts a huge vertex set or forfeits the
+   * broadcast on every small one. Same contract in [[neighborhoodJaccard]].
    *
    * @return (u, v, score DOUBLE) with u < v, only pairs with ≥1 common neighbor
    */

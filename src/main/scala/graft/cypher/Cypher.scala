@@ -92,13 +92,15 @@ object Ast {
       case (None, None)       => binding
     }
   }
-  /** `MATCH … WITH <items> [WHERE <preds>] RETURN …` — one pipeline stage:
-    * the WITH items project/aggregate the match (same grammar and set
-    * semantics as RETURN), the optional WHERE filters the WITH OUTPUT rows
-    * (Cypher's post-aggregation filter, SQL's HAVING) and refers to items
-    * by their output name (`n`, `count_c`, or an AS alias) — bare names,
-    * no dots: after WITH only the projected columns exist. RETURN then
-    * projects or re-aggregates over those columns. */
+  /** `MATCH … WITH <items> [WHERE <preds>] (WITH …)* RETURN …` — one
+    * pipeline stage per WITH: the items project/aggregate the incoming rows
+    * (same grammar and set semantics as RETURN), the optional WHERE filters
+    * the stage's OUTPUT rows (Cypher's post-aggregation filter, SQL's
+    * HAVING) and refers to items by their output name (`n`, `count_c`, or
+    * an AS alias) — bare names, no dots: after a WITH only the projected
+    * columns exist. The FIRST stage's items may read match bindings and
+    * properties; every later stage (and the final RETURN) reads the
+    * previous stage's output columns. */
   final case class WithClause(items: Seq[Ret], distinct: Boolean, where: Seq[Pred])
 
   /** `MATCH p = shortestPath((a)-[:T*]->(b))` — per endpoint pair (a, b),
@@ -117,7 +119,7 @@ object Ast {
       limit: Option[Int],
       skip: Option[Int] = None,       // `SKIP n` — rows dropped before LIMIT
       shortest: Option[Shortest] = None,
-      withClause: Option[WithClause] = None)
+      withClauses: Seq[WithClause] = Seq.empty)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -125,7 +127,41 @@ final class ParseException(msg: String) extends RuntimeException(msg)
 object CypherParser {
   import Ast._
 
-  def parse(text: String): Query = new P(text).query()
+  /** Parse a single query (no UNION). Pattern-plan callers (GraphDB.plan,
+    * tests) use this; a UNION combinator here is a "trailing input" error —
+    * go through [[parseUnion]] for the full query surface. */
+  def parse(text: String): Query = {
+    val p = new P(text)
+    val q = p.query()
+    p.end()
+    q
+  }
+
+  /** `q1 UNION [ALL] q2 (UNION [ALL] q3)*` — the query-surface analogue of
+    * the kernel's eWiseAdd (§2.3): each branch is a full query; UNION
+    * dedups the combined rows, UNION ALL keeps them. Mixing UNION and
+    * UNION ALL in one statement is rejected (openCypher). Deviation,
+    * documented: ORDER BY / SKIP / LIMIT inside a branch apply to THAT
+    * branch (top-k-per-branch is expressible); openCypher would attach a
+    * final ORDER BY to the whole union.
+    *
+    * @return the branches plus the combinator (true = UNION ALL)
+    */
+  def parseUnion(text: String): (Seq[Query], Boolean) = {
+    val p = new P(text)
+    val qs = scala.collection.mutable.ArrayBuffer(p.query())
+    var all: Option[Boolean] = None
+    var c = p.unionConnector()
+    while (c.isDefined) {
+      if (all.exists(_ != c.get))
+        p.fail("cannot mix UNION and UNION ALL in one query")
+      all = Some(c.get)
+      qs += p.query()
+      c = p.unionConnector()
+    }
+    p.end()
+    (qs.toSeq, all.getOrElse(false))
+  }
 
   private final class P(s: String) {
     private var i = 0
@@ -134,6 +170,13 @@ object CypherParser {
     private var allowUnbounded = false
     private def err(msg: String): Nothing =
       throw new ParseException(s"$msg at pos $i in: $s")
+    def fail(msg: String): Nothing = err(msg)
+    /** Reject unconsumed input (called by the top-level entry points after
+      * the last query so UNION branches can share one cursor). */
+    def end(): Unit = { ws(); if (i < s.length) err("trailing input") }
+    /** Consume a `UNION [ALL]` connector if present. */
+    def unionConnector(): Option[Boolean] =
+      if (kw("UNION")) Some(kw("ALL")) else None
     private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     private def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
     private def eat(c: Char): Unit = { ws(); if (peek == c) i += 1 else err(s"expected '$c'") }
@@ -164,9 +207,31 @@ object CypherParser {
       }
     }
 
+    // `{k: v, …}` pattern property maps — standard Cypher sugar for WHERE
+    // equality conjuncts (the reference DROPS property maps silently,
+    // QueryGraph.scala:54-67; we compile them into the same pushdown the
+    // explicit WHERE uses). An anonymous node/rel carrying a map gets an
+    // auto binding (`__m1`, …) for the predicate to anchor on.
+    private val mapPreds = scala.collection.mutable.ArrayBuffer[Pred]()
+    private var autoBound = 0
+    private def freshMapBinding(): String = { autoBound += 1; s"__m$autoBound" }
+    private def propMapInto(binding: String): Unit = {
+      // caller has seen '{'
+      eat('{')
+      var more = true
+      while (more) {
+        val k = ident(); eat(':'); ws()
+        val v: Any = if (peek == '\'' || peek == '"') stringLit() else number()
+        mapPreds += Cmp(binding, k, "=", v)
+        more = tryEat(',')
+      }
+      eat('}')
+    }
+
     def query(): Query = {
       if (!kw("MATCH")) err("expected MATCH")
       ws()
+      val mapPredsAtStart = mapPreds.size
       // `MATCH p = shortestPath((a)-[:T*]->(b))` — a path variable instead
       // of an opening '(' selects the shortest-path form
       var shortest: Option[Shortest] = None
@@ -184,10 +249,13 @@ object CypherParser {
         shortest = Some(Shortest(pv, src, rel, dst))
         ws()
         if (peek == ',') err("shortestPath cannot be combined with other patterns")
+        if (mapPreds.size > mapPredsAtStart)
+          err("property maps are not supported with shortestPath (WHERE is not either)")
       } else {
         paths += path()
         while (tryEat(',')) paths += path()
       }
+      val mapPredsAfterRequired = mapPreds.size
       // OPTIONAL MATCH clauses: each keeps its own path group (left-join
       // semantics; must share ≥1 binding with the required pattern)
       val optional = scala.collection.mutable.ArrayBuffer[Seq[Path]]()
@@ -198,6 +266,12 @@ object CypherParser {
         while (tryEat(',')) g += path()
         optional += g.toSeq
       }
+      // a prop map on an optional binding would have to filter INSIDE the
+      // left join (not the single post-match WHERE) — rejected loudly, like
+      // WHERE on optional bindings
+      if (mapPreds.size > mapPredsAfterRequired)
+        err("property maps in OPTIONAL MATCH are not supported " +
+          "(move the filter into the required pattern)")
       // the single WHERE applies to the REQUIRED pattern (enforced in
       // Pattern.fromQuery: predicates may not reference optional bindings).
       // Grammar: orExpr := andExpr (OR andExpr)*; andExpr := unary (AND unary)*;
@@ -205,6 +279,9 @@ object CypherParser {
       // into top-level conjuncts here — Pattern.fromQuery classifies each as
       // pushdown (bare Cmp) or residual (boolean structure / IS NULL).
       val preds = scala.collection.mutable.ArrayBuffer[Pred]()
+      // pattern property maps desugar to leading WHERE equality conjuncts
+      // (this query's slice only — UNION branches share the parser state)
+      preds ++= mapPreds.drop(mapPredsAtStart)
       if (kw("WHERE")) {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
         preds ++= Pred.conjuncts(orExpr())
@@ -238,20 +315,24 @@ object CypherParser {
         // `AS alias` renames the output column; ORDER BY refers to it
         if (kw("AS")) base.copy(alias = Some(ident())) else base
       }
-      // WITH pipeline stage (items + HAVING-style WHERE over output names)
-      var withClause: Option[WithClause] = None
-      if (kw("WITH")) {
+      // WITH pipeline stages (items + HAVING-style WHERE over output names).
+      // The first stage's items read match bindings (property access legal);
+      // every later stage reads the PREVIOUS stage's bare output columns —
+      // the same scope rule the final RETURN follows.
+      val withClauses = scala.collection.mutable.ArrayBuffer[WithClause]()
+      while (kw("WITH")) {
         if (shortest.isDefined) err("WITH is not supported with shortestPath")
+        val after = withClauses.nonEmpty
         val wDistinct = kw("DISTINCT")
-        val wItems = scala.collection.mutable.ArrayBuffer(retItem())
-        while (tryEat(',')) wItems += retItem()
+        val wItems = scala.collection.mutable.ArrayBuffer(retItem(after))
+        while (tryEat(',')) wItems += retItem(after)
         val wPreds =
           if (kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true)) else Seq.empty
-        withClause = Some(WithClause(wItems.toSeq, wDistinct, wPreds))
+        withClauses += WithClause(wItems.toSeq, wDistinct, wPreds)
       }
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")
-      val afterWith = withClause.isDefined
+      val afterWith = withClauses.nonEmpty
       val rets = scala.collection.mutable.ArrayBuffer(retItem(afterWith))
       while (tryEat(',')) rets += retItem(afterWith)
       val order = scala.collection.mutable.ArrayBuffer[SortKey]()
@@ -268,10 +349,10 @@ object CypherParser {
       }
       val skip = if (kw("SKIP")) Some(nonNegInt("SKIP")) else None
       val limit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
-      ws()
-      if (i < s.length) err("trailing input")
+      // trailing-input enforcement lives in the entry points (end()) so a
+      // UNION connector after this query is the caller's to consume
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest, withClause)
+        limit, skip, shortest, withClauses.toSeq)
     }
 
     private def path(): Path = {
@@ -289,8 +370,14 @@ object CypherParser {
     private def nodePat(): NodePat = {
       eat('(')
       ws()
-      val name = if (peek != ':' && peek != ')') Some(ident()) else None
+      var name = if (peek != ':' && peek != ')' && peek != '{') Some(ident()) else None
       val label = if (tryEat(':')) Some(ident()) else None
+      ws()
+      if (peek == '{') { // `(a:A {x: 1})` — equality-conjunct sugar
+        val b = name.getOrElse(freshMapBinding())
+        name = Some(b)
+        propMapInto(b)
+      }
       eat(')')
       NodePat(name, label)
     }
@@ -304,13 +391,19 @@ object CypherParser {
       var name: Option[String] = None
       if (tryEat('[')) {
         ws()
-        if (peek != ':' && peek != '*' && peek != ']') name = Some(ident())
+        if (peek != ':' && peek != '*' && peek != ']' && peek != '{') name = Some(ident())
         if (tryEat(':')) {
           val ts = scala.collection.mutable.ArrayBuffer(ident())
           while (tryEat('|')) ts += ident()
           types = ts.toSeq
         }
         if (tryEat('*')) hops = Some(hopRange())
+        ws()
+        if (peek == '{') { // `-[r:T {w: 5}]->` — edge-property equality sugar
+          val b = name.getOrElse(freshMapBinding())
+          name = Some(b)
+          propMapInto(b)
+        }
         eat(']')
       }
       eat('-')

@@ -641,6 +641,14 @@ object TextOps {
    * never a doc×doc comparison, so the shape survives 100 TB; the join
    * key is the 8-byte shingle hash, not the string.
    *
+   * HASHED-KEY APPROXIMATION (same device as [[minhashDedup]]'s hash
+   * spaces): grouping on xxhash64(shingle) conflates two distinct n-grams
+   * iff they collide in 64 bits — probability ≈ m²/2⁶⁵ for m distinct
+   * shingles (~3·10⁻⁷ even at 100 B shingles), inflating that one shingle's
+   * doc count. The exact-string contract holds up to that collision bound;
+   * group on the string itself if a downstream consumer needs verbatim
+   * n-gram identities rather than counts.
+   *
    * @return (idCol, n_ngrams, n_boiler, boiler_frac DOUBLE rounded to 6)
    *         for every doc with at least one n-gram
    */

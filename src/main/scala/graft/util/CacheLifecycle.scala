@@ -39,14 +39,29 @@ object CacheLifecycle {
    * A result that is constructed but never acted on cannot hold its
    * listener forever: each registered listener pays a `sameResult` tree-walk
    * on EVERY later query in the session, so abandoned results would
-   * accumulate per-query overhead. After [[ExpiryBudget]] non-matching
+   * accumulate per-query overhead. After the expiry budget of non-matching
    * query executions the listener gives up — it releases the scratch and
    * deregisters. That is safe by the recomputability contract above: if the
    * abandoned result IS acted on even later, it recomputes the scratch
    * lineage without the cache, which is the same behavior as the second
    * action on a released result.
+   *
+   * The budget counts EVERY query execution in the session — including
+   * graft's own internal eager actions (per-round CC checkpoints/counts,
+   * algorithm gate actions) — so a result built just before a long iterative
+   * run can expire before its first action and silently recompute. Two
+   * mitigations: expiry is LOGGED (warn level, names the budget conf), and
+   * the budget is session-configurable via [[ExpiryBudgetKey]] for
+   * interactive sessions that build results long before acting on them
+   * (alongside the [[RetainScratchKey]] full opt-out).
    */
-  private val ExpiryBudget = 256
+  private val DefaultExpiryBudget = 256
+
+  /** Session conf: number of non-matching query executions before an
+    * un-acted-on result's scratch caches are released early. */
+  val ExpiryBudgetKey = "spark.graft.scratchExpiryBudget"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Session-conf opt-out: with `spark.graft.retainScratch=true` the scratch
     * caches are left registered and the caller owns their lifecycle
@@ -60,12 +75,19 @@ object CacheLifecycle {
     val spark = result.sparkSession
     if (spark.conf.getOption(RetainScratchKey).exists(_.toBoolean)) return result
     val target = result.queryExecution.analyzed
+    val budget = spark.conf.getOption(ExpiryBudgetKey).map(_.toInt)
+      .getOrElse(DefaultExpiryBudget)
     val listener = new QueryExecutionListener {
       // listener-bus delivery is single-threaded per listener → plain var
-      private var remaining = ExpiryBudget
+      private var remaining = budget
       private def maybeRelease(qe: QueryExecution): Unit = {
         remaining -= 1
-        if (remaining <= 0 || qe.analyzed.exists(_.sameResult(target))) {
+        val matched = qe.analyzed.exists(_.sameResult(target))
+        if (remaining <= 0 || matched) {
+          if (!matched) log.warn(
+            s"releasing ${scratch.size} scratch cache(s) for a result not acted on within " +
+              s"$budget query executions; its first action will recompute without them " +
+              s"(raise $ExpiryBudgetKey or set $RetainScratchKey=true to keep them)")
           scratch.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }

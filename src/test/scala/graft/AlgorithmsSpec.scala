@@ -194,6 +194,46 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Map(0L -> 2.0, 1L -> 1.0, 2L -> 0.0, 9L -> 0.0))
   }
 
+  test("landmark harmonic: k = n degenerates to the exact harmonic (scale 1)") {
+    val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val exact = Algorithms.harmonicCentrality(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // with all n vertices as landmarks the estimator's sum IS the exact sum
+    // and the n/k scale is 1 — a semantic pin on the unbiasedness algebra
+    val full = Algorithms.harmonicLandmark(vs, es, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == exact)
+    // k beyond n clamps (no inflation of the scale factor)
+    val over = Algorithms.harmonicLandmark(vs, es, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(over == exact)
+  }
+
+  test("landmark harmonic: k < n matches the hand-computed md5-order sample") {
+    // chain 0→1→2→3. md5 of decimal id strings orders the sample
+    // deterministically — replicate the selection here, then the estimate:
+    // Ĥ(v) = (n/k) · Σ_{l ∈ L} 1/d(v, l) over the k chosen landmark targets
+    val vs = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val k = 2
+    val landmarks = (0L to 3L)
+      .sortBy { id =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        (d.map("%02x".format(_)).mkString, id)
+      }
+      .take(k).toSet
+    def dist(v: Long, l: Long): Option[Long] = if (l > v) Some(l - v) else None // chain distance
+    val expected = (0L to 3L).map { v =>
+      v -> (0L to 3L).filter(landmarks).flatMap(l => dist(v, l))
+        .map(d => 1.0 / d).sum * (4.0 / k)
+    }.toMap
+    val got = Algorithms.harmonicLandmark(vs, es, k = k)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("personalized pagerank: restarts at the seed, dangling mass returns to it") {
     // 0 → 1, seed {0}, d = 0.85. Hand-computed:
     //   r0 = (1, 0)

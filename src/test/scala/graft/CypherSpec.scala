@@ -515,6 +515,24 @@ class CypherSpec extends SparkSpec {
     assert(rev == Set((4L, 1L, 1L), (4L, 2L, 2L), (4L, 3L, 1L)))
   }
 
+  test("shortestPath: seed-set bound refuses unselective source sets loudly") {
+    import spark.implicits._
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "Z")),
+      edges = Seq((1L, 4L, "T"), (2L, 4L, "T"), (3L, 4L, "T")))
+    val db = new GraphDB(g)
+    val q = "MATCH p = shortestPath((a:A)-[:T*]->(z:Z)) RETURN a, z, length(p)"
+    spark.conf.set(GraphDB.ShortestMaxSourcesKey, "2")
+    try {
+      val e = intercept[IllegalStateException] { db.query(q) }
+      assert(e.getMessage.contains("3 sources") &&
+        e.getMessage.contains(GraphDB.ShortestMaxSourcesKey))
+      // raising the bound (or disabling with 0) lets the same query run
+      spark.conf.set(GraphDB.ShortestMaxSourcesKey, "0")
+      assert(db.query(q).count() == 3)
+    } finally spark.conf.unset(GraphDB.ShortestMaxSourcesKey)
+  }
+
   test("shortestPath: parser accepts unbounded * only there; invalid forms rejected") {
     val q = CypherParser.parse(
       "MATCH p = shortestPath((a:A)-[:T*]->(b:B)) RETURN a, b, length(p)")
