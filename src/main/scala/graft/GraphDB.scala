@@ -49,26 +49,47 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    * tracking) — the plan's own projection-shrink dedup usually lands exactly
    * on the returned bindings, and paying a second full shuffle for an
    * already-distinct million-row result was round 1's top plan defect.
+   *
+   * Laziness: construction is plan-only for every query form EXCEPT
+   * `shortestPath`, whose seed-set guard runs one eager count job up front
+   * (see [[runShortest]]) — the count doubles as the BFS seed-cache warm.
    */
   def query(cypherText: String): DataFrame = {
     val (qs, all) = CypherParser.parseUnion(cypherText)
-    val dfs = qs.map(runQuery)
-    if (dfs.lengthIs == 1) dfs.head
-    else {
-      // UNION branches must agree on the output schema BY NAME (openCypher);
-      // unionByName then keeps column order stable regardless of each
-      // branch's internal projection order
-      val cols0 = dfs.head.columns.toSeq
-      dfs.tail.foreach { d =>
-        if (d.columns.toSeq != cols0) throw new cypher.ParseException(
-          s"UNION branches must return the same columns: " +
-            s"${cols0.mkString(",")} vs ${d.columns.mkString(",")}")
-      }
-      val u = dfs.reduce(_.unionByName(_))
-      // UNION dedups across branches (the query-surface eWiseAdd over set
-      // semantics); UNION ALL keeps every branch row
-      if (all) u else u.dropDuplicates()
+    if (qs.lengthIs == 1) return runQuery(qs.head)
+    // openCypher: a trailing ORDER BY/SKIP/LIMIT after the LAST branch
+    // applies to the WHOLE union (in openCypher a branch cannot carry its
+    // own ORDER BY, so the conformant reading is unambiguous); earlier
+    // branches keep the per-branch extension (top-k-per-branch).
+    val last = qs.last
+    val branches = qs.init :+ last.copy(orderBy = Seq.empty, limit = None, skip = None)
+    val dfs = branches.map(runQuery)
+    // UNION branches must agree on the output schema BY NAME (openCypher);
+    // unionByName resolves each branch's internal projection order, so the
+    // check is name-SET equality, not positional
+    val names0 = dfs.head.columns.toSet
+    dfs.tail.foreach { d =>
+      if (d.columns.toSet != names0) throw new cypher.ParseException(
+        s"UNION branches must return the same columns: " +
+          s"${dfs.head.columns.mkString(",")} vs ${d.columns.mkString(",")}")
     }
+    val u = dfs.reduce(_.unionByName(_))
+    // UNION dedups across branches (the query-surface eWiseAdd over set
+    // semantics); UNION ALL keeps every branch row
+    val merged = if (all) u else u.dropDuplicates()
+    // the final modifiers resolve sort keys exactly like a branch RETURN
+    // (pre-alias default name or alias)
+    val sortKeyToOut = (last.returns.filter(_.alias.isDefined)
+      .map(r => r.defaultName -> r.outName) ++
+      last.returns.map(_.outName).map(n => n -> n)).toMap
+    val ordered =
+      if (last.orderBy.isEmpty) merged
+      else merged.orderBy(last.orderBy.map { k =>
+        val c = col(sortKeyToOut.getOrElse(k.binding, k.binding))
+        if (k.asc) c.asc else c.desc
+      }: _*)
+    val skipped = last.skip.fold(ordered)(ordered.offset)
+    last.limit.fold(skipped)(skipped.limit)
   }
 
   private def runQuery(q: cypher.Ast.Query): DataFrame =
@@ -116,7 +137,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         if (r.prop.isDefined) throw new cypher.ParseException(
           s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
             "(project the property in the WITH items instead)")
-        if (!colSet(r.binding)) throw new cypher.ParseException(
+        // "*" is count(*)'s pseudo-binding (parser only emits it under count)
+        if (r.binding != "*" && !colSet(r.binding)) throw new cypher.ParseException(
           s"$stage references ${r.binding}, not among the WITH items: ${cols.mkString(",")}")
       }
       val aggItems = items.filter(_.agg.isDefined)
@@ -126,7 +148,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         else {
           val aggs = aggItems.map { i =>
             (i.agg.get match {
-              case "count" => count(col(i.binding))
+              case "count" => if (i.binding == "*") count(lit(1)) else count(col(i.binding))
               case "sum"   => sum(col(i.binding))
               case "min"   => min(col(i.binding))
               case "max"   => max(col(i.binding))
@@ -217,18 +239,29 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // level ≥ 1 — the semi-join prunes the level-0 seed state the BFS
     // carries through every round (an unlabeled source pattern otherwise
     // seeds EVERY node: 186k seeds for 16k movers at sf0.1)
+    // persisted so the guard's count materializes the seed set ONCE and the
+    // BFS below reuses it instead of re-running the node⋉edge semi-join
+    // (r6 shipped this uncached: cy_shortest paid the semi-join twice, 3.3×);
+    // released by the releaseOnFirstAction hook on the returned result
     val srcIds = sp.src.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
       .join(e.select(col("src").as("id")), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = graph.nodes.sparkSession
     val maxSources = spark.conf.getOption(GraphDB.ShortestMaxSourcesKey)
-      .map(_.toLong).getOrElse(GraphDB.DefaultShortestMaxSources)
+      .map(v => try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"${GraphDB.ShortestMaxSourcesKey} must be a long, got '$v'") })
+      .getOrElse(GraphDB.DefaultShortestMaxSources)
     if (maxSources > 0) {
       val nSrc = srcIds.count()
-      if (nSrc > maxSources) throw new IllegalStateException(
-        s"shortestPath seeds $nSrc sources (label ${sp.src.label.getOrElse("<any>")}); " +
-          s"per-source BFS state is O(sources × reachability) and the configured bound is " +
-          s"$maxSources (${GraphDB.ShortestMaxSourcesKey}; 0 disables). Narrow the source " +
-          "label, or raise the bound if this state budget is deliberate.")
+      if (nSrc > maxSources) {
+        srcIds.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"shortestPath seeds $nSrc sources (label ${sp.src.label.getOrElse("<any>")}); " +
+            s"per-source BFS state is O(sources × reachability) and the configured bound is " +
+            s"$maxSources (${GraphDB.ShortestMaxSourcesKey}; 0 disables). Narrow the source " +
+            "label, or raise the bound if this state budget is deliberate.")
+      }
     }
     val dstIds = sp.dst.label.fold(graph.nodes)(graph.nodesByLabel).select(col("id"))
     val (lo, hi) = sp.rel.hops.getOrElse((1, 1))
@@ -261,7 +294,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         if (k.asc) c.asc else c.desc
       }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
-    q.limit.fold(skipped)(skipped.limit)
+    val result = q.limit.fold(skipped)(skipped.limit)
+    // first action on the result releases the seed cache (bfsPerSource has
+    // already consumed it eagerly; the lineage of shallow BFS runs — fewer
+    // iterations than the Cutter's checkpoint stride — may still read it)
+    graft.util.CacheLifecycle.releaseOnFirstAction(result, srcIds)
   }
 
   private def run(pg: Pattern.PatternGraph): DataFrame = {

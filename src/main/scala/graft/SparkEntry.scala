@@ -245,6 +245,47 @@ object SparkEntry {
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
         "WITH n, count(c) AS n_cust " +
         "RETURN min(n_cust), max(n_cust), sum(n_cust), count(n)")),
+    // chained WITH: per-nation distinct-order counts, then a second
+    // aggregation stage grouping nations BY that count — the whole pipeline
+    // stays one Catalyst plan (two aggregate blocks, no materialization)
+    "cy_with_chain" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:order) " +
+        "WITH n, count(o) AS n_orders " +
+        "WITH n_orders, count(n) AS n_nations " +
+        "RETURN n_orders, n_nations ORDER BY n_orders")),
+    // count(*) after WITH: post-WITH rows are plain rows, so count(*) is the
+    // openCypher row count of the piped stage
+    "cy_with_count_star" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
+        "WITH n, count(c) AS n_cust " +
+        "RETURN count(*) AS groups, sum(n_cust) AS total")),
+    // UNION dedups across branches (query-surface eWiseAdd over sets):
+    // nations with a customer ∪ nations with a supplier
+    "cy_union" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n " +
+        "UNION MATCH (su:supplier)-[:IN_NATION]->(n:nation) RETURN n")),
+    // UNION ALL keeps each branch's rows (each branch is still internally
+    // set-semantics distinct) — nations in both branches appear twice
+    "cy_union_all" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n " +
+        "UNION ALL MATCH (su:supplier)-[:IN_NATION]->(n:nation) RETURN n")),
+    // trailing ORDER BY/LIMIT after the last branch applies to the WHOLE
+    // union (openCypher), not the branch
+    "cy_union_orderby" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN n AS id " +
+        "UNION MATCH (su:supplier)-[:IN_NATION]->(n:nation) RETURN n AS id " +
+        "ORDER BY id DESC LIMIT 10")),
+    // pattern property maps (node + relationship) desugar to the same
+    // pushdown equality conjuncts explicit WHERE compiles to
+    "cy_prop_map" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (su:supplier)-[:IN_NATION]->(n:nation {name: 'NATION_24'}), " +
+        "(su)-[r:SUPPLIES {weight: 45}]->(p:part) RETURN su, p")),
 
     // --- kernel: semiring matrix algebra (SURVEY §2.3) ---
     // Boolean mxm over ANY_PAIR: (customer|supplier)→nation · nation→region
@@ -1012,6 +1053,30 @@ object SparkEntry {
        "FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY 1) " +
        "SELECT min(n_cust)::BIGINT AS min_n_cust, max(n_cust)::BIGINT AS max_n_cust, " +
        "sum(n_cust)::BIGINT AS sum_n_cust, count(*)::BIGINT AS count_n FROM per"),
+    "cy_with_chain" ->
+      ("WITH per AS (SELECT c_nationkey AS n, count(DISTINCT o_orderkey)::BIGINT AS n_orders " +
+       "FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1) " +
+       "SELECT n_orders, count(*)::BIGINT AS n_nations FROM per " +
+       "GROUP BY 1 ORDER BY n_orders"),
+    "cy_with_count_star" ->
+      ("WITH per AS (SELECT c_nationkey, count(DISTINCT c_custkey)::BIGINT AS n_cust " +
+       "FROM customer GROUP BY 1) " +
+       "SELECT count(*)::BIGINT AS groups, sum(n_cust)::BIGINT AS total FROM per"),
+    "cy_union" ->
+      ("SELECT c_nationkey + 2000000000 AS n FROM customer " +
+       "UNION SELECT s_nationkey + 2000000000 FROM supplier"),
+    "cy_union_all" ->
+      ("SELECT n FROM (SELECT DISTINCT c_nationkey + 2000000000 AS n FROM customer " +
+       "UNION ALL SELECT DISTINCT s_nationkey + 2000000000 FROM supplier)"),
+    "cy_union_orderby" ->
+      ("SELECT id FROM (SELECT c_nationkey + 2000000000 AS id FROM customer " +
+       "UNION SELECT s_nationkey + 2000000000 FROM supplier) " +
+       "ORDER BY id DESC LIMIT 10"),
+    "cy_prop_map" ->
+      ("SELECT DISTINCT s_suppkey + 4000000000 AS su, l_partkey + 5000000000 AS p " +
+       "FROM supplier JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_24' " +
+       "JOIN (SELECT l_suppkey, l_partkey FROM lineitem GROUP BY 1, 2 " +
+       "HAVING min(l_quantity) = 45) li ON li.l_suppkey = s_suppkey"),
     "cy_orderby" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20"),

@@ -87,7 +87,7 @@ object Ast {
       * when the item is renamed with AS). */
     def defaultName: String = (agg, prop) match {
       case (Some(a), Some(p)) => s"${a}_${binding}_$p"
-      case (Some(a), None)    => s"${a}_$binding"
+      case (Some(a), None)    => if (binding == "*") s"${a}_star" else s"${a}_$binding"
       case (None, Some(p))    => s"${binding}_$p"
       case (None, None)       => binding
     }
@@ -140,10 +140,13 @@ object CypherParser {
   /** `q1 UNION [ALL] q2 (UNION [ALL] q3)*` — the query-surface analogue of
     * the kernel's eWiseAdd (§2.3): each branch is a full query; UNION
     * dedups the combined rows, UNION ALL keeps them. Mixing UNION and
-    * UNION ALL in one statement is rejected (openCypher). Deviation,
-    * documented: ORDER BY / SKIP / LIMIT inside a branch apply to THAT
-    * branch (top-k-per-branch is expressible); openCypher would attach a
-    * final ORDER BY to the whole union.
+    * UNION ALL in one statement is rejected (openCypher).
+    *
+    * ORDER BY / SKIP / LIMIT placement (resolved by GraphDB.query): a
+    * trailing ORDER BY/SKIP/LIMIT after the LAST branch applies to the
+    * WHOLE union (openCypher, where branches cannot carry their own
+    * ORDER BY); on EARLIER branches they apply to that branch — an
+    * extension that keeps top-k-per-branch expressible.
     *
     * @return the branches plus the combinator (true = UNION ALL)
     */
@@ -218,10 +221,14 @@ object CypherParser {
     private def propMapInto(binding: String): Unit = {
       // caller has seen '{'
       eat('{')
+      if (tryEat('}')) return // `{}` constrains nothing (openCypher: matches all)
       var more = true
       while (more) {
         val k = ident(); eat(':'); ws()
-        val v: Any = if (peek == '\'' || peek == '"') stringLit() else number()
+        val v: Any =
+          if (peek == '\'' || peek == '"') stringLit()
+          else if (peek.isDigit || peek == '-') number()
+          else err("property-map values must be string or number literals")
         mapPreds += Cmp(binding, k, "=", v)
         more = tryEat(',')
       }
@@ -297,17 +304,31 @@ object CypherParser {
           eat('('); val b = ident(); eat(')')
           Ret(b, None, Some("length")) // path length projection (shortestPath)
         } else if (aggNames(name.toLowerCase) && tryEat('(')) {
-          val b = ident()
-          val p = if (tryEat('.')) Some(ident()) else None
-          eat(')')
           val a = name.toLowerCase
-          if (p.isDefined && afterWith)
-            err(s"$a($b.${p.get}): property access is not available after WITH")
-          if (a == "count" && p.isDefined)
-            err("count() takes a binding, not a property (set semantics counts matches)")
-          if (a != "count" && p.isEmpty && !afterWith)
-            err(s"$a() requires a property argument: $a(binding.prop)")
-          Ret(b, p, Some(a))
+          ws()
+          if (peek == '*') {
+            // `count(*)` — row count of the incoming stage. Post-WITH rows
+            // are plain rows, so this is openCypher's count(*); over a raw
+            // match the engine's set semantics make count(binding) the
+            // meaningful form, so `*` is only accepted after WITH.
+            i += 1; eat(')')
+            if (a != "count") err(s"$a(*) is not supported (only count(*))")
+            if (!afterWith) err(
+              "count(*) is only supported after WITH (over a match, use " +
+                "count(binding): set semantics counts distinct matches)")
+            Ret("*", None, Some("count"))
+          } else {
+            val b = ident()
+            val p = if (tryEat('.')) Some(ident()) else None
+            eat(')')
+            if (p.isDefined && afterWith)
+              err(s"$a($b.${p.get}): property access is not available after WITH")
+            if (a == "count" && p.isDefined)
+              err("count() takes a binding, not a property (set semantics counts matches)")
+            if (a != "count" && p.isEmpty && !afterWith)
+              err(s"$a() requires a property argument: $a(binding.prop)")
+            Ret(b, p, Some(a))
+          }
         } else {
           val p = if (tryEat('.')) Some(ident()) else None
           Ret(name, p, None)

@@ -33,13 +33,14 @@ private final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Do
 object StreamOps {
 
   /** `readStream` over a parquet events directory (file source; schema must
-    * be supplied for streaming reads). Handles the driver data's
-    * TIMESTAMP(NANOS) the same way [[graft.sources.Tables.events]] does. */
+    * be supplied for streaming reads). Delegates ts normalization to the same
+    * schema-adaptive path as [[graft.sources.Tables.events]], so legacy
+    * nanos-as-long and native TIMESTAMP_NTZ fixtures both work. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
   }
 
   private def watermarked(events: DataFrame, time: String, wm: String): DataFrame =

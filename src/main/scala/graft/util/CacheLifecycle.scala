@@ -75,7 +75,10 @@ object CacheLifecycle {
     val spark = result.sparkSession
     if (spark.conf.getOption(RetainScratchKey).exists(_.toBoolean)) return result
     val target = result.queryExecution.analyzed
-    val budget = spark.conf.getOption(ExpiryBudgetKey).map(_.toInt)
+    val budget = spark.conf.getOption(ExpiryBudgetKey)
+      .map(v => try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$ExpiryBudgetKey must be an int, got '$v'") })
       .getOrElse(DefaultExpiryBudget)
     val listener = new QueryExecutionListener {
       // listener-bus delivery is single-threaded per listener → plain var

@@ -559,6 +559,137 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("UNION dedups across branches; UNION ALL keeps branch rows") {
+    val db = new GraphDB(diamond)
+    // branch1 b's = {2,3}; branch2 (incoming to c) = {2,3}: UNION dedups
+    val u = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b " +
+      "UNION MATCH (c:C)<-[:Y]-(b:B) RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(u.toSeq == Seq(2L, 3L))
+    // UNION ALL keeps each branch's (internally distinct) rows
+    val ua = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b " +
+      "UNION ALL MATCH (c:C)<-[:Y]-(b:B) RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(ua.toSeq == Seq(2L, 2L, 3L, 3L))
+  }
+
+  test("UNION validation: mixed connectors and mismatched columns rejected") {
+    val db = new GraphDB(diamond)
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parseUnion(
+        "MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b " +
+        "UNION ALL MATCH (c:C) RETURN c")
+    }
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) RETURN a UNION MATCH (a:A)-[:X]->(b:B) RETURN a, b")
+    }
+  }
+
+  test("UNION matches branch columns by NAME — projection order may differ") {
+    val db = new GraphDB(diamond)
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN a, b " +
+      "UNION MATCH (a:A)-[:X]->(b:B) RETURN b, a")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).sorted
+    assert(rows.toSeq == Seq((1L, 2L), (1L, 3L)))
+  }
+
+  test("UNION: trailing ORDER BY/LIMIT applies to the whole union; per-branch on earlier branches") {
+    val db = new GraphDB(diamond)
+    // union = {2,3} ∪ {4} = {2,3,4}; DESC LIMIT 2 over the WHOLE union
+    val whole = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b AS id " +
+      "UNION MATCH (b:B)-[:Y]->(c:C) RETURN c AS id " +
+      "ORDER BY id DESC LIMIT 2")
+      .collect().map(_.getLong(0))
+    assert(whole.toSeq == Seq(4L, 3L))
+    // an EARLIER branch keeps its own ORDER BY/LIMIT (top-k-per-branch)
+    val per = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b AS id ORDER BY id LIMIT 1 " +
+      "UNION ALL MATCH (b:B)-[:Y]->(c:C) RETURN c AS id")
+      .collect().map(_.getLong(0)).sorted
+    assert(per.toSeq == Seq(2L, 4L))
+  }
+
+  test("property maps: named/anonymous node and relationship maps desugar to pushdown") {
+    val dbP = new GraphDB(propsG)
+    // named node map ≡ WHERE b.name = 'x'
+    val named = dbP.query("MATCH (b:B {name: 'x'}) RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(named.toSeq == Seq(2L, 4L))
+    // anonymous node with a map gets an auto binding; filter still applies
+    val anon = dbP.query("MATCH (a:A)-[:X]->(:B {name: 'y'}) RETURN a")
+      .collect().map(_.getLong(0))
+    assert(anon.toSeq == Seq(1L))
+    // empty map constrains nothing (openCypher)
+    val empty = dbP.query("MATCH (b:B {}) RETURN b").collect().map(_.getLong(0)).sorted
+    assert(empty.toSeq == Seq(2L, 3L, 4L))
+    // relationship maps, named and anonymous
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "A", 9.0), (3L, "B", 10.0), (4L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X", 1.0), (1L, 4L, "X", 7.0),
+        (2L, 3L, "X", 8.0), (2L, 4L, "X", 2.0))).toDF("src", "dst", "etype", "w"))
+    val dbE = new GraphDB(g)
+    val relNamed = dbE.query("MATCH (a:A)-[r:X {w: 7}]->(b:B) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(relNamed.toSeq == Seq((1L, 4L)))
+    val relAnon = dbE.query("MATCH (a:A)-[:X {w: 8}]->(b:B) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(relAnon.toSeq == Seq((2L, 3L)))
+  }
+
+  test("property maps: per-branch slicing under UNION (parser state does not leak)") {
+    val db = new GraphDB(propsG)
+    // if branch1's map pred leaked into branch2, 'y' would also require
+    // name='x' and branch2 would come back empty
+    val rows = db.query(
+      "MATCH (b:B {name: 'x'}) RETURN b UNION MATCH (b:B {name: 'y'}) RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("property maps: rejected on OPTIONAL MATCH and shortestPath; bad literals") {
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B {name: 'x'}) RETURN a, b")
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH p = shortestPath((a:A {name: 'a1'})-[:X*]->(b)) RETURN a, b")
+    }
+    val e = intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (b:B {flag: true}) RETURN b")
+    }
+    assert(e.getMessage.contains("string or number"))
+  }
+
+  test("count(*): row count after WITH; rejected over a raw match") {
+    val db = new GraphDB(propsG)
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "RETURN count(*) AS groups, sum(n) AS total")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 3L)))
+    // count(*) in a second WITH stage counts the prior stage's rows: one row
+    // per distinct match (x, y, x) without DISTINCT, distinct values with it
+    val staged = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm WITH count(*) AS c RETURN c")
+      .collect().map(_.getLong(0))
+    assert(staged.toSeq == Seq(3L))
+    val stagedD = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH DISTINCT b.name AS nm WITH count(*) AS c RETURN c")
+      .collect().map(_.getLong(0))
+    assert(stagedD.toSeq == Seq(2L))
+    val e = intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN count(*)")
+    }
+    assert(e.getMessage.contains("after WITH"))
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) WITH a AS x RETURN sum(*)")
+    }
+  }
+
   test("tpch graph: entry smoke") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
