@@ -304,10 +304,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
   private def run(pg: Pattern.PatternGraph): DataFrame = {
     // the required pattern must carry everything the result needs from it,
     // plus every optional group's join keys, plus the bindings the residual
-    // WHERE predicates read (possibly beyond the returned set)
+    // WHERE predicates read (possibly beyond the returned set). A residual
+    // ref to a RELATIONSHIP variable carries the edge's two endpoint
+    // bindings instead — the property value joins back on that pair.
     val baseNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
-    val resBindings = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).map(_._1).distinct
+    val edgeByName = pg.edges.flatMap(e => e.name.map(_ -> e)).toMap
+    val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
+    val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
+    val resBindings = (resNodeRefs.map(_._1) ++
+      resEdgeRefs.map(_._1).distinct.map(edgeByName).flatMap(e => Seq(e.src, e.dst))).distinct
     val mainNeeded = (baseNeeded ++ resBindings).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
       optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
@@ -342,13 +348,31 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // exactly once (left join: ids always resolve — PropertyGraph invariant
     // — but stay robust to partial node tables)
     val itemProps = pg.items.filter(_.prop.isDefined).map(i => i.binding -> i.prop.get)
-    val resProps = pg.residual.flatMap(cypher.Ast.Pred.refs(_))
-    val propsNeeded = (itemProps ++ resProps).distinct
+    val propsNeeded = (itemProps ++ resNodeRefs).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-    val withAllProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
+    val withNodeProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
       val sel = graph.nodes.select(
         (col("id").as(b) +: ps.map(p => col(p).as(s"${b}_$p"))): _*)
       acc.join(sel, Seq(b), "left")
+    }
+    // relationship properties referenced by residual predicates join back on
+    // the edge's endpoint pair — 1:1 per type by the (src,dst,etype)
+    // uniqueness invariant. Multi-type or undirected rels can fan a pair out
+    // to one row per matching relationship: existential semantics (the match
+    // survives if ANY of its relationships passes), restored to match
+    // granularity by the dedup below.
+    val edgePropsNeeded = resEdgeRefs.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val withAllProps = edgePropsNeeded.foldLeft(withNodeProps) { case (acc, (r, ps)) =>
+      val e = edgeByName(r)
+      val base = graph.edgesByType(e.types)
+      val oriented =
+        if (!e.undirected) base
+        else base.unionByName(base.withColumn("__s", col("src"))
+          .withColumn("src", col("dst")).withColumn("dst", col("__s")).drop("__s"))
+      val sel = oriented.select(
+        (Seq(col("src").as(e.src), col("dst").as(e.dst)) ++
+          ps.map(p => col(p).as(s"${r}_$p"))): _*)
+      acc.join(sel, Seq(e.src, e.dst), "left")
     }
     // residual WHERE: boolean structure / IS NULL over `binding_prop`
     // columns. When a predicate reads a binding that is NOT returned, the
@@ -358,7 +382,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val filtered = pg.residual.foldLeft(withAllProps)((acc, p) =>
       acc.filter(operators.Preds.column(p, (b, pr) => col(s"${b}_$pr"))))
     val withProps =
-      if (pg.residual.nonEmpty && mainNeeded != baseNeeded) {
+      if (pg.residual.nonEmpty && (mainNeeded != baseNeeded || edgePropsNeeded.nonEmpty)) {
         val optCols = pg.optional.flatMap(g =>
           pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
         filtered.dropDuplicates(baseNeeded ++ optCols)

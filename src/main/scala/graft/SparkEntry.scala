@@ -208,6 +208,12 @@ object SparkEntry {
     "cy_edge_prop" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (o:order)-[r:CONTAINS]->(p:part) WHERE r.weight >= 45 RETURN o, p")),
+    // relationship property inside an OR residual (mixed with a node prop):
+    // the edge value joins back on the endpoint pair post-match
+    "cy_edge_prop_or" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (o:order)-[r:CONTAINS]->(p:part) " +
+        "WHERE r.weight >= 48 OR p.value > 1900 RETURN o, p")),
     // WHERE disjunction across bindings — not pushable to either scan, so it
     // compiles to a residual filter over the matched rows with both property
     // columns joined back
@@ -1031,6 +1037,11 @@ object SparkEntry {
     "cy_edge_prop" ->
       ("SELECT l_orderkey + 6000000000 AS o, l_partkey + 5000000000 AS p " +
        "FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) >= 45"),
+    "cy_edge_prop_or" ->
+      ("SELECT li.o, li.p FROM (SELECT l_orderkey + 6000000000 AS o, " +
+       "l_partkey + 5000000000 AS p, min(l_quantity) AS w FROM lineitem " +
+       "GROUP BY 1, 2) li JOIN part ON p_partkey + 5000000000 = li.p " +
+       "WHERE li.w >= 48 OR p_retailprice > 1900"),
     "cy_where_or" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
@@ -1253,6 +1264,14 @@ object SparkEntry {
     // exact double (power-of-two divisor), so the multiply associates
     // identically to the Spark side's hsum * lit(n/k) and round(…, 6)
     // hashes equal.
+    // PINNED INVARIANTS — this SQL hardcodes what the Spark query derives,
+    // and they desynchronize silently if either side changes:
+    //  * `depth < 8` unroll: valid because the region→nation→{customer,
+    //    supplier} hierarchy has diameter 2 ≪ 8 (Spark side iterates to
+    //    convergence, maxIter=100). Adding edge types changes the diameter.
+    //  * `LIMIT 8` and `/ 8.0` are the k literal: must equal the `k = 8`
+    //    argument in the harmonic_landmark queries entry above, and the
+    //    Spark side's kk = min(k, n) only equals 8 while n >= 8.
     "harmonic_landmark" ->
       ("WITH RECURSIVE edge AS (" +
        "SELECT n_regionkey + 1000000000 AS src, n_nationkey + 2000000000 AS dst FROM nation " +

@@ -166,17 +166,23 @@ object Pattern {
       throw new graft.cypher.ParseException(
         s"WHERE references optional/unbound bindings: ${badPred.mkString(",")} " +
           "(the single WHERE clause applies to the required pattern)")
-    // residual predicates may reference required-pattern NODE bindings only:
-    // relationship properties inside OR/NOT would need the edge columns
-    // carried through the whole match, and optional bindings would change
-    // the left-join semantics — both rejected loudly
+    // residual predicates may reference required-pattern node bindings and
+    // SINGLE-HOP relationship variables (GraphDB.run joins the edge's
+    // property columns back on the endpoint pair — the (src,dst,etype)
+    // uniqueness invariant makes that a 1:1 join per type). Varlen rel
+    // variables (a list of relationships) and optional bindings (left-join
+    // semantics would change) stay rejected loudly.
     val resBindings = residual.flatMap(Ast.Pred.refs(_)).map(_._1).distinct
     resBindings.filterNot(mainLabels.contains).foreach { b =>
-      if (edgeByName.contains(b)) throw new graft.cypher.ParseException(
-        s"relationship property of $b may only appear as a bare AND conjunct, not inside OR/NOT")
-      else throw new graft.cypher.ParseException(
-        s"WHERE references optional/unbound bindings: $b " +
-          "(the single WHERE clause applies to the required pattern)")
+      edgeByName.get(b) match {
+        case Some(e) =>
+          if (e.maxHops > 1) throw new graft.cypher.ParseException(
+            s"edge predicate on variable-length relationship $b is not supported " +
+              "(a varlen variable binds a list of relationships)")
+        case None => throw new graft.cypher.ParseException(
+          s"WHERE references optional/unbound bindings: $b " +
+            "(the single WHERE clause applies to the required pattern)")
+      }
     }
     PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, orderByResolved,
       q.limit, q.skip, groups, edgeCmps, residual)

@@ -395,15 +395,45 @@ class CypherSpec extends SparkSpec {
       "MATCH (a:A)-[:X]->(b:B) WHERE b.value < 15 OR b.name = 'y' RETURN a, count(b)")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(agg.toSeq == Seq((1L, 3L)))
-    // residual may not reference an edge variable or an optional binding
+    // residual may not reference a varlen rel variable or an optional binding
     intercept[graft.cypher.ParseException] {
       Pattern.fromQuery(CypherParser.parse(
-        "MATCH (a:A)-[r:X]->(b:B) WHERE r.w > 1 OR b.value > 1 RETURN b"))
+        "MATCH (a:A)-[r:X*1..2]->(b:B) WHERE r.w > 1 OR b.value > 1 RETURN b"))
     }
     intercept[graft.cypher.ParseException] {
       Pattern.fromQuery(CypherParser.parse(
         "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 1 OR a.value > 1 RETURN a, b"))
     }
+  }
+
+  test("residual WHERE over relationship properties: OR/NOT join edge values back") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "A", 9.0), (3L, "B", 10.0), (4L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X", 1.0), (1L, 4L, "X", 7.0),
+        (2L, 3L, "X", 8.0), (2L, 4L, "X", 2.0))).toDF("src", "dst", "etype", "w"))
+    val db = new GraphDB(g)
+    // edge prop OR node prop in one residual disjunction
+    val or = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 7 OR b.value > 15 RETURN a, b")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(or == Set((1L, 4L), (2L, 3L), (2L, 4L)))
+    // NOT over an edge-prop comparison
+    val not = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE NOT (r.w >= 7) RETURN a, b")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(not == Set((1L, 3L), (2L, 4L)))
+    // edge-prop-only residual with the rel binding not returned: granularity
+    // restored to the returned set
+    val only = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 7 OR r.w <= 1 RETURN a")
+      .collect().map(_.getLong(0)).toSet
+    assert(only == Set(1L, 2L))
+    // undirected rel: property joins back whichever orientation matched
+    val undir = db.query(
+      "MATCH (b:B)-[r:X]-(x) WHERE r.w >= 7 OR r.w <= 1 RETURN b, x")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(undir == Set((3L, 1L), (3L, 2L), (4L, 1L)))
   }
 
   test("WITH pipeline: project/aggregate, HAVING filter, second-stage aggregation") {
