@@ -49,6 +49,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("whole-union ORDER BY + LIMIT plans as one global take, not a full sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    assert(plans("cy_union_orderby").exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "trailing ORDER BY/LIMIT over a UNION must compile to TakeOrderedAndProject " +
+        "(top-k per partition + driver merge), never a global Sort materialization")
+  }
+
   test("skew join broadcasts the hot-key set and salts via explode") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val ps = plans("skew_join")
