@@ -310,10 +310,15 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val baseNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
     val edgeByName = pg.edges.flatMap(e => e.name.map(_ -> e)).toMap
+    // RETURN r.prop / agg(r.prop) on a single-hop relationship variable:
+    // rendered by the same endpoint-pair join-back as residual edge refs
+    val itemEdgeRefs = pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
+      .map(i => i.binding -> i.prop.get).distinct
     val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
     val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
+    val edgeRefNames = (resEdgeRefs.map(_._1) ++ itemEdgeRefs.map(_._1)).distinct
     val resBindings = (resNodeRefs.map(_._1) ++
-      resEdgeRefs.map(_._1).distinct.map(edgeByName).flatMap(e => Seq(e.src, e.dst))).distinct
+      edgeRefNames.map(edgeByName).flatMap(e => Seq(e.src, e.dst))).distinct
     val mainNeeded = (baseNeeded ++ resBindings).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
       optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
@@ -347,7 +352,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // set-semantics dedup so each distinct match contributes its property
     // exactly once (left join: ids always resolve — PropertyGraph invariant
     // — but stay robust to partial node tables)
-    val itemProps = pg.items.filter(_.prop.isDefined).map(i => i.binding -> i.prop.get)
+    val itemProps = pg.items
+      .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
+      .map(i => i.binding -> i.prop.get)
     val propsNeeded = (itemProps ++ resNodeRefs).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val withNodeProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
@@ -361,7 +368,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // to one row per matching relationship: existential semantics (the match
     // survives if ANY of its relationships passes), restored to match
     // granularity by the dedup below.
-    val edgePropsNeeded = resEdgeRefs.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val edgePropsNeeded = (resEdgeRefs ++ itemEdgeRefs)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val withAllProps = edgePropsNeeded.foldLeft(withNodeProps) { case (acc, (r, ps)) =>
       val e = edgeByName(r)
       val base = graph.edgesByType(e.types)
@@ -385,7 +393,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (pg.residual.nonEmpty && (mainNeeded != baseNeeded || edgePropsNeeded.nonEmpty)) {
         val optCols = pg.optional.flatMap(g =>
           pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
-        filtered.dropDuplicates(baseNeeded ++ optCols)
+        // returned edge-prop columns join the dedup key: those rows are the
+        // per-relationship output, not widening to collapse
+        val itemEdgeCols = itemEdgeRefs.map { case (r, p) => s"${r}_$p" }
+        filtered.dropDuplicates(baseNeeded ++ optCols ++ itemEdgeCols)
       } else filtered
     def valueOf(i: cypher.Ast.Ret): Column =
       i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))

@@ -214,6 +214,13 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (o:order)-[r:CONTAINS]->(p:part) " +
         "WHERE r.weight >= 48 OR p.value > 1900 RETURN o, p")),
+    // relationship property in RETURN (projection + aggregate): rendered by
+    // the endpoint-pair join-back; double sums rounded on both sides
+    "cy_ret_edge_prop" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[r:PLACED]->(o:order) " +
+        "RETURN c, count(o), sum(r.weight)")
+        .withColumn("sum_r_weight", round(col("sum_r_weight"), 2))),
     // WHERE disjunction across bindings — not pushable to either scan, so it
     // compiles to a residual filter over the matched rows with both property
     // columns joined back
@@ -1042,6 +1049,10 @@ object SparkEntry {
        "l_partkey + 5000000000 AS p, min(l_quantity) AS w FROM lineitem " +
        "GROUP BY 1, 2) li JOIN part ON p_partkey + 5000000000 = li.p " +
        "WHERE li.w >= 48 OR p_retailprice > 1900"),
+    "cy_ret_edge_prop" ->
+      ("SELECT c_custkey + 3000000000 AS c, count(DISTINCT o_orderkey) AS count_o, " +
+       "round(sum(o_totalprice), 2) AS sum_r_weight " +
+       "FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1"),
     "cy_where_or" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +

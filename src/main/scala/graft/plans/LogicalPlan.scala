@@ -123,9 +123,21 @@ object Pattern {
           s"binding ${(optOnly(i) & optOnly(j)).head} appears in two OPTIONAL MATCH clauses")
 
     val allBindings = mainLabels.keySet ++ groups.flatMap(_.bindings)
-    val unknown = q.returns.map(_.binding).filterNot(allBindings)
-    if (unknown.nonEmpty)
-      throw new graft.cypher.ParseException(s"RETURN references unbound: ${unknown.mkString(",")}")
+    // relationship variables of the REQUIRED pattern (validated below) may
+    // appear in RETURN as PROPERTY projections/aggregates — the value joins
+    // back on the endpoint pair like residual edge refs. Bare `RETURN r`
+    // (a relationship entity) has no relational rendering here.
+    val returnableEdges = mainEdges.flatMap(_.name).toSet
+    q.returns.foreach { r =>
+      if (!allBindings(r.binding)) {
+        if (returnableEdges(r.binding)) {
+          if (r.prop.isEmpty) throw new graft.cypher.ParseException(
+            s"RETURN ${r.binding}: returning a relationship entity is not supported — " +
+              s"project a property (${r.binding}.prop)")
+        } else throw new graft.cypher.ParseException(
+          s"RETURN references unbound: ${r.binding}")
+      }
+    }
     // sort keys name an output column (binding, b_prop, count_b, agg_b_prop)
     // either by its AS alias or by its pre-alias default name — openCypher
     // permits ordering by the underlying expression of a renamed item. A
@@ -159,6 +171,11 @@ object Pattern {
     edgeCmps.foreach { c =>
       if (edgeByName(c.binding).maxHops > 1) throw new graft.cypher.ParseException(
         s"edge predicate on variable-length relationship ${c.binding} is not supported " +
+          "(a varlen variable binds a list of relationships)")
+    }
+    q.returns.filter(r => edgeByName.get(r.binding).exists(_.maxHops > 1)).foreach { r =>
+      throw new graft.cypher.ParseException(
+        s"property of variable-length relationship ${r.binding} is not supported in RETURN " +
           "(a varlen variable binds a list of relationships)")
     }
     val badPred = nodeCmps.map(_.binding).filterNot(mainLabels.contains)

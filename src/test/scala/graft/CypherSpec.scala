@@ -720,6 +720,41 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("RETURN r.prop: edge property projection, aggregation, residual combination") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "A", 9.0), (3L, "B", 10.0), (4L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X", 1.0), (1L, 4L, "X", 7.0),
+        (2L, 3L, "X", 8.0), (2L, 4L, "X", 2.0))).toDF("src", "dst", "etype", "w"))
+    val db = new GraphDB(g)
+    val proj = db.query("MATCH (a:A)-[r:X]->(b:B) RETURN a, b, r.w")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSet
+    assert(proj == Set((1L, 3L, 1.0), (1L, 4L, 7.0), (2L, 3L, 8.0), (2L, 4L, 2.0)))
+    // aggregates over the relationship property, grouped by an endpoint
+    val agg = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) RETURN a, sum(r.w), max(r.w) ORDER BY a")
+      .collect().map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2)))
+    assert(agg.toSeq == Seq((1L, 8.0, 7.0), (2L, 10.0, 8.0)))
+    // combined with a residual WHERE that also reads the edge property:
+    // surviving rows keep their per-relationship value
+    val mixed = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 7 OR b.value > 15 RETURN a, b, r.w")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSet
+    assert(mixed == Set((1L, 4L, 7.0), (2L, 3L, 8.0), (2L, 4L, 2.0)))
+    // undirected: the property of whichever orientation matched
+    val undir = db.query("MATCH (b:B)-[r:X]-(x) RETURN b, x, r.w")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSet
+    assert(undir == Set((3L, 1L, 1.0), (3L, 2L, 8.0), (4L, 1L, 7.0), (4L, 2L, 2.0)))
+    // bare relationship entity and varlen rel properties stay rejected
+    val bare = intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse("MATCH (a:A)-[r:X]->(b:B) RETURN r"))
+    }
+    assert(bare.getMessage.contains("relationship entity"))
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse("MATCH (a:A)-[r:X*1..2]->(b:B) RETURN a, r.w"))
+    }
+  }
+
   test("tpch graph: entry smoke") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
