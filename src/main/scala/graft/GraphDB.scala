@@ -148,12 +148,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         else {
           val aggs = aggItems.map { i =>
             (i.agg.get match {
-              case "count" => if (i.binding == "*") count(lit(1)) else count(col(i.binding))
-              case "sum"   => sum(col(i.binding))
-              case "min"   => min(col(i.binding))
-              case "max"   => max(col(i.binding))
-              case "avg"   => avg(col(i.binding))
-              case other   => throw new cypher.ParseException(s"$other() is not supported after WITH")
+              case "count" =>
+                if (i.binding == "*") count(lit(1))
+                else if (i.aggDistinct) countDistinct(col(i.binding))
+                else count(col(i.binding))
+              case "sum" => if (i.aggDistinct) sum_distinct(col(i.binding)) else sum(col(i.binding))
+              // DISTINCT is a no-op under min/max; avg needs the SQL form
+              case "min" => min(col(i.binding))
+              case "max" => max(col(i.binding))
+              case "avg" =>
+                if (i.aggDistinct) expr(s"avg(DISTINCT `${i.binding}`)") else avg(col(i.binding))
+              case other => throw new cypher.ParseException(s"$other() is not supported after WITH")
             }).as(i.outName)
           }
           if (groupItems.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -163,15 +168,36 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
     }
 
+    // per-stage ORDER BY/SKIP/LIMIT (openCypher top-k-then-continue),
+    // applied AFTER the stage's WHERE; sort keys resolve like RETURN's
+    def stageMods(df: DataFrame, items: Seq[Ast.Ret], orderBy: Seq[Ast.SortKey],
+                  skip: Option[Int], limit: Option[Int]): DataFrame = {
+      if (orderBy.isEmpty && skip.isEmpty && limit.isEmpty) return df
+      val keyToOut = (items.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
+        items.map(_.outName).map(n => n -> n)).toMap
+      val unknown = orderBy.map(_.binding).filterNot(keyToOut.contains)
+      if (unknown.nonEmpty) throw new cypher.ParseException(
+        s"WITH … ORDER BY references columns not among the items: ${unknown.mkString(",")}")
+      val ordered =
+        if (orderBy.isEmpty) df
+        else df.orderBy(orderBy.map { k =>
+          val c = col(keyToOut(k.binding)); if (k.asc) c.asc else c.desc
+        }: _*)
+      val skipped = skip.fold(ordered)(ordered.offset)
+      limit.fold(skipped)(skipped.limit)
+    }
+
     val first = ws.head
     val stage1 = run(Pattern.fromQuery(q.copy(returns = first.items, distinct = first.distinct,
       orderBy = Seq.empty, limit = None, skip = None, withClauses = Seq.empty)))
     var cols = first.items.map(_.outName)
-    var piped = havingFilter(stage1, cols, first.where)
+    var piped = stageMods(havingFilter(stage1, cols, first.where),
+      first.items, first.orderBy, first.skip, first.limit)
     ws.tail.foreach { w =>
       piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
       cols = w.items.map(_.outName)
-      piped = havingFilter(piped, cols, w.where)
+      piped = stageMods(havingFilter(piped, cols, w.where),
+        w.items, w.orderBy, w.skip, w.limit)
     }
     val distincted = projectStage(piped, cols, q.returns,
       distinct = q.distinct, stage = "RETURN")
@@ -449,7 +475,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val pg = Pattern.fromQuery(CypherParser.parse(cypher))
     // key on each plain binding's OUTPUT name, so `RETURN c AS customer`
     // joins (and prefixes properties) as `customer`, matching run()'s columns
-    val outs = pg.items.collect { case r @ graft.cypher.Ast.Ret(_, None, None, _) => r.outName }
+    val outs = pg.items.collect { case r @ graft.cypher.Ast.Ret(_, None, None, _, _) => r.outName }
     outs.foldLeft(run(pg)) { (acc, b) =>
       val props = graph.nodes.columns.filter(_ != "id")
         .map(c => col(c).as(s"${b}_$c"))

@@ -258,6 +258,14 @@ object SparkEntry {
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
         "WITH n, count(c) AS n_cust " +
         "RETURN min(n_cust), max(n_cust), sum(n_cust), count(n)")),
+    // WITH-stage ORDER BY/LIMIT (top-k-then-continue): the 5 biggest
+    // nations by customer count survive the pipe, then re-sorted by name
+    "cy_with_topk" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
+        "WITH n.name AS nation, count(c) AS n_cust " +
+        "ORDER BY n_cust DESC, nation LIMIT 5 " +
+        "RETURN nation, n_cust ORDER BY nation")),
     // chained WITH: per-nation distinct-order counts, then a second
     // aggregation stage grouping nations BY that count — the whole pipeline
     // stays one Catalyst plan (two aggregate blocks, no materialization)
@@ -274,6 +282,11 @@ object SparkEntry {
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer) " +
         "WITH n, count(c) AS n_cust " +
         "RETURN count(*) AS groups, sum(n_cust) AS total")),
+    // agg(DISTINCT …) after WITH: distinct customers vs distinct (c, o) rows
+    "cy_with_count_distinct" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:PLACED]->(o:order) WITH c, o " +
+        "RETURN count(DISTINCT c) AS buyers, count(o) AS n_orders")),
     // UNION dedups across branches (query-surface eWiseAdd over sets):
     // nations with a customer ∪ nations with a supplier
     "cy_union" -> ((s, dir) =>
@@ -1075,6 +1088,11 @@ object SparkEntry {
        "FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY 1) " +
        "SELECT min(n_cust)::BIGINT AS min_n_cust, max(n_cust)::BIGINT AS max_n_cust, " +
        "sum(n_cust)::BIGINT AS sum_n_cust, count(*)::BIGINT AS count_n FROM per"),
+    "cy_with_topk" ->
+      ("SELECT nation, n_cust FROM (" +
+       "SELECT n_name AS nation, count(DISTINCT c_custkey)::BIGINT AS n_cust " +
+       "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n_cust DESC, nation LIMIT 5) ORDER BY nation"),
     "cy_with_chain" ->
       ("WITH per AS (SELECT c_nationkey AS n, count(DISTINCT o_orderkey)::BIGINT AS n_orders " +
        "FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1) " +
@@ -1084,6 +1102,10 @@ object SparkEntry {
       ("WITH per AS (SELECT c_nationkey, count(DISTINCT c_custkey)::BIGINT AS n_cust " +
        "FROM customer GROUP BY 1) " +
        "SELECT count(*)::BIGINT AS groups, sum(n_cust)::BIGINT AS total FROM per"),
+    "cy_with_count_distinct" ->
+      ("SELECT count(DISTINCT o_custkey)::BIGINT AS buyers, " +
+       "count(DISTINCT o_orderkey)::BIGINT AS n_orders " +
+       "FROM orders JOIN customer ON c_custkey = o_custkey"),
     "cy_union" ->
       ("SELECT c_nationkey + 2000000000 AS n FROM customer " +
        "UNION SELECT s_nationkey + 2000000000 FROM supplier"),

@@ -80,7 +80,10 @@ object Ast {
     * Spark gives us for free. */
   final case class Ret(binding: String, prop: Option[String] = None,
                        agg: Option[String] = None,
-                       alias: Option[String] = None) {
+                       alias: Option[String] = None,
+                       /** `agg(DISTINCT x)` — post-WITH only (over a match,
+                         * aggregates already fold DISTINCT matches). */
+                       aggDistinct: Boolean = false) {
     def outName: String = alias.getOrElse(defaultName)
     /** The pre-alias output name — ORDER BY accepts either this or the
       * alias (openCypher lets you order by the underlying expression even
@@ -92,16 +95,21 @@ object Ast {
       case (None, None)       => binding
     }
   }
-  /** `MATCH … WITH <items> [WHERE <preds>] (WITH …)* RETURN …` — one
-    * pipeline stage per WITH: the items project/aggregate the incoming rows
-    * (same grammar and set semantics as RETURN), the optional WHERE filters
-    * the stage's OUTPUT rows (Cypher's post-aggregation filter, SQL's
-    * HAVING) and refers to items by their output name (`n`, `count_c`, or
-    * an AS alias) — bare names, no dots: after a WITH only the projected
-    * columns exist. The FIRST stage's items may read match bindings and
-    * properties; every later stage (and the final RETURN) reads the
-    * previous stage's output columns. */
-  final case class WithClause(items: Seq[Ret], distinct: Boolean, where: Seq[Pred])
+  /** `MATCH … WITH <items> [WHERE <preds>] [ORDER BY …] [SKIP n] [LIMIT n]
+    * (WITH …)* RETURN …` — one pipeline stage per WITH: the items
+    * project/aggregate the incoming rows (same grammar and set semantics as
+    * RETURN), the optional WHERE filters the stage's OUTPUT rows (Cypher's
+    * post-aggregation filter, SQL's HAVING) and refers to items by their
+    * output name (`n`, `count_c`, or an AS alias) — bare names, no dots:
+    * after a WITH only the projected columns exist. ORDER BY/SKIP/LIMIT
+    * bound the stage's output (openCypher's top-k-then-continue idiom);
+    * sort keys resolve like RETURN's (output name or pre-alias default).
+    * The FIRST stage's items may read match bindings and properties; every
+    * later stage (and the final RETURN) reads the previous stage's output
+    * columns. */
+  final case class WithClause(items: Seq[Ret], distinct: Boolean, where: Seq[Pred],
+                              orderBy: Seq[SortKey] = Seq.empty,
+                              skip: Option[Int] = None, limit: Option[Int] = None)
 
   /** `MATCH p = shortestPath((a)-[:T*]->(b))` — per endpoint pair (a, b),
     * the minimum-length path over the typed edges; `length(p)` in RETURN
@@ -318,16 +326,20 @@ object CypherParser {
                 "count(binding): set semantics counts distinct matches)")
             Ret("*", None, Some("count"))
           } else {
+            val adist = kw("DISTINCT")
             val b = ident()
             val p = if (tryEat('.')) Some(ident()) else None
             eat(')')
+            if (adist && !afterWith)
+              err(s"$a(DISTINCT …) applies to post-WITH rows; over a match, " +
+                "aggregates already fold DISTINCT matches")
             if (p.isDefined && afterWith)
               err(s"$a($b.${p.get}): property access is not available after WITH")
             if (a == "count" && p.isDefined)
               err("count() takes a binding, not a property (set semantics counts matches)")
             if (a != "count" && p.isEmpty && !afterWith)
               err(s"$a() requires a property argument: $a(binding.prop)")
-            Ret(b, p, Some(a))
+            Ret(b, p, Some(a), aggDistinct = adist)
           }
         } else {
           val p = if (tryEat('.')) Some(ident()) else None
@@ -340,6 +352,21 @@ object CypherParser {
       // The first stage's items read match bindings (property access legal);
       // every later stage reads the PREVIOUS stage's bare output columns —
       // the same scope rule the final RETURN follows.
+      // `[ORDER BY k [ASC|DESC], …]` — keys are output names: `b`,
+      // `b.prop` → b_prop, or an aggregate alias typed directly (count_b)
+      def orderKeys(): Seq[SortKey] = {
+        val order = scala.collection.mutable.ArrayBuffer[SortKey]()
+        if (kw("ORDER")) {
+          if (!kw("BY")) err("expected BY after ORDER")
+          do {
+            val b = ident()
+            val key = if (tryEat('.')) s"${b}_${ident()}" else b
+            val asc = if (kw("DESC")) false else { kw("ASC"); true }
+            order += SortKey(key, asc)
+          } while (tryEat(','))
+        }
+        order.toSeq
+      }
       val withClauses = scala.collection.mutable.ArrayBuffer[WithClause]()
       while (kw("WITH")) {
         if (shortest.isDefined) err("WITH is not supported with shortestPath")
@@ -349,25 +376,17 @@ object CypherParser {
         while (tryEat(',')) wItems += retItem(after)
         val wPreds =
           if (kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true)) else Seq.empty
-        withClauses += WithClause(wItems.toSeq, wDistinct, wPreds)
+        val wOrder = orderKeys()
+        val wSkip = if (kw("SKIP")) Some(nonNegInt("SKIP")) else None
+        val wLimit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
+        withClauses += WithClause(wItems.toSeq, wDistinct, wPreds, wOrder, wSkip, wLimit)
       }
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")
       val afterWith = withClauses.nonEmpty
       val rets = scala.collection.mutable.ArrayBuffer(retItem(afterWith))
       while (tryEat(',')) rets += retItem(afterWith)
-      val order = scala.collection.mutable.ArrayBuffer[SortKey]()
-      if (kw("ORDER")) {
-        if (!kw("BY")) err("expected BY after ORDER")
-        do {
-          // a returned item's output name: `b`, `b.prop` → b_prop, or an
-          // aggregate alias typed directly (count_b, sum_b_prop)
-          val b = ident()
-          val key = if (tryEat('.')) s"${b}_${ident()}" else b
-          val asc = if (kw("DESC")) false else { kw("ASC"); true }
-          order += SortKey(key, asc)
-        } while (tryEat(','))
-      }
+      val order = orderKeys()
       val skip = if (kw("SKIP")) Some(nonNegInt("SKIP")) else None
       val limit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
       // trailing-input enforcement lives in the entry points (end()) so a

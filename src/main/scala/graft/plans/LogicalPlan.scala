@@ -58,7 +58,7 @@ object Pattern {
     def aggItems: Seq[Ast.Ret] = items.filter(_.agg.isDefined)
     /** Plain id-only returned bindings (the reference's whole surface). */
     def returns: Seq[String] =
-      items.collect { case Ast.Ret(b, None, None, _) => b }
+      items.collect { case Ast.Ret(b, None, None, _, _) => b }
     /** Every binding the result depends on (distinct, in first-use order). */
     def referenced: Seq[String] = items.map(_.binding).distinct
   }

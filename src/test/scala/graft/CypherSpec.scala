@@ -720,6 +720,53 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("WITH stage ORDER BY/SKIP/LIMIT: top-k-then-continue") {
+    val db = new GraphDB(propsG)
+    // keep only the most frequent name, then re-aggregate downstream
+    val topk = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "ORDER BY n DESC, nm LIMIT 1 RETURN nm, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(topk.toSeq == Seq(("x", 2L)))
+    // SKIP past the top group; pre-alias sort key accepted
+    val skip = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS cnt " +
+      "ORDER BY count_b DESC, nm SKIP 1 RETURN nm, cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(skip.toSeq == Seq(("y", 1L)))
+    // stage LIMIT bounds what the NEXT aggregation sees
+    val bounded = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "ORDER BY n DESC, nm LIMIT 1 WITH sum(n) AS total RETURN total")
+      .collect().map(_.getLong(0))
+    assert(bounded.toSeq == Seq(2L))
+    // WHERE filters before the stage's ORDER BY/LIMIT
+    val filteredFirst = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n WHERE n < 2 " +
+      "ORDER BY n DESC LIMIT 5 RETURN nm, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(filteredFirst.toSeq == Seq(("y", 1L)))
+    // unknown stage sort key rejected loudly
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm ORDER BY zzz RETURN nm")
+    }
+  }
+
+  test("agg(DISTINCT …) after WITH; rejected over a raw match") {
+    val db = new GraphDB(propsG)
+    // post-WITH rows are (x, 10), (y, 20), (x, 10): DISTINCT folds values
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, b.value AS v " +
+      "RETURN count(nm) AS rows, count(DISTINCT nm) AS names, " +
+      "sum(v) AS total, sum(DISTINCT v) AS dtotal, avg(DISTINCT v) AS davg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((3L, 2L, 40.0, 30.0, 15.0)))
+    val e = intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A)-[:X]->(b:B) RETURN count(DISTINCT b)")
+    }
+    assert(e.getMessage.contains("post-WITH"))
+  }
+
   test("RETURN r.prop: edge property projection, aggregation, residual combination") {
     val g = PropertyGraph(
       spark.createDataFrame(Seq((1L, "A", 5.0), (2L, "A", 9.0), (3L, "B", 10.0), (4L, "B", 20.0)))
