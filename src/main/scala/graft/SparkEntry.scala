@@ -221,6 +221,17 @@ object SparkEntry {
         "MATCH (c:customer)-[r:PLACED]->(o:order) " +
         "RETURN c, count(o), sum(r.weight)")
         .withColumn("sum_r_weight", round(col("sum_r_weight"), 2))),
+    // IN list membership as a bare conjunct: rides the pushdown path to the
+    // node scan (isin — parquet PushedFilters when uncached, in-memory
+    // batch-stats pruning on the resident cached graph)
+    "cy_in_list" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WHERE n.name IN ['NATION_3', 'NATION_5'] RETURN c, n")),
+    // RETURN *: every user-named binding, in first-appearance order
+    "cy_return_star" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) RETURN * ORDER BY n, r")),
     // WHERE disjunction across bindings — not pushable to either scan, so it
     // compiles to a residual filter over the matched rows with both property
     // columns joined back
@@ -1070,6 +1081,13 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "WHERE c_acctbal > 9900 OR n_name = 'NATION_3'"),
+    "cy_in_list" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE n_name IN ('NATION_3', 'NATION_5')"),
+    "cy_return_star" ->
+      ("SELECT DISTINCT n_nationkey + 2000000000 AS n, " +
+       "n_regionkey + 1000000000 AS r FROM nation ORDER BY n, r"),
     "cy_where_not" ->
       ("SELECT DISTINCT c_nationkey + 2000000000 AS n FROM customer " +
        "WHERE NOT (c_acctbal < 9000 OR c_name LIKE '%7') ORDER BY n"),

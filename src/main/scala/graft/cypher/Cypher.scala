@@ -39,7 +39,8 @@ object Ast {
     * filter over the matched rows with the referenced property columns
     * joined back (GraphDB.run) — the split mirrors how Spark itself pushes
     * conjuncts to scans and keeps disjunctions at the Filter node.
-    * `Cmp.op` ∈ { = <> < <= > >=, STARTS WITH, ENDS WITH, CONTAINS }. */
+    * `Cmp.op` ∈ { = <> < <= > >=, STARTS WITH, ENDS WITH, CONTAINS, IN }
+    * (IN carries a Seq[Any] of literals). */
   sealed trait Pred
   final case class Cmp(binding: String, prop: String, op: String, value: Any) extends Pred
   final case class And(l: Pred, r: Pred) extends Pred
@@ -384,8 +385,28 @@ object CypherParser {
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")
       val afterWith = withClauses.nonEmpty
-      val rets = scala.collection.mutable.ArrayBuffer(retItem(afterWith))
-      while (tryEat(',')) rets += retItem(afterWith)
+      // `RETURN *` — every named binding in scope, in first-appearance
+      // order: post-WITH that is the last stage's output columns; over a
+      // match it is the user-named node bindings (auto `__` names and
+      // relationship variables excluded — relationships have no entity
+      // rendering here)
+      ws()
+      val rets =
+        if (peek == '*') {
+          i += 1
+          if (shortest.isDefined) err("RETURN * is not supported with shortestPath")
+          val names =
+            if (afterWith) withClauses.last.items.map(_.outName)
+            else (paths.toSeq ++ optional.toSeq.flatten)
+              .flatMap(pt => pt.first.name.toSeq ++ pt.hops.flatMap(h => h._2.name.toSeq))
+              .filterNot(_.startsWith("__")).distinct
+          if (names.isEmpty) err("RETURN *: no named bindings in scope")
+          scala.collection.mutable.ArrayBuffer(names.map(n => Ret(n)): _*)
+        } else {
+          val r = scala.collection.mutable.ArrayBuffer(retItem(afterWith))
+          while (tryEat(',')) r += retItem(afterWith)
+          r
+        }
       val order = orderKeys()
       val skip = if (kw("SKIP")) Some(nonNegInt("SKIP")) else None
       val limit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
@@ -511,6 +532,25 @@ object CypherParser {
         val neg = kw("NOT")
         if (!kw("NULL")) err("expected NULL after IS" + (if (neg) " NOT" else ""))
         return IsNull(b, p, neg)
+      }
+      // `x IN [lit, …]` — list membership; an empty list matches nothing
+      // (Cypher: `x IN []` is false). NOT IN is spelled `NOT (x IN [...])`.
+      if (kw("IN")) {
+        eat('[')
+        val vs = scala.collection.mutable.ArrayBuffer[Any]()
+        ws()
+        if (peek != ']') {
+          var more = true
+          while (more) {
+            ws()
+            vs += (if (peek == '\'' || peek == '"') stringLit()
+                   else if (peek.isDigit || peek == '-') number()
+                   else err("IN list elements must be string or number literals"))
+            more = tryEat(',')
+          }
+        }
+        eat(']')
+        return Cmp(b, p, "IN", vs.toSeq)
       }
       // keyword string operators before symbol operators
       val op =

@@ -28,7 +28,13 @@ object Preds {
         case "STARTS WITH" => c.startsWith(v.toString)
         case "ENDS WITH"   => c.endsWith(v.toString)
         case "CONTAINS"    => c.contains(v.toString)
-        case other         => throw new IllegalArgumentException(s"unknown operator $other")
+        // empty list → always-false literal (Cypher: `x IN []` is false);
+        // isin() with no args would be an analysis error
+        case "IN" => v.asInstanceOf[Seq[Any]] match {
+          case Seq() => lit(false)
+          case vs    => c.isin(vs: _*)
+        }
+        case other => throw new IllegalArgumentException(s"unknown operator $other")
       }
     case Ast.And(l, r)            => column(l, resolve) && column(r, resolve)
     case Ast.Or(l, r)             => column(l, resolve) || column(r, resolve)

@@ -752,6 +752,39 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("IN list predicates: pushdown, residual, empty list") {
+    val db = new GraphDB(propsG)
+    val in = db.query("MATCH (b:B) WHERE b.name IN ['x', 'zzz'] RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(in.toSeq == Seq(2L, 4L))
+    assert(db.query("MATCH (b:B) WHERE b.name IN [] RETURN b").collect().isEmpty)
+    // IN inside a disjunction rides the residual path
+    val res = db.query("MATCH (b:B) WHERE b.name IN ['y'] OR b.value IN [10] RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(res.toSeq == Seq(2L, 3L, 4L))
+    // NOT (x IN [...])
+    val not = db.query("MATCH (b:B) WHERE NOT (b.name IN ['x']) RETURN b")
+      .collect().map(_.getLong(0))
+    assert(not.toSeq == Seq(3L))
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (b:B) WHERE b.name IN [true] RETURN b")
+    }
+  }
+
+  test("RETURN *: named bindings in scope, anonymous excluded, post-WITH columns") {
+    val db = new GraphDB(propsG)
+    val star = db.query("MATCH (a:A)-[:X]->(b:B) RETURN *")
+    assert(star.columns.toSeq == Seq("a", "b"))
+    assert(star.count() == 3)
+    val anon = db.query("MATCH (a:A)-[:X]->() RETURN *")
+    assert(anon.columns.toSeq == Seq("a"))
+    val withStar = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n RETURN * ORDER BY nm")
+    assert(withStar.columns.toSeq == Seq("nm", "n"))
+    assert(withStar.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 2L), ("y", 1L)))
+  }
+
   test("agg(DISTINCT …) after WITH; rejected over a raw match") {
     val db = new GraphDB(propsG)
     // post-WITH rows are (x, 10), (y, 20), (x, 10): DISTINCT folds values
