@@ -221,6 +221,12 @@ object SparkEntry {
         "MATCH (c:customer)-[r:PLACED]->(o:order) " +
         "RETURN c, count(o), sum(r.weight)")
         .withColumn("sum_r_weight", round(col("sum_r_weight"), 2))),
+    // sequential MATCH clauses with per-clause WHERE: pattern conjunction
+    // over the shared binding scope (customers x suppliers via NATION_3)
+    "cy_multi_match" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE n.name = 'NATION_3' " +
+        "MATCH (su:supplier)-[:IN_NATION]->(n) RETURN c, su")),
     // IN list membership as a bare conjunct: rides the pushdown path to the
     // node scan (isin — parquet PushedFilters when uncached, in-memory
     // batch-stats pruning on the resident cached graph)
@@ -1085,6 +1091,10 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "WHERE n_name IN ('NATION_3', 'NATION_5')"),
+    "cy_multi_match" ->
+      ("SELECT DISTINCT c_custkey + 3000000000 AS c, s_suppkey + 4000000000 AS su " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+       "JOIN supplier ON s_nationkey = n_nationkey"),
     "cy_return_star" ->
       ("SELECT DISTINCT n_nationkey + 2000000000 AS n, " +
        "n_regionkey + 1000000000 AS r FROM nation ORDER BY n, r"),

@@ -252,6 +252,9 @@ object CypherParser {
       // of an opening '(' selects the shortest-path form
       var shortest: Option[Shortest] = None
       val paths = scala.collection.mutable.ArrayBuffer[Path]()
+      // WHERE conjuncts attached to individual MATCH clauses (sequential
+      // MATCH form); merged with the pattern-level WHERE below
+      val earlyPreds = scala.collection.mutable.ArrayBuffer[Pred]()
       if (peek != '(') {
         val pv = ident()
         eat('=')
@@ -270,6 +273,16 @@ object CypherParser {
       } else {
         paths += path()
         while (tryEat(',')) paths += path()
+        // sequential MATCH clauses (openCypher): pattern conjunction over
+        // one shared binding scope; each clause may carry its own WHERE and
+        // all conjuncts merge (a WHERE belongs to the MATCH it follows,
+        // which also lets WHERE precede OPTIONAL MATCH as openCypher does)
+        var more = true
+        while (more) {
+          if (kw("WHERE")) earlyPreds ++= Pred.conjuncts(orExpr())
+          if (kw("MATCH")) { paths += path(); while (tryEat(',')) paths += path() }
+          else more = false
+        }
       }
       val mapPredsAfterRequired = mapPreds.size
       // OPTIONAL MATCH clauses: each keeps its own path group (left-join
@@ -298,6 +311,7 @@ object CypherParser {
       // pattern property maps desugar to leading WHERE equality conjuncts
       // (this query's slice only — UNION branches share the parser state)
       preds ++= mapPreds.drop(mapPredsAtStart)
+      preds ++= earlyPreds
       if (kw("WHERE")) {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
         preds ++= Pred.conjuncts(orExpr())

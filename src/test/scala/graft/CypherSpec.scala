@@ -752,6 +752,29 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("sequential MATCH clauses: shared scope, per-clause WHERE, disconnected product") {
+    val dbD = new GraphDB(diamond)
+    // conjunction over the shared binding scope == the comma form
+    val seq = dbD.query("MATCH (a:A) MATCH (a)-[:X]->(b:B) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(seq.toSeq == Seq((1L, 2L), (1L, 3L)))
+    // disconnected clauses → bounded product of the component matches
+    val prod = dbD.query("MATCH (a:A) MATCH (c:C) RETURN a, c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prod.toSeq == Seq((1L, 4L)))
+    // per-clause WHERE conjuncts merge
+    val dbP = new GraphDB(propsG)
+    val perClause = dbP.query(
+      "MATCH (a:A) WHERE a.name = 'a1' MATCH (a)-[:X]->(b:B) WHERE b.value > 15 RETURN b")
+      .collect().map(_.getLong(0))
+    assert(perClause.toSeq == Seq(3L))
+    // WHERE may precede OPTIONAL MATCH (openCypher clause attachment)
+    val whereFirst = dbP.query(
+      "MATCH (b:B) WHERE b.value < 15 OPTIONAL MATCH (a:A)-[:X]->(b) RETURN b, count(a) ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(whereFirst.toSeq == Seq((2L, 1L), (4L, 1L)))
+  }
+
   test("IN list predicates: pushdown, residual, empty list") {
     val db = new GraphDB(propsG)
     val in = db.query("MATCH (b:B) WHERE b.name IN ['x', 'zzz'] RETURN b")
