@@ -643,6 +643,22 @@ class CypherSpec extends SparkSpec {
     assert(per.toSeq == Seq(2L, 4L))
   }
 
+  test("UNION composes with WITH pipelines and shortestPath branches") {
+    val db = new GraphDB(diamond)
+    // WITH pipeline inside each branch; columns match by name
+    val piped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH count(b) AS n RETURN n " +
+      "UNION ALL MATCH (b:B)-[:Y]->(c:C) WITH count(c) AS n RETURN n")
+      .collect().map(_.getLong(0)).sorted
+    assert(piped.toSeq == Seq(1L, 2L))
+    // shortestPath branch unioned with a pattern branch
+    val mixed = db.query(
+      "MATCH p = shortestPath((a:A)-[:X*]->(b:B)) RETURN a AS src, b AS dst " +
+      "UNION MATCH (b:B)-[:Y]->(c:C) RETURN b AS src, c AS dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("property maps: named/anonymous node and relationship maps desugar to pushdown") {
     val dbP = new GraphDB(propsG)
     // named node map ≡ WHERE b.name = 'x'

@@ -10,6 +10,25 @@ import graft.text.TextOps
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables.events is schema-adaptive: legacy nanos-as-long and native timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_fixture").toString
+    // legacy driver generations wrote TIMESTAMP(NANOS), which Spark reads as
+    // a raw long under the nanosAsLong conf; synthesize that shape directly
+    val nanos = 1704067200L * 1000000000L + 123456789L // 2024-01-01T00:00:00.123456789
+    Seq((1L, nanos, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = graft.sources.Tables.events(spark, dir)
+    assert(legacy.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // nanos truncate (integer DIV) to micros — matching DuckDB's truncation
+    val got = legacy.select(col("ts").cast("string")).as[String].head()
+    assert(got == "2024-01-01 00:00:00.123456")
+    // the native path: current fixtures carry TIMESTAMP_NTZ(us)
+    val native = graft.sources.Tables.events(spark, SF)
+    assert(native.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(native.limit(1).count() == 1)
+  }
+
   test("connectedComponents: no edges — every vertex is its own component") {
     val vs = Seq(1L, 2L, 3L).toDF("id")
     val es = Seq.empty[(Long, Long)].toDF("src", "dst")
