@@ -459,12 +459,21 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // rows after the sort, before LIMIT — Spark plans offset+limit together
     // as one global take, so a paged query still never materializes the
     // full sorted result.
+    // non-returned sort properties (RETURN b ORDER BY b.name): joined on the
+    // output id column purely for the sort — functionally dependent on the
+    // returned binding, so granularity is untouched — and dropped after
+    val sortJoined = pg.extraSortProps.foldLeft(distincted) { case (acc, (b, p)) =>
+      acc.join(graph.nodes.select(col("id").as(b), col(p).as(s"__sort_${b}_$p")),
+        Seq(b), "left")
+    }
     val ordered =
-      if (pg.orderBy.isEmpty) distincted
-      else distincted.orderBy(pg.orderBy.map(k =>
+      if (pg.orderBy.isEmpty) sortJoined
+      else sortJoined.orderBy(pg.orderBy.map(k =>
         if (k.asc) col(k.binding).asc else col(k.binding).desc): _*)
     val skipped = pg.skip.fold(ordered)(ordered.offset)
-    pg.limit.fold(skipped)(skipped.limit)
+    val limited = pg.limit.fold(skipped)(skipped.limit)
+    if (pg.extraSortProps.isEmpty) limited
+    else limited.drop(pg.extraSortProps.map { case (b, p) => s"__sort_${b}_$p" }: _*)
   }
 
   /** Like `query`, but joins each returned binding back to its node row for

@@ -160,6 +160,12 @@ object SparkEntry {
     "cy_orderby" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) RETURN c, n ORDER BY c DESC, n LIMIT 20")),
+    // ORDER BY a non-returned property of a returned binding: the sort
+    // column joins in post-projection and drops after the take
+    "cy_orderby_prop" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "RETURN c, n ORDER BY c.name DESC LIMIT 20")),
     // SKIP pages past the first 10 rows of the same sorted result — Spark
     // plans offset+limit as one global take, no full sort materialization
     "cy_skip" -> ((s, dir) =>
@@ -1155,6 +1161,9 @@ object SparkEntry {
     "cy_skip" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer ORDER BY c DESC, n LIMIT 20 OFFSET 10"),
+    "cy_orderby_prop" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer ORDER BY c_name DESC LIMIT 20"),
     // the walk-semantics contract stated as an actual recursive reach
     "cy_varlen" ->
       ("WITH RECURSIVE edge AS (" +

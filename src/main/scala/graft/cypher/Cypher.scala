@@ -66,8 +66,12 @@ object Ast {
     }
   }
   /** (key, ascending) — ORDER BY keys; `key` is the OUTPUT column name of a
-    * returned item (`a`, `a_prop`, `count_a`, `sum_a_prop`). */
-  final case class SortKey(binding: String, asc: Boolean)
+    * returned item (`a`, `a_prop`, `count_a`, `sum_a_prop`). `parts` keeps
+    * the raw `(binding, prop)` split of a dotted key so a NON-returned
+    * property of a returned binding can be resolved (joined in just for the
+    * sort, then dropped). */
+  final case class SortKey(binding: String, asc: Boolean,
+                           parts: Option[(String, String)] = None)
   /** A RETURN item over the engine's set semantics (one logical row per
     * DISTINCT match, consistent with the Boolean-matrix model where
     * multiplicities don't exist):
@@ -375,9 +379,10 @@ object CypherParser {
           if (!kw("BY")) err("expected BY after ORDER")
           do {
             val b = ident()
-            val key = if (tryEat('.')) s"${b}_${ident()}" else b
+            val parts = if (tryEat('.')) Some((b, ident())) else None
+            val key = parts.fold(b) { case (n, p) => s"${n}_$p" }
             val asc = if (kw("DESC")) false else { kw("ASC"); true }
-            order += SortKey(key, asc)
+            order += SortKey(key, asc, parts)
           } while (tryEat(','))
         }
         order.toSeq

@@ -51,7 +51,13 @@ object Pattern {
         * IS NULL — not pushable to a single binding's scan; GraphDB.run
         * applies them over the matched rows with the referenced property
         * columns joined back, then restores set-semantics granularity. */
-      residual: Seq[Ast.Pred] = Seq.empty) {
+      residual: Seq[Ast.Pred] = Seq.empty,
+      /** ORDER BY keys naming a NON-returned property of a RETURNED bare
+        * binding (`RETURN b ORDER BY b.name`): the property is joined on
+        * the output binding column as `__sort_<b>_<p>` purely for the
+        * sort, then dropped — functionally dependent on the returned id,
+        * so set-semantics granularity is untouched. */
+      extraSortProps: Seq[(String, String)] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present. */
     def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
@@ -148,11 +154,25 @@ object Pattern {
     val preAliasNames = q.returns.filter(_.alias.isDefined)
       .map(r => r.defaultName -> r.outName)
     val sortKeyToOut = (preAliasNames ++ aliasNames).toMap
-    val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
-    if (unknownSort.nonEmpty)
-      throw new graft.cypher.ParseException(
-        s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
-    val orderByResolved = q.orderBy.map(k => k.copy(binding = sortKeyToOut(k.binding)))
+    // a dotted sort key that is NOT an output column may still name a
+    // property of a RETURNED bare (unaliased) binding — openCypher's
+    // "return ids, order by name". The property is functionally dependent
+    // on the returned id, so it joins in post-projection as __sort_<b>_<p>
+    // and drops after the sort (GraphDB.run).
+    val extraSort = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    val orderByResolved = q.orderBy.map { k =>
+      sortKeyToOut.get(k.binding) match {
+        case Some(out) => k.copy(binding = out)
+        case None => k.parts match {
+          case Some((b, p)) if q.returns.exists(r =>
+              r.binding == b && r.prop.isEmpty && r.agg.isEmpty && r.alias.isEmpty) =>
+            extraSort += ((b, p))
+            k.copy(binding = s"__sort_${b}_$p")
+          case _ => throw new graft.cypher.ParseException(
+            s"ORDER BY references non-returned columns: ${k.binding}")
+        }
+      }
+    }
     // bare comparisons push down to the binding's scan; anything with
     // boolean structure or IS NULL is residual (filtered post-match)
     val cmps = q.where.collect { case c: Ast.Cmp => c }
@@ -202,7 +222,7 @@ object Pattern {
       }
     }
     PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, orderByResolved,
-      q.limit, q.skip, groups, edgeCmps, residual)
+      q.limit, q.skip, groups, edgeCmps, residual, extraSort.toSeq)
   }
 }
 

@@ -308,7 +308,7 @@ class CypherSpec extends SparkSpec {
       Ast.Ret("b", Some("value"), Some("sum")), Ast.Ret("b", Some("value"), Some("avg"))))
     assert(q.returns.map(_.outName) ==
       Seq("a_name", "count_b", "sum_b_value", "avg_b_value"))
-    assert(q.orderBy == Seq(Ast.SortKey("a_name", asc = true),
+    assert(q.orderBy == Seq(Ast.SortKey("a_name", asc = true, Some(("a", "name"))),
       Ast.SortKey("sum_b_value", asc = false)))
     // count() takes a binding (set semantics); sum() needs a property
     intercept[graft.cypher.ParseException] {
@@ -765,6 +765,26 @@ class CypherSpec extends SparkSpec {
     // unknown stage sort key rejected loudly
     intercept[graft.cypher.ParseException] {
       db.query("MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm ORDER BY zzz RETURN nm")
+    }
+  }
+
+  test("ORDER BY a non-returned property of a returned binding") {
+    val db = new GraphDB(propsG)
+    // plain: ids ordered by a property that is not projected
+    val plain = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY b.value DESC, b")
+      .collect().map(_.getLong(0))
+    assert(plain.toSeq == Seq(3L, 2L, 4L))
+    // aggregated: the sort property rides the group-key binding
+    val agg = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, count(a) ORDER BY b.name DESC, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(agg.toSeq == Seq((3L, 1L), (2L, 1L), (4L, 1L)))
+    // the sort column does not leak into the output schema
+    assert(db.query("MATCH (b:B) RETURN b ORDER BY b.name LIMIT 1").columns.toSeq == Seq("b"))
+    // non-returned BINDING still rejected
+    intercept[graft.cypher.ParseException] {
+      Pattern.fromQuery(CypherParser.parse(
+        "MATCH (a:A)-[:X]->(b:B) RETURN b ORDER BY a.name"))
     }
   }
 
