@@ -78,14 +78,18 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // semantics); UNION ALL keeps every branch row
     val merged = if (all) u else u.dropDuplicates()
     // the final modifiers resolve sort keys exactly like a branch RETURN
-    // (pre-alias default name or alias)
-    val sortKeyToOut = (last.returns.filter(_.alias.isDefined)
-      .map(r => r.defaultName -> r.outName) ++
-      last.returns.map(_.outName).map(n => n -> n)).toMap
+    // (pre-alias default name or alias); unknown keys fail at parse level,
+    // not as a Spark unresolved-column error
+    val sortKeyToOut = cypher.Ast.Ret.sortKeyMap(last.returns)
+    val unknownSort = last.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
+    if (unknownSort.nonEmpty) throw new cypher.ParseException(
+      s"ORDER BY over a UNION references non-returned columns: ${unknownSort.mkString(",")}" +
+        (if (last.orderBy.exists(k => k.parts.isDefined && !sortKeyToOut.contains(k.binding)))
+           " (non-returned sort properties are not supported over a UNION)" else ""))
     val ordered =
       if (last.orderBy.isEmpty) merged
       else merged.orderBy(last.orderBy.map { k =>
-        val c = col(sortKeyToOut.getOrElse(k.binding, k.binding))
+        val c = col(sortKeyToOut(k.binding))
         if (k.asc) c.asc else c.desc
       }: _*)
     val skipped = last.skip.fold(ordered)(ordered.offset)
@@ -173,8 +177,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     def stageMods(df: DataFrame, items: Seq[Ast.Ret], orderBy: Seq[Ast.SortKey],
                   skip: Option[Int], limit: Option[Int]): DataFrame = {
       if (orderBy.isEmpty && skip.isEmpty && limit.isEmpty) return df
-      val keyToOut = (items.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
-        items.map(_.outName).map(n => n -> n)).toMap
+      val keyToOut = Ast.Ret.sortKeyMap(items)
       val unknown = orderBy.map(_.binding).filterNot(keyToOut.contains)
       if (unknown.nonEmpty) throw new cypher.ParseException(
         s"WITH … ORDER BY references columns not among the items: ${unknown.mkString(",")}")
@@ -187,22 +190,28 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       limit.fold(skipped)(skipped.limit)
     }
 
+    // WHERE and ORDER BY/SKIP/LIMIT apply in the textual order the stage
+    // wrote them: WHERE-first filters before the top-k, openCypher's
+    // trailing WHERE filters the top-k result
+    def stagePipe(df: DataFrame, cols: Seq[String], w: Ast.WithClause): DataFrame =
+      if (w.whereAfterMods)
+        havingFilter(stageMods(df, w.items, w.orderBy, w.skip, w.limit), cols, w.where)
+      else
+        stageMods(havingFilter(df, cols, w.where), w.items, w.orderBy, w.skip, w.limit)
+
     val first = ws.head
     val stage1 = run(Pattern.fromQuery(q.copy(returns = first.items, distinct = first.distinct,
       orderBy = Seq.empty, limit = None, skip = None, withClauses = Seq.empty)))
     var cols = first.items.map(_.outName)
-    var piped = stageMods(havingFilter(stage1, cols, first.where),
-      first.items, first.orderBy, first.skip, first.limit)
+    var piped = stagePipe(stage1, cols, first)
     ws.tail.foreach { w =>
       piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
       cols = w.items.map(_.outName)
-      piped = stageMods(havingFilter(piped, cols, w.where),
-        w.items, w.orderBy, w.skip, w.limit)
+      piped = stagePipe(piped, cols, w)
     }
     val distincted = projectStage(piped, cols, q.returns,
       distinct = q.distinct, stage = "RETURN")
-    val sortKeyToOut = (q.returns.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
-      q.returns.map(_.outName).map(n => n -> n)).toMap
+    val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
     val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
     if (unknownSort.nonEmpty) throw new cypher.ParseException(
       s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
@@ -309,14 +318,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val projected = withProps.select(q.returns.map(i => valueOf(i).as(i.outName)): _*)
     val distincted = if (q.distinct) projected.dropDuplicates() else projected
     // ORDER BY accepts the pre-alias default name of a renamed item, same
-    // contract as the pattern path (Pattern.fromQuery's sortKeyToOut)
-    val sortKeyToOut = (q.returns.filter(_.alias.isDefined)
-      .map(r => r.defaultName -> r.outName) ++
-      q.returns.map(_.outName).map(n => n -> n)).toMap
+    // contract as the pattern path (Pattern.fromQuery's sortKeyToOut);
+    // unknown keys fail loudly, not as a Spark unresolved-column error
+    val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
+    val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
+    if (unknownSort.nonEmpty) throw new cypher.ParseException(
+      s"ORDER BY references non-returned columns: ${unknownSort.mkString(",")}")
     val ordered =
       if (q.orderBy.isEmpty) distincted
       else distincted.orderBy(q.orderBy.map { k =>
-        val c = col(sortKeyToOut.getOrElse(k.binding, k.binding))
+        val c = col(sortKeyToOut(k.binding))
         if (k.asc) c.asc else c.desc
       }: _*)
     val skipped = q.skip.fold(ordered)(ordered.offset)
@@ -388,25 +399,31 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         (col("id").as(b) +: ps.map(p => col(p).as(s"${b}_$p"))): _*)
       acc.join(sel, Seq(b), "left")
     }
-    // relationship properties referenced by residual predicates join back on
-    // the edge's endpoint pair — 1:1 per type by the (src,dst,etype)
-    // uniqueness invariant. Multi-type or undirected rels can fan a pair out
-    // to one row per matching relationship: existential semantics (the match
-    // survives if ANY of its relationships passes), restored to match
-    // granularity by the dedup below.
+    // relationship properties referenced by residual predicates or RETURN
+    // items join back on the edge's endpoint pair — 1:1 per type by the
+    // (src,dst,etype) uniqueness invariant. Multi-type or undirected rels
+    // can fan a pair out to one row per matching relationship. Each joined
+    // row carries the relationship's IDENTITY (__rel_<r>_{s,d,t}: physical
+    // src/dst/etype) so the granularity dedup below keys on which
+    // relationship matched, never on property values (two distinct
+    // relationships sharing a value must both contribute to aggregates).
     val edgePropsNeeded = (resEdgeRefs ++ itemEdgeRefs)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val withAllProps = edgePropsNeeded.foldLeft(withNodeProps) { case (acc, (r, ps)) =>
       val e = edgeByName(r)
       val base = graph.edgesByType(e.types)
-      val oriented =
-        if (!e.undirected) base
-        else base.unionByName(base.withColumn("__s", col("src"))
-          .withColumn("src", col("dst")).withColumn("dst", col("__s")).drop("__s"))
-      val sel = oriented.select(
-        (Seq(col("src").as(e.src), col("dst").as(e.dst)) ++
+      def sel(df: DataFrame, srcAs: String, dstAs: String) = df.select(
+        (Seq(col("src").as(srcAs), col("dst").as(dstAs),
+          col("src").as(s"__rel_${r}_s"), col("dst").as(s"__rel_${r}_d"),
+          col("etype").as(s"__rel_${r}_t")) ++
           ps.map(p => col(p).as(s"${r}_$p"))): _*)
-      acc.join(sel, Seq(e.src, e.dst), "left")
+      val joined =
+        if (!e.undirected) sel(base, e.src, e.dst)
+        // reversed orientation excludes self-loops: (v,v) already matches
+        // the forward copy, and a duplicate would fan the pair out twice
+        else sel(base, e.src, e.dst)
+          .unionByName(sel(base.filter(col("src") =!= col("dst")), e.dst, e.src))
+      acc.join(joined, Seq(e.src, e.dst), "left")
     }
     // residual WHERE: boolean structure / IS NULL over `binding_prop`
     // columns. When a predicate reads a binding that is NOT returned, the
@@ -419,10 +436,14 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (pg.residual.nonEmpty && (mainNeeded != baseNeeded || edgePropsNeeded.nonEmpty)) {
         val optCols = pg.optional.flatMap(g =>
           pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
-        // returned edge-prop columns join the dedup key: those rows are the
-        // per-relationship output, not widening to collapse
-        val itemEdgeCols = itemEdgeRefs.map { case (r, p) => s"${r}_$p" }
-        filtered.dropDuplicates(baseNeeded ++ optCols ++ itemEdgeCols)
+        // item-referenced relationships key the dedup by their IDENTITY
+        // columns: per-relationship output rows survive (even when two
+        // relationships share endpoints or property values), while
+        // residual-only relationships still collapse to the returned
+        // granularity (existential semantics)
+        val relIdCols = itemEdgeRefs.map(_._1).distinct
+          .flatMap(r => Seq(s"__rel_${r}_s", s"__rel_${r}_d", s"__rel_${r}_t"))
+        filtered.dropDuplicates(baseNeeded ++ optCols ++ relIdCols)
       } else filtered
     def valueOf(i: cypher.Ast.Ret): Column =
       i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))

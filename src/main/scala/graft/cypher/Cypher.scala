@@ -100,6 +100,17 @@ object Ast {
       case (None, None)       => binding
     }
   }
+  object Ret {
+    /** ORDER BY key resolution for an item list: every output name maps to
+      * itself, and an AS-renamed item's pre-alias default name also resolves
+      * to the alias (openCypher lets you order by the underlying expression
+      * of a renamed item; aliases own name collisions). The ONE shared
+      * resolution — every query form (pattern, WITH stage, shortestPath,
+      * UNION trailing modifiers) must agree on it. */
+    def sortKeyMap(items: Seq[Ret]): Map[String, String] =
+      (items.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
+        items.map(_.outName).map(n => n -> n)).toMap
+  }
   /** `MATCH … WITH <items> [WHERE <preds>] [ORDER BY …] [SKIP n] [LIMIT n]
     * (WITH …)* RETURN …` — one pipeline stage per WITH: the items
     * project/aggregate the incoming rows (same grammar and set semantics as
@@ -114,7 +125,12 @@ object Ast {
     * columns. */
   final case class WithClause(items: Seq[Ret], distinct: Boolean, where: Seq[Pred],
                               orderBy: Seq[SortKey] = Seq.empty,
-                              skip: Option[Int] = None, limit: Option[Int] = None)
+                              skip: Option[Int] = None, limit: Option[Int] = None,
+                              /** WHERE written AFTER ORDER BY/SKIP/LIMIT
+                                * (openCypher's clause order) filters the
+                                * top-k result; written before, it filters
+                                * first. Applied in textual order. */
+                              whereAfterMods: Boolean = false)
 
   /** `MATCH p = shortestPath((a)-[:T*]->(b))` — per endpoint pair (a, b),
     * the minimum-length path over the typed edges; `length(p)` in RETURN
@@ -394,12 +410,19 @@ object CypherParser {
         val wDistinct = kw("DISTINCT")
         val wItems = scala.collection.mutable.ArrayBuffer(retItem(after))
         while (tryEat(',')) wItems += retItem(after)
-        val wPreds =
+        // WHERE may come before the modifiers (filters first) or after them
+        // (openCypher clause order — filters the top-k result); applied in
+        // textual order either way
+        val predsBefore =
           if (kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true)) else Seq.empty
         val wOrder = orderKeys()
         val wSkip = if (kw("SKIP")) Some(nonNegInt("SKIP")) else None
         val wLimit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
-        withClauses += WithClause(wItems.toSeq, wDistinct, wPreds, wOrder, wSkip, wLimit)
+        val predsAfter =
+          if (predsBefore.isEmpty && kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true))
+          else Seq.empty
+        withClauses += WithClause(wItems.toSeq, wDistinct, predsBefore ++ predsAfter,
+          wOrder, wSkip, wLimit, whereAfterMods = predsAfter.nonEmpty)
       }
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")

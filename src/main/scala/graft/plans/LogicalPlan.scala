@@ -150,10 +150,7 @@ object Pattern {
     // pre-alias name shadowed by another item's alias resolves to the item
     // that OWNS the alias (aliases are the output schema; defaults only
     // fill the gaps).
-    val aliasNames = q.returns.map(_.outName).map(n => n -> n)
-    val preAliasNames = q.returns.filter(_.alias.isDefined)
-      .map(r => r.defaultName -> r.outName)
-    val sortKeyToOut = (preAliasNames ++ aliasNames).toMap
+    val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
     // a dotted sort key that is NOT an output column may still name a
     // property of a RETURNED bare (unaliased) binding — openCypher's
     // "return ids, order by name". The property is functionally dependent

@@ -22,7 +22,15 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Normalize an events frame so `ts` is always TimestampType, whatever the
-    * fixture's physical encoding. Shared by the batch and streaming readers. */
+    * fixture's physical encoding. Shared by the batch and streaming readers.
+    *
+    * SESSION-TIMEZONE CONTRACT: the two encodings agree only under a UTC
+    * session (`spark.sql.session.timeZone=UTC`, which Verify, Bench, and the
+    * test harness all pin). Legacy nanos are epoch INSTANTS (UTC wall =
+    * naive value); a native TIMESTAMP_NTZ casts through the SESSION zone
+    * (rendered wall = naive value). Under any non-UTC session one of the
+    * two renders shifted — also shifting window/date results against the
+    * naive-timestamp DuckDB oracle. */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => // legacy fixture: nanos read as raw long

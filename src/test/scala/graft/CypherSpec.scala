@@ -768,6 +768,53 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("edge-prop aggregates keep distinct relationships sharing a value (identity dedup)") {
+    // two edges from the same source with the SAME weight: the residual
+    // dedup must key on relationship identity, not the property value
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 0.0), (3L, "B", 10.0), (4L, "B", 20.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X", 5.0), (1L, 4L, "X", 5.0)))
+        .toDF("src", "dst", "etype", "w"))
+    val db = new GraphDB(g)
+    val agg = db.query(
+      "MATCH (a:A)-[r:X]->(b:B) WHERE r.w >= 0 OR b.value > 100 RETURN a, sum(r.w)")
+      .collect().map(row => (row.getLong(0), row.getDouble(1)))
+    assert(agg.toSeq == Seq((1L, 10.0))) // both relationships contribute
+    // self-loop under an undirected rel: matched once, not twice
+    val loop = PropertyGraph(
+      spark.createDataFrame(Seq((5L, "A", 0.0))).toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((5L, 5L, "X", 3.0))).toDF("src", "dst", "etype", "w"))
+    val rows = new GraphDB(loop).query("MATCH (a)-[r:X]-(b) RETURN a, b, r.w").collect()
+    assert(rows.length == 1)
+  }
+
+  test("UNION trailing ORDER BY validates keys at parse level") {
+    val db = new GraphDB(diamond)
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b AS a ORDER BY bogus")
+    }
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b AS a ORDER BY a.name")
+    }
+  }
+
+  test("WITH WHERE placement: before mods filters first, after mods filters the top-k") {
+    val db = new GraphDB(propsG)
+    // openCypher clause order: LIMIT first, then WHERE over the top-k —
+    // top-1 by count is (x, 2); WHERE n < 2 then leaves nothing
+    val after = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n " +
+      "ORDER BY n DESC, nm LIMIT 1 WHERE n < 2 RETURN nm, n").collect()
+    assert(after.isEmpty)
+    // WHERE-first order: filter to n < 2 first, then take the top-1 → (y, 1)
+    val before = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS nm, count(b) AS n WHERE n < 2 " +
+      "ORDER BY n DESC, nm LIMIT 1 RETURN nm, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(before.toSeq == Seq(("y", 1L)))
+  }
+
   test("ORDER BY a non-returned property of a returned binding") {
     val db = new GraphDB(propsG)
     // plain: ids ordered by a property that is not projected
