@@ -856,6 +856,12 @@ class CypherSpec extends SparkSpec {
       "MATCH (b:B) WHERE b.value < 15 OPTIONAL MATCH (a:A)-[:X]->(b) RETURN b, count(a) ORDER BY b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(whereFirst.toSeq == Seq((2L, 1L), (4L, 1L)))
+    // property maps in different MATCH clauses all bind to the required
+    // pattern (mapPreds slicing spans the clause sequence)
+    val maps = dbP.query(
+      "MATCH (b:B {name: 'x'}) MATCH (a:A {name: 'a1'})-[:X]->(b) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(maps.toSeq == Seq((1L, 2L), (1L, 4L)))
   }
 
   test("IN list predicates: pushdown, residual, empty list") {
