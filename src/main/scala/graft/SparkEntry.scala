@@ -756,6 +756,12 @@ object SparkEntry {
     "text_encode" -> ((s, dir) =>
       graft.text.TextOps.encodeDocs(t(s, dir, "documents"), "doc_id", "text", 512)),
     // per-source quota: top 25 docs per source by quality score
+    // epoch-mix upsampling: src0 runs 2.5 epochs, src1 half an epoch,
+    // everything else once — the deterministic training-mix resampler
+    "mix_epochs" -> ((s, dir) =>
+      graft.text.TextOps.epochMix(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.0)
+        .select("doc_id", "source", "epoch")),
     "sample_quota" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = docs.select(col("doc_id"), col("source"))
@@ -1550,6 +1556,17 @@ object SparkEntry {
        "FROM freq ORDER BY c DESC, tok ASC LIMIT 512) " +
        "SELECT doc_id, pos, tk.tok, coalesce(tok_id, 0)::BIGINT AS tok_id " +
        "FROM tk LEFT JOIN vocab USING (tok)"),
+    // thresholds are rateThresholdHex of the fractional parts: 0.5 →
+    // '80000000'; integral/zero fractions compare against '' (keep none)
+    "mix_epochs" ->
+      ("WITH e AS (SELECT doc_id, source, CASE source WHEN 'src0' THEN 2.5 " +
+       "WHEN 'src1' THEN 0.5 ELSE 1.0 END AS ep FROM documents), " +
+       "c AS (SELECT doc_id, source, ep, " +
+       "unnest(range(CAST(ceil(ep) AS BIGINT))) AS epoch FROM e) " +
+       "SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM c " +
+       "WHERE epoch < CAST(floor(ep) AS BIGINT) OR " +
+       "substring(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(epoch AS VARCHAR))), 1, 8) < " +
+       "(CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '80000000' ELSE '' END)"),
     "sample_quota" ->
       ("WITH x AS (SELECT doc_id, source, len(text)::DOUBLE AS nc, " +
        "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +

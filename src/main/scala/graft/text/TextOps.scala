@@ -237,6 +237,48 @@ object TextOps {
     else f"${(rate * 4294967296.0).toLong}%08x"
 
   /**
+   * Deterministic epoch-mix resampling — the UPSAMPLING complement of
+   * [[sampleStratified]]: each group (domain/source) is repeated
+   * `epochs(g)` times in the output, the way production training mixes run
+   * high-quality sources for multiple epochs while crawl data runs under
+   * one. `floor(e)` full copies are emitted per row plus one partial copy
+   * kept at rate `e - floor(e)` by the same engine-portable md5-threshold
+   * device, salted with the copy index (`md5(id ++ "_" ++ epoch)`) so the
+   * partial copy is an independent uniform subset of the group.
+   *
+   * Spark shape: a per-row `explode(sequence(...))` projection — no
+   * shuffle, no driver loop; output size is Σ rows·epochs by construction.
+   * The `epoch INT` output column keeps replicated rows distinguishable
+   * downstream (dedup/packing key on (id, epoch), not id).
+   *
+   * @param epochs  per-group epoch counts (may exceed 1.0; fractions allowed)
+   * @return input columns + `epoch` (0-based copy index)
+   */
+  def epochMix(df: DataFrame, idCol: String, groupCol: String,
+               epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0.0) && defaultEpochs >= 0.0,
+      "epoch counts must be >= 0")
+    val e = epochs.toSeq.sortBy(_._1).foldRight(lit(defaultEpochs)) {
+      case ((g, ep), acc) => when(col(groupCol) === g, lit(ep)).otherwise(acc)
+    }
+    // ceil(e) candidate copies per row; copy k survives if it is a full
+    // copy (k < floor(e)) or wins the salted fractional draw
+    val thresh = epochs.toSeq.sortBy(_._1).foldRight(
+      lit(rateThresholdHex(defaultEpochs - math.floor(defaultEpochs)))) {
+      case ((g, ep), acc) =>
+        when(col(groupCol) === g, lit(rateThresholdHex(ep - math.floor(ep)))).otherwise(acc)
+    }
+    // sequence(0, -1) would DESCEND, not be empty — zero-epoch groups get
+    // an explicit empty array so explode drops their rows
+    val copies = when(ceil(e) >= 1, sequence(lit(0), (ceil(e) - 1).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("epoch", explode(copies))
+      .filter(col("epoch") < floor(e).cast("int") ||
+        substring(md5(concat(col(idCol).cast("string"), lit("_"),
+          col("epoch").cast("string"))), 1, 8) < thresh)
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing ≥ `minShared`
    * distinct word n-grams with any benchmark document — the standard
    * eval-set contamination check run before training. An inverted

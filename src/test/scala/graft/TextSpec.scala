@@ -221,4 +221,24 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
     assert(got == Set(("s1", 1L, 1), ("s1", 2L, 2), ("s2", 4L, 1), ("s2", 5L, 2)))
   }
+
+  test("epochMix: integral epochs copy exactly, zero drops, fractions deterministic") {
+    val d = (1L to 40L).map(i => (i, if (i <= 10) "dup" else if (i <= 20) "drop" else "keep"))
+      .toDF("doc_id", "source")
+    val out = TextOps.epochMix(d, "doc_id", "source",
+      Map("dup" -> 3.0, "drop" -> 0.0), defaultEpochs = 1.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("dup" -> 30L, "keep" -> 20L)) // drop absent entirely
+    // each dup row appears with epochs 0, 1, 2
+    val epochs = out.filter($"source" === "dup" && $"doc_id" === 1L)
+      .select("epoch").collect().map(_.getInt(0)).sorted
+    assert(epochs.toSeq == Seq(0, 1, 2))
+    // fractional epochs: rerun is byte-identical (md5 draw, no rand())
+    val frac = TextOps.epochMix(d, "doc_id", "source", Map("dup" -> 1.5))
+    assert(frac.collect().toSet == TextOps.epochMix(d, "doc_id", "source",
+      Map("dup" -> 1.5)).collect().toSet)
+    val nDup = frac.filter($"source" === "dup").count()
+    assert(nDup >= 10 && nDup <= 20) // 10 full copies + a strict subset
+  }
 }
