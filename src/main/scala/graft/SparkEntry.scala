@@ -87,6 +87,30 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The k-truss peel unrolled to `stages` fixed MATERIALIZED CTE rounds
+    * (same device as [[kcoreOracle]]) over the frequent part co-purchase
+    * graph (pairs sharing >= 2 orders): per round, per-edge triangle
+    * support via the common-neighbor join, edges under k-2 dropped
+    * (zero-support edges produce no support row and drop implicitly).
+    * Correct whenever the peel converges within the unroll depth. */
+  private def ktrussOracle(k: Int, stages: Int): String = {
+    val sb = new StringBuilder(
+      "WITH pp AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b " +
+      "FROM lineitem l1 JOIN lineitem l2 " +
+      "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+      "t0 AS MATERIALIZED (SELECT a, b FROM pp)")
+    for (i <- 0 until stages) {
+      sb.append(s", n$i AS MATERIALIZED (SELECT a AS v, b AS n FROM t$i " +
+        s"UNION ALL SELECT b, a FROM t$i)")
+      sb.append(s", t${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM t$i e " +
+        s"JOIN n$i x ON x.v = e.a JOIN n$i y ON y.v = e.b AND y.n = x.n " +
+        s"GROUP BY e.a, e.b HAVING count(*) >= ${k - 2})")
+    }
+    sb.append(s" SELECT a, b FROM t$stages")
+    sb.toString
+  }
+
   /** Synchronous label propagation unrolled to `stages` fixed CTE rounds
     * (same device as [[kcoreOracle]]) over the symmetrized membership
     * hierarchy: per round, each vertex takes the most frequent neighbor
@@ -656,6 +680,24 @@ object SparkEntry {
       Algorithms.clusteringCoefficient(
         t(s, dir, "supplier").select(col("s_suppkey").as("id")), cosupplyEdges(s, dir))
         .select(col("id"), col("degree"), round(col("lcc"), 6).as("lcc"))),
+    // k-truss over the FREQUENT part co-purchase graph (pairs sharing >= 2
+    // orders — the threshold keeps signal edges and holds the graph near-
+    // constant as SF grows, the right 100x posture; the raw pair graph
+    // balloons ~linearly and the strong co-supply graph is a quasi-clique
+    // with an all-or-nothing peel). Edges in < k-2 triangles peel until
+    // stable. The order-keyed repartition lets both sides of the
+    // pair-building self-join ride ONE exchange (ReuseExchange).
+    "ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("l_orderkey"))
+      val pp = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      Algorithms.kTruss(pp, k = 3)
+    }),
     "adamic_adar" -> ((s, dir) =>
       Algorithms.adamicAdar(cosupplyEdges(s, dir))
         .select(col("u"), col("v"), round(col("score"), 6).as("score"))),
@@ -1626,6 +1668,9 @@ object SparkEntry {
        "round(list_cosine_similarity(e, list_transform(qv, x -> CAST(x AS DOUBLE))), 6) AS recon_cos " +
        "FROM q"),
     "kcore" -> kcoreOracle(frac = 0.85, k = 10, stages = 8),
+    // k-truss peel unrolled to fixed MATERIALIZED rounds (same device as
+    // kcoreOracle); k=3 converges in <= 2 rounds at every SF — 6 is margin
+    "ktruss" -> ktrussOracle(k = 3, stages = 6),
     "lpa" -> lpaOracle(stages = 3),
     "emb_centroids" ->
       ("WITH x AS (SELECT label, unnest(embedding) AS v, " +

@@ -568,6 +568,60 @@ object Algorithms {
   }
 
   /**
+   * k-truss: the maximal subgraph where every edge participates in at
+   * least k−2 triangles — the EDGE-cohesion analogue of [[kCore]]'s vertex
+   * degree peel, and the standard community-core extractor one step
+   * stronger than k-core (a k-truss is always inside the (k−1)-core).
+   * Synchronous peel: each round computes per-edge triangle support via a
+   * common-neighbor join and drops every edge under k−2, until the edge
+   * count is stable.
+   *
+   * Each round is one wedge-shaped join (edge endpoints' neighbor lists
+   * matched on the shared neighbor) — Σ deg² work like [[triangleCount]],
+   * the honest cost of support counting; rounds are bounded by the peel
+   * depth. Hub posture matches the link predictors' wedge discussion: a
+   * power-law hub makes the support join skew-heavy, and AQE's skew-join
+   * split is the mitigation at scale (the per-key block decomposition is
+   * not replicated here because the peel re-derives supports every round —
+   * salting would have to be re-applied per round for a marginal win).
+   *
+   * @param edges (src, dst), direction ignored, self-loops dropped
+   * @return surviving canonical edges (a, b) with a < b
+   */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+    val cutter = new Cutter
+    var e = cutter(canonicalEdges(edges), 0)
+    var n = e.count()
+    var iter = 0
+    var converged = n == 0
+    while (iter < maxIter && !converged) {
+      val nbr = e.select(col("a").as("v"), col("b").as("n"))
+        .unionByName(e.select(col("b").as("v"), col("a").as("n")))
+      // support(a,b) = |N(a) ∩ N(b)|: both endpoints' neighbor lists joined
+      // on the common neighbor; edges with zero support produce no row and
+      // drop implicitly (0 < k-2 for every legal k when k > 2; k = 2 keeps
+      // every edge and converges immediately)
+      val sup = e.as("e")
+        .join(nbr.as("x"), col("e.a") === col("x.v"))
+        .join(nbr.as("y"), col("e.b") === col("y.v") && col("x.n") === col("y.n"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+      val pruned =
+        if (k == 2) e
+        else sup.filter(col("sup") >= k - 2).select("a", "b")
+      val next = cutter(pruned, iter + 1)
+      val m = next.count()
+      converged = m == n
+      e = next
+      n = m
+      iter += 1
+    }
+    if (!converged) throw new BudgetExhausted("kTruss", maxIter)
+    releaseOnFirstAction(e, cutter.leftovers: _*)
+  }
+
+  /**
    * Synchronous label propagation (community detection) with a FIXED round
    * count: every round, each vertex adopts the most frequent label among
    * its neighbors, ties broken toward the SMALLEST label; vertices with no

@@ -152,6 +152,23 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("k-truss: clique survives, pendant triangle peels, k=2 keeps all") {
+    // 4-clique (every edge in 2 triangles) + pendant triangle {4,5,6}
+    // (each edge in 1): k=4 drops the triangle, keeps the clique
+    val clique = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val es = (clique ++ Seq((4L, 5L), (5L, 6L), (4L, 6L))).toDF("src", "dst")
+    val t4 = Algorithms.kTruss(es, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == clique.toSet)
+    assert(Algorithms.kTruss(es, 3).count() == 9) // every edge in >= 1 triangle
+    assert(Algorithms.kTruss(es, 5).isEmpty)      // no edge reaches support 3
+    assert(Algorithms.kTruss(es, 2).count() == 9) // k=2 keeps everything
+    intercept[Algorithms.BudgetExhausted] {
+      // k=4 needs 2 rounds (peel the triangle, then verify stability)
+      Algorithms.kTruss(es, 4, maxIter = 1).count()
+    }
+  }
+
   test("pagerank: sink chain ranks ordered, mass conserved") {
     val vs = (0L to 2L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
