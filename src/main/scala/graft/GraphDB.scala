@@ -122,6 +122,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // HAVING-style filter over a stage's output columns (bare names only)
     def havingFilter(df: DataFrame, cols: Seq[String], where: Seq[Ast.Pred]): DataFrame = {
       val colSet = cols.toSet
+      where.foreach { p =>
+        if (Ast.Pred.patterns(p).nonEmpty) throw new cypher.ParseException(
+          "pattern predicates are not supported in WITH … WHERE " +
+            "(apply them in the MATCH WHERE, before the pipeline)")
+      }
       where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
         if (p.nonEmpty) throw new cypher.ParseException(
           s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
@@ -145,10 +150,18 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         if (r.binding != "*" && !colSet(r.binding)) throw new cypher.ParseException(
           s"$stage references ${r.binding}, not among the WITH items: ${cols.mkString(",")}")
       }
-      val aggItems = items.filter(_.agg.isDefined)
-      val groupItems = items.filter(_.agg.isEmpty)
+      // value functions are per-row scalars over the stage's bare columns —
+      // grouping keys, not aggregates (same split as Pattern.ScalarFns)
+      def bareValue(i: Ast.Ret): Column = i.agg match {
+        case Some(f) if operators.Preds.valueFn.contains(f) =>
+          operators.Preds.valueFn(f)(col(i.binding))
+        case _ => col(i.binding)
+      }
+      val aggItems = items.filter(i =>
+        i.agg.exists(a => !operators.Preds.valueFn.contains(a)))
+      val groupItems = items.filterNot(aggItems.contains)
       val projected =
-        if (aggItems.isEmpty) df.select(items.map(i => col(i.binding).as(i.outName)): _*)
+        if (aggItems.isEmpty) df.select(items.map(i => bareValue(i).as(i.outName)): _*)
         else {
           val aggs = aggItems.map { i =>
             (i.agg.get match {
@@ -162,11 +175,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
               case "max" => max(col(i.binding))
               case "avg" =>
                 if (i.aggDistinct) expr(s"avg(DISTINCT `${i.binding}`)") else avg(col(i.binding))
+              // sorted array = deterministic rendering of the collection;
+              // DISTINCT folds to the value set first
+              case "collect" =>
+                if (i.aggDistinct) sort_array(collect_set(col(i.binding)))
+                else sort_array(collect_list(col(i.binding)))
               case other => throw new cypher.ParseException(s"$other() is not supported after WITH")
             }).as(i.outName)
           }
           if (groupItems.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-          else df.groupBy(groupItems.map(i => col(i.binding).as(i.outName)): _*)
+          else df.groupBy(groupItems.map(i => bareValue(i).as(i.outName)): _*)
             .agg(aggs.head, aggs.tail: _*)
         }
       if (distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
@@ -351,11 +369,22 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // rendered by the same endpoint-pair join-back as residual edge refs
     val itemEdgeRefs = pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
       .map(i => i.binding -> i.prop.get).distinct
+    // type(r) projects the matched relationship's type — same identity
+    // join-back, no property columns
+    val typeRefNames = pg.items.filter(_.agg.contains("type")).map(_.binding).distinct
     val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
     val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
-    val edgeRefNames = (resEdgeRefs.map(_._1) ++ itemEdgeRefs.map(_._1)).distinct
+    val edgeRefNames =
+      (resEdgeRefs.map(_._1) ++ itemEdgeRefs.map(_._1) ++ typeRefNames).distinct
+    // pattern predicates anchor on main-pattern bindings — carried through
+    // the match so the semi/anti/flag joins below have their key columns
+    val patPreds = pg.residual.flatMap(cypher.Ast.Pred.patterns(_)).distinct
+    def patAnchors(pp: cypher.Ast.PatPred): Seq[String] =
+      (pp.path.first.name.toSeq ++ pp.path.hops.flatMap(_._2.name))
+        .distinct.filter(pg.bindings)
     val resBindings = (resNodeRefs.map(_._1) ++
-      edgeRefNames.map(edgeByName).flatMap(e => Seq(e.src, e.dst))).distinct
+      edgeRefNames.map(edgeByName).flatMap(e => Seq(e.src, e.dst)) ++
+      patPreds.flatMap(patAnchors)).distinct
     val mainNeeded = (baseNeeded ++ resBindings).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
       optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
@@ -407,8 +436,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // src/dst/etype) so the granularity dedup below keys on which
     // relationship matched, never on property values (two distinct
     // relationships sharing a value must both contribute to aggregates).
-    val edgePropsNeeded = (resEdgeRefs ++ itemEdgeRefs)
+    val edgePropsNeeded0 = (resEdgeRefs ++ itemEdgeRefs)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    // type()-only relationships join just their identity columns back
+    val edgePropsNeeded = edgePropsNeeded0 ++
+      typeRefNames.filterNot(edgePropsNeeded0.contains).map(_ -> Seq.empty[String])
     val withAllProps = edgePropsNeeded.foldLeft(withNodeProps) { case (acc, (r, ps)) =>
       val e = edgeByName(r)
       val base = graph.edgesByType(e.types)
@@ -425,13 +457,57 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           .unionByName(sel(base.filter(col("src") =!= col("dst")), e.dst, e.src))
       acc.join(joined, Seq(e.src, e.dst), "left")
     }
+    // pattern predicates: each distinct pattern plans and compiles as its
+    // own existential sub-pattern (stats-ordered, like an OPTIONAL MATCH
+    // fragment), projected to its anchor bindings. A bare conjunct becomes
+    // a LEFT SEMI join (exists), a NOT-ed conjunct a LEFT ANTI join (not
+    // exists) — neither fans rows out nor widens the row, and Catalyst
+    // broadcasts the (anchor-projected) build side when small. Only a
+    // pattern nested deeper (under OR / inside a conjunction) pays the
+    // exists-flag left join: distinct anchor keys, so strictly 1:1.
+    def existsFrame(pp: cypher.Ast.PatPred): (DataFrame, Seq[String]) = {
+      // an unlabeled anchor inherits the main pattern's label constraint —
+      // narrows the existential scan for free (the anchor's VALUES are
+      // already label-constrained by the outer match, so this is purely a
+      // scan-size optimization, never a semantics change)
+      def seed(n: cypher.Ast.NodePat): cypher.Ast.NodePat =
+        if (n.label.isEmpty) n.copy(label = n.name.flatMap(pg.labels.get).flatten) else n
+      val seeded = cypher.Ast.Path(seed(pp.path.first),
+        pp.path.hops.map { case (r, n) => (r, seed(n)) })
+      val anchors = patAnchors(pp)
+      val sub = cypher.Ast.Query(Seq(seeded), Seq.empty, pp.preds,
+        anchors.map(b => cypher.Ast.Ret(b)), distinct = false, Seq.empty, None)
+      val sc = PatternExec.compileTracked(Planner.plan(Pattern.fromQuery(sub), stats), graph)
+      (sc.df.select(anchors.map(col): _*), anchors)
+    }
+    val (bareSemi, rest0) = pg.residual.partition(_.isInstanceOf[cypher.Ast.PatPred])
+    val (bareAnti, restResidual) = rest0.partition {
+      case cypher.Ast.Not(_: cypher.Ast.PatPred) => true
+      case _ => false
+    }
+    val withSemi = bareSemi.foldLeft(withAllProps) { (acc, p) =>
+      val (df, keys) = existsFrame(p.asInstanceOf[cypher.Ast.PatPred])
+      acc.join(df, keys, "left_semi")
+    }
+    val withAnti = bareAnti.foldLeft(withSemi) { (acc, p) =>
+      val cypher.Ast.Not(pp: cypher.Ast.PatPred) = p: @unchecked
+      val (df, keys) = existsFrame(pp)
+      acc.join(df, keys, "left_anti")
+    }
+    val nestedPats = restResidual.flatMap(cypher.Ast.Pred.patterns(_)).distinct
+    val patFlag = nestedPats.zipWithIndex.map { case (pp, ix) => pp -> s"__pp$ix" }.toMap
+    val withPatFlags = nestedPats.foldLeft(withAnti) { (acc, pp) =>
+      val (df, keys) = existsFrame(pp)
+      acc.join(df.dropDuplicates().withColumn(patFlag(pp), lit(true)), keys, "left")
+    }
     // residual WHERE: boolean structure / IS NULL over `binding_prop`
     // columns. When a predicate reads a binding that is NOT returned, the
     // match granularity was widened to carry it — restore the returned
     // granularity afterwards (one dropDuplicates on the returned id
     // columns; their property columns are functionally dependent)
-    val filtered = pg.residual.foldLeft(withAllProps)((acc, p) =>
-      acc.filter(operators.Preds.column(p, (b, pr) => col(s"${b}_$pr"))))
+    val filtered = restResidual.foldLeft(withPatFlags)((acc, p) =>
+      acc.filter(operators.Preds.column(p, (b, pr) => col(s"${b}_$pr"),
+        pp => coalesce(col(patFlag(pp)), lit(false)))))
     val withProps =
       if (pg.residual.nonEmpty && (mainNeeded != baseNeeded || edgePropsNeeded.nonEmpty)) {
         val optCols = pg.optional.flatMap(g =>
@@ -441,26 +517,40 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         // relationships share endpoints or property values), while
         // residual-only relationships still collapse to the returned
         // granularity (existential semantics)
-        val relIdCols = itemEdgeRefs.map(_._1).distinct
+        val relIdCols = (itemEdgeRefs.map(_._1) ++ typeRefNames).distinct
           .flatMap(r => Seq(s"__rel_${r}_s", s"__rel_${r}_d", s"__rel_${r}_t"))
         filtered.dropDuplicates(baseNeeded ++ optCols ++ relIdCols)
       } else filtered
-    def valueOf(i: cypher.Ast.Ret): Column =
-      i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+    def valueOf(i: cypher.Ast.Ret): Column = i.agg match {
+      // scalar functions: id(n) is the binding's id column; type(r) is the
+      // matched relationship's identity etype column (joined back above);
+      // value functions wrap the property (or id) column per-row
+      case Some("id")   => col(i.binding)
+      case Some("type") => col(s"__rel_${i.binding}_t")
+      case Some(f) if operators.Preds.valueFn.contains(f) =>
+        operators.Preds.valueFn(f)(
+          i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))
+      case _ => i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+    }
     // aggregates run over the distinct matches (set semantics): count(b) =
     // distinct matches per group; sum/min/max/avg fold each distinct match's
-    // property once. All combinable — one map-side-partial groupBy.
+    // property once; collect folds each distinct match's value into a
+    // SORTED array (deterministic rendering of an unordered collection).
+    // All combinable — one map-side-partial groupBy.
     val aggregated =
       if (pg.aggItems.isEmpty)
         withProps.select(pg.groupItems.map(i => valueOf(i).as(i.outName)): _*)
       else {
         val aggs = pg.aggItems.map { i =>
           (i.agg.get match {
-            case "count" => countDistinct(col(i.binding))
-            case "sum"   => sum(valueOf(i))
-            case "min"   => min(valueOf(i))
-            case "max"   => max(valueOf(i))
-            case "avg"   => avg(valueOf(i))
+            case "count"   => countDistinct(col(i.binding))
+            case "sum"     => sum(valueOf(i))
+            case "min"     => min(valueOf(i))
+            case "max"     => max(valueOf(i))
+            case "avg"     => avg(valueOf(i))
+            case "collect" => sort_array(collect_list(valueOf(i)))
+            case other => throw new cypher.ParseException(
+              s"$other() is not supported in this position")
           }).as(i.outName)
         }
         if (pg.groupItems.isEmpty) withProps.agg(aggs.head, aggs.tail: _*)
@@ -468,10 +558,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           .agg(aggs.head, aggs.tail: _*)
       }
     // RETURN DISTINCT dedups the projected VALUES — distinct matches can
-    // share a property value; id-only returns are already distinct (no-op
-    // skipped). Aggregated results are one row per group already.
+    // share a property value (or a type(r) value); id-only returns are
+    // already distinct (no-op skipped). Aggregated results are one row per
+    // group already.
     val distincted =
-      if (pg.distinct && pg.aggItems.isEmpty && pg.items.exists(_.prop.isDefined))
+      if (pg.distinct && pg.aggItems.isEmpty &&
+          pg.items.exists(i => i.prop.isDefined || i.agg.exists(Pattern.ScalarFns)))
         aggregated.dropDuplicates()
       else aggregated
     // ORDER BY over output columns (beyond the reference — relational surface

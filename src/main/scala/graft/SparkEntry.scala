@@ -334,6 +334,66 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:PLACED]->(o:order) WITH c, o " +
         "RETURN count(DISTINCT c) AS buyers, count(o) AS n_orders")),
+    // pattern predicate as a bare conjunct: compiled to a LEFT SEMI join
+    // against the existential sub-pattern (customers who placed an order —
+    // ~1/3 of TPC-H customers have none, so the filter is selective)
+    "cy_exists" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) WHERE (c)-[:PLACED]->(:order) RETURN c")),
+    // NOT <pattern> compiles to a LEFT ANTI join: customers with no orders
+    "cy_not_exists" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) WHERE NOT (c)-[:PLACED]->(:order) RETURN c")),
+    // pattern predicate nested under OR: the exists-flag left join (distinct
+    // anchor keys, 1:1) composes with the property disjunct
+    "cy_exists_or" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WHERE c.value > 9900 OR NOT ((c)-[:PLACED]->(:order)) RETURN c, n")),
+    // multi-hop existential through an anonymous middle node: nations with
+    // a customer that placed an order
+    "cy_exists_2hop" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) WHERE (n)<-[:IN_NATION]-()-[:PLACED]->(:order) RETURN n")),
+    // collect(): distinct matches fold into a sorted array (rendered as a
+    // joined string on both sides — array hashing is driver-hostile)
+    "cy_collect" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) " +
+        "RETURN r, collect(n.name) AS nations ORDER BY r")
+        .withColumn("nations", concat_ws(",", col("nations")))),
+    // collect() after WITH over the piped rows
+    "cy_with_collect" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WITH n.name AS nation, count(c) AS n_cust WHERE n_cust >= 60 " +
+        "RETURN collect(nation) AS big_nations")
+        .withColumn("big_nations", concat_ws(",", col("big_nations")))),
+    // type(r): the matched relationship's type over a multi-type pattern —
+    // rendered from the edge-identity join-back, grouping the aggregation
+    "cy_type" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[r:IN_NATION|PLACED]->(x) " +
+        "RETURN type(r), count(x) ORDER BY type_r")),
+    // id(n): the node binding's id as a value column
+    "cy_id" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation)-[:IN_REGION]->(r:region) RETURN id(n) AS nid, r ORDER BY nid")),
+    // value functions over properties (string + math), per-row in the
+    // projection — all stay inside whole-stage codegen
+    "cy_fn_string" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) WHERE c.name ENDS WITH '1' " +
+        "RETURN toUpper(c.name) AS uname, size(c.name) AS len ORDER BY uname LIMIT 20")),
+    "cy_fn_math" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) " +
+        "RETURN c, abs(c.value) AS mag, floor(c.value) AS fl ORDER BY c LIMIT 30")),
+    // a value function as the grouping key of an aggregation
+    "cy_fn_group" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "RETURN toLower(n.name) AS nat, count(c) ORDER BY nat")),
     // UNION dedups across branches (query-surface eWiseAdd over sets):
     // nations with a customer ∪ nations with a supplier
     "cy_union" -> ((s, dir) =>
@@ -1188,6 +1248,50 @@ object SparkEntry {
       ("SELECT count(DISTINCT o_custkey)::BIGINT AS buyers, " +
        "count(DISTINCT o_orderkey)::BIGINT AS n_orders " +
        "FROM orders JOIN customer ON c_custkey = o_custkey"),
+    "cy_exists" ->
+      ("SELECT c_custkey + 3000000000 AS c FROM customer " +
+       "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+    "cy_not_exists" ->
+      ("SELECT c_custkey + 3000000000 AS c FROM customer " +
+       "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    "cy_exists_or" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer WHERE c_acctbal > 9900 " +
+       "OR c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    "cy_exists_2hop" ->
+      ("SELECT DISTINCT c_nationkey + 2000000000 AS n FROM customer " +
+       "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+    "cy_collect" ->
+      ("SELECT n_regionkey + 1000000000 AS r, " +
+       "array_to_string(list_sort(list(n_name)), ',') AS nations " +
+       "FROM nation GROUP BY 1 ORDER BY r"),
+    // coalesce: collect over zero rows is the EMPTY list (Spark collect_list
+    // → [] → ''), while DuckDB's list() over zero rows is NULL
+    "cy_with_collect" ->
+      ("SELECT coalesce(array_to_string(list_sort(list(nation)), ','), '') " +
+       "AS big_nations FROM (" +
+       "SELECT n_name AS nation FROM nation JOIN customer ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 HAVING count(DISTINCT c_custkey) >= 60)"),
+    "cy_type" ->
+      ("SELECT * FROM (SELECT 'IN_NATION' AS type_r, " +
+       "count(DISTINCT c_nationkey)::BIGINT AS count_x FROM customer " +
+       "UNION ALL SELECT 'PLACED', count(DISTINCT o_orderkey)::BIGINT FROM orders) " +
+       "ORDER BY type_r"),
+    "cy_id" ->
+      ("SELECT n_nationkey + 2000000000 AS nid, n_regionkey + 1000000000 AS r " +
+       "FROM nation ORDER BY nid"),
+    "cy_fn_string" ->
+      ("SELECT upper(c_name) AS uname, length(c_name)::BIGINT AS len " +
+       "FROM customer WHERE c_name LIKE '%1' ORDER BY uname LIMIT 20"),
+    // floor casts to BIGINT on the oracle side: Spark's floor(double) is
+    // LONG natively, DuckDB's is DOUBLE
+    "cy_fn_math" ->
+      ("SELECT c_custkey + 3000000000 AS c, abs(c_acctbal) AS mag, " +
+       "floor(c_acctbal)::BIGINT AS fl FROM customer ORDER BY c LIMIT 30"),
+    "cy_fn_group" ->
+      ("SELECT lower(n_name) AS nat, count(DISTINCT c_custkey) AS count_c " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY nat"),
     "cy_union" ->
       ("SELECT c_nationkey + 2000000000 AS n FROM customer " +
        "UNION SELECT s_nationkey + 2000000000 FROM supplier"),

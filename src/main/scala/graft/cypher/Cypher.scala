@@ -48,6 +48,17 @@ object Ast {
   final case class Not(p: Pred) extends Pred
   /** `b.prop IS NULL` / `b.prop IS NOT NULL`. */
   final case class IsNull(binding: String, prop: String, negated: Boolean) extends Pred
+  /** Pattern predicate: `WHERE (a)-[:T]->(b)` / `EXISTS((a)-[:T]->(b))` —
+    * existential: a match row survives iff the pattern has at least one
+    * completion from the row's bound endpoints. Composes with NOT/AND/OR
+    * like any predicate (a bare conjunct compiles to a semi-join, a negated
+    * conjunct to an anti-join, and a disjunction member to an exists-flag
+    * left join — GraphDB.run). Named nodes must be bound in the required
+    * MATCH; anonymous nodes are existential. `preds` carries the equality
+    * conjuncts of property maps written INSIDE the predicate's own pattern
+    * (`(a)-->({x: 1})`) — they constrain the existential match, not the
+    * outer one. */
+  final case class PatPred(path: Path, preds: Seq[Pred] = Seq.empty) extends Pred
 
   object Pred {
     /** Flatten top-level conjunctions into the conjunct list the planner
@@ -56,13 +67,24 @@ object Ast {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    /** Every (binding, prop) pair the predicate reads. */
+    /** Every (binding, prop) pair the predicate reads. Pattern predicates
+      * read no property COLUMNS of the outer match (their anchor bindings
+      * are surfaced by [[patterns]] instead). */
     def refs(p: Pred): Seq[(String, String)] = p match {
       case Cmp(b, pr, _, _)  => Seq(b -> pr)
       case IsNull(b, pr, _)  => Seq(b -> pr)
       case And(l, r)         => refs(l) ++ refs(r)
       case Or(l, r)          => refs(l) ++ refs(r)
       case Not(x)            => refs(x)
+      case PatPred(_, _)     => Seq.empty
+    }
+    /** Every pattern predicate nested anywhere in the tree. */
+    def patterns(p: Pred): Seq[PatPred] = p match {
+      case pp: PatPred => Seq(pp)
+      case And(l, r)   => patterns(l) ++ patterns(r)
+      case Or(l, r)    => patterns(l) ++ patterns(r)
+      case Not(x)      => patterns(x)
+      case _           => Seq.empty
     }
   }
   /** (key, ascending) — ORDER BY keys; `key` is the OUTPUT column name of a
@@ -336,7 +358,16 @@ object CypherParser {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
         preds ++= Pred.conjuncts(orExpr())
       }
-      val aggNames = Set("count", "sum", "min", "max", "avg")
+      val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
+      // per-row scalar functions (not aggregates): id(n) = the node binding's
+      // id, type(r) = the matched relationship's type — carried in Ret.agg
+      // but classified scalar by Pattern.ScalarFns
+      val scalarFns = Set("id", "type")
+      // openCypher value functions: `fn(b.prop)` over a match, `fn(col)`
+      // over a post-WITH column (Column impls: operators.Preds.valueFn)
+      val valueFns = Set(
+        "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
+        "sqrt", "sign", "tointeger", "tofloat", "tostring")
       // `afterWith`: items reference the WITH output columns by bare name,
       // so aggregates over a bare column (`sum(n)`) are legal and property
       // access is not
@@ -346,6 +377,21 @@ object CypherParser {
         val base = if (name.toLowerCase == "length" && peek == '(') {
           eat('('); val b = ident(); eat(')')
           Ret(b, None, Some("length")) // path length projection (shortestPath)
+        } else if (scalarFns(name.toLowerCase) && peek == '(') {
+          val f = name.toLowerCase
+          eat('('); val b = ident(); eat(')')
+          if (afterWith) err(s"$f() is not available after WITH " +
+            "(project it in the WITH items instead)")
+          Ret(b, None, Some(f))
+        } else if (valueFns(name.toLowerCase) && peek == '(') {
+          val f = name.toLowerCase
+          eat('('); val b = ident()
+          val p = if (tryEat('.')) Some(ident()) else None
+          eat(')')
+          if (afterWith && p.isDefined)
+            err(s"$f($b.${p.get}): property access is not available after WITH " +
+              "(project the property in the WITH items instead)")
+          Ret(b, p, Some(f))
         } else if (aggNames(name.toLowerCase) && tryEat('(')) {
           val a = name.toLowerCase
           ws()
@@ -372,7 +418,9 @@ object CypherParser {
               err(s"$a($b.${p.get}): property access is not available after WITH")
             if (a == "count" && p.isDefined)
               err("count() takes a binding, not a property (set semantics counts matches)")
-            if (a != "count" && p.isEmpty && !afterWith)
+            // collect(b) over a match collects the binding's ids (one per
+            // distinct match) — a property argument is optional there
+            if (a != "count" && a != "collect" && p.isEmpty && !afterWith)
               err(s"$a() requires a property argument: $a(binding.prop)")
             Ret(b, p, Some(a), aggDistinct = adist)
           }
@@ -562,8 +610,46 @@ object CypherParser {
     private def unaryPred(bareAtoms: Boolean): Pred = {
       ws()
       if (kw("NOT")) Not(unaryPred(bareAtoms))
-      else if (peek == '(') { eat('('); val p = orExpr(bareAtoms); eat(')'); p }
+      else if (kw("EXISTS")) { // `EXISTS((a)-[:T]->(b))` — explicit form
+        eat('(')
+        val pp = patternPred().getOrElse(err("expected a pattern inside EXISTS(…)"))
+        eat(')')
+        pp
+      } else if (peek == '(') {
+        // ambiguous: `(a)-[:T]->(b)` pattern predicate vs parenthesized
+        // boolean `(a.x = 1 OR …)`. Try the pattern first — a zero-hop
+        // parse (`(a)` alone is not a predicate) or a parse failure
+        // restores the cursor and falls through to the boolean read.
+        patternPred() match {
+          case Some(pp) => pp
+          case None => eat('('); val p = orExpr(bareAtoms); eat(')'); p
+        }
+      }
       else pred(bareAtoms)
+    }
+
+    /** Attempt `(a)-[:T]->(b)…` as a pattern predicate; None restores the
+      * cursor (and un-slices any property maps the attempt consumed). */
+    private def patternPred(): Option[PatPred] = {
+      ws()
+      val save = i
+      val savedMaps = mapPreds.size
+      def restore(): None.type = {
+        i = save
+        if (mapPreds.size > savedMaps) mapPreds.remove(savedMaps, mapPreds.size - savedMaps)
+        None
+      }
+      try {
+        val p = path()
+        if (p.hops.isEmpty) restore()
+        else {
+          // property maps inside the predicate's pattern constrain the
+          // EXISTENTIAL match — slice them out of the outer query's buffer
+          val sliced = mapPreds.drop(savedMaps).toSeq
+          if (mapPreds.size > savedMaps) mapPreds.remove(savedMaps, mapPreds.size - savedMaps)
+          Some(PatPred(p, sliced))
+        }
+      } catch { case _: ParseException => restore() }
     }
 
     private def pred(bareAtoms: Boolean = false): Pred = {

@@ -19,6 +19,20 @@ import graft.cypher.Ast
  */
 object Pattern {
 
+  /** openCypher value functions over a property (or a post-WITH column):
+    * per-row, grouping keys under aggregation. The Column implementations
+    * live in [[graft.operators.Preds.valueFn]]. */
+  val ValueFnNames: Set[String] = Set(
+    "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
+    "sqrt", "sign", "tointeger", "tofloat", "tostring")
+
+  /** Per-row scalar functions carried in Ret.agg: `id(n)` projects the node
+    * binding's id, `type(r)` the matched relationship's type (rendered via
+    * the same edge-identity join-back as relationship properties), plus the
+    * [[ValueFnNames]] value functions. They are grouping keys under
+    * aggregation, not aggregates. */
+  val ScalarFns: Set[String] = Set("id", "type") ++ ValueFnNames
+
   /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
     * see Ast.RelPat); (1, 1) is a plain relationship. `name` is the
     * relationship variable when the query bound one (`-[r:T]->`), the anchor
@@ -59,9 +73,12 @@ object Pattern {
         * so set-semantics granularity is untouched. */
       extraSortProps: Seq[(String, String)] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
-    /** Non-aggregated items — the grouping keys when aggregates are present. */
-    def groupItems: Seq[Ast.Ret] = items.filter(_.agg.isEmpty)
-    def aggItems: Seq[Ast.Ret] = items.filter(_.agg.isDefined)
+    /** Non-aggregated items — the grouping keys when aggregates are present.
+      * Per-row scalar functions (id/type) group, they don't aggregate. */
+    def groupItems: Seq[Ast.Ret] = items.filterNot(isAgg)
+    def aggItems: Seq[Ast.Ret] = items.filter(isAgg)
+    private def isAgg(i: Ast.Ret): Boolean =
+      i.agg.exists(a => !Pattern.ScalarFns(a))
     /** Plain id-only returned bindings (the reference's whole surface). */
     def returns: Seq[String] =
       items.collect { case Ast.Ret(b, None, None, _, _) => b }
@@ -135,13 +152,28 @@ object Pattern {
     // (a relationship entity) has no relational rendering here.
     val returnableEdges = mainEdges.flatMap(_.name).toSet
     q.returns.foreach { r =>
-      if (!allBindings(r.binding)) {
-        if (returnableEdges(r.binding)) {
-          if (r.prop.isEmpty) throw new graft.cypher.ParseException(
-            s"RETURN ${r.binding}: returning a relationship entity is not supported — " +
-              s"project a property (${r.binding}.prop)")
-        } else throw new graft.cypher.ParseException(
-          s"RETURN references unbound: ${r.binding}")
+      r.agg match {
+        case Some("length") => throw new graft.cypher.ParseException(
+          s"length(${r.binding}) is only supported with shortestPath")
+        case Some("id") =>
+          if (!allBindings(r.binding)) throw new graft.cypher.ParseException(
+            if (returnableEdges(r.binding))
+              s"id(${r.binding}): relationships have no id — use type(${r.binding}) or a property"
+            else s"id(${r.binding}): unknown binding")
+        case Some("type") =>
+          if (!returnableEdges(r.binding)) throw new graft.cypher.ParseException(
+            if (allBindings(r.binding))
+              s"type(${r.binding}): ${r.binding} is a node binding — type() takes a relationship variable"
+            else s"type(${r.binding}): unknown relationship variable")
+        case _ =>
+          if (!allBindings(r.binding)) {
+            if (returnableEdges(r.binding)) {
+              if (r.prop.isEmpty) throw new graft.cypher.ParseException(
+                s"RETURN ${r.binding}: returning a relationship entity is not supported — " +
+                  s"project a property (${r.binding}.prop)")
+            } else throw new graft.cypher.ParseException(
+              s"RETURN references unbound: ${r.binding}")
+          }
       }
     }
     // sort keys name an output column (binding, b_prop, count_b, agg_b_prop)
@@ -190,7 +222,8 @@ object Pattern {
         s"edge predicate on variable-length relationship ${c.binding} is not supported " +
           "(a varlen variable binds a list of relationships)")
     }
-    q.returns.filter(r => edgeByName.get(r.binding).exists(_.maxHops > 1)).foreach { r =>
+    q.returns.filter(r => (r.prop.isDefined || r.agg.contains("type")) &&
+        edgeByName.get(r.binding).exists(_.maxHops > 1)).foreach { r =>
       throw new graft.cypher.ParseException(
         s"property of variable-length relationship ${r.binding} is not supported in RETURN " +
           "(a varlen variable binds a list of relationships)")
@@ -206,6 +239,32 @@ object Pattern {
     // uniqueness invariant makes that a 1:1 join per type). Varlen rel
     // variables (a list of relationships) and optional bindings (left-join
     // semantics would change) stay rejected loudly.
+    // pattern predicates: named nodes must anchor on REQUIRED-pattern
+    // bindings (existential endpoints are written anonymous — openCypher
+    // pattern expressions introduce no new variables); relationship
+    // variables inside the predicate have nothing to bind to outside it.
+    // `__m*` names are the parser's own anonymous property-map bindings —
+    // internal to the predicate's existential match.
+    residual.flatMap(Ast.Pred.patterns(_)).foreach { pp =>
+      val names = (pp.path.first.name.toSeq ++ pp.path.hops.flatMap(_._2.name))
+        .filterNot(_.startsWith("__m"))
+      if (!names.exists(mainLabels.contains))
+        throw new graft.cypher.ParseException(
+          "a pattern predicate must anchor on at least one MATCH binding " +
+            "(all its named nodes are unbound)")
+      names.filterNot(mainLabels.contains).foreach { n =>
+        throw new graft.cypher.ParseException(
+          s"pattern predicate introduces new variable $n — only required-pattern " +
+            "bindings may be named (use an anonymous node () for existential endpoints)")
+      }
+      pp.path.hops.foreach { case (rel, _) =>
+        rel.name.filterNot(_.startsWith("__m")).foreach { n =>
+          throw new graft.cypher.ParseException(
+            s"relationship variable $n inside a pattern predicate is not supported " +
+              "(it would be invisible outside the predicate)")
+        }
+      }
+    }
     val resBindings = residual.flatMap(Ast.Pred.refs(_)).map(_._1).distinct
     resBindings.filterNot(mainLabels.contains).foreach { b =>
       edgeByName.get(b) match {

@@ -981,4 +981,181 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(4L, 5L, 6L))
   }
+
+  // --- round 8: pattern predicates, collect(), id()/type() ---
+
+  /** A1,A2,A3 -X-> B10/B11; B10 -Y-> C20; A1 -Z-> C20; B11 -W-> C21. */
+  private def social: PropertyGraph = PropertyGraph(
+    spark.createDataFrame(Seq(
+      (1L, "A", 5.0), (2L, "A", 9.0), (3L, "A", 7.0),
+      (10L, "B", 1.0), (11L, "B", 2.0), (20L, "C", 30.0), (21L, "C", 40.0)))
+      .toDF("id", "label", "value"),
+    spark.createDataFrame(Seq(
+      (1L, 10L, "X"), (2L, 11L, "X"), (3L, 10L, "X"),
+      (10L, 20L, "Y"), (1L, 20L, "Z"), (11L, 21L, "W")))
+      .toDF("src", "dst", "etype"))
+
+  test("pattern predicate: bare conjunct compiles to a semi-join") {
+    val db = new GraphDB(social)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) WHERE (b)-[:Y]->() RETURN a")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 3L))
+    // EXISTS(...) is the explicit spelling of the same predicate
+    val ex = db.query("MATCH (a:A)-[:X]->(b:B) WHERE EXISTS((b)-[:Y]->(:C)) RETURN a")
+      .collect().map(_.getLong(0)).sorted
+    assert(ex.toSeq == Seq(1L, 3L))
+  }
+
+  test("pattern predicate: NOT compiles to an anti-join") {
+    val db = new GraphDB(social)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) WHERE NOT (b)-[:Y]->() RETURN a")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("pattern predicate: multi-hop path and two bound anchors") {
+    val db = new GraphDB(social)
+    val twoHop = db.query("MATCH (a:A) WHERE (a)-[:X]->()-[:Y]->() RETURN a")
+      .collect().map(_.getLong(0)).sorted
+    assert(twoHop.toSeq == Seq(1L, 3L))
+    val viaZ = db.query("MATCH (a:A)-[:X]->(b:B) WHERE (a)-[:Z]->(:C) RETURN a")
+      .collect().map(_.getLong(0))
+    assert(viaZ.toSeq == Seq(1L))
+  }
+
+  test("pattern predicate: property map inside the pattern is existential") {
+    val db = new GraphDB(social)
+    val got = db.query("MATCH (a:A)-[:X]->(b:B) WHERE (b)-[:W]->({value: 40}) RETURN a")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L))
+    // the map constrained the SUBQUERY only: a value=40 filter on the outer
+    // match would have emptied the result (no A/B node has value 40)
+  }
+
+  test("pattern predicate nested under OR uses the exists-flag join") {
+    val db = new GraphDB(social)
+    val got = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.value > 8 OR (b)-[:Y]->() RETURN a")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+    val notOr = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.value > 8 OR NOT ((b)-[:Y]->()) RETURN a")
+      .collect().map(_.getLong(0)).sorted
+    assert(notOr.toSeq == Seq(2L))
+    // AND mixes: the comparison pushes down, the pattern semi-joins
+    val mixed = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE (b)-[:Y]->() AND a.value > 6 RETURN a")
+      .collect().map(_.getLong(0))
+    assert(mixed.toSeq == Seq(3L))
+  }
+
+  test("pattern predicate validation: anchors, new variables, rel vars, WITH") {
+    val db = new GraphDB(social)
+    intercept[graft.cypher.ParseException] { // all nodes anonymous
+      db.query("MATCH (a:A) WHERE ()-[:Y]->() RETURN a")
+    }
+    intercept[graft.cypher.ParseException] { // introduces new variable
+      db.query("MATCH (a:A) WHERE (a)-[:X]->(fresh) RETURN a")
+    }
+    intercept[graft.cypher.ParseException] { // rel variable inside
+      db.query("MATCH (a:A) WHERE (a)-[r:X]->() RETURN a")
+    }
+    intercept[graft.cypher.ParseException] { // pattern after WITH
+      db.query("MATCH (a:A) WITH a, count(a) AS n WHERE (a)-[:X]->() RETURN n")
+    }
+  }
+
+  test("collect(): over a match folds distinct matches into a sorted array") {
+    val db = new GraphDB(social)
+    val perB = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b, collect(a) ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(perB.toSeq == Seq((10L, Seq(1L, 3L)), (11L, Seq(2L))))
+    // set semantics: only b is referenced, so matches dedup to distinct b
+    val global = db.query("MATCH (a:A)-[:X]->(b:B) RETURN collect(b)")
+      .collect().map(_.getSeq[Long](0))
+    assert(global.toSeq == Seq(Seq(10L, 11L)))
+    // property collect folds each distinct match's value once
+    val vals = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b, collect(a.value) ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(vals.toSeq == Seq((10L, Seq(5.0, 7.0)), (11L, Seq(9.0))))
+  }
+
+  test("collect() after WITH: plain rows; DISTINCT folds to the value set") {
+    val db = new GraphDB(social)
+    val got = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b, count(a) AS n RETURN collect(n) AS ns")
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq == Seq(Seq(1L, 2L)))
+    val dist = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, b WITH b, count(a) AS n " +
+      "RETURN collect(DISTINCT n) AS ns")
+      .collect().map(_.getSeq[Long](0))
+    assert(dist.toSeq == Seq(Seq(1L, 2L)))
+  }
+
+  test("type(r): matched relationship type; groups and DISTINCT dedup") {
+    val db = new GraphDB(social)
+    val grouped = db.query(
+      "MATCH (a:A)-[r:X|Z]->(x) RETURN type(r), count(x) ORDER BY type_r")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("X", 2L), ("Z", 1L)))
+    val single = db.query("MATCH (b:B)-[r:Y]->(c:C) RETURN b, type(r)")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(single.toSeq == Seq((10L, "Y")))
+    val dist = db.query("MATCH (a:A)-[r:X]->(b) RETURN DISTINCT type(r)")
+      .collect().map(_.getString(0))
+    assert(dist.toSeq == Seq("X"))
+  }
+
+  test("id(n) projects the binding id; misuse rejected with targeted errors") {
+    val db = new GraphDB(social)
+    val got = db.query("MATCH (a:A)-[:X]->(b) RETURN id(a) AS aid ORDER BY aid")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+    intercept[graft.cypher.ParseException] { // type() of a node binding
+      db.query("MATCH (a:A)-[:X]->(b) RETURN type(a)")
+    }
+    intercept[graft.cypher.ParseException] { // id() of a relationship
+      db.query("MATCH (a:A)-[r:X]->(b) RETURN id(r)")
+    }
+    intercept[graft.cypher.ParseException] { // type() of a varlen rel
+      db.query("MATCH (a:A)-[r:X*1..2]->(b) RETURN type(r)")
+    }
+    intercept[graft.cypher.ParseException] { // length() outside shortestPath
+      db.query("MATCH (a:A)-[:X]->(b) RETURN length(a)")
+    }
+  }
+
+  test("value functions: over properties, grouping keys, and post-WITH columns") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq(
+        (1L, "A", "alpha", -2.5), (2L, "A", "Beta", 3.2), (3L, "B", "gamma", 9.0)))
+        .toDF("id", "label", "name", "value"),
+      spark.createDataFrame(Seq((1L, 3L, "X"), (2L, 3L, "X"))).toDF("src", "dst", "etype"))
+    val db = new GraphDB(g)
+    val fns = db.query(
+      "MATCH (a:A) RETURN toUpper(a.name) AS u, abs(a.value) AS m, " +
+      "floor(a.value) AS f, size(a.name) AS l ORDER BY u")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(fns.toSeq == Seq(("ALPHA", 2.5, -3L, 5L), ("BETA", 3.2, 3L, 4L)))
+    // a value function is a GROUPING key under aggregation
+    val grouped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN toLower(b.name) AS n, count(a) ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("gamma", 2L)))
+    // post-WITH: bare stage columns
+    val piped = db.query(
+      "MATCH (a:A) WITH a.name AS nm, a.value AS v " +
+      "RETURN toUpper(nm) AS u, round(v) AS r ORDER BY u")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(piped.toSeq == Seq(("ALPHA", -3.0), ("BETA", 3.0)))
+    // toString over an id; toInteger over a double
+    val casts = db.query(
+      "MATCH (a:A) RETURN toString(a) AS s, toInteger(a.value) AS i ORDER BY s")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(casts.toSeq == Seq(("1", -2L), ("2", 3L)))
+    intercept[graft.cypher.ParseException] { // prop access after WITH
+      db.query("MATCH (a:A) WITH a.name AS nm RETURN toUpper(a.name)")
+    }
+  }
 }
