@@ -100,7 +100,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     q.shortest match {
       case Some(sp) => runShortest(sp, q)
       case None =>
-        if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
+        if (q.unwindLit.isDefined) runUnwindLit(q)
+        else if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
         else run(Pattern.fromQuery(q))
     }
 
@@ -118,115 +119,52 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    */
   private def runWith(q: cypher.Ast.Query, ws: Seq[cypher.Ast.WithClause]): DataFrame = {
     import graft.cypher.Ast
-
-    // HAVING-style filter over a stage's output columns (bare names only)
-    def havingFilter(df: DataFrame, cols: Seq[String], where: Seq[Ast.Pred]): DataFrame = {
-      val colSet = cols.toSet
-      where.foreach { p =>
-        if (Ast.Pred.patterns(p).nonEmpty) throw new cypher.ParseException(
-          "pattern predicates are not supported in WITH … WHERE " +
-            "(apply them in the MATCH WHERE, before the pipeline)")
-      }
-      where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
-        if (p.nonEmpty) throw new cypher.ParseException(
-          s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
-        if (!colSet(b)) throw new cypher.ParseException(
-          s"WITH … WHERE references $b, not among the WITH items: ${cols.mkString(",")}")
-      }
-      where.foldLeft(df)((acc, p) =>
-        acc.filter(operators.Preds.column(p, (b, _) => col(b))))
-    }
-
-    // project or re-aggregate a stage's bare columns (WITH stages ≥ 2 and
-    // the final RETURN share this scope rule)
-    def projectStage(df: DataFrame, cols: Seq[String], items: Seq[Ast.Ret],
-                     distinct: Boolean, stage: String): DataFrame = {
-      val colSet = cols.toSet
-      items.foreach { r =>
-        if (r.prop.isDefined) throw new cypher.ParseException(
-          s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
-            "(project the property in the WITH items instead)")
-        // "*" is count(*)'s pseudo-binding (parser only emits it under count)
-        if (r.binding != "*" && !colSet(r.binding)) throw new cypher.ParseException(
-          s"$stage references ${r.binding}, not among the WITH items: ${cols.mkString(",")}")
-      }
-      // value functions are per-row scalars over the stage's bare columns —
-      // grouping keys, not aggregates (same split as Pattern.ScalarFns)
-      def bareValue(i: Ast.Ret): Column = i.agg match {
-        case Some(f) if operators.Preds.valueFn.contains(f) =>
-          operators.Preds.valueFn(f)(col(i.binding))
-        case _ => col(i.binding)
-      }
-      val aggItems = items.filter(i =>
-        i.agg.exists(a => !operators.Preds.valueFn.contains(a)))
-      val groupItems = items.filterNot(aggItems.contains)
-      val projected =
-        if (aggItems.isEmpty) df.select(items.map(i => bareValue(i).as(i.outName)): _*)
-        else {
-          val aggs = aggItems.map { i =>
-            (i.agg.get match {
-              case "count" =>
-                if (i.binding == "*") count(lit(1))
-                else if (i.aggDistinct) countDistinct(col(i.binding))
-                else count(col(i.binding))
-              case "sum" => if (i.aggDistinct) sum_distinct(col(i.binding)) else sum(col(i.binding))
-              // DISTINCT is a no-op under min/max; avg needs the SQL form
-              case "min" => min(col(i.binding))
-              case "max" => max(col(i.binding))
-              case "avg" =>
-                if (i.aggDistinct) expr(s"avg(DISTINCT `${i.binding}`)") else avg(col(i.binding))
-              // sorted array = deterministic rendering of the collection;
-              // DISTINCT folds to the value set first
-              case "collect" =>
-                if (i.aggDistinct) sort_array(collect_set(col(i.binding)))
-                else sort_array(collect_list(col(i.binding)))
-              case other => throw new cypher.ParseException(s"$other() is not supported after WITH")
-            }).as(i.outName)
-          }
-          if (groupItems.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-          else df.groupBy(groupItems.map(i => bareValue(i).as(i.outName)): _*)
-            .agg(aggs.head, aggs.tail: _*)
-        }
-      if (distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
-    }
-
-    // per-stage ORDER BY/SKIP/LIMIT (openCypher top-k-then-continue),
-    // applied AFTER the stage's WHERE; sort keys resolve like RETURN's
-    def stageMods(df: DataFrame, items: Seq[Ast.Ret], orderBy: Seq[Ast.SortKey],
-                  skip: Option[Int], limit: Option[Int]): DataFrame = {
-      if (orderBy.isEmpty && skip.isEmpty && limit.isEmpty) return df
-      val keyToOut = Ast.Ret.sortKeyMap(items)
-      val unknown = orderBy.map(_.binding).filterNot(keyToOut.contains)
-      if (unknown.nonEmpty) throw new cypher.ParseException(
-        s"WITH … ORDER BY references columns not among the items: ${unknown.mkString(",")}")
-      val ordered =
-        if (orderBy.isEmpty) df
-        else df.orderBy(orderBy.map { k =>
-          val c = col(keyToOut(k.binding)); if (k.asc) c.asc else c.desc
-        }: _*)
-      val skipped = skip.fold(ordered)(ordered.offset)
-      limit.fold(skipped)(skipped.limit)
-    }
-
-    // WHERE and ORDER BY/SKIP/LIMIT apply in the textual order the stage
-    // wrote them: WHERE-first filters before the top-k, openCypher's
-    // trailing WHERE filters the top-k result
-    def stagePipe(df: DataFrame, cols: Seq[String], w: Ast.WithClause): DataFrame =
-      if (w.whereAfterMods)
-        havingFilter(stageMods(df, w.items, w.orderBy, w.skip, w.limit), cols, w.where)
-      else
-        stageMods(havingFilter(df, cols, w.where), w.items, w.orderBy, w.skip, w.limit)
-
     val first = ws.head
     val stage1 = run(Pattern.fromQuery(q.copy(returns = first.items, distinct = first.distinct,
       orderBy = Seq.empty, limit = None, skip = None, withClauses = Seq.empty)))
     var cols = first.items.map(_.outName)
     var piped = stagePipe(stage1, cols, first)
+    first.unwind.foreach { case (src, al) =>
+      piped = piped.withColumn(al, explode(col(src))); cols = cols :+ al
+    }
     ws.tail.foreach { w =>
       piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
       cols = w.items.map(_.outName)
       piped = stagePipe(piped, cols, w)
+      w.unwind.foreach { case (src, al) =>
+        piped = piped.withColumn(al, explode(col(src))); cols = cols :+ al
+      }
     }
+    finishPipeline(piped, cols, q)
+  }
+
+  /** `UNWIND [lit, …] AS x (WITH …)* RETURN …`: a literal-list row source —
+    * one explode over a single driver-side row, then the same bare-column
+    * pipeline a WITH chain runs. Lists come back out via collect(); UNWIND
+    * is its inverse (openCypher). */
+  private def runUnwindLit(q: cypher.Ast.Query): DataFrame = {
+    val (vals, alias) = q.unwindLit.get
+    val spark = graph.nodes.sparkSession
+    // array() picks the least common type (long+double → double); the
+    // parser already rejected string/number mixes
+    var piped = spark.range(1).select(explode(array(vals.map(lit): _*)).as(alias))
+    var cols = Seq(alias)
+    q.withClauses.foreach { w =>
+      piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
+      cols = w.items.map(_.outName)
+      piped = stagePipe(piped, cols, w)
+      w.unwind.foreach { case (src, al) =>
+        piped = piped.withColumn(al, explode(col(src))); cols = cols :+ al
+      }
+    }
+    finishPipeline(piped, cols, q)
+  }
+
+  /** Final RETURN over a pipeline's bare columns + ORDER BY/SKIP/LIMIT
+    * (sort keys resolve like any RETURN: output name or pre-alias default). */
+  private def finishPipeline(piped: DataFrame, cols: Seq[String],
+                             q: cypher.Ast.Query): DataFrame = {
+    import graft.cypher.Ast
     val distincted = projectStage(piped, cols, q.returns,
       distinct = q.distinct, stage = "RETURN")
     val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
@@ -241,6 +179,128 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val skipped = q.skip.fold(ordered)(ordered.offset)
     q.limit.fold(skipped)(skipped.limit)
   }
+
+  // HAVING-style filter over a stage's output columns (bare names only)
+  private def havingFilter(df: DataFrame, cols: Seq[String],
+                           where: Seq[cypher.Ast.Pred]): DataFrame = {
+    import graft.cypher.Ast
+    val colSet = cols.toSet
+    where.foreach { p =>
+      if (Ast.Pred.patterns(p).nonEmpty) throw new cypher.ParseException(
+        "pattern predicates are not supported in WITH … WHERE " +
+          "(apply them in the MATCH WHERE, before the pipeline)")
+    }
+    where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
+      if (p.nonEmpty) throw new cypher.ParseException(
+        s"WITH … WHERE refers to output columns by bare name; $b.$p is not visible after WITH")
+      if (!colSet(b)) throw new cypher.ParseException(
+        s"WITH … WHERE references $b, not among the WITH items: ${cols.mkString(",")}")
+    }
+    where.foldLeft(df)((acc, p) =>
+      acc.filter(operators.Preds.column(p, (b, _) => col(b))))
+  }
+
+  // project or re-aggregate a stage's bare columns (WITH stages ≥ 2 and
+  // the final RETURN share this scope rule)
+  private def projectStage(df: DataFrame, cols: Seq[String], items: Seq[cypher.Ast.Ret],
+                           distinct: Boolean, stage: String): DataFrame = {
+    import graft.cypher.Ast
+      val colSet = cols.toSet
+      items.foreach { r =>
+        r.expr match {
+          case Some(e) =>
+            Ast.Expr.refs(e).foreach { case (b, p) =>
+              if (p.nonEmpty) throw new cypher.ParseException(
+                s"$b.$p: property access is not available after WITH " +
+                  "(project the property in the WITH items instead)")
+              if (!colSet(b)) throw new cypher.ParseException(
+                s"$stage references $b, not among the WITH items: ${cols.mkString(",")}")
+            }
+          case None =>
+            if (r.prop.isDefined) throw new cypher.ParseException(
+              s"${r.binding}.${r.prop.get}: property access is not available after WITH " +
+                "(project the property in the WITH items instead)")
+            // "*" is count(*)'s pseudo-binding (parser only emits it under count)
+            if (r.binding != "*" && !colSet(r.binding)) throw new cypher.ParseException(
+              s"$stage references ${r.binding}, not among the WITH items: ${cols.mkString(",")}")
+        }
+      }
+      // value functions and general expressions are per-row scalars over the
+      // stage's bare columns — grouping keys, not aggregates (same split as
+      // Pattern.ScalarFns)
+      def bareValue(i: Ast.Ret): Column = i.expr match {
+        case Some(e) => operators.Preds.exprColumn(e, (b, _) => col(b))
+        case None => i.agg match {
+          case Some(f) if operators.Preds.valueFn.contains(f) =>
+            operators.Preds.valueFn(f)(col(i.binding))
+          case _ => col(i.binding)
+        }
+      }
+      val aggItems = items.filter(i =>
+        i.agg.exists(a => !operators.Preds.valueFn.contains(a)))
+      val groupItems = items.filterNot(aggItems.contains)
+      val projected =
+        if (aggItems.isEmpty) df.select(items.map(i => bareValue(i).as(i.outName)): _*)
+        else {
+          val aggs = aggItems.map { i =>
+            // the aggregate's argument: a bare stage column, or a general
+            // expression over stage columns (`sum(a * b)`)
+            val arg = i.expr.fold(col(i.binding))(e =>
+              operators.Preds.exprColumn(e, (b, _) => col(b)))
+            (i.agg.get match {
+              case "count" =>
+                if (i.binding == "*") count(lit(1))
+                else if (i.aggDistinct) countDistinct(col(i.binding))
+                else count(col(i.binding))
+              case "sum" => if (i.aggDistinct) sum_distinct(arg) else sum(arg)
+              // DISTINCT is a no-op under min/max; avg needs the SQL form
+              case "min" => min(arg)
+              case "max" => max(arg)
+              case "avg" =>
+                if (i.aggDistinct) expr(s"avg(DISTINCT `${i.binding}`)") else avg(arg)
+              // sorted array = deterministic rendering of the collection;
+              // DISTINCT folds to the value set first
+              case "collect" =>
+                if (i.aggDistinct) sort_array(collect_set(arg))
+                else sort_array(collect_list(arg))
+              case other => throw new cypher.ParseException(s"$other() is not supported after WITH")
+            }).as(i.outName)
+          }
+          if (groupItems.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(groupItems.map(i => bareValue(i).as(i.outName)): _*)
+            .agg(aggs.head, aggs.tail: _*)
+        }
+      if (distinct && aggItems.isEmpty) projected.dropDuplicates() else projected
+    }
+
+  // per-stage ORDER BY/SKIP/LIMIT (openCypher top-k-then-continue),
+  // applied AFTER the stage's WHERE; sort keys resolve like RETURN's
+  private def stageMods(df: DataFrame, items: Seq[cypher.Ast.Ret],
+                        orderBy: Seq[cypher.Ast.SortKey],
+                        skip: Option[Int], limit: Option[Int]): DataFrame = {
+    if (orderBy.isEmpty && skip.isEmpty && limit.isEmpty) return df
+    val keyToOut = cypher.Ast.Ret.sortKeyMap(items)
+    val unknown = orderBy.map(_.binding).filterNot(keyToOut.contains)
+    if (unknown.nonEmpty) throw new cypher.ParseException(
+      s"WITH … ORDER BY references columns not among the items: ${unknown.mkString(",")}")
+    val ordered =
+      if (orderBy.isEmpty) df
+      else df.orderBy(orderBy.map { k =>
+        val c = col(keyToOut(k.binding)); if (k.asc) c.asc else c.desc
+      }: _*)
+    val skipped = skip.fold(ordered)(ordered.offset)
+    limit.fold(skipped)(skipped.limit)
+  }
+
+  // WHERE and ORDER BY/SKIP/LIMIT apply in the textual order the stage
+  // wrote them: WHERE-first filters before the top-k, openCypher's
+  // trailing WHERE filters the top-k result
+  private def stagePipe(df: DataFrame, cols: Seq[String],
+                        w: cypher.Ast.WithClause): DataFrame =
+    if (w.whereAfterMods)
+      havingFilter(stageMods(df, w.items, w.orderBy, w.skip, w.limit), cols, w.where)
+    else
+      stageMods(havingFilter(df, cols, w.where), w.items, w.orderBy, w.skip, w.limit)
 
   /**
    * `MATCH p = shortestPath((a)-[:T*]->(b))`: per endpoint pair, the
@@ -270,6 +330,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val dstName = sp.dst.name.getOrElse("__dst")
     val lenName = s"length_${sp.pathVar}"
     q.returns.foreach { r =>
+      if (r.expr.isDefined) throw new cypher.ParseException(
+        "value expressions are not supported with shortestPath")
       r.agg match {
         case Some("length") =>
           if (r.binding != sp.pathVar) throw new cypher.ParseException(
@@ -365,10 +427,15 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val baseNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
     val edgeByName = pg.edges.flatMap(e => e.name.map(_ -> e)).toMap
+    // expression items read (binding, prop) pairs — node refs join like
+    // item properties, edge refs like residual edge refs; bare refs (prop
+    // "") resolve to the binding's id column, already carried
+    val exprRefs = pg.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.refs)).distinct
+    val (exprEdgeRefs, exprNodeRefs) = exprRefs.partition(r => edgeByName.contains(r._1))
     // RETURN r.prop / agg(r.prop) on a single-hop relationship variable:
     // rendered by the same endpoint-pair join-back as residual edge refs
-    val itemEdgeRefs = pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
-      .map(i => i.binding -> i.prop.get).distinct
+    val itemEdgeRefs = (pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
+      .map(i => i.binding -> i.prop.get) ++ exprEdgeRefs.filter(_._2.nonEmpty)).distinct
     // type(r) projects the matched relationship's type — same identity
     // join-back, no property columns
     val typeRefNames = pg.items.filter(_.agg.contains("type")).map(_.binding).distinct
@@ -420,8 +487,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // — but stay robust to partial node tables)
     val itemProps = pg.items
       .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
-      .map(i => i.binding -> i.prop.get)
-    val propsNeeded = (itemProps ++ resNodeRefs).distinct
+      .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty)
+    // bare refs (prop "") are id columns, not property joins
+    val propsNeeded = (itemProps ++ resNodeRefs).distinct.filter(_._2.nonEmpty)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val withNodeProps = propsNeeded.foldLeft(matches) { case (acc, (b, ps)) =>
       val sel = graph.nodes.select(
@@ -505,8 +573,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // match granularity was widened to carry it — restore the returned
     // granularity afterwards (one dropDuplicates on the returned id
     // columns; their property columns are functionally dependent)
+    // resolver shared by residual predicates and expression items: prop ""
+    // (a bare reference in a value expression) is the binding's id column
+    def matchResolve(b: String, pr: String): Column =
+      if (pr.isEmpty) col(b) else col(s"${b}_$pr")
     val filtered = restResidual.foldLeft(withPatFlags)((acc, p) =>
-      acc.filter(operators.Preds.column(p, (b, pr) => col(s"${b}_$pr"),
+      acc.filter(operators.Preds.column(p, matchResolve,
         pp => coalesce(col(patFlag(pp)), lit(false)))))
     val withProps =
       if (pg.residual.nonEmpty && (mainNeeded != baseNeeded || edgePropsNeeded.nonEmpty)) {
@@ -521,16 +593,21 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           .flatMap(r => Seq(s"__rel_${r}_s", s"__rel_${r}_d", s"__rel_${r}_t"))
         filtered.dropDuplicates(baseNeeded ++ optCols ++ relIdCols)
       } else filtered
-    def valueOf(i: cypher.Ast.Ret): Column = i.agg match {
-      // scalar functions: id(n) is the binding's id column; type(r) is the
-      // matched relationship's identity etype column (joined back above);
-      // value functions wrap the property (or id) column per-row
-      case Some("id")   => col(i.binding)
-      case Some("type") => col(s"__rel_${i.binding}_t")
-      case Some(f) if operators.Preds.valueFn.contains(f) =>
-        operators.Preds.valueFn(f)(
-          i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))
-      case _ => i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+    def valueOf(i: cypher.Ast.Ret): Column = i.expr match {
+      // general value expression (arithmetic / CASE / coalesce …): one
+      // codegen'd Column over the joined-back property columns
+      case Some(e) => operators.Preds.exprColumn(e, matchResolve)
+      case None => i.agg match {
+        // scalar functions: id(n) is the binding's id column; type(r) is the
+        // matched relationship's identity etype column (joined back above);
+        // value functions wrap the property (or id) column per-row
+        case Some("id")   => col(i.binding)
+        case Some("type") => col(s"__rel_${i.binding}_t")
+        case Some(f) if operators.Preds.valueFn.contains(f) =>
+          operators.Preds.valueFn(f)(
+            i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))
+        case _ => i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p"))
+      }
     }
     // aggregates run over the distinct matches (set semantics): count(b) =
     // distinct matches per group; sum/min/max/avg fold each distinct match's
@@ -563,7 +640,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // group already.
     val distincted =
       if (pg.distinct && pg.aggItems.isEmpty &&
-          pg.items.exists(i => i.prop.isDefined || i.agg.exists(Pattern.ScalarFns)))
+          pg.items.exists(i => i.prop.isDefined || i.agg.exists(Pattern.ScalarFns) ||
+            i.expr.isDefined))
         aggregated.dropDuplicates()
       else aggregated
     // ORDER BY over output columns (beyond the reference — relational surface
@@ -597,7 +675,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val pg = Pattern.fromQuery(CypherParser.parse(cypher))
     // key on each plain binding's OUTPUT name, so `RETURN c AS customer`
     // joins (and prefixes properties) as `customer`, matching run()'s columns
-    val outs = pg.items.collect { case r @ graft.cypher.Ast.Ret(_, None, None, _, _) => r.outName }
+    val outs = pg.items.collect {
+      case r if r.prop.isEmpty && r.agg.isEmpty && r.expr.isEmpty => r.outName
+    }
     outs.foldLeft(run(pg)) { (acc, b) =>
       val props = graph.nodes.columns.filter(_ != "id")
         .map(c => col(c).as(s"${b}_$c"))

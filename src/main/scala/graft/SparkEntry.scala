@@ -394,6 +394,44 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN toLower(n.name) AS nat, count(c) ORDER BY nat")),
+    // general value expressions in RETURN: arithmetic over properties with
+    // precedence; one codegen'd Column, no UDF
+    "cy_expr_arith" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) RETURN c, c.value * 2 + 1 AS v ORDER BY c LIMIT 50")),
+    // searched CASE as a grouping key + count per bucket
+    "cy_expr_case" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) RETURN CASE WHEN c.value < 0 THEN 'neg' " +
+        "WHEN c.value < 5000 THEN 'mid' ELSE 'high' END AS bucket, count(c) AS n " +
+        "ORDER BY bucket")),
+    // coalesce over an OPTIONAL MATCH null (customers with no order → -1)
+    "cy_expr_coalesce" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o:order) " +
+        "WITH c, max(o.value) AS m RETURN c, coalesce(m, -1) AS mv " +
+        "ORDER BY c LIMIT 100")),
+    // property-to-property comparison (residual join-back of both columns)
+    "cy_expr_propcmp" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation)<-[:IN_NATION]-(s:supplier) " +
+        "WHERE c.value > s.value RETURN n, count(c) ORDER BY n")),
+    // aggregate over an expression (evaluated per distinct match, folded)
+    "cy_expr_agg" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // UNWIND: literal-list row source piped through the bare-column pipeline
+    "cy_unwind" -> ((s, dir) =>
+      db(s, dir).query(
+        "UNWIND [3, 1, 2, 2, 5] AS x WITH x WHERE x < 5 " +
+        "RETURN DISTINCT x * 10 AS t ORDER BY t")),
+    // UNWIND as collect()'s inverse: fold per nation, explode back, count
+    "cy_unwind_collect" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WITH n, collect(c) AS cs UNWIND cs AS cid " +
+        "RETURN n, count(cid) AS k ORDER BY n")),
     // UNION dedups across branches (query-surface eWiseAdd over sets):
     // nations with a customer ∪ nations with a supplier
     "cy_union" -> ((s, dir) =>
@@ -1292,6 +1330,34 @@ object SparkEntry {
       ("SELECT lower(n_name) AS nat, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY nat"),
+    "cy_expr_arith" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_acctbal * 2 + 1 AS v " +
+       "FROM customer ORDER BY c LIMIT 50"),
+    "cy_expr_case" ->
+      ("SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' " +
+       "ELSE 'high' END AS bucket, count(*) AS n FROM customer GROUP BY 1 ORDER BY bucket"),
+    "cy_expr_coalesce" ->
+      ("SELECT c, coalesce(m, -1) AS mv FROM (" +
+       "SELECT c_custkey + 3000000000 AS c, max(o_totalprice) AS m " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1) " +
+       "ORDER BY c LIMIT 100"),
+    "cy_expr_propcmp" ->
+      ("SELECT n_nationkey + 2000000000 AS n, " +
+       "count(DISTINCT c_custkey + 3000000000) AS count_c " +
+       "FROM customer, supplier, nation " +
+       "WHERE c_nationkey = n_nationkey AND s_nationkey = n_nationkey " +
+       "AND c_acctbal > s_acctbal GROUP BY 1 ORDER BY n"),
+    "cy_expr_agg" ->
+      ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n"),
+    "cy_unwind" ->
+      ("SELECT DISTINCT x * 10 AS t FROM " +
+       "(SELECT unnest([3, 1, 2, 2, 5]::BIGINT[]) AS x) WHERE x < 5 ORDER BY t"),
+    "cy_unwind_collect" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(*) AS k " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n"),
     "cy_union" ->
       ("SELECT c_nationkey + 2000000000 AS n FROM customer " +
        "UNION SELECT s_nationkey + 2000000000 FROM supplier"),

@@ -59,6 +59,61 @@ object Ast {
     * (`(a)-->({x: 1})`) — they constrain the existential match, not the
     * outer one. */
   final case class PatPred(path: Path, preds: Seq[Pred] = Seq.empty) extends Pred
+  /** Comparison between two EXPRESSIONS (`a.x > b.y`, `a.p + 1 < 10`,
+    * `toUpper(a.name) STARTS WITH 'X'`) — always residual: the referenced
+    * property columns join back over the matched rows and the comparison
+    * filters there. A plain `<ref> <op> <literal>` conjunct never reaches
+    * this node — the parser keeps emitting [[Cmp]] so the pushdown
+    * classification is untouched. */
+  final case class CmpE(l: Expr, op: String, r: Expr) extends Pred
+
+  /** Value expression over bindings/properties (match context) or bare
+    * stage columns (post-WITH context): arithmetic, literals, value
+    * functions, `coalesce`, and `CASE`. Compiled per-row to one Catalyst
+    * Column ([[graft.operators.Preds.exprColumn]]) — stays inside
+    * whole-stage codegen. Beyond the reference (ids-only surface); the
+    * relational expression algebra Spark gives us for free. */
+  sealed trait Expr
+  /** `b` (binding id / bare post-WITH column when prop empty) or `b.prop`. */
+  final case class ERef(binding: String, prop: Option[String]) extends Expr
+  /** Number (Long when written integral, Double otherwise) or String. */
+  final case class ELit(v: Any) extends Expr
+  /** `+ - * / %` (numeric; `/` follows SQL and yields double on integers). */
+  final case class EBin(op: String, l: Expr, r: Expr) extends Expr
+  final case class ENeg(e: Expr) extends Expr
+  /** Value-function application: the [[graft.plans.Pattern.ValueFnNames]]
+    * single-arg functions plus variadic `coalesce`. */
+  final case class EFn(name: String, args: Seq[Expr]) extends Expr
+  /** Searched CASE: `CASE WHEN p THEN v … [ELSE d] END` (no ELSE → NULL,
+    * openCypher). The simple form `CASE x WHEN a THEN v …` desugars at
+    * parse into equality predicates on the scrutinee. */
+  final case class ECase(whens: Seq[(Pred, Expr)], default: Option[Expr]) extends Expr
+
+  object Expr {
+    /** Every (binding, prop) pair the expression reads; bare refs carry
+      * prop "" (same encoding as post-WITH predicate refs). Recurses into
+      * CASE predicates. */
+    def refs(e: Expr): Seq[(String, String)] = e match {
+      case ERef(b, p)     => Seq(b -> p.getOrElse(""))
+      case ELit(_)        => Seq.empty
+      case EBin(_, l, r)  => refs(l) ++ refs(r)
+      case ENeg(x)        => refs(x)
+      case EFn(_, args)   => args.flatMap(refs)
+      case ECase(ws, d)   =>
+        ws.flatMap { case (p, v) => Pred.refs(p) ++ refs(v) } ++ d.toSeq.flatMap(refs)
+    }
+    /** Pattern predicates nested in CASE conditions (rejected in items —
+      * the exists-flag machinery is residual-WHERE-only). */
+    def patterns(e: Expr): Seq[PatPred] = e match {
+      case ECase(ws, d) =>
+        ws.flatMap { case (p, v) => Pred.patterns(p) ++ patterns(v) } ++
+          d.toSeq.flatMap(patterns)
+      case EBin(_, l, r) => patterns(l) ++ patterns(r)
+      case ENeg(x)       => patterns(x)
+      case EFn(_, args)  => args.flatMap(patterns)
+      case _             => Seq.empty
+    }
+  }
 
   object Pred {
     /** Flatten top-level conjunctions into the conjunct list the planner
@@ -73,6 +128,7 @@ object Ast {
     def refs(p: Pred): Seq[(String, String)] = p match {
       case Cmp(b, pr, _, _)  => Seq(b -> pr)
       case IsNull(b, pr, _)  => Seq(b -> pr)
+      case CmpE(l, _, r)     => Expr.refs(l) ++ Expr.refs(r)
       case And(l, r)         => refs(l) ++ refs(r)
       case Or(l, r)          => refs(l) ++ refs(r)
       case Not(x)            => refs(x)
@@ -80,11 +136,12 @@ object Ast {
     }
     /** Every pattern predicate nested anywhere in the tree. */
     def patterns(p: Pred): Seq[PatPred] = p match {
-      case pp: PatPred => Seq(pp)
-      case And(l, r)   => patterns(l) ++ patterns(r)
-      case Or(l, r)    => patterns(l) ++ patterns(r)
-      case Not(x)      => patterns(x)
-      case _           => Seq.empty
+      case pp: PatPred   => Seq(pp)
+      case And(l, r)     => patterns(l) ++ patterns(r)
+      case Or(l, r)      => patterns(l) ++ patterns(r)
+      case Not(x)        => patterns(x)
+      case CmpE(l, _, r) => Expr.patterns(l) ++ Expr.patterns(r)
+      case _             => Seq.empty
     }
   }
   /** (key, ascending) — ORDER BY keys; `key` is the OUTPUT column name of a
@@ -110,7 +167,14 @@ object Ast {
                        alias: Option[String] = None,
                        /** `agg(DISTINCT x)` — post-WITH only (over a match,
                          * aggregates already fold DISTINCT matches). */
-                       aggDistinct: Boolean = false) {
+                       aggDistinct: Boolean = false,
+                       /** General value expression (arithmetic / CASE /
+                         * coalesce …). When set, `binding`/`prop` are unused
+                         * ("" / None), an AS alias is mandatory (the parser
+                         * enforces it — expressions have no default output
+                         * name), and `agg` may wrap the expression
+                         * (`sum(a.x * a.y)`). */
+                       expr: Option[Expr] = None) {
     def outName: String = alias.getOrElse(defaultName)
     /** The pre-alias output name — ORDER BY accepts either this or the
       * alias (openCypher lets you order by the underlying expression even
@@ -130,7 +194,8 @@ object Ast {
       * resolution — every query form (pattern, WITH stage, shortestPath,
       * UNION trailing modifiers) must agree on it. */
     def sortKeyMap(items: Seq[Ret]): Map[String, String] =
-      (items.filter(_.alias.isDefined).map(r => r.defaultName -> r.outName) ++
+      (items.filter(r => r.alias.isDefined && r.expr.isEmpty)
+        .map(r => r.defaultName -> r.outName) ++
         items.map(_.outName).map(n => n -> n)).toMap
   }
   /** `MATCH … WITH <items> [WHERE <preds>] [ORDER BY …] [SKIP n] [LIMIT n]
@@ -152,7 +217,14 @@ object Ast {
                                 * (openCypher's clause order) filters the
                                 * top-k result; written before, it filters
                                 * first. Applied in textual order. */
-                              whereAfterMods: Boolean = false)
+                              whereAfterMods: Boolean = false,
+                              /** `UNWIND <col> AS <alias>` after this
+                                * stage's modifiers: each row fans out per
+                                * element of the (array) column — the inverse
+                                * of collect(). The source column stays in
+                                * scope; an empty/NULL list yields no rows
+                                * (openCypher). */
+                              unwind: Option[(String, String)] = None)
 
   /** `MATCH p = shortestPath((a)-[:T*]->(b))` — per endpoint pair (a, b),
     * the minimum-length path over the typed edges; `length(p)` in RETURN
@@ -170,7 +242,11 @@ object Ast {
       limit: Option[Int],
       skip: Option[Int] = None,       // `SKIP n` — rows dropped before LIMIT
       shortest: Option[Shortest] = None,
-      withClauses: Seq[WithClause] = Seq.empty)
+      withClauses: Seq[WithClause] = Seq.empty,
+      /** `UNWIND [lit, …] AS x` at the query start (instead of MATCH): a
+        * literal-list row source; the pipeline (WITH stages, RETURN) then
+        * reads bare columns exactly like post-WITH scope. */
+      unwindLit: Option[(Seq[Any], String)] = None)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -287,7 +363,15 @@ object CypherParser {
     }
 
     def query(): Query = {
-      if (!kw("MATCH")) err("expected MATCH")
+      // `UNWIND [lit, …] AS x` instead of MATCH: literal-list row source;
+      // everything after it reads bare columns (post-WITH scope)
+      val unwindLit: Option[(Seq[Any], String)] =
+        if (kw("UNWIND")) {
+          val vs = literalList()
+          if (!kw("AS")) err("expected AS after the UNWIND list")
+          Some((vs, ident()))
+        } else None
+      if (unwindLit.isEmpty && !kw("MATCH")) err("expected MATCH")
       ws()
       val mapPredsAtStart = mapPreds.size
       // `MATCH p = shortestPath((a)-[:T*]->(b))` — a path variable instead
@@ -297,7 +381,9 @@ object CypherParser {
       // WHERE conjuncts attached to individual MATCH clauses (sequential
       // MATCH form); merged with the pattern-level WHERE below
       val earlyPreds = scala.collection.mutable.ArrayBuffer[Pred]()
-      if (peek != '(') {
+      if (unwindLit.isDefined) {
+        // no pattern clauses; fall through to WITH/RETURN
+      } else if (peek != '(') {
         val pv = ident()
         eat('=')
         if (!kw("shortestPath")) err("expected shortestPath after path variable")
@@ -333,6 +419,7 @@ object CypherParser {
       while (kw("OPTIONAL")) {
         if (!kw("MATCH")) err("expected MATCH after OPTIONAL")
         if (shortest.isDefined) err("OPTIONAL MATCH is not supported with shortestPath")
+        if (unwindLit.isDefined) err("OPTIONAL MATCH is not supported after UNWIND")
         val g = scala.collection.mutable.ArrayBuffer(path())
         while (tryEat(',')) g += path()
         optional += g.toSeq
@@ -356,6 +443,8 @@ object CypherParser {
       preds ++= earlyPreds
       if (kw("WHERE")) {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
+        if (unwindLit.isDefined)
+          err("WHERE after UNWIND is not supported (filter in a WITH stage instead)")
         preds ++= Pred.conjuncts(orExpr())
       }
       val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
@@ -368,68 +457,107 @@ object CypherParser {
       val valueFns = Set(
         "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
         "sqrt", "sign", "tointeger", "tofloat", "tostring")
+      // validation shared by expression items: no pattern predicates inside
+      // CASE conditions (the exists-flag machinery is residual-WHERE-only),
+      // no property access in post-WITH scope
+      def checkItemExpr(e: Expr, afterWith: Boolean, what: String): Unit = {
+        if (Expr.patterns(e).nonEmpty)
+          err(s"pattern predicates are not supported inside $what (use WHERE)")
+        if (afterWith)
+          Expr.refs(e).collectFirst { case (b, p) if p.nonEmpty => s"$b.$p" }.foreach { r =>
+            err(s"$r: property access is not available after WITH " +
+              "(project the property in the WITH items instead)")
+          }
+      }
       // `afterWith`: items reference the WITH output columns by bare name,
       // so aggregates over a bare column (`sum(n)`) are legal and property
       // access is not
       def retItem(afterWith: Boolean = false): Ret = {
-        val name = ident()
         ws()
-        val base = if (name.toLowerCase == "length" && peek == '(') {
-          eat('('); val b = ident(); eat(')')
-          Ret(b, None, Some("length")) // path length projection (shortestPath)
-        } else if (scalarFns(name.toLowerCase) && peek == '(') {
-          val f = name.toLowerCase
-          eat('('); val b = ident(); eat(')')
-          if (afterWith) err(s"$f() is not available after WITH " +
-            "(project it in the WITH items instead)")
-          Ret(b, None, Some(f))
-        } else if (valueFns(name.toLowerCase) && peek == '(') {
-          val f = name.toLowerCase
-          eat('('); val b = ident()
-          val p = if (tryEat('.')) Some(ident()) else None
-          eat(')')
-          if (afterWith && p.isDefined)
-            err(s"$f($b.${p.get}): property access is not available after WITH " +
-              "(project the property in the WITH items instead)")
-          Ret(b, p, Some(f))
-        } else if (aggNames(name.toLowerCase) && tryEat('(')) {
-          val a = name.toLowerCase
+        val save = i
+        // special item forms that are NOT value expressions: length(p),
+        // id/type scalars, aggregates (which may now wrap an expression)
+        def specialForm(): Option[Ret] = {
+          if (!(peek.isLetter || peek == '_' || peek == '`')) return None
+          val name = ident()
           ws()
-          if (peek == '*') {
-            // `count(*)` — row count of the incoming stage. Post-WITH rows
-            // are plain rows, so this is openCypher's count(*); over a raw
-            // match the engine's set semantics make count(binding) the
-            // meaningful form, so `*` is only accepted after WITH.
-            i += 1; eat(')')
-            if (a != "count") err(s"$a(*) is not supported (only count(*))")
-            if (!afterWith) err(
-              "count(*) is only supported after WITH (over a match, use " +
-                "count(binding): set semantics counts distinct matches)")
-            Ret("*", None, Some("count"))
-          } else {
-            val adist = kw("DISTINCT")
-            val b = ident()
-            val p = if (tryEat('.')) Some(ident()) else None
-            eat(')')
-            if (adist && !afterWith)
-              err(s"$a(DISTINCT …) applies to post-WITH rows; over a match, " +
-                "aggregates already fold DISTINCT matches")
-            if (p.isDefined && afterWith)
-              err(s"$a($b.${p.get}): property access is not available after WITH")
-            if (a == "count" && p.isDefined)
-              err("count() takes a binding, not a property (set semantics counts matches)")
-            // collect(b) over a match collects the binding's ids (one per
-            // distinct match) — a property argument is optional there
-            if (a != "count" && a != "collect" && p.isEmpty && !afterWith)
-              err(s"$a() requires a property argument: $a(binding.prop)")
-            Ret(b, p, Some(a), aggDistinct = adist)
-          }
-        } else {
-          val p = if (tryEat('.')) Some(ident()) else None
-          Ret(name, p, None)
+          val nl = name.toLowerCase
+          if (nl == "length" && peek == '(') {
+            eat('('); val b = ident(); eat(')')
+            Some(Ret(b, None, Some("length"))) // path length projection (shortestPath)
+          } else if (scalarFns(nl) && peek == '(') {
+            eat('('); val b = ident(); eat(')')
+            if (afterWith) err(s"$nl() is not available after WITH " +
+              "(project it in the WITH items instead)")
+            Some(Ret(b, None, Some(nl)))
+          } else if (aggNames(nl) && tryEat('(')) {
+            val a = nl
+            ws()
+            if (peek == '*') {
+              // `count(*)` — row count of the incoming stage. Post-WITH rows
+              // are plain rows, so this is openCypher's count(*); over a raw
+              // match the engine's set semantics make count(binding) the
+              // meaningful form, so `*` is only accepted after WITH.
+              i += 1; eat(')')
+              if (a != "count") err(s"$a(*) is not supported (only count(*))")
+              if (!afterWith) err(
+                "count(*) is only supported after WITH (over a match, use " +
+                  "count(binding): set semantics counts distinct matches)")
+              Some(Ret("*", None, Some("count")))
+            } else {
+              val adist = kw("DISTINCT")
+              val arg = exprP(afterWith)
+              eat(')')
+              if (adist && !afterWith)
+                err(s"$a(DISTINCT …) applies to post-WITH rows; over a match, " +
+                  "aggregates already fold DISTINCT matches")
+              arg match {
+                case ERef(b, p) =>
+                  if (p.isDefined && afterWith)
+                    err(s"$a($b.${p.get}): property access is not available after WITH")
+                  if (a == "count" && p.isDefined)
+                    err("count() takes a binding, not a property (set semantics counts matches)")
+                  // collect(b) over a match collects the binding's ids (one
+                  // per distinct match) — a property argument is optional
+                  if (a != "count" && a != "collect" && p.isEmpty && !afterWith)
+                    err(s"$a() requires a property argument: $a(binding.prop)")
+                  Some(Ret(b, p, Some(a), aggDistinct = adist))
+                case e =>
+                  // aggregate over an expression: `sum(a.x * a.y)` — the
+                  // expression evaluates per distinct match (or per
+                  // post-WITH row) and the aggregate folds it
+                  if (a == "count") err(
+                    "count() takes a binding, not an expression (set semantics counts matches)")
+                  if (adist && a == "avg") err(
+                    "avg(DISTINCT …) over an expression is not supported " +
+                      "(project the expression in a WITH item first)")
+                  checkItemExpr(e, afterWith, s"$a(…)")
+                  Some(Ret("", None, Some(a), aggDistinct = adist, expr = Some(e)))
+              }
+            }
+          } else { i = save; None }
         }
-        // `AS alias` renames the output column; ORDER BY refers to it
-        if (kw("AS")) base.copy(alias = Some(ident())) else base
+        val base = specialForm().getOrElse {
+          exprP(afterWith) match {
+            // legacy shapes keep their legacy Ret (default output names,
+            // ORDER BY pre-alias resolution, pushdown classification)
+            case ERef(b, p) => Ret(b, p, None)
+            case EFn(f, Seq(ERef(b, p))) if valueFns(f) =>
+              if (afterWith && p.isDefined)
+                err(s"$f($b.${p.get}): property access is not available after WITH " +
+                  "(project the property in the WITH items instead)")
+              Ret(b, p, Some(f))
+            case e =>
+              checkItemExpr(e, afterWith, "expression")
+              Ret("", None, None, expr = Some(e))
+          }
+        }
+        // `AS alias` renames the output column; ORDER BY refers to it.
+        // Expression items have no default name — the alias is mandatory.
+        if (kw("AS")) base.copy(alias = Some(ident()))
+        else if (base.expr.isDefined)
+          err("an expression item requires an AS alias (it has no default output name)")
+        else base
       }
       // WITH pipeline stages (items + HAVING-style WHERE over output names).
       // The first stage's items read match bindings (property access legal);
@@ -454,7 +582,7 @@ object CypherParser {
       val withClauses = scala.collection.mutable.ArrayBuffer[WithClause]()
       while (kw("WITH")) {
         if (shortest.isDefined) err("WITH is not supported with shortestPath")
-        val after = withClauses.nonEmpty
+        val after = withClauses.nonEmpty || unwindLit.isDefined
         val wDistinct = kw("DISTINCT")
         val wItems = scala.collection.mutable.ArrayBuffer(retItem(after))
         while (tryEat(',')) wItems += retItem(after)
@@ -469,12 +597,26 @@ object CypherParser {
         val predsAfter =
           if (predsBefore.isEmpty && kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms = true))
           else Seq.empty
-        withClauses += WithClause(wItems.toSeq, wDistinct, predsBefore ++ predsAfter,
+        var wc = WithClause(wItems.toSeq, wDistinct, predsBefore ++ predsAfter,
           wOrder, wSkip, wLimit, whereAfterMods = predsAfter.nonEmpty)
+        // `UNWIND <col> AS <alias>` after the stage: fans each row out per
+        // element of the (collect()ed) array column — collect's inverse
+        if (kw("UNWIND")) {
+          val src = ident()
+          if (!kw("AS")) err("expected AS after UNWIND")
+          val al = ident()
+          val outs = wc.items.map(_.outName)
+          if (!outs.contains(src))
+            err(s"UNWIND references $src, not among the WITH items: ${outs.mkString(",")}")
+          if (outs.contains(al) || al == src)
+            err(s"UNWIND alias $al collides with a column in scope")
+          wc = wc.copy(unwind = Some((src, al)))
+        }
+        withClauses += wc
       }
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")
-      val afterWith = withClauses.nonEmpty
+      val afterWith = withClauses.nonEmpty || unwindLit.isDefined
       // `RETURN *` — every named binding in scope, in first-appearance
       // order: post-WITH that is the last stage's output columns; over a
       // match it is the user-named node bindings (auto `__` names and
@@ -486,7 +628,9 @@ object CypherParser {
           i += 1
           if (shortest.isDefined) err("RETURN * is not supported with shortestPath")
           val names =
-            if (afterWith) withClauses.last.items.map(_.outName)
+            if (withClauses.nonEmpty)
+              withClauses.last.items.map(_.outName) ++ withClauses.last.unwind.map(_._2)
+            else if (unwindLit.isDefined) Seq(unwindLit.get._2)
             else (paths.toSeq ++ optional.toSeq.flatten)
               .flatMap(pt => pt.first.name.toSeq ++ pt.hops.flatMap(h => h._2.name.toSeq))
               .filterNot(_.startsWith("__")).distinct
@@ -503,7 +647,7 @@ object CypherParser {
       // trailing-input enforcement lives in the entry points (end()) so a
       // UNION connector after this query is the caller's to consume
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest, withClauses.toSeq)
+        limit, skip, shortest, withClauses.toSeq, unwindLit)
     }
 
     private def path(): Path = {
@@ -653,17 +797,26 @@ object CypherParser {
     }
 
     private def pred(bareAtoms: Boolean = false): Pred = {
-      val b = ident()
-      val p = if (bareAtoms) "" else { eat('.'); ident() }
+      val l = exprP(bareAtoms)
       ws()
+      // IS NULL / IN bind to a plain reference (legacy forms — the pushdown
+      // classification and null semantics are theirs alone)
+      val lref: Option[(String, String)] = l match {
+        case ERef(b, p) =>
+          if (p.isEmpty && !bareAtoms) None // bare binding: id comparison via CmpE below
+          else Some(b -> p.getOrElse(""))
+        case _ => None
+      }
       if (kw("IS")) {
         val neg = kw("NOT")
         if (!kw("NULL")) err("expected NULL after IS" + (if (neg) " NOT" else ""))
+        val (b, p) = lref.getOrElse(err("IS NULL applies to a property/column reference"))
         return IsNull(b, p, neg)
       }
       // `x IN [lit, …]` — list membership; an empty list matches nothing
       // (Cypher: `x IN []` is false). NOT IN is spelled `NOT (x IN [...])`.
       if (kw("IN")) {
+        val (b, p) = lref.getOrElse(err("IN applies to a property/column reference"))
         eat('[')
         val vs = scala.collection.mutable.ArrayBuffer[Any]()
         ws()
@@ -692,13 +845,160 @@ object CypherParser {
             case None => err("expected comparison operator")
           }
         }
+      val r = exprP(bareAtoms)
+      val strOp = Set("STARTS WITH", "ENDS WITH", "CONTAINS")(op)
+      (lref, r) match {
+        // `<ref> <op> <literal>` keeps the legacy Cmp (pushdown
+        // classification; numeric literals normalize to Double there —
+        // comparison literals never surface in the output schema)
+        case (Some((b, p)), ELit(v)) =>
+          if (strOp && !v.isInstanceOf[String]) err(s"$op requires a string literal")
+          Cmp(b, p, op, numAsDouble(v))
+        case _ =>
+          // expression comparison (`a.x > b.y`, `a.p + 1 < 10`) — residual:
+          // the referenced columns join back over the matched rows
+          r match {
+            case ELit(v) if strOp && !v.isInstanceOf[String] =>
+              err(s"$op requires a string literal")
+            case _ => ()
+          }
+          CmpE(l, op, r)
+      }
+    }
+
+    // ---- value expressions (RETURN/WITH items, aggregate args, WHERE) ----
+    // expr := mul (('+'|'-') mul)* ; mul := unary (('*'|'/'|'%') unary)* ;
+    // unary := '-' unary | atom ;
+    // atom := literal | CASE … END | fn '(' … ')' | ref | '(' expr ')'
+    // `bare` = post-WITH context: refs are bare stage columns (validated by
+    // the caller), CASE predicates parse with bare atoms too.
+    private val valueFnNames = Set(
+      "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
+      "sqrt", "sign", "tointeger", "tofloat", "tostring")
+    private def exprP(bare: Boolean): Expr = addE(bare)
+    private def addE(bare: Boolean): Expr = {
+      var l = mulE(bare)
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '+') { i += 1; l = EBin("+", l, mulE(bare)) }
+        // `-` here is unambiguous: relationship patterns never appear where
+        // a value expression continues
+        else if (peek == '-') { i += 1; l = EBin("-", l, mulE(bare)) }
+        else more = false
+      }
+      l
+    }
+    private def mulE(bare: Boolean): Expr = {
+      var l = unaryE(bare)
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '*') { i += 1; l = EBin("*", l, unaryE(bare)) }
+        else if (peek == '/') { i += 1; l = EBin("/", l, unaryE(bare)) }
+        else if (peek == '%') { i += 1; l = EBin("%", l, unaryE(bare)) }
+        else more = false
+      }
+      l
+    }
+    private def unaryE(bare: Boolean): Expr = {
       ws()
-      val v: Any =
-        if (peek == '\'' || peek == '"') stringLit()
-        else number()
-      if (Set("STARTS WITH", "ENDS WITH", "CONTAINS")(op) && !v.isInstanceOf[String])
-        err(s"$op requires a string literal")
-      Cmp(b, p, op, v)
+      if (peek == '-') { i += 1; ENeg(unaryE(bare)) } else atomE(bare)
+    }
+    private def peekKw(k: String): Boolean = { val save = i; val r = kw(k); i = save; r }
+    private def atomE(bare: Boolean): Expr = {
+      ws()
+      if (peek == '\'' || peek == '"') ELit(stringLit())
+      else if (peek.isDigit) ELit(numberLit())
+      else if (peek == '(') { eat('('); val e = addE(bare); eat(')'); e }
+      else if (peekKw("CASE")) { kw("CASE"); caseE(bare) }
+      else {
+        val name = ident()
+        ws()
+        val nl = name.toLowerCase
+        if (peek == '(' && nl == "coalesce") {
+          eat('(')
+          val args = scala.collection.mutable.ArrayBuffer(addE(bare))
+          while (tryEat(',')) args += addE(bare)
+          eat(')')
+          if (args.size < 2) err("coalesce() takes at least two arguments")
+          EFn("coalesce", args.toSeq)
+        } else if (peek == '(' && valueFnNames(nl)) {
+          eat('('); val a = addE(bare); eat(')')
+          EFn(nl, Seq(a))
+        } else if (peek == '(') {
+          err(s"unknown function $name in a value expression")
+        } else {
+          val p = if (tryEat('.')) Some(ident()) else None
+          ERef(name, p)
+        }
+      }
+    }
+    /** CASE body (the CASE keyword is consumed). Searched form WHENs are
+      * full boolean predicates; the simple form desugars each WHEN value
+      * into an equality on the scrutinee. No ELSE → NULL (openCypher). */
+    private def caseE(bare: Boolean): Expr = {
+      ws()
+      val scrut: Option[Expr] = if (peekKw("WHEN")) None else Some(addE(bare))
+      val whens = scala.collection.mutable.ArrayBuffer[(Pred, Expr)]()
+      while (kw("WHEN")) {
+        val p: Pred = scrut match {
+          case None => orExpr(bare)
+          case Some(sc) =>
+            val v = addE(bare)
+            (sc, v) match {
+              case (ERef(b, pr), ELit(lv)) => Cmp(b, pr.getOrElse(""), "=", numAsDouble(lv))
+              case _                       => CmpE(sc, "=", v)
+            }
+        }
+        if (!kw("THEN")) err("expected THEN in CASE")
+        whens += ((p, addE(bare)))
+      }
+      if (whens.isEmpty) err("CASE requires at least one WHEN")
+      val dflt = if (kw("ELSE")) Some(addE(bare)) else None
+      if (!kw("END")) err("expected END to close CASE")
+      ECase(whens.toSeq, dflt)
+    }
+    /** `[lit, …]` for UNWIND: string XOR number elements (a mixed list has
+      * no single Spark array type); numbers keep Long/Double like
+      * [[numberLit]] (Spark's array() coerces long+double to double). */
+    private def literalList(): Seq[Any] = {
+      eat('[')
+      val vs = scala.collection.mutable.ArrayBuffer[Any]()
+      ws()
+      if (peek != ']') {
+        var more = true
+        while (more) {
+          ws()
+          vs += (if (peek == '\'' || peek == '"') stringLit()
+                 else if (peek.isDigit) numberLit()
+                 else if (peek == '-') {
+                   i += 1
+                   numberLit() match { case l: Long => -l; case d: Double => -d }
+                 }
+                 else err("UNWIND list elements must be string or number literals"))
+          more = tryEat(',')
+        }
+      }
+      eat(']')
+      if (vs.exists(_.isInstanceOf[String]) && vs.exists(!_.isInstanceOf[String]))
+        err("UNWIND list mixes string and number literals")
+      vs.toSeq
+    }
+
+    private def numAsDouble(v: Any): Any = v match {
+      case l: Long => l.toDouble
+      case other   => other
+    }
+    /** Number literal for value expressions: integral text stays Long (so
+      * `n.a + 1` keeps BIGINT arithmetic), fractional becomes Double. */
+    private def numberLit(): Any = {
+      ws()
+      val start = i
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      if (i == start) err("expected number")
+      val t = s.substring(start, i)
+      if (t.contains('.')) t.toDouble else t.toLong
     }
 
     private def stringLit(): String = {

@@ -39,6 +39,19 @@ object Preds {
     column(p, resolve, pp => throw new IllegalArgumentException(
       s"pattern predicate is not supported in this position: ${pp.path}"))
 
+  private def cmpOp(c: Column, op: String, v: Column): Column = op match {
+    case "="           => c === v
+    case "<>"          => c =!= v
+    case "<"           => c < v
+    case "<="          => c <= v
+    case ">"           => c > v
+    case ">="          => c >= v
+    case "STARTS WITH" => c.startsWith(v)
+    case "ENDS WITH"   => c.endsWith(v)
+    case "CONTAINS"    => c.contains(v)
+    case other => throw new IllegalArgumentException(s"unknown operator $other")
+  }
+
   /** `pat` resolves a nested pattern predicate to its pre-joined exists-flag
     * column (GraphDB.run joins one boolean flag per distinct pattern before
     * filtering; bare / NOT-ed conjuncts never reach here — they compile to
@@ -49,27 +62,57 @@ object Preds {
     case Ast.Cmp(b, prop, op, v) =>
       val c = resolve(b, prop)
       op match {
-        case "="           => c === lit(v)
-        case "<>"          => c =!= lit(v)
-        case "<"           => c < lit(v)
-        case "<="          => c <= lit(v)
-        case ">"           => c > lit(v)
-        case ">="          => c >= lit(v)
-        case "STARTS WITH" => c.startsWith(v.toString)
-        case "ENDS WITH"   => c.endsWith(v.toString)
-        case "CONTAINS"    => c.contains(v.toString)
         // empty list → always-false literal (Cypher: `x IN []` is false);
         // isin() with no args would be an analysis error
         case "IN" => v.asInstanceOf[Seq[Any]] match {
           case Seq() => lit(false)
           case vs    => c.isin(vs: _*)
         }
-        case other => throw new IllegalArgumentException(s"unknown operator $other")
+        case _ => cmpOp(c, op, lit(v))
       }
+    case Ast.CmpE(l, op, r) =>
+      cmpOp(exprColumn(l, resolve, pat), op, exprColumn(r, resolve, pat))
     case Ast.And(l, r)            => column(l, resolve, pat) && column(r, resolve, pat)
     case Ast.Or(l, r)             => column(l, resolve, pat) || column(r, resolve, pat)
     case Ast.Not(x)               => !column(x, resolve, pat)
     case Ast.IsNull(b, prop, neg) =>
       if (neg) resolve(b, prop).isNotNull else resolve(b, prop).isNull
+  }
+
+  def exprColumn(e: Ast.Expr, resolve: (String, String) => Column): Column =
+    exprColumn(e, resolve, pp => throw new IllegalArgumentException(
+      s"pattern predicate is not supported in this position: ${pp.path}"))
+
+  /** Value expression → one Catalyst Column (whole-stage-codegen'd: nothing
+    * here leaves the built-in expression library). `resolve(binding, prop)`
+    * is the same resolver [[column]] takes — prop "" is a bare reference
+    * (the binding's id column over a match, a bare stage column post-WITH). */
+  def exprColumn(e: Ast.Expr, resolve: (String, String) => Column,
+                 pat: Ast.PatPred => Column): Column = e match {
+    case Ast.ERef(b, p)  => resolve(b, p.getOrElse(""))
+    case Ast.ELit(v)     => lit(v)
+    case Ast.ENeg(x)     => -exprColumn(x, resolve, pat)
+    case Ast.EBin(op, l, r) =>
+      val (cl, cr) = (exprColumn(l, resolve, pat), exprColumn(r, resolve, pat))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr // SQL semantics: integer operands yield double
+        case "%" => cl % cr
+        case other => throw new IllegalArgumentException(s"unknown operator $other")
+      }
+    case Ast.EFn("coalesce", args) =>
+      coalesce(args.map(exprColumn(_, resolve, pat)): _*)
+    case Ast.EFn(f, Seq(a)) if valueFn.contains(f) =>
+      valueFn(f)(exprColumn(a, resolve, pat))
+    case Ast.EFn(f, _) => throw new IllegalArgumentException(s"unknown function $f")
+    case Ast.ECase(whens, dflt) =>
+      val branches = whens.map { case (p, v) =>
+        (column(p, resolve, pat), exprColumn(v, resolve, pat))
+      }
+      val head = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(head) { case (acc, (c, v)) => acc.when(c, v) }
+      dflt.fold(chained)(d => chained.otherwise(exprColumn(d, resolve, pat)))
   }
 }

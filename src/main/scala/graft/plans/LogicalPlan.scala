@@ -81,9 +81,13 @@ object Pattern {
       i.agg.exists(a => !Pattern.ScalarFns(a))
     /** Plain id-only returned bindings (the reference's whole surface). */
     def returns: Seq[String] =
-      items.collect { case Ast.Ret(b, None, None, _, _) => b }
-    /** Every binding the result depends on (distinct, in first-use order). */
-    def referenced: Seq[String] = items.map(_.binding).distinct
+      items.collect { case r if r.prop.isEmpty && r.agg.isEmpty && r.expr.isEmpty => r.binding }
+    /** Every binding the result depends on (distinct, in first-use order).
+      * Expression items contribute every binding their refs read (incl.
+      * CASE-predicate refs); their placeholder "" binding never surfaces. */
+    def referenced: Seq[String] =
+      items.flatMap(i => i.expr.fold(Seq(i.binding))(e => Ast.Expr.refs(e).map(_._1)))
+        .distinct
   }
 
   /** Fold the parsed paths into a pattern graph (≙ QueryGraph.fromAST).
@@ -93,6 +97,8 @@ object Pattern {
   def fromQuery(q: Ast.Query): PatternGraph = {
     require(q.shortest.isEmpty,
       "shortestPath queries compile to a per-source BFS (GraphDB.query), not a pattern plan")
+    require(q.unwindLit.isEmpty,
+      "UNWIND-literal queries compile to an explode pipeline (GraphDB.query), not a pattern plan")
     var fresh = 0
     def freshName(): String = { fresh += 1; s"__v$fresh" }
 
@@ -152,7 +158,21 @@ object Pattern {
     // (a relationship entity) has no relational rendering here.
     val returnableEdges = mainEdges.flatMap(_.name).toSet
     q.returns.foreach { r =>
-      r.agg match {
+      // expression items: every reference must resolve to a bound node
+      // binding (bare or property) or a relationship variable's PROPERTY
+      r.expr.foreach { e =>
+        Ast.Expr.refs(e).foreach { case (b, p) =>
+          if (!allBindings(b)) {
+            if (returnableEdges(b)) {
+              if (p.isEmpty) throw new graft.cypher.ParseException(
+                s"$b: a relationship entity has no value in an expression — " +
+                  s"use a property ($b.prop)")
+            } else throw new graft.cypher.ParseException(
+              s"RETURN references unbound: $b")
+          }
+        }
+      }
+      if (r.expr.isEmpty) r.agg match {
         case Some("length") => throw new graft.cypher.ParseException(
           s"length(${r.binding}) is only supported with shortestPath")
         case Some("id") =>
@@ -228,6 +248,11 @@ object Pattern {
         s"property of variable-length relationship ${r.binding} is not supported in RETURN " +
           "(a varlen variable binds a list of relationships)")
     }
+    q.returns.flatMap(_.expr.toSeq.flatMap(Ast.Expr.refs)).foreach { case (b, _) =>
+      if (edgeByName.get(b).exists(_.maxHops > 1)) throw new graft.cypher.ParseException(
+        s"property of variable-length relationship $b is not supported in RETURN " +
+          "(a varlen variable binds a list of relationships)")
+    }
     val badPred = nodeCmps.map(_.binding).filterNot(mainLabels.contains)
     if (badPred.nonEmpty)
       throw new graft.cypher.ParseException(
@@ -265,13 +290,18 @@ object Pattern {
         }
       }
     }
-    val resBindings = residual.flatMap(Ast.Pred.refs(_)).map(_._1).distinct
-    resBindings.filterNot(mainLabels.contains).foreach { b =>
+    val resRefPairs = residual.flatMap(Ast.Pred.refs(_)).distinct
+    resRefPairs.filterNot(r => mainLabels.contains(r._1)).foreach { case (b, p) =>
       edgeByName.get(b) match {
         case Some(e) =>
           if (e.maxHops > 1) throw new graft.cypher.ParseException(
             s"edge predicate on variable-length relationship $b is not supported " +
               "(a varlen variable binds a list of relationships)")
+          // a BARE relationship ref can only come from a value expression —
+          // there is no entity value to compute with
+          if (p.isEmpty) throw new graft.cypher.ParseException(
+            s"$b: a relationship entity has no value in an expression — " +
+              s"use a property ($b.prop)")
         case None => throw new graft.cypher.ParseException(
           s"WHERE references optional/unbound bindings: $b " +
             "(the single WHERE clause applies to the required pattern)")

@@ -1158,4 +1158,198 @@ class CypherSpec extends SparkSpec {
       db.query("MATCH (a:A) WITH a.name AS nm RETURN toUpper(a.name)")
     }
   }
+
+  test("expressions: arithmetic over properties, precedence, literals") {
+    val db = new GraphDB(propsG)
+    // b.value ∈ {10, 20, 10}; precedence: * binds tighter than +
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, b.value * 2 + 1 AS v ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2L, 21.0), (3L, 41.0), (4L, 21.0)))
+    // mixed bindings in one expression; integer literal keeps long arith
+    val mix = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, b.value - a.value AS d ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mix.toSeq == Seq((2L, 9.0), (3L, 19.0), (4L, 9.0)))
+    // parens + unary minus + division (SQL: yields double)
+    val paren = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN DISTINCT (b.value + -10) / 2 AS h ORDER BY h")
+      .collect().map(_.getDouble(0))
+    assert(paren.toSeq == Seq(0.0, 5.0))
+    // pure literal item
+    val one = db.query("MATCH (a:A) RETURN 1 + 2 AS three").collect().map(_.getLong(0))
+    assert(one.toSeq == Seq(3L))
+    // an expression item REQUIRES an alias
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) RETURN a.value + 1")
+    }
+  }
+
+  test("expressions: CASE searched and simple forms, no-ELSE is NULL") {
+    val db = new GraphDB(propsG)
+    val searched = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, CASE WHEN b.value > 15 THEN 'hi' " +
+      "WHEN b.name = 'x' THEN 'ex' ELSE 'lo' END AS bucket ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(searched.toSeq == Seq((2L, "ex"), (3L, "hi"), (4L, "ex")))
+    val simple = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, CASE b.name WHEN 'x' THEN 1 ELSE 0 END AS isx " +
+      "ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simple.toSeq == Seq((2L, 1L), (3L, 0L), (4L, 1L)))
+    // no ELSE → NULL (openCypher)
+    val noElse = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN b, CASE WHEN b.value > 15 THEN 'hi' END AS x ORDER BY b")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(noElse.toSeq == Seq((2L, None), (3L, Some("hi")), (4L, None)))
+    // CASE as a GROUPING key under aggregation
+    val grouped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN CASE WHEN b.value > 15 THEN 'big' ELSE 'small' END " +
+      "AS sz, count(b) ORDER BY sz")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("big", 1L), ("small", 2L)))
+  }
+
+  test("expressions: coalesce fills OPTIONAL MATCH nulls") {
+    val db = new GraphDB(social)
+    // b10 -Y-> c20 matches; b11 has no Y edge → coalesce default
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) OPTIONAL MATCH (b)-[:Y]->(c:C) " +
+      "RETURN DISTINCT b, coalesce(c.value, 0 - 1) AS cv ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((10L, 30.0), (11L, -1.0)))
+  }
+
+  test("expressions: WHERE property-to-property and arithmetic comparisons") {
+    val db = new GraphDB(social)
+    // a.value < 10·1 always here; cross-binding comparison a.value > c.value never
+    val cmp = db.query(
+      "MATCH (a:A)-[:Z]->(c:C) WHERE a.value < c.value RETURN a, c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cmp.toSeq == Seq((1L, 20L)))
+    val none = db.query(
+      "MATCH (a:A)-[:Z]->(c:C) WHERE a.value > c.value RETURN a").count()
+    assert(none == 0L)
+    // arithmetic on both sides; value-function comparison
+    val arith = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE a.value + b.value > 10 RETURN a ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(arith.toSeq == Seq(2L)) // 9+2 > 10; 5+1, 7+1 not
+    val db2 = new GraphDB(propsG)
+    val fn = db2.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE toUpper(b.name) = 'X' RETURN b ORDER BY b")
+      .collect().map(_.getLong(0))
+    assert(fn.toSeq == Seq(2L, 4L))
+  }
+
+  test("expressions: aggregates over expressions, match and post-WITH") {
+    val db = new GraphDB(propsG)
+    val s = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN sum(b.value * 2) AS s2, max(b.value - 5) AS m")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(s.toSeq == Seq((80.0, 15.0)))
+    // post-WITH: expression over stage columns inside and outside aggregates
+    val piped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.value AS v, b.name AS n " +
+      "RETURN sum(v + 1) AS sp, min(v * v) AS mn")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(piped.toSeq == Seq((43.0, 100.0)))
+    // stage expression as a projected item then re-aggregated
+    val staged = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.value * 10 AS v10 WITH v10, 1 AS one " +
+      "RETURN sum(v10) AS t, count(*) AS n")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(staged.toSeq == Seq((400.0, 3L)))
+  }
+
+  test("expressions: CASE over post-WITH columns; WHERE on stage expressions") {
+    val db = new GraphDB(propsG)
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS n, count(b) AS c " +
+      "WHERE c * 2 >= 2 RETURN n, CASE WHEN c > 1 THEN 'dup' ELSE 'uniq' END AS k ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("x", "dup"), ("y", "uniq")))
+  }
+
+  test("expressions: validation — unbound refs, rel entity, post-WITH props, varlen") {
+    val db = new GraphDB(propsG)
+    intercept[graft.cypher.ParseException] { // unbound binding in expression
+      db.query("MATCH (a:A) RETURN a.value + z.value AS v")
+    }
+    intercept[graft.cypher.ParseException] { // relationship entity in expression
+      db.query("MATCH (a:A)-[r:X]->(b:B) WHERE r + 1 > 0 RETURN a")
+    }
+    intercept[graft.cypher.ParseException] { // property access after WITH in expr
+      db.query("MATCH (a:A) WITH a.value AS v RETURN v + a.value AS w")
+    }
+    intercept[graft.cypher.ParseException] { // count over an expression
+      CypherParser.parse("MATCH (a:A) RETURN count(a.value + 1)")
+    }
+    intercept[graft.cypher.ParseException] { // avg(DISTINCT expr)
+      CypherParser.parse("MATCH (a:A) WITH a.value AS v RETURN avg(DISTINCT v + 1)")
+    }
+    intercept[graft.cypher.ParseException] { // varlen rel property in expression
+      db.query("MATCH (a:A)-[r:X*1..2]->(b:B) RETURN r.weight + 1 AS w")
+    }
+    intercept[graft.cypher.ParseException] { // unknown function
+      CypherParser.parse("MATCH (a:A) RETURN frobnicate(a.value) AS v")
+    }
+    intercept[graft.cypher.ParseException] { // expressions with shortestPath
+      db.query("MATCH p = shortestPath((a:A)-[:X*]->(b:B)) RETURN length(p) + 1 AS l")
+    }
+  }
+
+  test("UNWIND: literal list source, pipeline, expressions over elements") {
+    val db = new GraphDB(propsG)
+    val plain = db.query("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(plain.toSeq == Seq(1L, 2L, 3L))
+    // strings; DISTINCT over the elements
+    val strs = db.query("UNWIND ['b', 'a', 'b'] AS s RETURN DISTINCT s ORDER BY s")
+      .collect().map(_.getString(0))
+    assert(strs.toSeq == Seq("a", "b"))
+    // WITH pipeline over the unwound rows; expression per element
+    val piped = db.query(
+      "UNWIND [1, 2, 3, 4] AS x WITH x WHERE x > 1 RETURN sum(x * 10) AS s")
+      .collect().map(_.getLong(0))
+    assert(piped.toSeq == Seq(90L))
+    // long+double list coerces to double (Spark array least common type)
+    val mixed = db.query("UNWIND [1, 2.5] AS v RETURN v ORDER BY v")
+      .collect().map(_.getDouble(0))
+    assert(mixed.toSeq == Seq(1.0, 2.5))
+    // empty list → no rows
+    assert(db.query("UNWIND [] AS x RETURN x").count() == 0L)
+    intercept[graft.cypher.ParseException] { // mixed string/number list
+      CypherParser.parse("UNWIND [1, 'a'] AS x RETURN x")
+    }
+    intercept[graft.cypher.ParseException] { // WHERE directly after UNWIND
+      CypherParser.parse("UNWIND [1, 2] AS x WHERE x > 1 RETURN x")
+    }
+  }
+
+  test("UNWIND: collect() inverse — explode an array column mid-pipeline") {
+    val db = new GraphDB(propsG)
+    // collect the b's per a, unwind back, count per a
+    val roundtrip = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs UNWIND bs AS bid " +
+      "RETURN a, count(bid) AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(roundtrip.toSeq == Seq((1L, 3L)))
+    // unwound element participates in later stages and expressions
+    val sums = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b.value) AS vs UNWIND vs AS v " +
+      "WITH a, v WHERE v > 5 RETURN a, sum(v + 1) AS s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sums.toSeq == Seq((1L, 43.0)))
+    // RETURN * includes the unwind alias
+    val star = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs UNWIND bs AS bid RETURN *")
+    assert(star.columns.toSeq == Seq("a", "bs", "bid"))
+    intercept[graft.cypher.ParseException] { // unknown source column
+      CypherParser.parse("MATCH (a:A) WITH a UNWIND zs AS z RETURN z")
+    }
+    intercept[graft.cypher.ParseException] { // alias collides
+      CypherParser.parse("MATCH (a:A) WITH a, collect(a) AS bs UNWIND bs AS a RETURN a")
+    }
+  }
 }
