@@ -263,6 +263,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
               case "collect" =>
                 if (i.aggDistinct) sort_array(collect_set(arg))
                 else sort_array(collect_list(arg))
+              case "stdev"  => stddev_samp(arg)
+              case "stdevp" => stddev_pop(arg)
+              case "percentilecont" => percentile(arg, lit(i.aggParam.get))
+              case "percentiledisc" =>
+                percentile_approx(arg, lit(i.aggParam.get), lit(Int.MaxValue))
               case other => throw new cypher.ParseException(s"$other() is not supported after WITH")
             }).as(i.outName)
           }
@@ -626,6 +631,14 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
             case "max"     => max(valueOf(i))
             case "avg"     => avg(valueOf(i))
             case "collect" => sort_array(collect_list(valueOf(i)))
+            case "stdev"   => stddev_samp(valueOf(i))
+            case "stdevp"  => stddev_pop(valueOf(i))
+            // exact linear-interpolated percentile (openCypher CONT); DISC
+            // returns an actual element — percentile_approx at max accuracy
+            // is the exact discrete sketch
+            case "percentilecont" => percentile(valueOf(i), lit(i.aggParam.get))
+            case "percentiledisc" =>
+              percentile_approx(valueOf(i), lit(i.aggParam.get), lit(Int.MaxValue))
             case other => throw new cypher.ParseException(
               s"$other() is not supported in this position")
           }).as(i.outName)

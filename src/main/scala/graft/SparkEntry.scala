@@ -421,6 +421,22 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // the rest of the openCypher aggregate set: stDev/stDevP per group
+    "cy_agg_stats" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "RETURN n, stDev(c.value) AS sd, stDevP(c.value) AS sp ORDER BY n")),
+    // exact interpolated + discrete percentiles (global)
+    "cy_agg_percentile" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) RETURN percentileCont(c.value, 0.5) AS med, " +
+        "percentileCont(c.value, 0.9) AS p90, percentileDisc(c.value, 0.5) AS dmed")),
+    // multi-arg string functions (substring is 0-based per openCypher)
+    "cy_fn_substr" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) RETURN n, substring(n.name, 0, 3) AS pre, " +
+        "left(n.name, 2) AS l2, right(n.name, 2) AS r2, reverse(n.name) AS rev, " +
+        "replace(n.name, 'A', '_') AS rep ORDER BY n")),
     // UNWIND: literal-list row source piped through the bare-column pipeline
     "cy_unwind" -> ((s, dir) =>
       db(s, dir).query(
@@ -1351,6 +1367,18 @@ object SparkEntry {
       ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY n"),
+    "cy_agg_stats" ->
+      ("SELECT n_nationkey + 2000000000 AS n, stddev_samp(c_acctbal) AS sd, " +
+       "stddev_pop(c_acctbal) AS sp FROM customer JOIN nation " +
+       "ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY n"),
+    "cy_agg_percentile" ->
+      ("SELECT quantile_cont(c_acctbal, 0.5) AS med, " +
+       "quantile_cont(c_acctbal, 0.9) AS p90, " +
+       "quantile_disc(c_acctbal, 0.5) AS dmed FROM customer"),
+    "cy_fn_substr" ->
+      ("SELECT n_nationkey + 2000000000 AS n, substring(n_name, 1, 3) AS pre, " +
+       "left(n_name, 2) AS l2, right(n_name, 2) AS r2, reverse(n_name) AS rev, " +
+       "replace(n_name, 'A', '_') AS rep FROM nation ORDER BY n"),
     "cy_unwind" ->
       ("SELECT DISTINCT x * 10 AS t FROM " +
        "(SELECT unnest([3, 1, 2, 2, 5]::BIGINT[]) AS x) WHERE x < 5 ORDER BY t"),

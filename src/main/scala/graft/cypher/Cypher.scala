@@ -174,7 +174,10 @@ object Ast {
                          * enforces it — expressions have no default output
                          * name), and `agg` may wrap the expression
                          * (`sum(a.x * a.y)`). */
-                       expr: Option[Expr] = None) {
+                       expr: Option[Expr] = None,
+                       /** The percentile of `percentileCont`/`percentileDisc`
+                         * (their second argument, a literal in [0, 1]). */
+                       aggParam: Option[Double] = None) {
     def outName: String = alias.getOrElse(defaultName)
     /** The pre-alias output name — ORDER BY accepts either this or the
       * alias (openCypher lets you order by the underlying expression even
@@ -447,16 +450,19 @@ object CypherParser {
           err("WHERE after UNWIND is not supported (filter in a WITH stage instead)")
         preds ++= Pred.conjuncts(orExpr())
       }
-      val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
+      // the FULL openCypher aggregate set: count, sum, min, max, avg,
+      // collect, stDev, stDevP, percentileCont, percentileDisc
+      val aggNames = Set("count", "sum", "min", "max", "avg", "collect",
+        "stdev", "stdevp", "percentilecont", "percentiledisc")
+      val percentileAggs = Set("percentilecont", "percentiledisc")
       // per-row scalar functions (not aggregates): id(n) = the node binding's
       // id, type(r) = the matched relationship's type — carried in Ret.agg
       // but classified scalar by Pattern.ScalarFns
       val scalarFns = Set("id", "type")
       // openCypher value functions: `fn(b.prop)` over a match, `fn(col)`
-      // over a post-WITH column (Column impls: operators.Preds.valueFn)
-      val valueFns = Set(
-        "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
-        "sqrt", "sign", "tointeger", "tofloat", "tostring")
+      // over a post-WITH column (Column impls: operators.Preds.valueFn) —
+      // the single shared list the expression parser also consults
+      val valueFns = valueFnNames
       // validation shared by expression items: no pattern predicates inside
       // CASE conditions (the exists-flag machinery is residual-WHERE-only),
       // no property access in post-WITH scope
@@ -507,10 +513,21 @@ object CypherParser {
             } else {
               val adist = kw("DISTINCT")
               val arg = exprP(afterWith)
+              // `percentileCont(x, p)` / `percentileDisc(x, p)` — the
+              // percentile is a literal second argument in [0, 1]
+              val param: Option[Double] =
+                if (percentileAggs(a)) {
+                  if (!tryEat(',')) err(s"$a() takes two arguments: $a(value, percentile)")
+                  val p = number()
+                  if (p < 0 || p > 1) err(s"$a() percentile must be in [0, 1], got $p")
+                  Some(p)
+                } else None
               eat(')')
               if (adist && !afterWith)
                 err(s"$a(DISTINCT …) applies to post-WITH rows; over a match, " +
                   "aggregates already fold DISTINCT matches")
+              if (adist && (a == "stdev" || a == "stdevp" || percentileAggs(a)))
+                err(s"$a(DISTINCT …) is not supported")
               arg match {
                 case ERef(b, p) =>
                   if (p.isDefined && afterWith)
@@ -521,7 +538,7 @@ object CypherParser {
                   // per distinct match) — a property argument is optional
                   if (a != "count" && a != "collect" && p.isEmpty && !afterWith)
                     err(s"$a() requires a property argument: $a(binding.prop)")
-                  Some(Ret(b, p, Some(a), aggDistinct = adist))
+                  Some(Ret(b, p, Some(a), aggDistinct = adist, aggParam = param))
                 case e =>
                   // aggregate over an expression: `sum(a.x * a.y)` — the
                   // expression evaluates per distinct match (or per
@@ -532,7 +549,8 @@ object CypherParser {
                     "avg(DISTINCT …) over an expression is not supported " +
                       "(project the expression in a WITH item first)")
                   checkItemExpr(e, afterWith, s"$a(…)")
-                  Some(Ret("", None, Some(a), aggDistinct = adist, expr = Some(e)))
+                  Some(Ret("", None, Some(a), aggDistinct = adist, expr = Some(e),
+                    aggParam = param))
               }
             }
           } else { i = save; None }
@@ -874,7 +892,12 @@ object CypherParser {
     // the caller), CASE predicates parse with bare atoms too.
     private val valueFnNames = Set(
       "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
-      "sqrt", "sign", "tointeger", "tofloat", "tostring")
+      "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse")
+    // multi-arg openCypher string functions: name -> (min args, max args).
+    // substring is 0-based (openCypher); the compiler shifts to Spark's
+    // 1-based substr.
+    private val multiArgFns = Map(
+      "substring" -> (2, 3), "replace" -> (3, 3), "left" -> (2, 2), "right" -> (2, 2))
     private def exprP(bare: Boolean): Expr = addE(bare)
     private def addE(bare: Boolean): Expr = {
       var l = mulE(bare)
@@ -926,6 +949,15 @@ object CypherParser {
         } else if (peek == '(' && valueFnNames(nl)) {
           eat('('); val a = addE(bare); eat(')')
           EFn(nl, Seq(a))
+        } else if (peek == '(' && multiArgFns.contains(nl)) {
+          eat('(')
+          val args = scala.collection.mutable.ArrayBuffer(addE(bare))
+          while (tryEat(',')) args += addE(bare)
+          eat(')')
+          val (lo, hi) = multiArgFns(nl)
+          if (args.size < lo || args.size > hi)
+            err(s"$nl() takes ${if (hi != lo) s"$lo to $hi" else s"$lo"} arguments")
+          EFn(nl, args.toSeq)
         } else if (peek == '(') {
           err(s"unknown function $name in a value expression")
         } else {

@@ -33,7 +33,8 @@ object Preds {
     "sign"      -> (c => signum(c)),
     "tointeger" -> (c => c.cast("long")),
     "tofloat"   -> (c => c.cast("double")),
-    "tostring"  -> (c => c.cast("string")))
+    "tostring"  -> (c => c.cast("string")),
+    "reverse"   -> (c => reverse(c)))
 
   def column(p: Ast.Pred, resolve: (String, String) => Column): Column =
     column(p, resolve, pp => throw new IllegalArgumentException(
@@ -106,6 +107,23 @@ object Preds {
       coalesce(args.map(exprColumn(_, resolve, pat)): _*)
     case Ast.EFn(f, Seq(a)) if valueFn.contains(f) =>
       valueFn(f)(exprColumn(a, resolve, pat))
+    // openCypher substring is 0-based; Spark substr is 1-based. A missing
+    // length means "to the end of the string".
+    case Ast.EFn("substring", args) =>
+      val s = exprColumn(args(0), resolve, pat)
+      val st = exprColumn(args(1), resolve, pat)
+      val len = if (args.size > 2) exprColumn(args(2), resolve, pat) else length(s)
+      s.substr(st + lit(1), len)
+    case Ast.EFn("replace", Seq(a, find, repl)) =>
+      replace(exprColumn(a, resolve, pat), exprColumn(find, resolve, pat),
+        exprColumn(repl, resolve, pat))
+    case Ast.EFn("left", Seq(a, n)) =>
+      exprColumn(a, resolve, pat).substr(lit(1), exprColumn(n, resolve, pat))
+    case Ast.EFn("right", Seq(a, n)) =>
+      val c = exprColumn(a, resolve, pat)
+      val nn = exprColumn(n, resolve, pat)
+      // clamp the start at 1 so n > length returns the whole string
+      c.substr(greatest(length(c) - nn + lit(1), lit(1)), nn)
     case Ast.EFn(f, _) => throw new IllegalArgumentException(s"unknown function $f")
     case Ast.ECase(whens, dflt) =>
       val branches = whens.map { case (p, v) =>

@@ -1352,4 +1352,59 @@ class CypherSpec extends SparkSpec {
       CypherParser.parse("MATCH (a:A) WITH a, collect(a) AS bs UNWIND bs AS a RETURN a")
     }
   }
+
+  test("openCypher aggregates: stDev, stDevP, percentileCont, percentileDisc") {
+    val db = new GraphDB(propsG)
+    // b.value over distinct matches = {10, 20, 10}
+    val stats = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN stDev(b.value) AS sd, stDevP(b.value) AS sp")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    assert(math.abs(stats._1 - 5.773502691896258) < 1e-9)  // sqrt(100/3)
+    assert(math.abs(stats._2 - 4.714045207910317) < 1e-9)  // sqrt(200/9)
+    val pc = db.query(
+      "MATCH (a:A)-[:X]->(b:B) RETURN percentileCont(b.value, 0.5) AS med, " +
+      "percentileCont(b.value, 0.75) AS p75, percentileDisc(b.value, 0.5) AS dm")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).head
+    assert(pc._1 == 10.0 && pc._2 == 15.0 && pc._3 == 10.0)
+    // post-WITH over bare columns; grouped form
+    val grouped = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH b.name AS n, b.value AS v " +
+      "RETURN percentileCont(v, 1.0) AS mx ORDER BY mx")
+      .collect().map(_.getDouble(0))
+    assert(grouped.toSeq == Seq(20.0))
+    intercept[graft.cypher.ParseException] { // percentile out of range
+      CypherParser.parse("MATCH (a:A) RETURN percentileCont(a.value, 1.5) AS p")
+    }
+    intercept[graft.cypher.ParseException] { // missing percentile argument
+      CypherParser.parse("MATCH (a:A) RETURN percentileCont(a.value) AS p")
+    }
+    intercept[graft.cypher.ParseException] { // DISTINCT not supported here
+      CypherParser.parse("MATCH (a:A) WITH a.value AS v RETURN stDev(DISTINCT v) AS s")
+    }
+  }
+
+  test("string functions: substring (0-based), replace, left, right, reverse") {
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", "alpha"), (2L, "A", "Beta")))
+        .toDF("id", "label", "name"),
+      spark.createDataFrame(Seq((1L, 2L, "X"))).toDF("src", "dst", "etype"))
+    val db = new GraphDB(g)
+    val rows = db.query(
+      "MATCH (a:A) RETURN a.name, substring(a.name, 1, 3) AS sub, " +
+      "substring(a.name, 2) AS tail, left(a.name, 2) AS l, right(a.name, 2) AS r, " +
+      "reverse(a.name) AS rev, replace(a.name, 'a', 'o') AS rep ORDER BY a.name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+    assert(rows.toSeq == Seq(
+      ("Beta", "eta", "ta", "Be", "ta", "ateB", "Beto"),
+      ("alpha", "lph", "pha", "al", "ha", "ahpla", "olpho")))
+    // in WHERE; right() with n > length returns the whole string
+    val w = db.query(
+      "MATCH (a:A) WHERE substring(a.name, 0, 1) = 'B' RETURN right(a.name, 9) AS x")
+      .collect().map(_.getString(0))
+    assert(w.toSeq == Seq("Beta"))
+    intercept[graft.cypher.ParseException] { // arg-count validation
+      CypherParser.parse("MATCH (a:A) RETURN replace(a.name, 'a') AS x")
+    }
+  }
 }
