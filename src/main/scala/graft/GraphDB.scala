@@ -490,9 +490,13 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // set-semantics dedup so each distinct match contributes its property
     // exactly once (left join: ids always resolve — PropertyGraph invariant
     // — but stay robust to partial node tables)
+    // labels(n) renders the node's `label` column (single-label model) —
+    // it rides the same property join-back as any node property
+    val labelsRefs = pg.items.filter(_.agg.contains("labels"))
+      .map(i => i.binding -> "label")
     val itemProps = pg.items
       .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
-      .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty)
+      .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty) ++ labelsRefs
     // bare refs (prop "") are id columns, not property joins
     val propsNeeded = (itemProps ++ resNodeRefs).distinct.filter(_._2.nonEmpty)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
@@ -606,8 +610,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         // scalar functions: id(n) is the binding's id column; type(r) is the
         // matched relationship's identity etype column (joined back above);
         // value functions wrap the property (or id) column per-row
-        case Some("id")   => col(i.binding)
-        case Some("type") => col(s"__rel_${i.binding}_t")
+        case Some("id")     => col(i.binding)
+        case Some("type")   => col(s"__rel_${i.binding}_t")
+        // openCypher labels() returns a list; this model is single-label
+        case Some("labels") => array(col(s"${i.binding}_label"))
         case Some(f) if operators.Preds.valueFn.contains(f) =>
           operators.Preds.valueFn(f)(
             i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))

@@ -421,6 +421,13 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // labels(n) scalar (single-label model → 1-element list, stringified
+    // for the compare like collect()) + property-existence exists()
+    "cy_labels" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE exists(c.value) " +
+        "RETURN labels(n) AS ls, count(c) AS k")
+        .withColumn("ls", concat_ws(",", col("ls")))),
     // the rest of the openCypher aggregate set: stDev/stDevP per group
     "cy_agg_stats" -> ((s, dir) =>
       db(s, dir).query(
@@ -1367,6 +1374,9 @@ object SparkEntry {
       ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY n"),
+    "cy_labels" ->
+      ("SELECT 'nation' AS ls, count(DISTINCT c_custkey) AS k " +
+       "FROM customer WHERE c_acctbal IS NOT NULL"),
     "cy_agg_stats" ->
       ("SELECT n_nationkey + 2000000000 AS n, stddev_samp(c_acctbal) AS sd, " +
        "stddev_pop(c_acctbal) AS sp FROM customer JOIN nation " +

@@ -456,9 +456,10 @@ object CypherParser {
         "stdev", "stdevp", "percentilecont", "percentiledisc")
       val percentileAggs = Set("percentilecont", "percentiledisc")
       // per-row scalar functions (not aggregates): id(n) = the node binding's
-      // id, type(r) = the matched relationship's type — carried in Ret.agg
-      // but classified scalar by Pattern.ScalarFns
-      val scalarFns = Set("id", "type")
+      // id, type(r) = the matched relationship's type, labels(n) = the node's
+      // label list (this model is single-label, so a 1-element array) —
+      // carried in Ret.agg but classified scalar by Pattern.ScalarFns
+      val scalarFns = Set("id", "type", "labels")
       // openCypher value functions: `fn(b.prop)` over a match, `fn(col)`
       // over a post-WITH column (Column impls: operators.Preds.valueFn) —
       // the single shared list the expression parser also consults
@@ -772,11 +773,18 @@ object CypherParser {
     private def unaryPred(bareAtoms: Boolean): Pred = {
       ws()
       if (kw("NOT")) Not(unaryPred(bareAtoms))
-      else if (kw("EXISTS")) { // `EXISTS((a)-[:T]->(b))` — explicit form
+      else if (kw("EXISTS")) {
+        // `EXISTS((a)-[:T]->(b))` — explicit pattern form; or openCypher's
+        // property-existence `exists(a.prop)` ≡ `a.prop IS NOT NULL`
         eat('(')
-        val pp = patternPred().getOrElse(err("expected a pattern inside EXISTS(…)"))
-        eat(')')
-        pp
+        patternPred() match {
+          case Some(pp) => eat(')'); pp
+          case None =>
+            val b = ident()
+            val p = if (bareAtoms) "" else { eat('.'); ident() }
+            eat(')')
+            IsNull(b, p, negated = true)
+        }
       } else if (peek == '(') {
         // ambiguous: `(a)-[:T]->(b)` pattern predicate vs parenthesized
         // boolean `(a.x = 1 OR …)`. Try the pattern first — a zero-hop

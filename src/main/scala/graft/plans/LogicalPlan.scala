@@ -28,10 +28,11 @@ object Pattern {
 
   /** Per-row scalar functions carried in Ret.agg: `id(n)` projects the node
     * binding's id, `type(r)` the matched relationship's type (rendered via
-    * the same edge-identity join-back as relationship properties), plus the
-    * [[ValueFnNames]] value functions. They are grouping keys under
-    * aggregation, not aggregates. */
-  val ScalarFns: Set[String] = Set("id", "type") ++ ValueFnNames
+    * the same edge-identity join-back as relationship properties),
+    * `labels(n)` the node's label list (single-label model → 1-element
+    * array), plus the [[ValueFnNames]] value functions. They are grouping
+    * keys under aggregation, not aggregates. */
+  val ScalarFns: Set[String] = Set("id", "type", "labels") ++ ValueFnNames
 
   /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
     * see Ast.RelPat); (1, 1) is a plain relationship. `name` is the
@@ -185,6 +186,11 @@ object Pattern {
             if (allBindings(r.binding))
               s"type(${r.binding}): ${r.binding} is a node binding — type() takes a relationship variable"
             else s"type(${r.binding}): unknown relationship variable")
+        case Some("labels") =>
+          if (!allBindings(r.binding)) throw new graft.cypher.ParseException(
+            if (returnableEdges(r.binding))
+              s"labels(${r.binding}): ${r.binding} is a relationship — use type(${r.binding})"
+            else s"labels(${r.binding}): unknown binding")
         case _ =>
           if (!allBindings(r.binding)) {
             if (returnableEdges(r.binding)) {

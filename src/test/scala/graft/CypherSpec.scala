@@ -1407,4 +1407,35 @@ class CypherSpec extends SparkSpec {
       CypherParser.parse("MATCH (a:A) RETURN replace(a.name, 'a') AS x")
     }
   }
+
+  test("labels(n) scalar and exists(n.prop) property existence") {
+    val db = new GraphDB(propsG)
+    val ls = db.query("MATCH (a:A)-[:X]->(b) RETURN DISTINCT labels(b) AS ls")
+      .collect().map(_.getSeq[String](0))
+    assert(ls.toSeq == Seq(Seq("B")))
+    // labels as a grouping key; unlabeled binding resolves its actual label
+    val grouped = db.query(
+      "MATCH (a)-[:X]->(b) RETURN labels(a) AS la, count(b) AS k")
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1)))
+    assert(grouped.toSeq == Seq((Seq("A"), 3L)))
+    // exists() on properties: null name filtered out, NOT exists keeps it
+    val g = PropertyGraph(
+      spark.createDataFrame(Seq(
+        (1L, "A", Option("x")), (2L, "A", Option.empty[String]), (3L, "A", Option("y"))))
+        .toDF("id", "label", "name"),
+      spark.createDataFrame(Seq((1L, 3L, "X"))).toDF("src", "dst", "etype"))
+    val db2 = new GraphDB(g)
+    val has = db2.query("MATCH (a:A) WHERE exists(a.name) RETURN a ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(has.toSeq == Seq(1L, 3L))
+    val not = db2.query("MATCH (a:A) WHERE NOT exists(a.name) RETURN a")
+      .collect().map(_.getLong(0))
+    assert(not.toSeq == Seq(2L))
+    intercept[graft.cypher.ParseException] { // labels on a relationship
+      db.query("MATCH (a:A)-[r:X]->(b:B) RETURN labels(r) AS x")
+    }
+    intercept[graft.cypher.ParseException] { // labels on unknown binding
+      db.query("MATCH (a:A) RETURN labels(z) AS x")
+    }
+  }
 }
