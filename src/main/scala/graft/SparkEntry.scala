@@ -790,6 +790,17 @@ object SparkEntry {
       Algorithms.harmonicLandmark(vs, e, k = 8)
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
     }),
+    // landmark-sampled betweenness (Brandes-Pich) over the same hierarchy:
+    // nations are the interior of every customer/supplier -> region path
+    "betweenness_landmark" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vs = g.nodes
+        .filter(col("label").isin("customer", "supplier", "nation", "region"))
+        .select("id")
+      val e = g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst")
+      Algorithms.betweennessLandmark(vs, e, k = 8)
+        .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
+    }),
     // triangle count / clustering coefficient / Adamic-Adar over the strong
     // co-supply graph (suppliers sharing ≥ 60% of the max shared-part count —
     // the bipartite projection + strong-edge threshold every recommender
@@ -1617,6 +1628,36 @@ object SparkEntry {
        "nk AS (SELECT count(*) AS n FROM v) " +
        "SELECT v.id, round(coalesce(hsum, 0) * ((SELECT n FROM nk) / 8.0), 6) AS harmonic " +
        "FROM v LEFT JOIN hs ON v.id = hs.id"),
+    // Same invariants as harmonic_landmark's oracle (diameter < 8, n >= 8,
+    // the k = 8 literal must match the Spark query), plus one more this
+    // graph guarantees: every (src, dst) pair has a UNIQUE shortest path
+    // (each customer/supplier has one nation, each nation one region), so
+    // sigma = 1 everywhere and betweenness dependency reduces to counting
+    // interior (s, t) pairs: v is interior iff d(s,v) + d(v,t) = d(s,t).
+    // Edges run FORWARD here (the estimator BFSes from the landmark
+    // sources), unlike harmonic's reversed CTE (distances TO landmarks).
+    "betweenness_landmark" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "v AS (SELECT r_regionkey + 1000000000 AS id FROM region " +
+       "UNION ALL SELECT n_nationkey + 2000000000 FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000 FROM supplier), " +
+       "lm AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach WHERE src <> dst GROUP BY 1, 2), " +
+       "bc AS (SELECT sv.dst AS id, count(*) AS cnt " +
+       "FROM sp sv JOIN sp vt ON vt.src = sv.dst " +
+       "JOIN sp st ON st.src = sv.src AND st.dst = vt.dst AND st.d = sv.d + vt.d " +
+       "WHERE sv.src IN (SELECT id FROM lm) GROUP BY 1), " +
+       "nk AS (SELECT count(*) AS n FROM v) " +
+       "SELECT v.id, round(coalesce(cnt, 0) * ((SELECT n FROM nk) / 8.0), 6) AS betweenness " +
+       "FROM v LEFT JOIN bc ON v.id = bc.id"),
     "triangle_count" ->
       (cosupplyCte(0.6) +
        ", wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a)" +

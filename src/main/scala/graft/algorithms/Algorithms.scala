@@ -218,6 +218,96 @@ object Algorithms {
   }
 
   /**
+   * Landmark-sampled betweenness centrality — Brandes' dependency
+   * accumulation (Brandes 2001) run from k deterministically sampled
+   * sources, scaled n/k (the Brandes–Pich pivot estimator; unbiased for
+   * the source sum). Exact all-sources betweenness is O(n·m) — a
+   * non-starter at 100× scale; k landmarks bound the state at
+   * O(k · reachability), the same contract as [[harmonicLandmark]], and
+   * the md5 sample is deterministic so results stay oracle-checkable.
+   *
+   * Forward: one multi-source BFS keyed (src, id) carrying σ — the
+   * shortest-path count, summed over the level-(L-1) DAG parents (the
+   * [[bfsPerSource]] frontier shape plus one aggregate column). Backward:
+   * levels descend from the BFS depth; each round joins the current
+   * level's dependency δ(w) to its DAG parents p:
+   * δ(p) = σ(p) · Σ_w (1 + δ(w)) / σ(w). Rounds = 2 × BFS depth, each a
+   * frontier-sized join — no full-graph pass after the BFS itself, and
+   * the per-level filters read one cached (src, id, level, σ) state.
+   *
+   * @param vertices (id) — vertices to report (never interior ⇒ 0.0)
+   * @param edges (src, dst) directed
+   * @return (id, betweenness DOUBLE)
+   */
+  def betweennessLandmark(vertices: DataFrame, edges: DataFrame, k: Int,
+                          maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"betweennessLandmark needs k >= 1, got $k")
+    val vs = vertices.select(col("id")).distinct()
+    val n = vs.count()
+    if (n == 0) return vs.select(col("id"), lit(0.0).as("betweenness"))
+    val kk = math.min(k.toLong, n)
+    val landmarks = vs
+      .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("id")).limit(kk.toInt).select("id")
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    val cutF = new Cutter; val cutV = new Cutter
+    var visited = landmarks
+      .select(col("id").as("src"), col("id"), lit(0).as("level"), lit(1L).as("sigma"))
+    var frontier = visited
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = frontier.join(e, frontier("id") === col("e_src"))
+        .select(col("src"), col("e_dst").as("id"), col("sigma"))
+        .groupBy("src", "id").agg(sum("sigma").as("sigma"))
+        .join(visited.select("src", "id"), Seq("src", "id"), "left_anti")
+        .withColumn("level", lit(iter + 1))
+      frontier = cutF(next, iter)
+      if (frontier.count() == 0L) done = true
+      else visited = cutV(visited.unionByName(frontier), iter)
+      iter += 1
+    }
+    if (!done) throw new BudgetExhausted("betweennessLandmark", maxIter)
+    val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxLevel = vis.agg(max(col("level"))).head().getInt(0)
+    if (maxLevel == 0) { // no landmark reaches anything: all zeros
+      val zero = vs.select(col("id"), lit(0.0).as("betweenness"))
+      return releaseOnFirstAction(zero, (e +: vis +: cutF.leftovers): _*)
+    }
+    val cutB = new Cutter
+    var curDelta = vis.filter(col("level") === maxLevel)
+      .select(col("src"), col("id"), col("sigma"), lit(0.0).as("delta"))
+    val parts = scala.collection.mutable.Buffer[DataFrame]()
+    var lvl = maxLevel
+    while (lvl >= 1) {
+      parts += curDelta.select(col("id"), col("delta"))
+      if (lvl > 1) {
+        // each w at level lvl sends (1 + δ(w)) / σ(w) along its in-edges;
+        // only DAG parents (level lvl-1, same source tree) receive it
+        val contrib = curDelta
+          .join(e, curDelta("id") === col("e_dst"))
+          .select(col("src"), col("e_src").as("id"),
+            ((lit(1.0) + col("delta")) / col("sigma")).as("c"))
+          .groupBy("src", "id").agg(sum("c").as("csum"))
+        val parent = vis.filter(col("level") === lvl - 1)
+          .select(col("src"), col("id"), col("sigma"))
+        curDelta = cutB(parent.join(contrib, Seq("src", "id"), "left")
+          .select(col("src"), col("id"), col("sigma"),
+            (coalesce(col("csum"), lit(0.0)) * col("sigma")).as("delta")),
+          maxLevel - lvl)
+      }
+      lvl -= 1
+    }
+    val bc = parts.reduce(_.unionByName(_))
+      .groupBy("id").agg(sum("delta").as("dsum"))
+    val result = vs.join(bc, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("dsum"), lit(0.0)) * lit(n.toDouble / kk)).as("betweenness"))
+    releaseOnFirstAction(result,
+      (e +: vis +: (cutF.leftovers ++ cutV.leftovers ++ cutB.leftovers)): _*)
+  }
+
+  /**
    * Single-source(s) shortest path over (min, plus): frontier-based
    * Bellman–Ford (reference DocSpec.scala:55-101 iterates the full
    * `d ← d min.+ A` product; the frontier form reaches the same fixpoint

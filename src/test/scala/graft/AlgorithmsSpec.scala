@@ -291,4 +291,47 @@ class AlgorithmsSpec extends SparkSpec {
     val second = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(second == first && first(2L) == 1L)
   }
+
+  test("betweenness: path graph, all sources (k = n) matches hand computation") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Algorithms.betweennessLandmark(vs, es, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // directed path 1→2→3→4: δ over pairs — 2 is interior for (1,3),(1,4);
+    // 3 for (1,4),(2,4); endpoints 0
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
+  }
+
+  test("betweenness: diamond splits dependency by path counts (sigma weighting)") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Algorithms.betweennessLandmark(vs, es, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // two shortest 1→4 paths: each interior vertex carries σ-share 1/2
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+  }
+
+  test("betweenness: k < n scales the sampled source sum by n/k") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    // replicate the estimator: md5-ordered k=2 landmark sources, δ sums
+    // from those sources only, scaled n/k = 2
+    val landmarks = Seq(1L, 2L, 3L, 4L)
+      .sortBy(v => (java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, v))
+      .take(2).toSet
+    val delta = Map( // per source s: interior vertex -> dependency
+      1L -> Map(2L -> 2.0, 3L -> 1.0),
+      2L -> Map(3L -> 1.0),
+      3L -> Map.empty[Long, Double], 4L -> Map.empty[Long, Double])
+    val expect = Seq(1L, 2L, 3L, 4L).map(v =>
+      v -> 2.0 * landmarks.toSeq.map(s => delta(s).getOrElse(v, 0.0)).sum).toMap
+    val got = Algorithms.betweennessLandmark(vs, es, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+    // isolated vertices and an empty edge set degrade to all-zero scores
+    val zeros = Algorithms.betweennessLandmark(vs, Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getDouble(1))
+    assert(zeros.forall(_ == 0.0))
+  }
 }
