@@ -78,4 +78,44 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set((1L, 1L, true), (2L, 2L, true)))
   }
+
+  test("value expressions propagate NULL (Cypher ternary), filters drop non-true") {
+    val g = graph.PropertyGraph(
+      spark.createDataFrame(Seq(
+        (1L, "A", Option(2.0)), (2L, "A", Option.empty[Double]), (3L, "A", Option(5.0))))
+        .toDF("id", "label", "v"),
+      spark.createDataFrame(Seq((1L, 2L, "X"))).toDF("src", "dst", "etype"))
+    val db = new GraphDB(g)
+    // projection: null operand -> null result row is KEPT (it is a value,
+    // not a filter)
+    val proj = db.query("MATCH (a:A) RETURN a, a.v * 2 AS d ORDER BY a")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(proj.toSeq == Seq((1L, Some(4.0)), (2L, None), (3L, Some(10.0))))
+    // WHERE: null comparison is not true -> row dropped; NOT(null) stays null
+    val w = db.query("MATCH (a:A) WHERE a.v + 1 > 0 RETURN a ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(w.toSeq == Seq(1L, 3L))
+    val notW = db.query("MATCH (a:A) WHERE NOT (a.v + 1 > 0) RETURN a")
+      .collect().map(_.getLong(0))
+    assert(notW.isEmpty)
+    // CASE: a null-valued WHEN condition is not taken; ELSE catches it
+    val cased = db.query(
+      "MATCH (a:A) RETURN a, CASE WHEN a.v > 0 THEN 'pos' ELSE 'other' END AS k ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(cased.toSeq == Seq((1L, "pos"), (2L, "other"), (3L, "pos")))
+    // coalesce over the null expression result
+    val co = db.query("MATCH (a:A) RETURN a, coalesce(a.v * 2, -1) AS d ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(co.toSeq == Seq((1L, 4.0), (2L, -1.0), (3L, 10.0)))
+    // division by zero fails LOUDLY (Spark ANSI; Neo4j also errors on
+    // integer /0) — consistent with the engine's loud-error philosophy
+    val dz = intercept[Exception] {
+      db.query("MATCH (a:A) RETURN a, a.v / 0 AS q").collect()
+    }
+    assert(dz.getMessage.contains("DIVIDE_BY_ZERO"))
+    // aggregates skip null expression values (sum over {4, null, 10})
+    val s = db.query("MATCH (a:A) RETURN sum(a.v * 2) AS s")
+      .collect().map(_.getDouble(0))
+    assert(s.toSeq == Seq(14.0))
+  }
 }
