@@ -475,8 +475,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val matches = pg.optional.foldLeft(mainMatches) { (acc, g) =>
       val fragNeeded =
         (g.shared ++ pg.referenced.filter(b => g.bindings(b) && !pg.bindings(b))).distinct
-      val fragPg = Pattern.PatternGraph(g.labels, g.edges, Seq.empty,
-        fragNeeded.map(b => cypher.Ast.Ret(b)), distinct = false, Seq.empty, None)
+      val fragPg = Pattern.PatternGraph(g.labels, g.edges, g.preds,
+        fragNeeded.map(b => cypher.Ast.Ret(b)), distinct = false, Seq.empty, None,
+        edgePredicates = g.edgePreds)
       val fr = Planner.plan(fragPg, stats)
       val fc = PatternExec.compileTracked(fr, graph)
       val fproj = fc.df.select(fragNeeded.map(col): _*)

@@ -421,6 +421,18 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // OPTIONAL MATCH … WHERE: the filter applies INSIDE the left join
+    // (openCypher attachment) — customers with no qualifying order count 0
+    "cy_optional_where" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o:order) " +
+        "WHERE o.value > 200000 RETURN c, count(o) AS k ORDER BY c LIMIT 50")),
+    // property map inside OPTIONAL MATCH — same inside-the-join filter
+    "cy_optional_map" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) OPTIONAL MATCH (n)<-[:IN_NATION]-" +
+        "(su:supplier {name: 'Supplier#000000001'}) " +
+        "RETURN n, count(su) AS k ORDER BY n")),
     // labels(n) scalar (single-label model → 1-element list, stringified
     // for the compare like collect()) + property-existence exists()
     "cy_labels" -> ((s, dir) =>
@@ -1384,6 +1396,18 @@ object SparkEntry {
     "cy_expr_agg" ->
       ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n"),
+    "cy_optional_where" ->
+      ("SELECT c_custkey + 3000000000 AS c, " +
+       "count(DISTINCT o_orderkey + 6000000000) AS k " +
+       "FROM customer LEFT JOIN orders " +
+       "ON o_custkey = c_custkey AND o_totalprice > 200000 " +
+       "GROUP BY 1 ORDER BY c LIMIT 50"),
+    "cy_optional_map" ->
+      ("SELECT n_nationkey + 2000000000 AS n, " +
+       "count(DISTINCT s_suppkey + 4000000000) AS k " +
+       "FROM nation LEFT JOIN supplier " +
+       "ON s_nationkey = n_nationkey AND s_name = 'Supplier#000000001' " +
        "GROUP BY 1 ORDER BY n"),
     "cy_labels" ->
       ("SELECT 'nation' AS ls, count(DISTINCT c_custkey) AS k " +

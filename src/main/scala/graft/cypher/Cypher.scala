@@ -249,7 +249,12 @@ object Ast {
       /** `UNWIND [lit, …] AS x` at the query start (instead of MATCH): a
         * literal-list row source; the pipeline (WITH stages, RETURN) then
         * reads bare columns exactly like post-WITH scope. */
-      unwindLit: Option[(Seq[Any], String)] = None)
+      unwindLit: Option[(Seq[Any], String)] = None,
+      /** One entry per OPTIONAL MATCH clause (parallel to `optional`):
+        * its property-map conjuncts + its own WHERE — filtered INSIDE the
+        * left join (openCypher: the WHERE is part of the OPTIONAL MATCH).
+        * Bare equality/comparison conjuncts only (enforced downstream). */
+      optionalWhere: Seq[Seq[Pred]] = Seq.empty)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -419,20 +424,26 @@ object CypherParser {
       // OPTIONAL MATCH clauses: each keeps its own path group (left-join
       // semantics; must share ≥1 binding with the required pattern)
       val optional = scala.collection.mutable.ArrayBuffer[Seq[Path]]()
+      val optionalWhere = scala.collection.mutable.ArrayBuffer[Seq[Pred]]()
       while (kw("OPTIONAL")) {
         if (!kw("MATCH")) err("expected MATCH after OPTIONAL")
         if (shortest.isDefined) err("OPTIONAL MATCH is not supported with shortestPath")
         if (unwindLit.isDefined) err("OPTIONAL MATCH is not supported after UNWIND")
+        val mapsBefore = mapPreds.size
         val g = scala.collection.mutable.ArrayBuffer(path())
         while (tryEat(',')) g += path()
         optional += g.toSeq
+        // property maps inside the clause + its own WHERE both filter
+        // INSIDE the left join (openCypher: the WHERE is part of the
+        // OPTIONAL MATCH — unmatched rows keep nulls instead of dropping)
+        val clauseMaps = mapPreds.drop(mapsBefore).toSeq
+        if (mapPreds.size > mapsBefore)
+          mapPreds.remove(mapsBefore, mapPreds.size - mapsBefore)
+        val clauseWhere =
+          if (kw("WHERE")) Pred.conjuncts(orExpr()) else Seq.empty
+        optionalWhere += (clauseMaps ++ clauseWhere)
       }
-      // a prop map on an optional binding would have to filter INSIDE the
-      // left join (not the single post-match WHERE) — rejected loudly, like
-      // WHERE on optional bindings
-      if (mapPreds.size > mapPredsAfterRequired)
-        err("property maps in OPTIONAL MATCH are not supported " +
-          "(move the filter into the required pattern)")
+      require(mapPreds.size == mapPredsAfterRequired)
       // the single WHERE applies to the REQUIRED pattern (enforced in
       // Pattern.fromQuery: predicates may not reference optional bindings).
       // Grammar: orExpr := andExpr (OR andExpr)*; andExpr := unary (AND unary)*;
@@ -666,7 +677,7 @@ object CypherParser {
       // trailing-input enforcement lives in the entry points (end()) so a
       // UNION connector after this query is the caller's to consume
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest, withClauses.toSeq, unwindLit)
+        limit, skip, shortest, withClauses.toSeq, unwindLit, optionalWhere.toSeq)
     }
 
     private def path(): Path = {

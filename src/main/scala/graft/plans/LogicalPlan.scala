@@ -43,11 +43,17 @@ object Pattern {
                                name: Option[String] = None)
 
   /** One OPTIONAL MATCH clause: its own label scope + edges, left-joined to
-    * the required match on `shared` (the bindings it has in common with it). */
+    * the required match on `shared` (the bindings it has in common with it).
+    * `preds`/`edgePreds` are the clause's own WHERE conjuncts (+ property
+    * maps) — filtered INSIDE the left join, openCypher's OPTIONAL MATCH
+    * WHERE attachment: unmatched-or-filtered rows keep nulls. Bare
+    * conjuncts only (they push down into the fragment's scans). */
   final case class OptionalGroup(
       labels: Map[String, Option[String]],
       edges: Vector[PatternEdge],
-      shared: Seq[String]) {
+      shared: Seq[String],
+      preds: Seq[Ast.Cmp] = Seq.empty,
+      edgePreds: Seq[Ast.Cmp] = Seq.empty) {
     def bindings: Set[String] = labels.keySet
   }
 
@@ -136,13 +142,40 @@ object Pattern {
     }
 
     val (mainLabels, mainEdges) = buildScope(q.paths, Map.empty)
-    val groups = q.optional.map { paths =>
+    // pad for programmatically-built queries that predate optionalWhere
+    val optWhere =
+      if (q.optionalWhere.size == q.optional.size) q.optionalWhere
+      else q.optional.map(_ => Seq.empty[Ast.Pred])
+    val groups = q.optional.zip(optWhere).map { case (paths, where) =>
       val (gl, ge) = buildScope(paths, mainLabels)
       val shared = gl.keys.filter(mainLabels.contains).toSeq
       if (shared.isEmpty)
         throw new graft.cypher.ParseException(
           "OPTIONAL MATCH must share at least one binding with MATCH")
-      OptionalGroup(gl, ge, shared)
+      // the clause's WHERE filters INSIDE the left join; the fragment
+      // compiles standalone (no residual machinery there), so only bare
+      // conjuncts — which push down into the fragment's scans — are legal
+      val geNames = ge.flatMap(_.name).toSet
+      val cs = where.map {
+        case c: Ast.Cmp => c
+        case _ => throw new graft.cypher.ParseException(
+          "OPTIONAL MATCH … WHERE supports bare comparison conjuncts only " +
+            "(boolean structure, IS NULL, and pattern predicates are not " +
+            "supported inside the left join)")
+      }
+      cs.foreach { c =>
+        if (!gl.contains(c.binding) && !geNames(c.binding))
+          throw new graft.cypher.ParseException(
+            s"OPTIONAL MATCH … WHERE references ${c.binding}, not bound in this clause")
+      }
+      val (ecs, ncs) = cs.partition(c => geNames(c.binding))
+      ecs.foreach { c =>
+        if (ge.exists(e => e.name.contains(c.binding) && e.maxHops > 1))
+          throw new graft.cypher.ParseException(
+            s"edge predicate on variable-length relationship ${c.binding} is not supported " +
+              "(a varlen variable binds a list of relationships)")
+      }
+      OptionalGroup(gl, ge, shared, ncs, ecs)
     }
     // an optional-only binding may not span two groups (its null semantics
     // would depend on group evaluation order)

@@ -500,10 +500,9 @@ class CypherSpec extends SparkSpec {
     intercept[graft.cypher.ParseException] {
       Pattern.fromQuery(CypherParser.parse("MATCH (a:A) OPTIONAL MATCH (x:B)-[:Y]->(y:C) RETURN a"))
     }
-    intercept[graft.cypher.ParseException] {
-      Pattern.fromQuery(CypherParser.parse(
-        "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 1 RETURN a"))
-    }
+    // (a WHERE after an OPTIONAL MATCH belongs to that clause — see the
+    // "optional match WHERE" test; cross-group optional-only bindings stay
+    // rejected)
     intercept[graft.cypher.ParseException] {
       Pattern.fromQuery(CypherParser.parse(
         "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) OPTIONAL MATCH (b)-[:Y]->(c) RETURN a"))
@@ -697,10 +696,7 @@ class CypherSpec extends SparkSpec {
     assert(rows.toSeq == Seq(2L, 3L, 4L))
   }
 
-  test("property maps: rejected on OPTIONAL MATCH and shortestPath; bad literals") {
-    intercept[graft.cypher.ParseException] {
-      CypherParser.parse("MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B {name: 'x'}) RETURN a, b")
-    }
+  test("property maps: rejected on shortestPath; bad literals") {
     intercept[graft.cypher.ParseException] {
       CypherParser.parse("MATCH p = shortestPath((a:A {name: 'a1'})-[:X*]->(b)) RETURN a, b")
     }
@@ -1405,6 +1401,48 @@ class CypherSpec extends SparkSpec {
     assert(w.toSeq == Seq("Beta"))
     intercept[graft.cypher.ParseException] { // arg-count validation
       CypherParser.parse("MATCH (a:A) RETURN replace(a.name, 'a') AS x")
+    }
+  }
+
+  test("optional match WHERE filters inside the left join (openCypher attachment)") {
+    val db = new GraphDB(propsG)
+    // b.value: b2=10, b3=20, b4=10 — WHERE b.value > 15 keeps only b3 in
+    // the OPTIONAL side; a1 still appears (nulls), never dropped
+    val rows = db.query(
+      "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 15 " +
+      "RETURN a, b ORDER BY b")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.toSeq == Seq((1L, Some(3L))))
+    // a fully filtered-out clause keeps the required row with nulls
+    val nulls = db.query(
+      "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 999 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(nulls.toSeq == Seq((1L, true)))
+    // property map inside OPTIONAL MATCH — same inside-the-join filter
+    val viaMap = db.query(
+      "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B {name: 'y'}) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaMap.toSeq == Seq((1L, 3L)))
+    // edge-property predicate inside the clause
+    val g2 = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", 0.0), (2L, "B", 0.0), (3L, "B", 0.0)))
+        .toDF("id", "label", "value"),
+      spark.createDataFrame(Seq((1L, 2L, "X", 1.0), (1L, 3L, "X", 9.0)))
+        .toDF("src", "dst", "etype", "w"))
+    val edges = new GraphDB(g2).query(
+      "MATCH (a:A) OPTIONAL MATCH (a)-[r:X]->(b:B) WHERE r.w > 5 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq == Seq((1L, 3L)))
+    // boolean structure inside the clause stays rejected loudly
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE b.value > 1 OR b.name = 'x' RETURN a")
+    }
+    // refs outside the clause's bindings rejected
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse(
+        "MATCH (a:A)-[:X]->(c:B) OPTIONAL MATCH (a)-[:X]->(b:B) WHERE c.value > 1 RETURN a") match {
+        case q => Pattern.fromQuery(q)
+      }
     }
   }
 
