@@ -54,8 +54,15 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
    * `shortestPath`, whose seed-set guard runs one eager count job up front
    * (see [[runShortest]]) — the count doubles as the BFS seed-cache warm.
    */
-  def query(cypherText: String): DataFrame = {
-    val (qs, all) = CypherParser.parseUnion(cypherText)
+  def query(cypherText: String): DataFrame = query(cypherText, Map.empty[String, Any])
+
+  /** Parameterized form: `$name` placeholders resolve from `params` at
+    * parse time (literal positions only — comparisons, expressions,
+    * property maps, IN/UNWIND lists), so a `ref op $param` conjunct keeps
+    * its pushdown classification. Types: String, Int/Long, Float/Double,
+    * Seq of those for lists. */
+  def query(cypherText: String, params: Map[String, Any]): DataFrame = {
+    val (qs, all) = CypherParser.parseUnion(cypherText, params)
     if (qs.lengthIs == 1) return runQuery(qs.head)
     // openCypher: a trailing ORDER BY/SKIP/LIMIT after the LAST branch
     // applies to the WHOLE union (in openCypher a branch cannot carry its

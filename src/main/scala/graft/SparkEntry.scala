@@ -421,6 +421,30 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // parameterized query: $params resolve at parse, so ref-vs-$param
+    // conjuncts keep their pushdown classification
+    "cy_params" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation {name: $nat}) " +
+        "WHERE c.value > $min RETURN n, count(c) AS k",
+        Map("nat" -> "GERMANY", "min" -> 0))),
+    // WITH *: carry the whole scope + extras through the pipeline
+    "cy_with_star" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WITH *, c.value AS v " +
+        "WITH n, v WHERE v > 5000 RETURN n, count(*) AS k ORDER BY n")),
+    // bucketed graph store roundtrip: nodes by id, edges by src + a
+    // dst-bucketed identical-row copy (the reference's transpose matrices
+    // as storage layout); the incoming traversal reads the dst copy and
+    // the expand's edge side skips its exchange (BucketingSpec asserts the
+    // plan shape; this query gates the results)
+    "graph_bucketed" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-gbucket").toString
+      graft.sources.GraphStore.saveBucketed(graph(s, dir), "gq", out, 8)
+      val b = graft.sources.GraphStore.loadBucketed(s, "gq", edgesDistinct = true)
+      new GraphDB(b).query(
+        "MATCH (n:nation)<-[:IN_NATION]-(c:customer) RETURN n, count(c) ORDER BY n")
+    }),
     // OPTIONAL MATCH … WHERE: the filter applies INSIDE the left join
     // (openCypher attachment) — customers with no qualifying order count 0
     "cy_optional_where" -> ((s, dir) =>
@@ -1395,6 +1419,18 @@ object SparkEntry {
        "AND c_acctbal > s_acctbal GROUP BY 1 ORDER BY n"),
     "cy_expr_agg" ->
       ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n"),
+    "cy_params" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS k " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE n_name = 'GERMANY' AND c_acctbal > 0 GROUP BY 1"),
+    "cy_with_star" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(*) AS k " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE c_acctbal > 5000 GROUP BY 1 ORDER BY n"),
+    "graph_bucketed" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY n"),
     "cy_optional_where" ->

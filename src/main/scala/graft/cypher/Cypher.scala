@@ -182,11 +182,17 @@ object Ast {
     /** The pre-alias output name — ORDER BY accepts either this or the
       * alias (openCypher lets you order by the underlying expression even
       * when the item is renamed with AS). */
-    def defaultName: String = (agg, prop) match {
-      case (Some(a), Some(p)) => s"${a}_${binding}_$p"
-      case (Some(a), None)    => if (binding == "*") s"${a}_star" else s"${a}_$binding"
-      case (None, Some(p))    => s"${binding}_$p"
-      case (None, None)       => binding
+    def defaultName: String = {
+      // percentile aggregates fold their percentile into the default name
+      // so two percentiles of one property don't collide unaliased
+      val suffix = aggParam.fold("")(d => "_" + d.toString.replace('.', 'p'))
+      (agg, prop) match {
+        case (Some(a), Some(p)) => s"${a}_${binding}_$p$suffix"
+        case (Some(a), None)    =>
+          (if (binding == "*") s"${a}_star" else s"${a}_$binding") + suffix
+        case (None, Some(p))    => s"${binding}_$p"
+        case (None, None)       => binding
+      }
     }
   }
   object Ret {
@@ -265,8 +271,16 @@ object CypherParser {
   /** Parse a single query (no UNION). Pattern-plan callers (GraphDB.plan,
     * tests) use this; a UNION combinator here is a "trailing input" error —
     * go through [[parseUnion]] for the full query surface. */
-  def parse(text: String): Query = {
-    val p = new P(text)
+  def parse(text: String): Query = parse(text, Map.empty)
+
+  /** Parameterized form: `$name` is legal wherever a literal is —
+    * comparison operands, expression atoms, property-map values, IN lists
+    * (a whole-list `IN $xs` or per-element), UNWIND lists. Values resolve
+    * at parse, so a `ref op $param` conjunct still classifies as a
+    * pushdown predicate. Allowed types: String, Int/Long, Float/Double,
+    * and Seq of those for lists. */
+  def parse(text: String, params: Map[String, Any]): Query = {
+    val p = new P(text, params)
     val q = p.query()
     p.end()
     q
@@ -285,8 +299,11 @@ object CypherParser {
     *
     * @return the branches plus the combinator (true = UNION ALL)
     */
-  def parseUnion(text: String): (Seq[Query], Boolean) = {
-    val p = new P(text)
+  def parseUnion(text: String): (Seq[Query], Boolean) = parseUnion(text, Map.empty)
+
+  /** Parameterized [[parseUnion]] — see [[parse(text:String,params:Map[String,Any])*]]. */
+  def parseUnion(text: String, params: Map[String, Any]): (Seq[Query], Boolean) = {
+    val p = new P(text, params)
     val qs = scala.collection.mutable.ArrayBuffer(p.query())
     var all: Option[Boolean] = None
     var c = p.unionConnector()
@@ -301,7 +318,7 @@ object CypherParser {
     (qs.toSeq, all.getOrElse(false))
   }
 
-  private final class P(s: String) {
+  private final class P(s: String, params: Map[String, Any] = Map.empty) {
     private var i = 0
     // inside shortestPath(...) an unbounded `*` is legal (BFS converges
     // level by level); the plain varlen Expand must unroll, so it is not
@@ -362,6 +379,7 @@ object CypherParser {
         val k = ident(); eat(':'); ws()
         val v: Any =
           if (peek == '\'' || peek == '"') stringLit()
+          else if (peek == '$') { i += 1; paramValue(ident()) }
           else if (peek.isDigit || peek == '-') number()
           else err("property-map values must be string or number literals")
         mapPreds += Cmp(binding, k, "=", v)
@@ -375,7 +393,16 @@ object CypherParser {
       // everything after it reads bare columns (post-WITH scope)
       val unwindLit: Option[(Seq[Any], String)] =
         if (kw("UNWIND")) {
-          val vs = literalList()
+          ws()
+          val vs =
+            if (peek == '$') { // `UNWIND $xs AS x` — list parameter
+              i += 1
+              val n = ident()
+              paramValue(n, seq = true) match {
+                case xs: Seq[_] => xs.asInstanceOf[Seq[Any]]
+                case _ => err(s"$$$n must be a list in an UNWIND position")
+              }
+            } else literalList()
           if (!kw("AS")) err("expected AS after the UNWIND list")
           Some((vs, ident()))
         } else None
@@ -610,12 +637,39 @@ object CypherParser {
         order.toSeq
       }
       val withClauses = scala.collection.mutable.ArrayBuffer[WithClause]()
+      // names in scope for `WITH *`: the previous stage's output columns
+      // (+ its UNWIND alias), or — for the first stage — the match's named
+      // bindings / the UNWIND-literal alias
+      def withStarScope(): Seq[String] =
+        if (withClauses.nonEmpty)
+          withClauses.last.items.map(_.outName) ++ withClauses.last.unwind.map(_._2)
+        else unwindLit.map(u => Seq(u._2)).getOrElse(
+          (paths.toSeq ++ optional.toSeq.flatten)
+            .flatMap(pt => pt.first.name.toSeq ++ pt.hops.flatMap(h => h._2.name.toSeq))
+            .filterNot(_.startsWith("__")).distinct)
       while (kw("WITH")) {
         if (shortest.isDefined) err("WITH is not supported with shortestPath")
         val after = withClauses.nonEmpty || unwindLit.isDefined
         val wDistinct = kw("DISTINCT")
-        val wItems = scala.collection.mutable.ArrayBuffer(retItem(after))
-        while (tryEat(',')) wItems += retItem(after)
+        ws()
+        // `WITH * [, item …]` — carry everything in scope, plus extras
+        // (openCypher); an extra whose output name collides is rejected
+        val wItems = scala.collection.mutable.ArrayBuffer[Ret]()
+        if (peek == '*') {
+          i += 1
+          val scope = withStarScope()
+          if (scope.isEmpty) err("WITH *: no named bindings in scope")
+          wItems ++= scope.map(n => Ret(n))
+          while (tryEat(',')) {
+            val it = retItem(after)
+            if (scope.contains(it.outName))
+              err(s"WITH *, ${it.outName}: duplicate output column (already in *)")
+            wItems += it
+          }
+        } else {
+          wItems += retItem(after)
+          while (tryEat(',')) wItems += retItem(after)
+        }
         // WHERE may come before the modifiers (filters first) or after them
         // (openCypher clause order — filters the top-k result); applied in
         // textual order either way
@@ -854,6 +908,16 @@ object CypherParser {
       // (Cypher: `x IN []` is false). NOT IN is spelled `NOT (x IN [...])`.
       if (kw("IN")) {
         val (b, p) = lref.getOrElse(err("IN applies to a property/column reference"))
+        ws()
+        // `x IN $xs` — a whole-list parameter
+        if (peek == '$') {
+          i += 1
+          val n = ident()
+          paramValue(n, seq = true) match {
+            case xs: Seq[_] => return Cmp(b, p, "IN", xs)
+            case _ => err(s"$$$n must be a list in an IN position")
+          }
+        }
         eat('[')
         val vs = scala.collection.mutable.ArrayBuffer[Any]()
         ws()
@@ -862,6 +926,7 @@ object CypherParser {
           while (more) {
             ws()
             vs += (if (peek == '\'' || peek == '"') stringLit()
+                   else if (peek == '$') { i += 1; paramValue(ident()) }
                    else if (peek.isDigit || peek == '-') number()
                    else err("IN list elements must be string or number literals"))
             more = tryEat(',')
@@ -951,6 +1016,7 @@ object CypherParser {
     private def atomE(bare: Boolean): Expr = {
       ws()
       if (peek == '\'' || peek == '"') ELit(stringLit())
+      else if (peek == '$') { i += 1; ELit(paramValue(ident())) }
       else if (peek.isDigit) ELit(numberLit())
       else if (peek == '(') { eat('('); val e = addE(bare); eat(')'); e }
       else if (peekKw("CASE")) { kw("CASE"); caseE(bare) }
@@ -1041,6 +1107,31 @@ object CypherParser {
       case l: Long => l.toDouble
       case other   => other
     }
+
+    /** `$name` → the caller-supplied value, numerics normalized to
+      * Long/Double (the two numeric shapes literals produce). `seq` allows
+      * a Seq value (IN / UNWIND list positions). */
+    private def paramValue(n: String, seq: Boolean = false): Any =
+      params.get(n) match {
+        case None => err(s"missing query parameter $$$n" +
+          (if (params.isEmpty) " (no parameters were supplied)" else ""))
+        case Some(v) =>
+          def scalar(x: Any): Any = x match {
+            case i: Int    => i.toLong
+            case f: Float  => f.toDouble
+            case s: String => s
+            case l: Long   => l
+            case d: Double => d
+            case other => err(
+              s"unsupported parameter type for $$$n: ${other.getClass.getSimpleName} " +
+                "(String, Int/Long, Float/Double" + (if (seq) ", Seq of those" else "") + ")")
+          }
+          v match {
+            case xs: Seq[_] if seq => xs.map(scalar)
+            case xs: Seq[_] => err(s"$$$n is a list; lists are only legal in IN/UNWIND positions")
+            case x => scalar(x)
+          }
+      }
     /** Number literal for value expressions: integral text stays Long (so
       * `n.a + 1` keeps BIGINT arithmetic), fractional becomes Double. */
     private def numberLit(): Any = {

@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
  * otherwise skip (set-semantics tracking in PatternExec).
  */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
-                               edgesDistinct: Boolean = false) {
+                               edgesDistinct: Boolean = false,
+                               /** Identical ROWS to `edges`, physically
+                                 * laid out for dst-keyed joins (a
+                                 * dst-bucketed table copy — the reference's
+                                 * eagerly-maintained transpose matrices,
+                                 * ConcurrentDirectedGraph.scala:146-148, as
+                                 * STORAGE layout). The executor reads this
+                                 * copy when its join key is the edge's dst
+                                 * so the edge side of the expand skips its
+                                 * exchange; plans are correct either way.
+                                 * See [[graft.sources.GraphStore]]. */
+                               edgesRev: Option[DataFrame] = None) {
 
   def nodesByLabel(label: String): DataFrame =
     nodes.filter(col("label") === lit(label))
@@ -36,6 +47,16 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     if (types.isEmpty) edges
     else if (types.size == 1) edges.filter(col("etype") === lit(types.head))
     else edges.filter(col("etype").isin(types: _*))
+
+  /** Same rows as [[edgesByType]] from the dst-keyed copy when one exists
+    * (falls back to `edges`): callers joining on `dst` read co-located
+    * buckets instead of shuffling the edge side. */
+  def edgesRevByType(types: Seq[String]): DataFrame = {
+    val base = edgesRev.getOrElse(edges)
+    if (types.isEmpty) base
+    else if (types.size == 1) base.filter(col("etype") === lit(types.head))
+    else base.filter(col("etype").isin(types: _*))
+  }
 
   /** Snapshot statistics for the cost-based planner (reference StatsStore). */
   def computeStats(): GraphStats = GraphStats.compute(this)
@@ -54,8 +75,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * ConcurrentDirectedGraph.scala:141-153). No transpose maintenance —
     * reverse traversal swaps join keys instead. */
   def addEdges(rows: DataFrame): PropertyGraph =
-    // appended rows may duplicate existing edges → conservatively demote
-    copy(edges = edges.unionByName(rows, allowMissingColumns = true), edgesDistinct = false)
+    // appended rows may duplicate existing edges → conservatively demote.
+    // The dst-keyed copy unions the same rows (row-identity invariant;
+    // its bucketing benefit degrades to the appended fraction).
+    copy(edges = edges.unionByName(rows, allowMissingColumns = true), edgesDistinct = false,
+      edgesRev = edgesRev.map(_.unionByName(rows, allowMissingColumns = true)))
 
   /** Point lookup (reference `getV`, ConcurrentDirectedGraph.scala:104). */
   def node(id: Long): DataFrame = nodes.filter(col("id") === lit(id))

@@ -107,10 +107,18 @@ object PatternExec {
     * into the scan. */
   private def edgeScan(e: GetEdges, g: PropertyGraph, fromB: String, toB: String,
                        srcs: Option[DataFrame] = None): DataFrame = {
+    // a single-hop transpose scan joins on the edge's dst — read the
+    // dst-keyed storage copy when the graph has one (identical rows;
+    // bucketed layouts then skip the edge-side exchange). Varlen and
+    // undirected scans iterate/union both orientations, so they keep the
+    // forward copy.
+    val physical =
+      if (e.transpose && !e.undirected && e.maxHops <= 1) g.edgesRevByType(e.types)
+      else g.edgesByType(e.types)
     // edge-property predicates filter the scan before the endpoint swap, so
     // they hold regardless of direction/transpose and Catalyst pushes them
     // into the parquet read alongside the type filter
-    val base = e.preds.foldLeft(g.edgesByType(e.types))((df, p) => df.filter(predColumn(p)))
+    val base = e.preds.foldLeft(physical)((df, p) => df.filter(predColumn(p)))
     val fwd = base.select(col("src").as(fromB), col("dst").as(toB))
     val hop1 =
       if (e.undirected) fwd.unionByName(base.select(col("dst").as(fromB), col("src").as(toB)))

@@ -51,4 +51,31 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_edges")
     spark.sql("DROP TABLE IF EXISTS b_parts")
   }
+
+  test("bucketed graph store: same results, fewer exchanges, dst copy correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gstore").toString
+    val plain = graft.sources.TpchGraph(spark, SF)
+    graft.sources.GraphStore.saveBucketed(plain, "gb", dir, 4)
+    val bucketed = graft.sources.GraphStore.loadBucketed(spark, "gb", edgesDistinct = true)
+    val q2hop = "MATCH (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region) RETURN c, r"
+    val qIn = "MATCH (n:nation)<-[:IN_NATION]-(c:customer) RETURN n, c"
+    // force SMJ so exchange elision is observable (broadcast would hide it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pdb = new GraphDB(plain)
+      val bdb = new GraphDB(bucketed)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(bdb.query(q2hop)) == rows(pdb.query(q2hop)))
+      // the bucketed layout removes at least the edge-scan exchanges
+      val (pSh, bSh) = (shuffles(pdb.query(q2hop)), shuffles(bdb.query(q2hop)))
+      assert(bSh < pSh, s"bucketed plan should shuffle less: plain $pSh, bucketed $bSh")
+      // incoming traversal reads the dst-bucketed copy — identical rows
+      assert(rows(bdb.query(qIn)) == rows(pdb.query(qIn)))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("gb_nodes", "gb_edges", "gb_edges_rev")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

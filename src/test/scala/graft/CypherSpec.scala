@@ -1476,4 +1476,61 @@ class CypherSpec extends SparkSpec {
       db.query("MATCH (a:A) RETURN labels(z) AS x")
     }
   }
+
+  test("WITH *: carries the scope, composes with extras and aggregation") {
+    val db = new GraphDB(propsG)
+    // first stage: named match bindings + a property extra
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH *, b.value AS v WITH b, v WHERE v > 15 " +
+      "RETURN b, v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((3L, 20.0)))
+    // star + aggregate: star names become the grouping keys; post-WITH
+    // rows are PLAIN rows, so two b's named x yield count 2 under (a, n)
+    val agg = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, b.name AS n WITH *, count(a) AS k " +
+      "RETURN n, k ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq == Seq(("x", 2L), ("y", 1L)))
+    intercept[graft.cypher.ParseException] { // duplicate output column
+      CypherParser.parse("MATCH (a:A) WITH *, a RETURN a")
+    }
+  }
+
+  test("query parameters: literals, pushdown, maps, IN and UNWIND lists") {
+    val db = new GraphDB(propsG)
+    // comparison operand — stays a pushdown Cmp (same tree as a literal)
+    val q = CypherParser.parse(
+      "MATCH (a:A)-[:X]->(b:B) WHERE b.value > $min RETURN b", Map("min" -> 15))
+    assert(q.where == Seq(Ast.Cmp("b", "value", ">", 15.0)))
+    val filtered = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE b.value > $min RETURN b", Map("min" -> 15))
+      .collect().map(_.getLong(0))
+    assert(filtered.toSeq == Seq(3L))
+    // string param in a property map; numeric param in an expression
+    val mapped = db.query(
+      "MATCH (a:A)-[:X]->(b:B {name: $nm}) RETURN b, b.value * $f AS v ORDER BY b",
+      Map("nm" -> "x", "f" -> 2.5))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mapped.toSeq == Seq((2L, 25.0), (4L, 25.0)))
+    // IN with a whole-list param; UNWIND a list param
+    val inL = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE b.name IN $names RETURN DISTINCT b ORDER BY b",
+      Map("names" -> Seq("y", "zz")))
+      .collect().map(_.getLong(0))
+    assert(inL.toSeq == Seq(3L))
+    val unw = db.query("UNWIND $xs AS x RETURN sum(x) AS s", Map("xs" -> Seq(1, 2, 3)))
+      .collect().map(_.getLong(0))
+    assert(unw.toSeq == Seq(6L))
+    // errors: missing, unsupported type, scalar in a list position
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) WHERE a.value > $nope RETURN a", Map("x" -> 1))
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) WHERE a.value > $b RETURN a", Map("b" -> true))
+    }
+    intercept[graft.cypher.ParseException] {
+      CypherParser.parse("MATCH (a:A) WHERE a.name IN $v RETURN a", Map("v" -> "solo"))
+    }
+  }
 }
