@@ -440,7 +440,15 @@ object SparkEntry {
     // plan shape; this query gates the results)
     "graph_bucketed" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-gbucket").toString
-      graft.sources.GraphStore.saveBucketed(graph(s, dir), "gq", out, 8)
+      // the hierarchy slice is enough to exercise the layout roundtrip —
+      // writing the full lineitem-derived edge family would just time the
+      // save I/O (BucketingSpec covers the plan shape on the full graph)
+      val g = graph(s, dir)
+      val sub = graft.graph.PropertyGraph(
+        g.nodes.filter(col("label").isin("customer", "nation", "region")),
+        g.edges.filter(col("etype").isin("IN_NATION", "IN_REGION")),
+        edgesDistinct = true)
+      graft.sources.GraphStore.saveBucketed(sub, "gq", out, 8)
       val b = graft.sources.GraphStore.loadBucketed(s, "gq", edgesDistinct = true)
       new GraphDB(b).query(
         "MATCH (n:nation)<-[:IN_NATION]-(c:customer) RETURN n, count(c) ORDER BY n")
