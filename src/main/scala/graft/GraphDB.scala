@@ -238,6 +238,13 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       def bareValue(i: Ast.Ret): Column = i.expr match {
         case Some(e) => operators.Preds.exprColumn(e, (b, _) => col(b))
         case None => i.agg match {
+          // openCypher size() covers both strings and lists; the stage's
+          // schema is known here, so a collect()ed array column counts its
+          // elements instead of erroring on length()
+          case Some("size") if df.schema.fields.exists(f =>
+              f.name == i.binding &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+            size(col(i.binding)).cast("long")
           case Some(f) if operators.Preds.valueFn.contains(f) =>
             operators.Preds.valueFn(f)(col(i.binding))
           case _ => col(i.binding)

@@ -421,6 +421,13 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n, sum(c.value * 2 - 1) AS s2 ORDER BY n")),
+    // list functions over a collect()ed column: size counts elements
+    // (schema-aware — strings still count characters), head/last are the
+    // ends of the SORTED collection (deterministic ⇒ min/max twins)
+    "cy_list_fns" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WITH n, collect(c) AS cs " +
+        "RETURN n, size(cs) AS sz, head(cs) AS h, last(cs) AS t ORDER BY n")),
     // parameterized query: $params resolve at parse, so ref-vs-$param
     // conjuncts keep their pushdown classification
     "cy_params" -> ((s, dir) =>
@@ -1427,6 +1434,11 @@ object SparkEntry {
        "AND c_acctbal > s_acctbal GROUP BY 1 ORDER BY n"),
     "cy_expr_agg" ->
       ("SELECT n_nationkey + 2000000000 AS n, sum(c_acctbal * 2 - 1) AS s2 " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY n"),
+    "cy_list_fns" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(*) AS sz, " +
+       "min(c_custkey + 3000000000) AS h, max(c_custkey + 3000000000) AS t " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY n"),
     "cy_params" ->

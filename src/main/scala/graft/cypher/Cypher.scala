@@ -976,7 +976,7 @@ object CypherParser {
     // the caller), CASE predicates parse with bare atoms too.
     private val valueFnNames = Set(
       "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
-      "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse")
+      "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse", "head", "last")
     // multi-arg openCypher string functions: name -> (min args, max args).
     // substring is 0-based (openCypher); the compiler shifts to Spark's
     // 1-based substr.

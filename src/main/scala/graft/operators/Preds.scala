@@ -34,7 +34,11 @@ object Preds {
     "tointeger" -> (c => c.cast("long")),
     "tofloat"   -> (c => c.cast("double")),
     "tostring"  -> (c => c.cast("string")),
-    "reverse"   -> (c => reverse(c)))
+    "reverse"   -> (c => reverse(c)),
+    // list accessors for collect()ed columns (element_at is 1-based; -1 is
+    // the last element) — array columns only, loud analysis error elsewhere
+    "head"      -> (c => element_at(c, 1)),
+    "last"      -> (c => element_at(c, -1)))
 
   def column(p: Ast.Pred, resolve: (String, String) => Column): Column =
     column(p, resolve, pp => throw new IllegalArgumentException(

@@ -24,7 +24,7 @@ object Pattern {
     * live in [[graft.operators.Preds.valueFn]]. */
   val ValueFnNames: Set[String] = Set(
     "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
-    "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse")
+    "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse", "head", "last")
 
   /** Per-row scalar functions carried in Ret.agg: `id(n)` projects the node
     * binding's id, `type(r)` the matched relationship's type (rendered via

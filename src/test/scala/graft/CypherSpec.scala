@@ -1533,4 +1533,18 @@ class CypherSpec extends SparkSpec {
       CypherParser.parse("MATCH (a:A) WHERE a.name IN $v RETURN a", Map("v" -> "solo"))
     }
   }
+
+  test("list functions: size/head/last over collect()ed columns") {
+    val db = new GraphDB(propsG)
+    // collect is SORTED, so head/last are the min/max elements
+    val rows = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs " +
+      "RETURN a, size(bs) AS sz, head(bs) AS h, last(bs) AS t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 3L, 2L, 4L)))
+    // size on a string stage column still counts characters
+    val s = db.query("MATCH (a:A) WITH a.name AS nm RETURN size(nm) AS l")
+      .collect().map(_.getLong(0))
+    assert(s.toSeq == Seq(2L)) // "a1"
+  }
 }
