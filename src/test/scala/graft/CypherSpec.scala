@@ -1534,6 +1534,19 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("UNION branches: expressions, params, and map slicing stay branch-local") {
+    val db = new GraphDB(propsG)
+    // branch 1: expression over a's property with a numeric param;
+    // branch 2: property map with a string param + its own expression —
+    // the shared parser cursor must slice each branch's maps/params cleanly
+    val rows = db.query(
+      "MATCH (a:A) RETURN a.value * $m AS v " +
+      "UNION MATCH (b:B {name: $nm}) RETURN b.value * 1 AS v ORDER BY v",
+      Map("m" -> 100, "nm" -> "y"))
+      .collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(20.0, 100.0))
+  }
+
   test("list functions: size/head/last over collect()ed columns") {
     val db = new GraphDB(propsG)
     // collect is SORTED, so head/last are the min/max elements

@@ -151,4 +151,30 @@ class PlanAuditSpec extends SparkSpec {
     // mxm_minplus needs 4 of lineitem's 16 columns
     assert(scanWidths("mxm_minplus").forall(_ <= 4))
   }
+
+  test("expression queries stay inside whole-stage codegen, no UDF nodes") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // the expression engine compiles to built-in Catalyst columns — CASE,
+    // coalesce, arithmetic, string/list functions must all sit inside a
+    // WholeStageCodegen span and never fall back to an eval/UDF node.
+    // AQE wraps codegen per stage only as stages MATERIALIZE, so execute
+    // first and inspect the finalized plan.
+    for (name <- Seq("cy_expr_arith", "cy_expr_case", "cy_expr_coalesce",
+                     "cy_expr_agg", "cy_fn_substr", "cy_list_fns")) {
+      val df = SparkEntry.queries(name)(spark, SF)
+      df.collect()
+      // materialized AQE plans nest per-stage subtrees in QueryStageExec
+      // LEAF nodes — unwrap those too
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: expand(q.plan)
+        case other => other +: other.children.flatMap(expand)
+      }
+      val ps = expand(df.queryExecution.executedPlan)
+      assert(ps.exists(_.isInstanceOf[WholeStageCodegenExec]),
+        s"$name: expected a WholeStageCodegen span")
+      assert(!ps.exists(_.getClass.getName.toLowerCase.contains("python")),
+        s"$name: unexpected UDF/eval node")
+    }
+  }
 }
