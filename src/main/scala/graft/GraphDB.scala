@@ -108,6 +108,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       case Some(sp) => runShortest(sp, q)
       case None =>
         if (q.unwindLit.isDefined) runUnwindLit(q)
+        else if (q.unwindRange.isDefined) runUnwindRange(q)
         else if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
         else run(Pattern.fromQuery(q))
     }
@@ -154,14 +155,40 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val spark = graph.nodes.sparkSession
     // array() picks the least common type (long+double → double); the
     // parser already rejected string/number mixes
-    var piped = spark.range(1).select(explode(array(vals.map(lit): _*)).as(alias))
+    val src = spark.range(1).select(explode(array(vals.map(lit): _*)).as(alias))
+    runBareSource(src, alias, q)
+  }
+
+  /** `UNWIND range(start, end[, step]) AS x (WITH …)* RETURN …`: the
+    * DISTRIBUTED numeric row source — spark.range partitions the interval
+    * across executors, so `range(1, 10^9)` never materializes a driver-side
+    * list (the literal-list form would). Bounds inclusive (openCypher);
+    * an empty interval yields no rows. */
+  private def runUnwindRange(q: cypher.Ast.Query): DataFrame = {
+    val (start, end, step, alias) = q.unwindRange.get
+    val spark = graph.nodes.sparkSession
+    // spark.range is end-EXCLUSIVE; openCypher range() is end-inclusive.
+    // A bound pointing away from `end` yields the empty range (openCypher).
+    val stop = if (step > 0) end + 1 else end - 1
+    val empty = (step > 0 && start > end) || (step < 0 && start < end)
+    val src =
+      if (empty) spark.range(0).select(col("id").as(alias))
+      else spark.range(start, stop, step).select(col("id").as(alias))
+    runBareSource(src, alias, q)
+  }
+
+  /** Shared pipeline tail for the non-MATCH row sources (UNWIND literal
+    * list / range): WITH stages over bare columns, then the final RETURN. */
+  private def runBareSource(src: DataFrame, alias: String,
+                            q: cypher.Ast.Query): DataFrame = {
+    var piped = src
     var cols = Seq(alias)
     q.withClauses.foreach { w =>
       piped = projectStage(piped, cols, w.items, w.distinct, "WITH")
       cols = w.items.map(_.outName)
       piped = stagePipe(piped, cols, w)
-      w.unwind.foreach { case (src, al) =>
-        piped = piped.withColumn(al, explode(col(src))); cols = cols :+ al
+      w.unwind.foreach { case (src2, al) =>
+        piped = piped.withColumn(al, explode(col(src2))); cols = cols :+ al
       }
     }
     finishPipeline(piped, cols, q)
@@ -455,9 +482,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // rendered by the same endpoint-pair join-back as residual edge refs
     val itemEdgeRefs = (pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
       .map(i => i.binding -> i.prop.get) ++ exprEdgeRefs.filter(_._2.nonEmpty)).distinct
-    // type(r) projects the matched relationship's type — same identity
-    // join-back, no property columns
-    val typeRefNames = pg.items.filter(_.agg.contains("type")).map(_.binding).distinct
+    // type(r)/startNode(r)/endNode(r) project the matched relationship's
+    // identity columns — same identity join-back, no property columns
+    val typeRefNames = pg.items
+      .filter(_.agg.exists(Set("type", "startnode", "endnode")))
+      .map(_.binding).distinct
     val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
     val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
     val edgeRefNames =
@@ -509,9 +538,15 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // it rides the same property join-back as any node property
     val labelsRefs = pg.items.filter(_.agg.contains("labels"))
       .map(i => i.binding -> "label")
+    // keys(n) needs EVERY property column of the node joined back (the
+    // present-key list is computed per row from their null-ness)
+    val nodePropCols = graph.nodes.columns.toSeq.filter(c => c != "id" && c != "label").sorted
+    val keysRefs = pg.items.filter(_.agg.contains("keys"))
+      .flatMap(i => nodePropCols.map(i.binding -> _))
     val itemProps = pg.items
       .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
-      .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty) ++ labelsRefs
+      .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty) ++
+      labelsRefs ++ keysRefs
     // bare refs (prop "") are id columns, not property joins
     val propsNeeded = (itemProps ++ resNodeRefs).distinct.filter(_._2.nonEmpty)
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
@@ -629,6 +664,15 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         case Some("type")   => col(s"__rel_${i.binding}_t")
         // openCypher labels() returns a list; this model is single-label
         case Some("labels") => array(col(s"${i.binding}_label"))
+        // the relationship's endpoint ids in STORAGE orientation (openCypher:
+        // an undirected match does not reorient the relationship)
+        case Some("startnode") => col(s"__rel_${i.binding}_s")
+        case Some("endnode")   => col(s"__rel_${i.binding}_d")
+        // keys(n): the node's present (non-null) property keys, sorted —
+        // computed per row from the joined-back property columns
+        case Some("keys") => array_compact(array(
+          nodePropCols.map(p =>
+            when(col(s"${i.binding}_$p").isNotNull, lit(p))): _*))
         case Some(f) if operators.Preds.valueFn.contains(f) =>
           operators.Preds.valueFn(f)(
             i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))

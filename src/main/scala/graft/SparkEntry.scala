@@ -67,6 +67,75 @@ object SparkEntry {
       .select("src", "dst")
   }
 
+  /** Directed part→part ORDER-SEQUENCE edges: consecutive lineitems of an
+    * order (by l_linenumber) connect their parts, deduped. `mod` induces
+    * the subgraph on partkey % mod = 0 — the filter applies per join SIDE,
+    * so it pushes into both lineitem scans without changing the adjacency
+    * definition (pairs are keyed by linenumber, not by surviving rows).
+    * mod = 10 keeps the SCC census mixed; mod = 1 is the full graph. */
+  private def partSeqEdges(s: SparkSession, dir: String, mod: Int = 10): DataFrame = {
+    val li0 = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    val li = if (mod == 1) li0 else li0.filter(col("l_partkey") % mod === 0)
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
+  }
+
+  /** SQL twin of [[partSeqEdges]]: CTE `e(src, dst)`. */
+  private def partSeqCte(mod: Int): String = {
+    val filt = if (mod == 1) "" else s" AND a.l_partkey % $mod = 0 AND b.l_partkey % $mod = 0"
+    "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+      "AND b.l_linenumber = a.l_linenumber + 1 " +
+      "WHERE a.l_partkey <> b.l_partkey" + filt + ")"
+  }
+
+  /** HITS unrolled to `iters` fixed auth/hub half-steps (same device as
+    * [[pagerankOracle]]): each half-step is one join-aggregate plus an L1
+    * normalizer subquery, mirroring the Spark side's broadcast singleton. */
+  private def hitsOracle(iters: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e AS (SELECT DISTINCT o_custkey + 3000000000 AS src, " +
+        "l_partkey + 5000000000 AS dst FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM n)")
+    for (i <- 1 to iters) {
+      sb.append(s", a${i}r AS (SELECT e.dst AS id, sum(h${i - 1}.hub) AS a FROM e " +
+        s"JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst)")
+      sb.append(s", a$i AS (SELECT n.id, coalesce(a${i}r.a, 0) / " +
+        s"(SELECT sum(a) FROM a${i}r) AS auth FROM n LEFT JOIN a${i}r USING (id))")
+      sb.append(s", h${i}r AS (SELECT e.src AS id, sum(a$i.auth) AS h FROM e " +
+        s"JOIN a$i ON e.dst = a$i.id GROUP BY e.src)")
+      sb.append(s", h$i AS (SELECT n.id, coalesce(h${i}r.h, 0) / " +
+        s"(SELECT sum(h) FROM h${i}r) AS hub FROM n LEFT JOIN h${i}r USING (id))")
+    }
+    sb.append(s" SELECT n.id, round(h$iters.hub, 6) AS hub, round(a$iters.auth, 6) AS auth " +
+      s"FROM n JOIN h$iters USING (id) JOIN a$iters USING (id)")
+    sb.toString
+  }
+
+  /** Deterministic random walks unrolled to `steps` fixed CTE hops: each
+    * hop is the same md5-argmin pick the Spark side computes — min_by over
+    * md5('walkId:step:candidate') — so both engines replay identical walks. */
+  private def walksOracle(steps: Int, seeds: Int): String = {
+    val sb = new StringBuilder(
+      "WITH " + partSeqCte(10) +
+        ", v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+        s"seeds AS (SELECT id FROM v ORDER BY md5(id::VARCHAR), id LIMIT $seeds), " +
+        "w0 AS (SELECT id AS walk_id, id AS node FROM seeds)")
+    for (s <- 1 to steps)
+      sb.append(s", w$s AS (SELECT walk_id, min_by(e.dst, " +
+        s"md5(walk_id::VARCHAR || ':$s:' || e.dst::VARCHAR)) AS node " +
+        s"FROM w${s - 1} JOIN e ON w${s - 1}.node = e.src GROUP BY walk_id)")
+    sb.append(" SELECT walk_id, 0 AS step, node FROM w0")
+    for (s <- 1 to steps)
+      sb.append(s" UNION ALL SELECT walk_id, $s AS step, node FROM w$s")
+    sb.toString
+  }
+
   /** The k-core peel unrolled to `stages` fixed CTE rounds (same device as
     * [[pagerankOracle]]); correct whenever the peel converges within the
     * unroll depth — 3 rounds at sf0.01 against 8 stages here. */
@@ -389,6 +458,36 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer) " +
         "RETURN c, abs(c.value) AS mag, floor(c.value) AS fl ORDER BY c LIMIT 30")),
+    // UNWIND range(): the DISTRIBUTED numeric row source (spark.range —
+    // never a driver-side list), with a WITH-stage filter and aggregation
+    "cy_unwind_range" -> ((s, dir) =>
+      db(s, dir).query(
+        "UNWIND range(1, 200, 3) AS x WITH x WHERE x % 2 = 0 " +
+        "RETURN count(x) AS n, sum(x) AS s, min(x) AS lo, max(x) AS hi")),
+    // split() (literal delimiter) + list accessors over its result; size()
+    // counts ELEMENTS over a statically-list-valued expression
+    "cy_fn_split" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (p:part) RETURN p AS pid, size(split(p.name, ' ')) AS words, " +
+        "head(split(p.name, ' ')) AS first ORDER BY pid LIMIT 40")),
+    // the round-8 scalar additions: ltrim/rtrim, exp/log/log10, toBoolean
+    "cy_fn_scalar2" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer) WHERE c.value > 9990 " +
+        "RETURN c AS cid, ltrim(rtrim(c.name)) AS nm, floor(log10(c.value)) AS mag, " +
+        "round(exp(0)) AS one, toBoolean('true') AS tb ORDER BY cid")),
+    // startNode/endNode on a matched relationship: endpoint ids in STORAGE
+    // orientation (openCypher — an undirected match never reorients)
+    "cy_startend" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[r:IN_NATION]->(n:nation) WHERE c.value > 9990 " +
+        "RETURN startNode(r) AS sn, endNode(r) AS en, type(r) AS t ORDER BY sn")),
+    // keys(n): present (non-null) property keys per node — regions carry
+    // only `name`, customers `name` + `value`; exercised across a UNION ALL
+    "cy_keys" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (r:region) RETURN r AS id, keys(r) AS ks " +
+        "UNION ALL MATCH (c:customer) WHERE c.value > 9990 RETURN c AS id, keys(c) AS ks")),
     // a value function as the grouping key of an aggregation
     "cy_fn_group" -> ((s, dir) =>
       db(s, dir).query(
@@ -901,6 +1000,58 @@ object SparkEntry {
       val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       Algorithms.labelPropagation(vs, e, iters = 3)
     }),
+    // strongly connected components over the part ORDER-SEQUENCE graph
+    // (consecutive lineitems of an order → directed part→part hop). The
+    // mod-10 induced subgraph keeps the SCC census MIXED — one mid-size
+    // core plus many singleton/small components — instead of the one
+    // all-absorbing component the full sequence graph collapses into
+    // (which would test nothing but the giant-SCC sweep).
+    "scc" -> ((s, dir) => {
+      val e = partSeqEdges(s, dir)
+      val vs = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      Algorithms.stronglyConnectedComponents(vs, e)
+    }),
+    // closeness centrality (reachable-set normalized) over the same
+    // geography DAG as `harmonic` — the other classical distance centrality
+    "closeness" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val vs = g.nodes
+        .filter(col("label").isin("customer", "supplier", "nation", "region"))
+        .select("id")
+      val e = g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst")
+      Algorithms.closenessCentrality(vs, e)
+        .select(col("id"), round(col("closeness"), 6).as("closeness"))
+    }),
+    // HITS hubs/authorities over the customer→part purchase bipartite graph:
+    // hub = breadth of a customer's basket, authority = how hub-heavy a
+    // part's buyers are. 2 L1-normalized iterations (fixed → unrolled oracle)
+    "hits" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") + TpchGraph.CustomerOff).as("src"),
+          (col("l_partkey") + TpchGraph.PartOff).as("dst"))
+      Algorithms.hits(e, iters = 2)
+        .select(col("id"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+    }),
+    // deterministic random-walk corpus over the part sequence graph — the
+    // graph-embedding training input (DeepWalk-style), seeded at the 16
+    // md5-order parts; next hop = md5-argmin neighbor, so an external
+    // engine replays the exact walks
+    "graph_walks" -> ((s, dir) => {
+      val e = partSeqEdges(s, dir)
+      val vs = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val seeds = vs
+        .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("id")).limit(16).select("id")
+      Algorithms.randomWalks(e, seeds, steps = 6)
+    }),
+    // degree assortativity of the FULL part sequence graph (one-row summary:
+    // do high-fanout parts chain into high-fanin parts?)
+    "graph_assortativity" -> ((s, dir) =>
+      Algorithms.degreeAssortativity(partSeqEdges(s, dir, mod = 1))
+        .select(round(col("assortativity"), 6).as("assortativity"))),
 
     // --- text analysis / dedup (training-data pipeline ops) ---
     "text_token_counts" -> ((s, dir) =>
@@ -935,6 +1086,21 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       graft.text.TextOps.sampleStratified(t(s, dir, "documents"), "doc_id", "source",
         SampleRates, SampleDefaultRate).select("doc_id", "source")),
+    // per-row weighted Bernoulli sampling: keep probability scales with the
+    // document's length signal (longer docs likelier kept, capped at 1) —
+    // the deterministic md5-threshold device with a PER-ROW threshold
+    "sample_weighted" -> ((s, dir) =>
+      graft.text.TextOps.sampleWeighted(t(s, dir, "documents"), "doc_id",
+        col("n_chars") / lit(400.0))
+        .select("doc_id", "source", "n_chars")),
+    // KMV distinct sketch: per-source distinct-token estimate with k=64
+    // bounded state — the deterministic, oracle-reproducible sibling of
+    // approx_count_distinct (exact when a source has < 64 distinct tokens)
+    "sketch_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      graft.sketch.Sketches.kmvDistinct(toks, "source", col("tok"), k = 64)
+    }),
     "pack_sequences" -> ((s, dir) =>
       graft.text.TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)),
     // fixed-size character chunks with overlap (RAG splitter) — pure
@@ -1411,6 +1577,27 @@ object SparkEntry {
     "cy_fn_math" ->
       ("SELECT c_custkey + 3000000000 AS c, abs(c_acctbal) AS mag, " +
        "floor(c_acctbal)::BIGINT AS fl FROM customer ORDER BY c LIMIT 30"),
+    "cy_unwind_range" ->
+      ("SELECT count(*) AS n, sum(x)::BIGINT AS s, min(x) AS lo, max(x) AS hi " +
+       "FROM generate_series(1, 200, 3) t(x) WHERE x % 2 = 0"),
+    "cy_fn_split" ->
+      ("SELECT p_partkey + 5000000000 AS pid, " +
+       "len(string_split(p_name, ' '))::BIGINT AS words, " +
+       "string_split(p_name, ' ')[1] AS first " +
+       "FROM part ORDER BY pid LIMIT 40"),
+    // floor casts to BIGINT (Spark floor is LONG, DuckDB DOUBLE — the
+    // cy_fn_math device); exp/round stay DOUBLE on both sides
+    "cy_fn_scalar2" ->
+      ("SELECT c_custkey + 3000000000 AS cid, ltrim(rtrim(c_name)) AS nm, " +
+       "floor(log10(c_acctbal))::BIGINT AS mag, round(exp(0)) AS one, true AS tb " +
+       "FROM customer WHERE c_acctbal > 9990 ORDER BY cid"),
+    "cy_startend" ->
+      ("SELECT c_custkey + 3000000000 AS sn, c_nationkey + 2000000000 AS en, " +
+       "'IN_NATION' AS t FROM customer WHERE c_acctbal > 9990 ORDER BY sn"),
+    "cy_keys" ->
+      ("SELECT r_regionkey + 1000000000 AS id, ['name'] AS ks FROM region " +
+       "UNION ALL SELECT c_custkey + 3000000000, ['name', 'value'] FROM customer " +
+       "WHERE c_acctbal > 9990"),
     "cy_fn_group" ->
       ("SELECT lower(n_name) AS nat, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
@@ -1846,6 +2033,27 @@ object SparkEntry {
        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
        "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
     "sample_stratified" -> stratifiedOracle,
+    // the same per-row md5-threshold draw, replayed in SQL: printf('%015x')
+    // renders the weight threshold in the hash-prefix space
+    "sample_weighted" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+       "WHERE substring(md5(doc_id::VARCHAR), 1, 15) <= printf('%015x', " +
+       "least(CAST(floor(least(greatest(n_chars / 400.0, 0), 1) " +
+       "* 1152921504606846976) AS BIGINT), 1152921504606846975))"),
+    // KMV replay: k smallest distinct token hashes per source via one
+    // window rank; est = 63 · 2^60 / int(hex15(h_(64))) — double math on
+    // both sides, '0x…'::BIGINT is DuckDB's hex parse (Spark uses conv)
+    "sketch_distinct" ->
+      ("WITH toks AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks), " +
+       "rk AS (SELECT source, h, row_number() OVER " +
+       "(PARTITION BY source ORDER BY h) AS rn FROM h), " +
+       "s AS (SELECT source, count(*) AS n, max(h) AS hk FROM rk WHERE rn <= 64 " +
+       "GROUP BY source) " +
+       "SELECT source, round(CASE WHEN n < 64 THEN n::DOUBLE " +
+       "ELSE 63.0 * 1152921504606846976.0 / ('0x' || substring(hk, 1, 15))::BIGINT END, 6) " +
+       "AS est FROM s"),
     "pack_sequences" ->
       ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tok " +
        "FROM documents), " +
@@ -2001,6 +2209,47 @@ object SparkEntry {
     // kcoreOracle); k=3 converges in <= 2 rounds at every SF — 6 is margin
     "ktruss" -> ktrussOracle(k = 3, stages = 6),
     "lpa" -> lpaOracle(stages = 3),
+    // SCC via transitive closure: scc(v) = min over {v} ∪ {w : v →* w ∧
+    // w →* v} — O(V·E) reach-pair state, affordable only because the mod-10
+    // induced graph is small at sf0.01; the Spark side runs the actual
+    // trim+color+sweep algorithm
+    "scc" ->
+      ("WITH RECURSIVE " + partSeqCte(10) +
+       ", v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+       "reach(a, b) AS (SELECT src, dst FROM e " +
+       "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
+       "SELECT v.id, least(v.id, coalesce(min(r2.a), v.id)) AS scc " +
+       "FROM v LEFT JOIN reach r1 ON r1.a = v.id " +
+       "LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id " +
+       "GROUP BY v.id"),
+    // closeness = reachable-count / distance-sum over the same geography
+    // DAG as the harmonic oracle (diameter 2 ≪ the depth-8 unroll)
+    "closeness" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2), " +
+       "v AS (SELECT r_regionkey + 1000000000 AS id FROM region " +
+       "UNION ALL SELECT n_nationkey + 2000000000 FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000 FROM supplier) " +
+       "SELECT v.id, round(coalesce(count(sp.dst) / sum(sp.d), 0), 6) AS closeness " +
+       "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
+    "hits" -> hitsOracle(iters = 2),
+    "graph_walks" -> walksOracle(steps = 6, seeds = 16),
+    "graph_assortativity" ->
+      ("WITH " + partSeqCte(1) +
+       ", od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src), " +
+       "idg AS (SELECT dst, count(*) AS ideg FROM e GROUP BY dst) " +
+       "SELECT CASE WHEN stddev_samp(odeg) > 0 AND stddev_samp(ideg) > 0 " +
+       "THEN round(covar_samp(odeg, ideg) / (stddev_samp(odeg) * stddev_samp(ideg)), 6) " +
+       "END AS assortativity " +
+       "FROM e JOIN od USING (src) JOIN idg USING (dst)"),
     "emb_centroids" ->
       ("WITH x AS (SELECT label, unnest(embedding) AS v, " +
        "unnest(range(len(embedding))) AS dim FROM embeddings) " +

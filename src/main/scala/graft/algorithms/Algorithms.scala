@@ -850,4 +850,269 @@ object Algorithms {
     }
     releaseOnFirstAction(ranks, Seq(v, srcs, p, outDeg, links) ++ cutter.leftovers: _*)
   }
+
+  /**
+   * Closeness centrality over directed edges: C(v) = r(v) / Σ_{u reachable
+   * from v} d(v, u), where r(v) is the count of vertices reachable from v
+   * (excluding v itself) — the reachable-set normalization that keeps
+   * disconnected graphs meaningful (a vertex reaching nothing scores 0
+   * rather than dividing by an undefined distance sum). Same per-source BFS
+   * machinery and scale posture as [[harmonicCentrality]]: state is
+   * O(Σ per-source reachability), the exact opt-in; use the landmark
+   * estimators when that sum is unaffordable.
+   *
+   * @param vertices (id) — vertices to report (no out-edges ⇒ 0.0)
+   * @param edges (src, dst)
+   * @return (id, closeness DOUBLE)
+   */
+  def closenessCentrality(vertices: DataFrame, edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val vs = vertices.select(col("id")).distinct()
+    val seeds = vs.join(edges.select(col("src").as("id")), Seq("id"), "left_semi")
+    val st = bfsPerSource(edges, seeds, maxIter)
+      .filter(col("level") > 0)
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("r"), sum(col("level")).as("sd"))
+    vs.join(st, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r") / col("sd"), lit(0.0)).as("closeness"))
+  }
+
+  /**
+   * Directed degree assortativity: the Pearson correlation, across edges,
+   * between the source's out-degree and the destination's in-degree —
+   * "do high-fanout vertices point at high-fanin vertices?" (Newman 2002's
+   * assortativity coefficient, out-in variant). Two degree aggregations +
+   * two joins + one corr — a single-pass graph summary statistic.
+   *
+   * @param edges (src, dst) — multi-edges count toward degrees
+   * @return single row (assortativity DOUBLE); NULL when degenerate
+   *         (fewer than two distinct degree pairs)
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val out = e.groupBy(col("src").as("__o_id")).agg(count(lit(1)).as("odeg"))
+    val in = e.groupBy(col("dst").as("__i_id")).agg(count(lit(1)).as("ideg"))
+    // Pearson r assembled from covar/stddev rather than corr(): ANSI mode
+    // (Spark 4 default) makes corr() raise DIVIDE_BY_ZERO on a degenerate
+    // (zero-variance) side; SQL semantics — and the DuckDB oracle — return
+    // NULL there instead.
+    e.join(out, col("src") === col("__o_id"))
+      .join(in, col("dst") === col("__i_id"))
+      .agg(covar_samp(col("odeg").cast("double"), col("ideg").cast("double")).as("__c"),
+        stddev_samp(col("odeg").cast("double")).as("__sx"),
+        stddev_samp(col("ideg").cast("double")).as("__sy"))
+      .select(when(col("__sx") > 0 && col("__sy") > 0,
+        col("__c") / (col("__sx") * col("__sy"))).as("assortativity"))
+  }
+
+  /**
+   * HITS hubs and authorities (Kleinberg 1999) with L1 normalization each
+   * half-step: auth_i(d) = Σ_{s→d} hub_{i-1}(s) then scaled to sum 1;
+   * hub_i(s) = Σ_{s→d} auth_i(d) then scaled to sum 1. Fixed iteration
+   * count, deterministic — oracle-comparable by the same unrolled-CTE
+   * device as [[pageRank]].
+   *
+   * Plan shape: the deduplicated edge list is cached once; each half-step
+   * is one shuffle join + partial aggregation, and the normalizer is a
+   * broadcast singleton folded into the plan (no per-iteration driver
+   * action). L1 (sum) normalization rather than the classical L2 keeps the
+   * scale factor a plain aggregate both here and in the SQL oracle.
+   *
+   * @param edges (src, dst) directed; duplicates collapse
+   * @return (id, hub DOUBLE, auth DOUBLE) for every vertex incident to an
+   *         edge; hub sums to 1 and auth sums to 1
+   */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
+    val e = edges.select("src", "dst").distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().cache()
+    nodes.count()
+    val cutter = new Cutter
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (i <- 0 until iters) {
+      val aRaw = e.join(hub, e("src") === hub("id"))
+        .groupBy(e("dst").as("id")).agg(sum("hub").as("a"))
+      val aNorm = aRaw.agg(sum("a").as("__as"))
+      val a = nodes.join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("id"), (coalesce(col("a"), lit(0.0)) / col("__as")).as("auth"))
+      auth = cutter(a, 2 * i)
+      val hRaw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum("auth").as("h"))
+      val hNorm = hRaw.agg(sum("h").as("__hs"))
+      val h = nodes.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("id"), (coalesce(col("h"), lit(0.0)) / col("__hs")).as("hub"))
+      hub = cutter(h, 2 * i + 1)
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("hub"), col("auth"))
+    releaseOnFirstAction(out, Seq(e, nodes) ++ cutter.leftovers: _*)
+  }
+
+  /**
+   * Deterministic fixed-length random walks — the corpus generator for
+   * graph-embedding training (DeepWalk/node2vec's input stage re-expressed
+   * for an external oracle): from each seed, `steps` hops where the next
+   * vertex is the out-neighbor minimizing md5("walkId:step:candidate").
+   * The hash plays the role of the RNG — uniform over the neighbor set,
+   * independent across (walk, step), and byte-reproducible in any engine
+   * that agrees on md5 of the decimal-string key (the same device as
+   * [[harmonicLandmark]]'s sampling).
+   *
+   * Each step is one join on the current position + one min_by aggregate —
+   * state is O(#walks), never O(graph); walks that reach a sink vertex
+   * simply end (the join drops them). Lineage is cut on the Cutter cadence.
+   *
+   * @param edges (src, dst); duplicates collapse (a duplicate edge must not
+   *              bias the pick — the hash is per candidate value)
+   * @param seeds (id) walk start vertices; walk_id = seed id
+   * @param steps hop count
+   * @return (walk_id BIGINT, step INT, node BIGINT) — step 0 is the seed
+   */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 0, s"randomWalks needs steps >= 0, got $steps")
+    val e = edges.select("src", "dst").distinct().cache()
+    e.count()
+    val cutter = new Cutter
+    var cur = seeds.select(col("id")).distinct()
+      .select(col("id").as("walk_id"), lit(0).as("step"), col("id").as("node"))
+    var walks = cur
+    for (s <- 1 to steps) {
+      val next = cur.join(e, cur("node") === e("src"))
+        .select(col("walk_id"),
+          col("dst"),
+          md5(concat_ws(":", col("walk_id"), lit(s), col("dst"))).as("h"))
+        .groupBy("walk_id")
+        .agg(min_by(col("dst"), col("h")).as("node"))
+        .withColumn("step", lit(s))
+        .select("walk_id", "step", "node")
+      cur = cutter(next, s - 1)
+      walks = walks.unionByName(cur)
+    }
+    releaseOnFirstAction(walks, e +: cutter.leftovers: _*)
+  }
+
+  /**
+   * Strongly connected components by trim + forward-max coloring + backward
+   * sweep (the FW-BW/coloring family: Orzan 2004, as used by every
+   * distributed SCC system since — Spark has no built-in SCC).
+   *
+   * Each outer round:
+   *  1. TRIM — iteratively peel vertices with no in-edge or no out-edge in
+   *     the live subgraph; each is its own singleton SCC. This removes the
+   *     whole DAG periphery cheaply (and entirely solves acyclic graphs),
+   *     which is what defuses the coloring algorithm's known worst case
+   *     (a decreasing-id chain would otherwise peel one root per round).
+   *  2. COLOR — propagate color(v) = max id u with a path u →* v to
+   *     fixpoint (frontier-based: only improved colors re-propagate).
+   *     Every color class has its root r (color(r) = r) live inside it.
+   *  3. SWEEP — one multi-source backward BFS from all roots at once,
+   *     restricted to same-colored vertices: the reached set of root r is
+   *     exactly FW(r) ∩ BW(r) = SCC(r). Assign, remove, repeat on the rest.
+   *
+   * Rounds are bounded by the condensation's chain structure — typically
+   * 1–2 on real graphs (one giant SCC + periphery); pathological inputs
+   * hit the shared `maxIter` budget and fail loudly (BudgetExhausted)
+   * rather than silently mislabeling. Every inner iteration (trim pass,
+   * color propagation, sweep level) counts against the budget. Per-round
+   * state is eagerly checkpointed like [[connectedComponents]] — each
+   * round's driver-side count needs the materialization anyway.
+   *
+   * @param vertices (id) — vertices to report (isolated ⇒ singleton SCC)
+   * @param edges (src, dst) directed
+   * @return (id, scc BIGINT = min member id of the component)
+   */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
+                                  maxIter: Int = 200): DataFrame = {
+    val vsAll = vertices.select(col("id")).distinct().localCheckpoint(true)
+    var nodes = vsAll
+    var e = edges.select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+      .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint(true)
+    // assigned (id, root): root is the coloring root (relabeled to min at the end)
+    var assigned = nodes.filter(lit(false)).select(col("id"), col("id").as("root"))
+    var budget = maxIter
+    var live = nodes.count()
+    while (live > 0) {
+      // ---- 1. trim the DAG periphery
+      var trimming = true
+      while (trimming && live > 0) {
+        if (budget <= 0) throw new BudgetExhausted("stronglyConnectedComponents", maxIter)
+        budget -= 1
+        val hasIn = e.select(col("dst").as("id")).distinct()
+        val hasOut = e.select(col("src").as("id")).distinct()
+        val keep = nodes.join(hasIn, Seq("id"), "left_semi")
+          .join(hasOut, Seq("id"), "left_semi").localCheckpoint(true)
+        val trivial = nodes.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("root"))
+        val c = trivial.count()
+        if (c == 0L) trimming = false
+        else {
+          assigned = assigned.unionByName(trivial).localCheckpoint(true)
+          nodes = keep
+          live -= c
+          e = e.join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+        }
+      }
+      if (live > 0) {
+        // ---- 2. forward-max coloring to fixpoint (frontier-based)
+        var color = nodes.select(col("id"), col("id").as("color")).localCheckpoint(true)
+        var frontier = color
+        var coloring = true
+        while (coloring) {
+          if (budget <= 0) throw new BudgetExhausted("stronglyConnectedComponents", maxIter)
+          budget -= 1
+          val prop = frontier.join(e, frontier("id") === e("src"))
+            .groupBy(e("dst").as("id")).agg(max("color").as("nc"))
+          val improved = prop.join(color, Seq("id"))
+            .filter(col("nc") > col("color"))
+            .select(col("id"), col("nc").as("color"))
+            .localCheckpoint(true)
+          if (improved.count() == 0L) coloring = false
+          else {
+            color = color.join(improved.select("id"), Seq("id"), "left_anti")
+              .unionByName(improved).localCheckpoint(true)
+            frontier = improved
+          }
+        }
+        // ---- 3. backward sweep from the roots, within each color class
+        val roots = color.filter(col("color") === col("id")).select(col("id").as("root"))
+        var reached = roots.select(col("root"), col("root").as("id")).localCheckpoint(true)
+        var bf = reached
+        var sweeping = true
+        while (sweeping) {
+          if (budget <= 0) throw new BudgetExhausted("stronglyConnectedComponents", maxIter)
+          budget -= 1
+          val cand = bf.join(e, bf("id") === e("dst"))
+            .select(col("root"), e("src").as("id")).distinct()
+            .join(color, Seq("id"))
+            .filter(col("color") === col("root")).drop("color")
+            .join(reached, Seq("root", "id"), "left_anti")
+            .localCheckpoint(true)
+          if (cand.count() == 0L) sweeping = false
+          else {
+            reached = reached.unionByName(cand).localCheckpoint(true)
+            bf = cand
+          }
+        }
+        val found = reached.select(col("id"), col("root"))
+        val c = found.count()
+        assigned = assigned.unionByName(found).localCheckpoint(true)
+        nodes = nodes.join(found.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
+        live -= c
+        e = e.join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    // relabel each component to its minimum member id (stable, orderable)
+    val minId = assigned.groupBy("root").agg(min("id").as("scc"))
+    vsAll.join(assigned.join(minId, "root").select(col("id"), col("scc")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
+  }
 }

@@ -256,6 +256,11 @@ object Ast {
         * literal-list row source; the pipeline (WITH stages, RETURN) then
         * reads bare columns exactly like post-WITH scope. */
       unwindLit: Option[(Seq[Any], String)] = None,
+      /** `UNWIND range(start, end[, step]) AS x` at the query start: the
+        * distributed numeric row source (spark.range, never a driver-side
+        * list — range(1, 10^9) must not materialize on the driver).
+        * Bounds are inclusive (openCypher). */
+      unwindRange: Option[(Long, Long, Long, String)] = None,
       /** One entry per OPTIONAL MATCH clause (parallel to `optional`):
         * its property-map conjuncts + its own WHERE — filtered INSIDE the
         * left join (openCypher: the WHERE is part of the OPTIONAL MATCH).
@@ -391,22 +396,37 @@ object CypherParser {
     def query(): Query = {
       // `UNWIND [lit, …] AS x` instead of MATCH: literal-list row source;
       // everything after it reads bare columns (post-WITH scope)
+      var unwindRange: Option[(Long, Long, Long, String)] = None
       val unwindLit: Option[(Seq[Any], String)] =
         if (kw("UNWIND")) {
           ws()
-          val vs =
-            if (peek == '$') { // `UNWIND $xs AS x` — list parameter
-              i += 1
-              val n = ident()
-              paramValue(n, seq = true) match {
-                case xs: Seq[_] => xs.asInstanceOf[Seq[Any]]
-                case _ => err(s"$$$n must be a list in an UNWIND position")
-              }
-            } else literalList()
-          if (!kw("AS")) err("expected AS after the UNWIND list")
-          Some((vs, ident()))
+          if (kw("range")) { // kw() is case-insensitive + word-bounded
+            // `UNWIND range(start, end[, step]) AS x` — the distributed
+            // numeric row source; args are integer literals or $params
+            eat('(')
+            val a = rangeArg(); eat(',')
+            val b = rangeArg()
+            val st = { ws(); if (peek == ',') { i += 1; rangeArg() } else 1L }
+            eat(')')
+            if (st == 0L) err("range() step must be nonzero")
+            if (!kw("AS")) err("expected AS after the UNWIND range()")
+            unwindRange = Some((a, b, st, ident()))
+            None
+          } else {
+            val vs =
+              if (peek == '$') { // `UNWIND $xs AS x` — list parameter
+                i += 1
+                val n = ident()
+                paramValue(n, seq = true) match {
+                  case xs: Seq[_] => xs.asInstanceOf[Seq[Any]]
+                  case _ => err(s"$$$n must be a list in an UNWIND position")
+                }
+              } else literalList()
+            if (!kw("AS")) err("expected AS after the UNWIND list")
+            Some((vs, ident()))
+          }
         } else None
-      if (unwindLit.isEmpty && !kw("MATCH")) err("expected MATCH")
+      if (unwindLit.isEmpty && unwindRange.isEmpty && !kw("MATCH")) err("expected MATCH")
       ws()
       val mapPredsAtStart = mapPreds.size
       // `MATCH p = shortestPath((a)-[:T*]->(b))` — a path variable instead
@@ -416,7 +436,7 @@ object CypherParser {
       // WHERE conjuncts attached to individual MATCH clauses (sequential
       // MATCH form); merged with the pattern-level WHERE below
       val earlyPreds = scala.collection.mutable.ArrayBuffer[Pred]()
-      if (unwindLit.isDefined) {
+      if (unwindLit.isDefined || unwindRange.isDefined) {
         // no pattern clauses; fall through to WITH/RETURN
       } else if (peek != '(') {
         val pv = ident()
@@ -455,7 +475,8 @@ object CypherParser {
       while (kw("OPTIONAL")) {
         if (!kw("MATCH")) err("expected MATCH after OPTIONAL")
         if (shortest.isDefined) err("OPTIONAL MATCH is not supported with shortestPath")
-        if (unwindLit.isDefined) err("OPTIONAL MATCH is not supported after UNWIND")
+        if (unwindLit.isDefined || unwindRange.isDefined)
+          err("OPTIONAL MATCH is not supported after UNWIND")
         val mapsBefore = mapPreds.size
         val g = scala.collection.mutable.ArrayBuffer(path())
         while (tryEat(',')) g += path()
@@ -484,7 +505,7 @@ object CypherParser {
       preds ++= earlyPreds
       if (kw("WHERE")) {
         if (shortest.isDefined) err("WHERE is not supported with shortestPath")
-        if (unwindLit.isDefined)
+        if (unwindLit.isDefined || unwindRange.isDefined)
           err("WHERE after UNWIND is not supported (filter in a WITH stage instead)")
         preds ++= Pred.conjuncts(orExpr())
       }
@@ -497,7 +518,7 @@ object CypherParser {
       // id, type(r) = the matched relationship's type, labels(n) = the node's
       // label list (this model is single-label, so a 1-element array) —
       // carried in Ret.agg but classified scalar by Pattern.ScalarFns
-      val scalarFns = Set("id", "type", "labels")
+      val scalarFns = Set("id", "type", "labels", "startnode", "endnode", "keys")
       // openCypher value functions: `fn(b.prop)` over a match, `fn(col)`
       // over a post-WITH column (Column impls: operators.Preds.valueFn) —
       // the single shared list the expression parser also consults
@@ -643,13 +664,14 @@ object CypherParser {
       def withStarScope(): Seq[String] =
         if (withClauses.nonEmpty)
           withClauses.last.items.map(_.outName) ++ withClauses.last.unwind.map(_._2)
-        else unwindLit.map(u => Seq(u._2)).getOrElse(
+        else unwindLit.map(u => Seq(u._2))
+          .orElse(unwindRange.map(u => Seq(u._4))).getOrElse(
           (paths.toSeq ++ optional.toSeq.flatten)
             .flatMap(pt => pt.first.name.toSeq ++ pt.hops.flatMap(h => h._2.name.toSeq))
             .filterNot(_.startsWith("__")).distinct)
       while (kw("WITH")) {
         if (shortest.isDefined) err("WITH is not supported with shortestPath")
-        val after = withClauses.nonEmpty || unwindLit.isDefined
+        val after = withClauses.nonEmpty || unwindLit.isDefined || unwindRange.isDefined
         val wDistinct = kw("DISTINCT")
         ws()
         // `WITH * [, item …]` — carry everything in scope, plus extras
@@ -700,7 +722,7 @@ object CypherParser {
       }
       if (!kw("RETURN")) err("expected RETURN")
       val distinct = kw("DISTINCT")
-      val afterWith = withClauses.nonEmpty || unwindLit.isDefined
+      val afterWith = withClauses.nonEmpty || unwindLit.isDefined || unwindRange.isDefined
       // `RETURN *` — every named binding in scope, in first-appearance
       // order: post-WITH that is the last stage's output columns; over a
       // match it is the user-named node bindings (auto `__` names and
@@ -715,6 +737,7 @@ object CypherParser {
             if (withClauses.nonEmpty)
               withClauses.last.items.map(_.outName) ++ withClauses.last.unwind.map(_._2)
             else if (unwindLit.isDefined) Seq(unwindLit.get._2)
+            else if (unwindRange.isDefined) Seq(unwindRange.get._4)
             else (paths.toSeq ++ optional.toSeq.flatten)
               .flatMap(pt => pt.first.name.toSeq ++ pt.hops.flatMap(h => h._2.name.toSeq))
               .filterNot(_.startsWith("__")).distinct
@@ -731,7 +754,7 @@ object CypherParser {
       // trailing-input enforcement lives in the entry points (end()) so a
       // UNION connector after this query is the caller's to consume
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest, withClauses.toSeq, unwindLit, optionalWhere.toSeq)
+        limit, skip, shortest, withClauses.toSeq, unwindLit, unwindRange, optionalWhere.toSeq)
     }
 
     private def path(): Path = {
@@ -808,6 +831,29 @@ object CypherParser {
       )) match {
         case (a, b) if a < 1 || b < a => err(s"invalid variable-length range *$lo..$hi")
         case ok => ok
+      }
+    }
+
+    /** One range() bound: an optionally-negative integer literal or a
+      * numeric $param (longs only — range is the integer row generator). */
+    private def rangeArg(): Long = {
+      ws()
+      if (peek == '$') {
+        i += 1
+        val n = ident()
+        paramValue(n) match {
+          case l: Long => l
+          case v: Int  => v.toLong
+          case other => err(s"$$$n must be an integer in a range() bound, got $other")
+        }
+      } else {
+        val neg = peek == '-'
+        if (neg) i += 1
+        val start = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        if (i == start) err("expected integer in range()")
+        val v = s.substring(start, i).toLong
+        if (neg) -v else v
       }
     }
 
@@ -975,13 +1021,15 @@ object CypherParser {
     // `bare` = post-WITH context: refs are bare stage columns (validated by
     // the caller), CASE predicates parse with bare atoms too.
     private val valueFnNames = Set(
-      "toupper", "tolower", "trim", "size", "abs", "ceil", "floor", "round",
-      "sqrt", "sign", "tointeger", "tofloat", "tostring", "reverse", "head", "last")
+      "toupper", "tolower", "trim", "ltrim", "rtrim", "size", "abs", "ceil", "floor",
+      "round", "sqrt", "sign", "exp", "log", "log10", "tointeger", "tofloat",
+      "tostring", "toboolean", "reverse", "head", "last")
     // multi-arg openCypher string functions: name -> (min args, max args).
     // substring is 0-based (openCypher); the compiler shifts to Spark's
     // 1-based substr.
     private val multiArgFns = Map(
-      "substring" -> (2, 3), "replace" -> (3, 3), "left" -> (2, 2), "right" -> (2, 2))
+      "substring" -> (2, 3), "replace" -> (3, 3), "left" -> (2, 2), "right" -> (2, 2),
+      "split" -> (2, 2), "range" -> (2, 3))
     private def exprP(bare: Boolean): Expr = addE(bare)
     private def addE(bare: Boolean): Expr = {
       var l = mulE(bare)

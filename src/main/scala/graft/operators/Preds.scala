@@ -34,7 +34,13 @@ object Preds {
     "tointeger" -> (c => c.cast("long")),
     "tofloat"   -> (c => c.cast("double")),
     "tostring"  -> (c => c.cast("string")),
+    "toboolean" -> (c => c.cast("boolean")),
     "reverse"   -> (c => reverse(c)),
+    "ltrim"     -> (c => ltrim(c)),
+    "rtrim"     -> (c => rtrim(c)),
+    "exp"       -> (c => exp(c)),
+    "log"       -> (c => log(c)),   // natural log, openCypher log()
+    "log10"     -> (c => log10(c)),
     // list accessors for collect()ed columns (element_at is 1-based; -1 is
     // the last element) — array columns only, loud analysis error elsewhere
     "head"      -> (c => element_at(c, 1)),
@@ -109,6 +115,11 @@ object Preds {
       }
     case Ast.EFn("coalesce", args) =>
       coalesce(args.map(exprColumn(_, resolve, pat)): _*)
+    // size() is string-length by default (valueFn), but over an expression
+    // statically known to yield a LIST (split / range) it counts elements —
+    // openCypher size() covers both, and the arg's shape is known at compile
+    case Ast.EFn("size", Seq(a @ Ast.EFn("split" | "range", _))) =>
+      size(exprColumn(a, resolve, pat)).cast("long")
     case Ast.EFn(f, Seq(a)) if valueFn.contains(f) =>
       valueFn(f)(exprColumn(a, resolve, pat))
     // openCypher substring is 0-based; Spark substr is 1-based. A missing
@@ -128,6 +139,21 @@ object Preds {
       val nn = exprColumn(n, resolve, pat)
       // clamp the start at 1 so n > length returns the whole string
       c.substr(greatest(length(c) - nn + lit(1), lit(1)), nn)
+    // openCypher split() splits on a LITERAL delimiter; Spark's split takes a
+    // regex, so the delimiter must be a string literal we can regex-quote at
+    // compile time (an expression-valued delimiter can't be safely quoted).
+    case Ast.EFn("split", Seq(a, d)) =>
+      d match {
+        case Ast.ELit(s: String) =>
+          split(exprColumn(a, resolve, pat), java.util.regex.Pattern.quote(s))
+        case _ => throw new IllegalArgumentException(
+          "split() requires a string-literal delimiter")
+      }
+    // openCypher range(start, end[, step]) — inclusive both ends, exactly
+    // Spark's sequence(); pairs with UNWIND as the numeric row generator
+    case Ast.EFn("range", args) =>
+      val cs = args.map(exprColumn(_, resolve, pat))
+      if (cs.size == 2) sequence(cs(0), cs(1)) else sequence(cs(0), cs(1), cs(2))
     case Ast.EFn(f, _) => throw new IllegalArgumentException(s"unknown function $f")
     case Ast.ECase(whens, dflt) =>
       val branches = whens.map { case (p, v) =>

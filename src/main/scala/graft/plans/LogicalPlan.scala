@@ -32,7 +32,7 @@ object Pattern {
     * `labels(n)` the node's label list (single-label model → 1-element
     * array), plus the [[ValueFnNames]] value functions. They are grouping
     * keys under aggregation, not aggregates. */
-  val ScalarFns: Set[String] = Set("id", "type", "labels") ++ ValueFnNames
+  val ScalarFns: Set[String] = Set("id", "type", "labels", "startnode", "endnode", "keys") ++ ValueFnNames
 
   /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
     * see Ast.RelPat); (1, 1) is a plain relationship. `name` is the
@@ -224,6 +224,18 @@ object Pattern {
             if (returnableEdges(r.binding))
               s"labels(${r.binding}): ${r.binding} is a relationship — use type(${r.binding})"
             else s"labels(${r.binding}): unknown binding")
+        case Some(f @ ("startnode" | "endnode")) =>
+          if (!returnableEdges(r.binding)) throw new graft.cypher.ParseException(
+            if (allBindings(r.binding))
+              s"$f(${r.binding}): ${r.binding} is a node binding — " +
+                s"$f() takes a relationship variable"
+            else s"$f(${r.binding}): unknown relationship variable")
+        case Some("keys") =>
+          if (!allBindings(r.binding)) throw new graft.cypher.ParseException(
+            if (returnableEdges(r.binding))
+              s"keys(${r.binding}): relationship property keys are not supported — " +
+                "project a property instead"
+            else s"keys(${r.binding}): unknown binding")
         case _ =>
           if (!allBindings(r.binding)) {
             if (returnableEdges(r.binding)) {
@@ -281,7 +293,8 @@ object Pattern {
         s"edge predicate on variable-length relationship ${c.binding} is not supported " +
           "(a varlen variable binds a list of relationships)")
     }
-    q.returns.filter(r => (r.prop.isDefined || r.agg.contains("type")) &&
+    q.returns.filter(r => (r.prop.isDefined ||
+        r.agg.exists(Set("type", "startnode", "endnode"))) &&
         edgeByName.get(r.binding).exists(_.maxHops > 1)).foreach { r =>
       throw new graft.cypher.ParseException(
         s"property of variable-length relationship ${r.binding} is not supported in RETURN " +

@@ -237,6 +237,29 @@ object TextOps {
     else f"${(rate * 4294967296.0).toLong}%08x"
 
   /**
+   * Deterministic PER-ROW weighted Bernoulli sampling — quality-weighted
+   * corpus downsampling (keep probability = the row's own score, e.g. a
+   * model or heuristic quality signal), the per-row generalization of
+   * [[sampleStratified]]'s fixed per-stratum rate. A row survives iff its
+   * md5-prefix uniform draw falls under its weight:
+   *
+   *   substring(md5(id), 1, 15) <= hex15(floor(clamp(weight, 0, 1) · 2^60))
+   *
+   * Pure per-row projection + filter — no shuffle, no RNG state; the
+   * threshold is engine-portable (`printf('%015x', …)` in any SQL engine),
+   * so an external oracle reproduces the exact kept set. The 15-hex prefix
+   * (60 bits) keeps the threshold inside a signed 64-bit int; weight = 1
+   * clamps to the all-f threshold (keep all).
+   */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val thr = least(floor(w * lit(1152921504606846976.0)).cast("long"),
+      lit(1152921504606846975L))
+    val pfx = substring(md5(col(idCol).cast("string").cast("binary")), 1, 15)
+    df.filter(pfx <= format_string("%015x", thr))
+  }
+
+  /**
    * Deterministic epoch-mix resampling — the UPSAMPLING complement of
    * [[sampleStratified]]: each group (domain/source) is repeated
    * `epochs(g)` times in the output, the way production training mixes run

@@ -334,4 +334,94 @@ class AlgorithmsSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1))
     assert(zeros.forall(_ == 0.0))
   }
+
+  test("scc: two cycles bridged, a tail, and an isolate") {
+    // {0,1,2} cycle → {3,4} cycle → 5 (tail); 6 isolated
+    val vs = (0L to 6L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 3L), (3L, 5L))
+      .toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("scc: decreasing-id chain is all singletons (trim, not per-root peeling)") {
+    // 5→4→3→2→1 is the coloring algorithm's textbook worst case; trim
+    // must solve it wholesale (each pass peels both ends of the chain,
+    // so the budget needed is ~n/2 trim passes, not n color rounds)
+    val vs = (1L to 5L).toDF("id")
+    val es = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(vs, es, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(v => v -> v).toMap)
+  }
+
+  test("scc: chain of cycles needs multiple color rounds") {
+    // {1,2} ⇄ cycle → {3,4} cycle → {5,6} cycle, chained by one-way bridges:
+    // removing the max-root SCC must expose the next, not mislabel it
+    val vs = (1L to 6L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("closeness: path graph and unreachable score") {
+    val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Algorithms.closenessCentrality(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // C(0) = 2 reachable / (1+2); C(1) = 1/1; sinks and isolates 0
+    assert(math.abs(got(0L) - 2.0 / 3) < 1e-12)
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(9L) == 0.0)
+  }
+
+  test("hits: one iteration on a 2-customer bipartite graph") {
+    val es = Seq((0L, 10L), (1L, 10L), (1L, 11L)).toDF("src", "dst")
+    val got = Algorithms.hits(es, iters = 1)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // auth ∝ in-sum of unit hubs: 10→2, 11→1, L1 → 2/3, 1/3
+    // hub ∝ out-sum of those auths: 0→2/3, 1→1, L1 → 0.4, 0.6
+    assert(math.abs(got(10L)._2 - 2.0 / 3) < 1e-12 && math.abs(got(11L)._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(0L)._1 - 0.4) < 1e-12 && math.abs(got(1L)._1 - 0.6) < 1e-12)
+    // sources have 0 authority; sinks have 0 hub
+    assert(got(0L)._2 == 0.0 && got(10L)._1 == 0.0)
+  }
+
+  test("hits: scores stay L1-normalized across iterations") {
+    val es = Seq((0L, 10L), (1L, 10L), (1L, 11L), (2L, 11L), (10L, 2L)).toDF("src", "dst")
+    val rows = Algorithms.hits(es, iters = 3).collect()
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("random walks: chain follows the only edge; sinks end the walk") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Algorithms.randomWalks(es, Seq(0L, 3L).toDF("id"), steps = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // from 0: deterministic chain, ends at the sink after 3 hops
+    assert(got == Map((0L, 0) -> 0L, (0L, 1) -> 1L, (0L, 2) -> 2L, (0L, 3) -> 3L,
+      (3L, 0) -> 3L))
+  }
+
+  test("random walks: branch picks the md5-argmin neighbor") {
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect1 = Seq(1L, 2L, 3L).minBy(d => h(s"0:1:$d"))
+    val got = Algorithms.randomWalks(es, Seq(0L).toDF("id"), steps = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 1)) == expect1)
+  }
+
+  test("degree assortativity: hand-computed Pearson on three edges") {
+    val es = Seq((0L, 1L), (0L, 2L), (3L, 2L)).toDF("src", "dst")
+    val got = Algorithms.degreeAssortativity(es).collect()(0).getDouble(0)
+    // degree pairs (2,1) (2,2) (1,2) → r = -0.5
+    assert(math.abs(got - (-0.5)) < 1e-12)
+    // star graph: zero variance on one side → NULL
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Algorithms.degreeAssortativity(star).collect()(0).isNullAt(0))
+  }
 }

@@ -1560,4 +1560,101 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(s.toSeq == Seq(2L)) // "a1"
   }
+
+  test("UNWIND range(): inclusive bounds, step, empty interval, params") {
+    val db = new GraphDB(diamond)
+    val asc = db.query("UNWIND range(1, 5) AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(asc.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val stepped = db.query("UNWIND range(0, 10, 3) AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(stepped.toSeq == Seq(0L, 3L, 6L, 9L))
+    val desc = db.query("UNWIND range(3, 1, -1) AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(desc.toSeq == Seq(1L, 2L, 3L))
+    // bounds pointing away from end → empty (openCypher)
+    assert(db.query("UNWIND range(5, 1) AS x RETURN x").collect().isEmpty)
+    // parameterized bounds; pipeline aggregation over the source
+    val agg = db.query("UNWIND range($lo, $hi) AS x RETURN count(x) AS n, sum(x) AS s",
+      Map("lo" -> 1, "hi" -> 4)).collect()(0)
+    assert(agg.getLong(0) == 4L && agg.getLong(1) == 10L)
+    // step 0 rejected at parse
+    intercept[graft.cypher.ParseException] {
+      db.query("UNWIND range(1, 5, 0) AS x RETURN x")
+    }
+  }
+
+  test("range() as a value expression pairs with mid-pipeline UNWIND") {
+    val db = new GraphDB(diamond)
+    val rows = db.query(
+      "UNWIND range(1, 3) AS x WITH x, range(1, x) AS xs UNWIND xs AS y " +
+      "RETURN x, count(y) AS n ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // size() counts elements over the statically-list-valued range()
+    val sz = db.query("UNWIND range(2, 4) AS x RETURN x, size(range(1, x)) AS n ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sz.toSeq == Seq((2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("split(): literal delimiter, list accessors; expression delimiter rejected") {
+    val db = new GraphDB(propsG)
+    val rows = db.query(
+      "MATCH (a:A) RETURN size(split(a.name, '1')) AS parts, head(split(a.name, '1')) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "a"))) // "a1" → ["a", ""]
+    // the delimiter is regex-QUOTED: '.' splits on the literal dot, not any-char
+    val dot = db.query("UNWIND ['a.b.c'] AS s RETURN size(split(s, '.')) AS n")
+      .collect().map(_.getLong(0))
+    assert(dot.toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      db.query("MATCH (a:A) RETURN split(a.name, a.name) AS x").collect()
+    }
+  }
+
+  test("startNode/endNode: storage orientation, undirected match, rejections") {
+    val db = new GraphDB(diamond)
+    val fwd = db.query("MATCH (a:A)-[r:X]->(b:B) RETURN startNode(r) AS s, endNode(r) AS e " +
+      "ORDER BY e").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fwd.toSeq == Seq((1L, 2L), (1L, 3L)))
+    // undirected match must NOT reorient: both rows keep storage src=1
+    val und = db.query("MATCH (a:A)-[r:X]-(b:B) RETURN startNode(r) AS s, endNode(r) AS e " +
+      "ORDER BY e").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(und.toSeq == Seq((1L, 2L), (1L, 3L)))
+    intercept[graft.cypher.ParseException] { // node binding
+      db.query("MATCH (a:A)-[:X]->(b:B) RETURN startNode(a) AS s")
+    }
+    intercept[graft.cypher.ParseException] { // varlen binds a list
+      db.query("MATCH (a:A)-[r:X*1..2]->(b) RETURN startNode(r) AS s")
+    }
+  }
+
+  test("keys(n): present property keys, sorted; relationship rejected") {
+    val db = new GraphDB(propsG)
+    val ks = db.query("MATCH (a:A) RETURN keys(a) AS ks").collect()(0).getSeq[String](0)
+    assert(ks == Seq("name", "value"))
+    // a null property drops out of the key list per row
+    val g2 = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A", null.asInstanceOf[String], 1.0)))
+        .toDF("id", "label", "name", "value"),
+      spark.createDataFrame(Seq.empty[(Long, Long, String)]).toDF("src", "dst", "etype"))
+    val ks2 = new GraphDB(g2).query("MATCH (a:A) RETURN keys(a) AS ks")
+      .collect()(0).getSeq[String](0)
+    assert(ks2 == Seq("value"))
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[r:X]->(b:B) RETURN keys(r) AS ks")
+    }
+  }
+
+  test("round-8 scalars: ltrim/rtrim, toBoolean, exp/log/log10") {
+    val db = new GraphDB(diamond)
+    val r = db.query(
+      "UNWIND ['  pad  '] AS s RETURN ltrim(s) AS l, rtrim(s) AS r, ltrim(rtrim(s)) AS b")
+      .collect()(0)
+    assert(r.getString(0) == "pad  " && r.getString(1) == "  pad" && r.getString(2) == "pad")
+    val m = db.query(
+      "UNWIND range(1, 1) AS x RETURN toBoolean('true') AS t, round(exp(log(100))) AS e, " +
+      "log10(1000) AS lg").collect()(0)
+    assert(m.getBoolean(0) && m.getDouble(1) == 100.0 && m.getDouble(2) == 3.0)
+  }
 }

@@ -241,4 +241,24 @@ class TextSpec extends SparkSpec {
     val nDup = frac.filter($"source" === "dup").count()
     assert(nDup >= 10 && nDup <= 20) // 10 full copies + a strict subset
   }
+
+  test("sampleWeighted: clamps, replays the md5 draw, monotone in weight") {
+    val d = (1L to 200L).map(i => (i, i.toDouble / 200.0)).toDF("doc_id", "w")
+    // weight 0 (and negative) drops everything; weight ≥ 1 keeps everything
+    assert(TextOps.sampleWeighted(d, "doc_id", org.apache.spark.sql.functions.lit(0.0)).count() == 0L)
+    assert(TextOps.sampleWeighted(d, "doc_id", org.apache.spark.sql.functions.lit(-3.0)).count() == 0L)
+    assert(TextOps.sampleWeighted(d, "doc_id", org.apache.spark.sql.functions.lit(1.0)).count() == 200L)
+    assert(TextOps.sampleWeighted(d, "doc_id", org.apache.spark.sql.functions.lit(7.5)).count() == 200L)
+    // per-row weight: replicate the draw in the JVM
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1L to 200L).filter { i =>
+      val thr = math.min((i / 200.0 * 1152921504606846976.0).toLong, 1152921504606846975L)
+      md5hex(i.toString).substring(0, 15) <= f"$thr%015x"
+    }.toSet
+    val got = TextOps.sampleWeighted(d, "doc_id", $"w").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < 200) // a real subset at these weights
+  }
 }
