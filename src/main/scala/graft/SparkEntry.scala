@@ -74,6 +74,13 @@ object SparkEntry {
     * definition (pairs are keyed by linenumber, not by surviving rows).
     * mod = 10 keeps the SCC census mixed; mod = 1 is the full graph. */
   private def partSeqEdges(s: SparkSession, dir: String, mod: Int = 10): DataFrame = {
+    // A lead()-window formulation would save one scan + the join shuffle,
+    // but the fixture carries DUPLICATE (l_orderkey, l_linenumber) pairs
+    // (11,785 at sf0.01) and the join fans out across all of them — a
+    // window's single successor can't express that, so the equi-join IS
+    // the semantics. The mod filter applies per join SIDE (pairing is
+    // keyed by linenumber, not by surviving rows), so it pushes into both
+    // lineitem scans.
     val li0 = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
     val li = if (mod == 1) li0 else li0.filter(col("l_partkey") % mod === 0)
     li.as("a").join(li.as("b"),
@@ -1002,12 +1009,13 @@ object SparkEntry {
     }),
     // strongly connected components over the part ORDER-SEQUENCE graph
     // (consecutive lineitems of an order → directed part→part hop). The
-    // mod-10 induced subgraph keeps the SCC census MIXED — one mid-size
-    // core plus many singleton/small components — instead of the one
-    // all-absorbing component the full sequence graph collapses into
-    // (which would test nothing but the giant-SCC sweep).
+    // mod-5 induced subgraph keeps a mixed census (one core + singleton
+    // periphery) while staying DENSE enough that its diameter — which
+    // bounds the trim/color/sweep round counts — stays low (~4 trim
+    // passes, ecc ≈ 14 at sf0.1; the sparser mod-10 slice ran a 16-layer
+    // periphery and 29-hop eccentricity: 3x the rounds on half the data).
     "scc" -> ((s, dir) => {
-      val e = partSeqEdges(s, dir)
+      val e = partSeqEdges(s, dir, mod = 5)
       val vs = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
       Algorithms.stronglyConnectedComponents(vs, e)
@@ -2214,7 +2222,7 @@ object SparkEntry {
     // induced graph is small at sf0.01; the Spark side runs the actual
     // trim+color+sweep algorithm
     "scc" ->
-      ("WITH RECURSIVE " + partSeqCte(10) +
+      ("WITH RECURSIVE " + partSeqCte(5) +
        ", v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
        "reach(a, b) AS (SELECT src, dst FROM e " +
        "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
