@@ -483,6 +483,26 @@ object SparkEntry {
         "MATCH (c:customer) WHERE c.value > 9990 " +
         "RETURN c AS cid, ltrim(rtrim(c.name)) AS nm, floor(log10(c.value)) AS mag, " +
         "round(exp(0)) AS one, toBoolean('true') AS tb ORDER BY cid")),
+    // list predicates over collected values — any/all/single compile to
+    // Spark's codegen'd exists/forall/filter higher-order functions
+    "cy_list_pred" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WITH n, collect(c.value) AS vs " +
+        "RETURN n, any(x IN vs WHERE x > 9990) AS has_rich, " +
+        "all(x IN vs WHERE x > -1000) AS all_ok, " +
+        "single(x IN vs WHERE x > 9995) AS one_top ORDER BY n")),
+    // comprehension + reduce over a collected range — filter/transform/
+    // aggregate; no explode, no UDF
+    "cy_list_comp" -> ((s, dir) =>
+      db(s, dir).query(
+        "UNWIND range(1, 12) AS x WITH collect(x) AS xs " +
+        "RETURN size([y IN xs WHERE y % 3 = 0 | y * y]) AS n, " +
+        "reduce(s = 0, y IN xs | s + y) AS total, [y IN xs WHERE y > 9] AS big")),
+    // a bare list predicate standing alone as a WITH-stage WHERE conjunct
+    "cy_list_where" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) WITH n, collect(c.value) AS vs " +
+        "WHERE any(x IN vs WHERE x > 9995) RETURN n ORDER BY n")),
     // startNode/endNode on a matched relationship: endpoint ids in STORAGE
     // orientation (openCypher — an undirected match never reorients)
     "cy_startend" -> ((s, dir) =>
@@ -1433,6 +1453,36 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "rk")
     }),
+    // OHLC bars: open/close via min_by/max_by over the (ts, event_id)
+    // struct order (event_id breaks timestamp ties deterministically) —
+    // one combinable groupBy, no window pass
+    "ev_ohlc" -> ((s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))),
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // still ONE Expand + partial-agg pass — no per-set rescan
+    "olap_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
+      s.sql(
+        "SELECT l_returnflag, l_linestatus, " +
+        "cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty, " +
+        "count(1) AS n FROM graft_gs_lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())")
+    }),
+    // lag(): per-user inter-event gap in seconds (first event → NULL)
+    "window_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      graft.sources.Tables.events(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .select(col("event_id"),
+          (col("ts").cast("long") - col("__prev").cast("long")).as("gap_s"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1599,6 +1649,21 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS cid, ltrim(rtrim(c_name)) AS nm, " +
        "floor(log10(c_acctbal))::BIGINT AS mag, round(exp(0)) AS one, true AS tb " +
        "FROM customer WHERE c_acctbal > 9990 ORDER BY cid"),
+    // list predicates replay as grouped boolean aggregates (no NULLs in
+    // acctbal, so bool_or/bool_and ≡ exists/forall over the collected list)
+    "cy_list_pred" ->
+      ("SELECT c_nationkey + 2000000000 AS n, bool_or(c_acctbal > 9990) AS has_rich, " +
+       "bool_and(c_acctbal > -1000) AS all_ok, " +
+       "(count(*) FILTER (WHERE c_acctbal > 9995)) = 1 AS one_top " +
+       "FROM customer GROUP BY 1 ORDER BY n"),
+    "cy_list_comp" ->
+      ("WITH xs AS (SELECT list(x ORDER BY x) AS l FROM generate_series(1, 12) t(x)) " +
+       "SELECT len(list_filter(l, y -> y % 3 = 0))::BIGINT AS n, " +
+       "list_aggregate(l, 'sum')::BIGINT AS total, " +
+       "list_filter(l, y -> y > 9) AS big FROM xs"),
+    "cy_list_where" ->
+      ("SELECT n FROM (SELECT c_nationkey + 2000000000 AS n, " +
+       "bool_or(c_acctbal > 9995) AS f FROM customer GROUP BY 1) WHERE f ORDER BY n"),
     "cy_startend" ->
       ("SELECT c_custkey + 3000000000 AS sn, c_nationkey + 2000000000 AS en, " +
        "'IN_NATION' AS t FROM customer WHERE c_acctbal > 9990 ORDER BY sn"),
@@ -2415,6 +2480,27 @@ object SparkEntry {
       ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) " +
        "SELECT o_custkey, o_orderkey, rk FROM r WHERE rk <= 3"),
+    // open/close replayed via first/last row_number flags — no arg_min on
+    // composite keys needed; high/low/open/close are EXISTING row values
+    // (no float accumulation), so no rounding
+    "ev_ohlc" ->
+      ("WITH b AS (SELECT event_type, ts::DATE AS day, value, " +
+       "row_number() OVER (PARTITION BY event_type, ts::DATE " +
+       "ORDER BY ts, event_id) AS rf, " +
+       "row_number() OVER (PARTITION BY event_type, ts::DATE " +
+       "ORDER BY ts DESC, event_id DESC) AS rl FROM events) " +
+       "SELECT event_type, day, min(CASE WHEN rf = 1 THEN value END) AS open, " +
+       "max(value) AS high, min(value) AS low, " +
+       "min(CASE WHEN rl = 1 THEN value END) AS close, count(*) AS n " +
+       "FROM b GROUP BY 1, 2"),
+    "olap_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(1) AS n " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+    "window_lag" ->
+      ("SELECT event_id, date_diff('second', " +
+       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s " +
+       "FROM events"),
     "window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
        "(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey " +

@@ -88,6 +88,18 @@ object Ast {
     * openCypher). The simple form `CASE x WHEN a THEN v …` desugars at
     * parse into equality predicates on the scrutinee. */
   final case class ECase(whens: Seq[(Pred, Expr)], default: Option[Expr]) extends Expr
+  /** List predicate `any|all|none|single(x IN list WHERE p)` — boolean-
+    * valued; compiles to Spark's codegen'd higher-order exists/forall. */
+  final case class EListPred(kind: String, v: String, list: Expr, pred: Pred) extends Expr
+  /** List comprehension `[x IN list WHERE p | e]` (filter and projection
+    * each optional, not both absent) → filter()/transform(). */
+  final case class EListComp(v: String, list: Expr, pred: Option[Pred],
+                             proj: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN list | body)` → aggregate(). */
+  final case class EReduce(acc: String, init: Expr, v: String, list: Expr,
+                           body: Expr) extends Expr
+  /** Literal list in a value-expression position (`[1, 2, 3]`). */
+  final case class EListLit(vs: Seq[Any]) extends Expr
 
   object Expr {
     /** Every (binding, prop) pair the expression reads; bare refs carry
@@ -96,11 +108,19 @@ object Ast {
     def refs(e: Expr): Seq[(String, String)] = e match {
       case ERef(b, p)     => Seq(b -> p.getOrElse(""))
       case ELit(_)        => Seq.empty
+      case EListLit(_)    => Seq.empty
       case EBin(_, l, r)  => refs(l) ++ refs(r)
       case ENeg(x)        => refs(x)
       case EFn(_, args)   => args.flatMap(refs)
       case ECase(ws, d)   =>
         ws.flatMap { case (p, v) => Pred.refs(p) ++ refs(v) } ++ d.toSeq.flatMap(refs)
+      // lambda-bound variables are NOT outer references
+      case EListPred(_, v, l, p) =>
+        refs(l) ++ Pred.refs(p).filterNot(_._1 == v)
+      case EListComp(v, l, p, pr) =>
+        refs(l) ++ (p.toSeq.flatMap(Pred.refs) ++ pr.toSeq.flatMap(refs)).filterNot(_._1 == v)
+      case EReduce(a, init, v, l, body) =>
+        refs(init) ++ refs(l) ++ refs(body).filterNot(r => r._1 == v || r._1 == a)
     }
     /** Pattern predicates nested in CASE conditions (rejected in items —
       * the exists-flag machinery is residual-WHERE-only). */
@@ -111,6 +131,11 @@ object Ast {
       case EBin(_, l, r) => patterns(l) ++ patterns(r)
       case ENeg(x)       => patterns(x)
       case EFn(_, args)  => args.flatMap(patterns)
+      case EListPred(_, _, l, p)  => patterns(l) ++ Pred.patterns(p)
+      case EListComp(_, l, p, pr) =>
+        patterns(l) ++ p.toSeq.flatMap(Pred.patterns) ++ pr.toSeq.flatMap(patterns)
+      case EReduce(_, init, _, l, body) =>
+        patterns(init) ++ patterns(l) ++ patterns(body)
       case _             => Seq.empty
     }
   }
@@ -990,7 +1015,12 @@ object CypherParser {
           val ops = Seq("<=", ">=", "<>", "=", "<", ">")
           ops.find(o => s.regionMatches(false, i, o, 0, o.length)) match {
             case Some(o) => i += o.length; o
-            case None => err("expected comparison operator")
+            case None => l match {
+              // a bare boolean-valued list predicate stands alone as a
+              // WHERE conjunct: `WHERE any(x IN vs WHERE x > 5)`
+              case _: EListPred => return CmpE(l, "=", ELit(true))
+              case _ => err("expected comparison operator")
+            }
           }
         }
       val r = exprP(bareAtoms)
@@ -1061,18 +1091,44 @@ object CypherParser {
       if (peek == '-') { i += 1; ENeg(unaryE(bare)) } else atomE(bare)
     }
     private def peekKw(k: String): Boolean = { val save = i; val r = kw(k); i = save; r }
+    private val listPredNames = Set("any", "all", "none", "single")
     private def atomE(bare: Boolean): Expr = {
       ws()
       if (peek == '\'' || peek == '"') ELit(stringLit())
       else if (peek == '$') { i += 1; ELit(paramValue(ident())) }
       else if (peek.isDigit) ELit(numberLit())
+      else if (peek == '[') listCompOrLit(bare)
       else if (peek == '(') { eat('('); val e = addE(bare); eat(')'); e }
       else if (peekKw("CASE")) { kw("CASE"); caseE(bare) }
       else {
         val name = ident()
         ws()
         val nl = name.toLowerCase
-        if (peek == '(' && nl == "coalesce") {
+        if (peek == '(' && listPredNames(nl)) {
+          // any|all|none|single(x IN list WHERE p) — x scopes the predicate
+          eat('(')
+          val v = ident()
+          if (!kw("IN")) err(s"expected IN in $nl()")
+          val le = addE(bare)
+          if (!kw("WHERE")) err(s"expected WHERE in $nl()")
+          val p = orExpr(bare)
+          eat(')')
+          EListPred(nl, v, le, p)
+        } else if (peek == '(' && nl == "reduce") {
+          // reduce(acc = init, x IN list | body)
+          eat('(')
+          val acc = ident()
+          eat('=')
+          val init = addE(bare)
+          eat(',')
+          val v = ident()
+          if (!kw("IN")) err("expected IN in reduce()")
+          val le = addE(bare)
+          ws(); eat('|')
+          val body = addE(bare)
+          eat(')')
+          EReduce(acc, init, v, le, body)
+        } else if (peek == '(' && nl == "coalesce") {
           eat('(')
           val args = scala.collection.mutable.ArrayBuffer(addE(bare))
           while (tryEat(',')) args += addE(bare)
@@ -1099,6 +1155,30 @@ object CypherParser {
         }
       }
     }
+    /** `[` in an expression position: a comprehension `[x IN list
+      * [WHERE p] [| e]]` when `ident IN` follows the bracket, else a
+      * literal list (string XOR number elements, like UNWIND's). */
+    private def listCompOrLit(bare: Boolean): Expr = {
+      val save = i
+      eat('[')
+      ws()
+      if (peek.isLetter || peek == '_') {
+        val v = ident()
+        if (kw("IN")) {
+          val le = addE(bare)
+          val p = if (kw("WHERE")) Some(orExpr(bare)) else None
+          ws()
+          val proj = if (peek == '|') { i += 1; Some(addE(bare)) } else None
+          if (p.isEmpty && proj.isEmpty)
+            err("a list comprehension needs a WHERE filter or a | projection")
+          eat(']')
+          return EListComp(v, le, p, proj)
+        }
+      }
+      i = save
+      EListLit(literalList())
+    }
+
     /** CASE body (the CASE keyword is consumed). Searched form WHENs are
       * full boolean predicates; the simple form desugars each WHEN value
       * into an equality on the scrutinee. No ELSE → NULL (openCypher). */

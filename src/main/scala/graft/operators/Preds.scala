@@ -98,10 +98,43 @@ object Preds {
     * here leaves the built-in expression library). `resolve(binding, prop)`
     * is the same resolver [[column]] takes — prop "" is a bare reference
     * (the binding's id column over a match, a bare stage column post-WITH). */
+  /** Resolver for a lambda scope: `name` reads the lambda Column, property
+    * access on it is an error, everything else defers to the outer scope. */
+  private def lambdaResolve(name: String, x: Column,
+                            outer: (String, String) => Column): (String, String) => Column =
+    (b, p) =>
+      if (b == name) {
+        if (p.nonEmpty) throw new IllegalArgumentException(
+          s"$b.$p: a list variable binds scalar elements — it has no properties")
+        x
+      } else outer(b, p)
+
   def exprColumn(e: Ast.Expr, resolve: (String, String) => Column,
                  pat: Ast.PatPred => Column): Column = e match {
     case Ast.ERef(b, p)  => resolve(b, p.getOrElse(""))
     case Ast.ELit(v)     => lit(v)
+    case Ast.EListLit(vs) => array(vs.map(lit): _*)
+    // list predicates / comprehension / reduce compile to Spark's
+    // higher-order functions — per-row, codegen'd, no UDF, no explode
+    case Ast.EListPred(kind, v, l, p) =>
+      val lc = exprColumn(l, resolve, pat)
+      def lam(x: Column) = column(p, lambdaResolve(v, x, resolve), pat)
+      kind match {
+        case "any"    => exists(lc, x => lam(x))
+        case "all"    => forall(lc, x => lam(x))
+        case "none"   => !exists(lc, x => lam(x))
+        case "single" => size(filter(lc, (x: Column) => lam(x))) === 1
+      }
+    case Ast.EListComp(v, l, p, proj) =>
+      val lc = exprColumn(l, resolve, pat)
+      val filtered = p.fold(lc)(pp =>
+        filter(lc, x => column(pp, lambdaResolve(v, x, resolve), pat)))
+      proj.fold(filtered)(e2 =>
+        transform(filtered, x => exprColumn(e2, lambdaResolve(v, x, resolve), pat)))
+    case Ast.EReduce(acc, init, v, l, body) =>
+      val lc = exprColumn(l, resolve, pat)
+      aggregate(lc, exprColumn(init, resolve, pat),
+        (a, x) => exprColumn(body, lambdaResolve(acc, a, lambdaResolve(v, x, resolve)), pat))
     case Ast.ENeg(x)     => -exprColumn(x, resolve, pat)
     case Ast.EBin(op, l, r) =>
       val (cl, cr) = (exprColumn(l, resolve, pat), exprColumn(r, resolve, pat))
@@ -118,7 +151,8 @@ object Preds {
     // size() is string-length by default (valueFn), but over an expression
     // statically known to yield a LIST (split / range) it counts elements —
     // openCypher size() covers both, and the arg's shape is known at compile
-    case Ast.EFn("size", Seq(a @ Ast.EFn("split" | "range", _))) =>
+    case Ast.EFn("size", Seq(a @ (Ast.EFn("split" | "range", _) | _: Ast.EListComp |
+                                  _: Ast.EListLit))) =>
       size(exprColumn(a, resolve, pat)).cast("long")
     case Ast.EFn(f, Seq(a)) if valueFn.contains(f) =>
       valueFn(f)(exprColumn(a, resolve, pat))

@@ -1646,6 +1646,52 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("list predicates: any/all/none/single over collected values") {
+    val db = new GraphDB(propsG)
+    // values collected per a: [10.0, 20.0, 10.0]
+    val r = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b.value) AS vs " +
+      "RETURN a, any(x IN vs WHERE x > 15) AS has_big, all(x IN vs WHERE x > 5) AS all_ok, " +
+      "none(x IN vs WHERE x > 99) AS none_huge, single(x IN vs WHERE x > 15) AS one_big")
+      .collect()(0)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+    // single is false when two elements match
+    val two = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b.value) AS vs " +
+      "RETURN single(x IN vs WHERE x > 5) AS s").collect()(0)
+    assert(!two.getBoolean(0))
+  }
+
+  test("list comprehension and reduce over a collected range") {
+    val db = new GraphDB(diamond)
+    val r = db.query(
+      "UNWIND range(1, 12) AS x WITH collect(x) AS xs " +
+      "RETURN size([y IN xs WHERE y % 3 = 0 | y * y]) AS n, " +
+      "reduce(s = 0, y IN xs | s + y) AS total, " +
+      "[y IN xs WHERE y > 9] AS big, head([y IN xs | y + 100]) AS h")
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 78L)
+    assert(r.getSeq[Long](2) == Seq(10L, 11L, 12L))
+    assert(r.getLong(3) == 101L)
+  }
+
+  test("bare list predicate as a WHERE conjunct; lambda scoping errors") {
+    val db = new GraphDB(propsG)
+    val names = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b.name) AS ns " +
+      "WHERE any(x IN ns WHERE x = 'y') RETURN a").collect().map(_.getLong(0))
+    assert(names.toSeq == Seq(1L))
+    val empty = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b.name) AS ns " +
+      "WHERE any(x IN ns WHERE x = 'zz') RETURN a").collect()
+    assert(empty.isEmpty)
+    // property access on a lambda variable is rejected at compile
+    intercept[IllegalArgumentException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs " +
+        "RETURN a, any(x IN bs WHERE x.value > 1) AS f").collect()
+    }
+  }
+
   test("round-8 scalars: ltrim/rtrim, toBoolean, exp/log/log10") {
     val db = new GraphDB(diamond)
     val r = db.query(

@@ -79,6 +79,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1))
   }
 
+  test("ohlc: open/close pick by (ts, event_id) order, ties broken by id") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 9.0), // same ts: id 1 wins open
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7.0)
+    ).toDF("event_id", "ts", "value")
+    val r = ev.agg(
+      min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+      max(col("value")).as("high"), min(col("value")).as("low"),
+      max_by(col("value"), struct(col("ts"), col("event_id"))).as("close")).collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (5.0, 9.0, 1.0, 7.0))
+  }
+
   test("sessionize splits on gaps over threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
