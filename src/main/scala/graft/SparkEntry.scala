@@ -484,7 +484,8 @@ object SparkEntry {
         "RETURN c AS cid, ltrim(rtrim(c.name)) AS nm, floor(log10(c.value)) AS mag, " +
         "round(exp(0)) AS one, toBoolean('true') AS tb ORDER BY cid")),
     // list predicates over collected values — any/all/single compile to
-    // Spark's codegen'd exists/forall/filter higher-order functions
+    // Spark's built-in exists/forall/filter higher-order functions (no
+    // UDF; lambdas are interpreted by design — CodegenFallback)
     "cy_list_pred" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) WITH n, collect(c.value) AS vs " +
@@ -1080,6 +1081,16 @@ object SparkEntry {
     "graph_assortativity" -> ((s, dir) =>
       Algorithms.degreeAssortativity(partSeqEdges(s, dir, mod = 1))
         .select(round(col("assortativity"), 6).as("assortativity"))),
+    // exact diameter + 90th-percentile effective diameter over finite
+    // geography-DAG distances — one bfsPerSource pass, two aggregates
+    "graph_diameter" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val e = g.edgesByType(Seq("IN_NATION", "IN_REGION")).select("src", "dst")
+      val seeds = e.select(col("src").as("id")).distinct()
+      Algorithms.bfsPerSource(e, seeds).filter(col("level") > 0)
+        .agg(max(col("level")).as("diameter"),
+          round(expr("percentile(level, 0.9)"), 6).as("p90"))
+    }),
 
     // --- text analysis / dedup (training-data pipeline ops) ---
     "text_token_counts" -> ((s, dir) =>
@@ -2314,6 +2325,18 @@ object SparkEntry {
        "SELECT v.id, round(coalesce(count(sp.dst) / sum(sp.d), 0), 6) AS closeness " +
        "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
     "hits" -> hitsOracle(iters = 2),
+    // diameter/p90 over the same depth-8 reach unroll as closeness/harmonic
+    "graph_diameter" ->
+      ("WITH RECURSIVE edge AS (" +
+       "SELECT n_nationkey + 2000000000 AS src, n_regionkey + 1000000000 AS dst FROM nation " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000 FROM customer " +
+       "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000 FROM supplier), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT src, dst, 1 FROM edge " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN edge e ON r.dst = e.src " +
+       "WHERE r.depth < 8), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2) " +
+       "SELECT max(d) AS diameter, round(quantile_cont(d, 0.9), 6) AS p90 FROM sp"),
     "graph_walks" -> walksOracle(steps = 6, seeds = 16),
     "graph_assortativity" ->
       ("WITH " + partSeqCte(1) +

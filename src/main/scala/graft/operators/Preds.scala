@@ -94,10 +94,6 @@ object Preds {
     exprColumn(e, resolve, pp => throw new IllegalArgumentException(
       s"pattern predicate is not supported in this position: ${pp.path}"))
 
-  /** Value expression → one Catalyst Column (whole-stage-codegen'd: nothing
-    * here leaves the built-in expression library). `resolve(binding, prop)`
-    * is the same resolver [[column]] takes — prop "" is a bare reference
-    * (the binding's id column over a match, a bare stage column post-WITH). */
   /** Resolver for a lambda scope: `name` reads the lambda Column, property
     * access on it is an error, everything else defers to the outer scope. */
   private def lambdaResolve(name: String, x: Column,
@@ -109,13 +105,22 @@ object Preds {
         x
       } else outer(b, p)
 
+  /** Value expression → one Catalyst Column. Nothing here leaves the
+    * built-in expression library (no UDF); everything but the list
+    * higher-order functions stays inside whole-stage codegen.
+    * `resolve(binding, prop)` is the same resolver [[column]] takes —
+    * prop "" is a bare reference (the binding's id column over a match, a
+    * bare stage column post-WITH). */
   def exprColumn(e: Ast.Expr, resolve: (String, String) => Column,
                  pat: Ast.PatPred => Column): Column = e match {
     case Ast.ERef(b, p)  => resolve(b, p.getOrElse(""))
     case Ast.ELit(v)     => lit(v)
     case Ast.EListLit(vs) => array(vs.map(lit): _*)
-    // list predicates / comprehension / reduce compile to Spark's
-    // higher-order functions — per-row, codegen'd, no UDF, no explode
+    // list predicates / comprehension / reduce compile to Spark's built-in
+    // higher-order functions — per-row Catalyst expressions, no UDF, no
+    // explode. (HOFs are CodegenFallback by Spark's own design: the lambda
+    // is interpreted, but input decoding/encoding stays columnar and the
+    // surrounding stage keeps whole-stage codegen.)
     case Ast.EListPred(kind, v, l, p) =>
       val lc = exprColumn(l, resolve, pat)
       def lam(x: Column) = column(p, lambdaResolve(v, x, resolve), pat)

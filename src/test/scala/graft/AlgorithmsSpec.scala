@@ -367,6 +367,65 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("scc: random digraphs match an in-JVM Tarjan") {
+    // the trim/color/sweep interplay is the subtlest code in the module —
+    // pin it against a reference implementation on seeded random graphs
+    def tarjan(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val index = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack = scala.collection.mutable.Stack[Long]()
+      val comp = scala.collection.mutable.Map[Long, Long]()
+      var counter = 0
+      def strongConnect(v0: Long): Unit = {
+        // iterative Tarjan (explicit work stack; avoids deep recursion)
+        case class Frame(v: Long, var i: Int)
+        val work = scala.collection.mutable.Stack(Frame(v0, 0))
+        index(v0) = counter; low(v0) = counter; counter += 1
+        stack.push(v0); onStack += v0
+        while (work.nonEmpty) {
+          val f = work.top
+          val succs = adj.getOrElse(f.v, Seq.empty)
+          if (f.i < succs.size) {
+            val w = succs(f.i); f.i += 1
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack.push(w); onStack += w
+              work.push(Frame(w, 0))
+            } else if (onStack(w)) low(f.v) = math.min(low(f.v), index(w))
+          } else {
+            work.pop()
+            if (work.nonEmpty) {
+              val p = work.top
+              low(p.v) = math.min(low(p.v), low(f.v))
+            }
+            if (low(f.v) == index(f.v)) {
+              val members = scala.collection.mutable.Buffer[Long]()
+              var w = -1L
+              while ({ w = stack.pop(); onStack -= w; members += w; w != f.v }) ()
+              val m = members.min
+              members.foreach(comp(_) = m)
+            }
+          }
+        }
+      }
+      (0L until n.toLong).foreach(v => if (!index.contains(v)) strongConnect(v))
+      comp.toMap
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val expect = tarjan(n, edges)
+      val got = Algorithms.stronglyConnectedComponents(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("closeness: path graph and unreachable score") {
     val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")

@@ -177,4 +177,29 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: unexpected UDF/eval node")
     }
   }
+
+  test("round-8 plan shapes: weighted sample is a pure filter, range is distributed, " +
+       "sketch is one partial-agg shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // per-row weighted sampling must stay embarrassingly parallel — the
+    // md5 draw and the threshold are both per-row projections
+    assert(plans("sample_weighted").count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+      "sample_weighted: expected a shuffle-free filter")
+    // UNWIND range() must read from the DISTRIBUTED Range source, never a
+    // driver-materialized local relation
+    val rangePlans = plans("cy_unwind_range")
+    assert(rangePlans.exists(_.isInstanceOf[org.apache.spark.sql.execution.RangeExec]),
+      "cy_unwind_range: expected a RangeExec source")
+    assert(!rangePlans.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "cy_unwind_range: range() must not materialize a driver-side list")
+    // the KMV sketch aggregates with map-side partials: exactly one
+    // exchange between partial and final (plus none elsewhere — the hash
+    // projection is per-row); the bounded Aggregator buffer is the point
+    val sk = plans("sketch_distinct")
+    assert(sk.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "sketch_distinct: expected exactly the partial->final aggregate exchange")
+    assert(sk.exists(_.getClass.getSimpleName.contains("ObjectHashAggregate")),
+      "sketch_distinct: expected ObjectHashAggregate (typed Aggregator partial combine)")
+  }
 }

@@ -187,4 +187,28 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/data/batch_id=0").count() == 2)
     } finally q.stop()
   }
+
+  test("KMV sketch runs incrementally: streaming complete-mode equals batch") {
+    // the sketch Aggregator's bounded buffer IS its streaming state —
+    // the same code path aggregates a stream with no modification
+    val in = MemoryStream[(String, String)]
+    val sketched = graft.sketch.Sketches.kmvDistinct(
+      in.toDF().toDF("src", "tok"), "src", org.apache.spark.sql.functions.col("tok"), k = 8)
+    val q = sketched.writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    try {
+      val all = (1 to 40).map(i => ("a", s"t${i % 25}")) ++ (1 to 5).map(i => ("b", s"u$i"))
+      in.addData(all.take(20): _*)
+      drain(q)
+      in.addData(all.drop(20): _*)
+      drain(q)
+      val stream = spark.sql("SELECT * FROM kmv").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = graft.sketch.Sketches.kmvDistinct(
+        all.toDF("src", "tok"), "src", $"tok", k = 8).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(stream == batch)
+      assert(stream("b") == 5.0) // under k → exact
+    } finally q.stop()
+  }
 }
