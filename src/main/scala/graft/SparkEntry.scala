@@ -1081,6 +1081,18 @@ object SparkEntry {
     "graph_assortativity" -> ((s, dir) =>
       Algorithms.degreeAssortativity(partSeqEdges(s, dir, mod = 1))
         .select(round(col("assortativity"), 6).as("assortativity"))),
+    // shortest-path counts (Brandes' σ table as a first-class operator):
+    // distance + number of distinct shortest paths, from 4 md5-order seeds
+    // over the cyclic part sequence graph
+    "graph_sigma" -> ((s, dir) => {
+      val e = partSeqEdges(s, dir, mod = 5)
+      val vs = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val seeds = vs
+        .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("id")).limit(4).select("id")
+      Algorithms.shortestPathCounts(e, seeds)
+    }),
     // exact diameter + 90th-percentile effective diameter over finite
     // geography-DAG distances — one bfsPerSource pass, two aggregates
     "graph_diameter" -> ((s, dir) => {
@@ -1132,6 +1144,20 @@ object SparkEntry {
       graft.text.TextOps.sampleWeighted(t(s, dir, "documents"), "doc_id",
         col("n_chars") / lit(400.0))
         .select("doc_id", "source", "n_chars")),
+    // entity resolution: blocked candidate pairs + levenshtein verify.
+    // The corpus plants one typo variant ('Custoner', one substitution,
+    // digits preserved) per custkey % 7 == 0 — the same deterministic
+    // fixture-doctoring device as text_pii_redact; the digit-suffix block
+    // key keeps every block at 1-2 rows, so candidates = planted dups
+    "er_pairs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val dirty = c.filter(col("id") % 7 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("Custoner"), expr("substring(name, 9)")).as("name"))
+      graft.er.EntityResolution.candidatePairs(
+        c.unionByName(dirty), "id", "name", expr("right(name, 6)"), maxDist = 2)
+    }),
     // KMV distinct sketch: per-source distinct-token estimate with k=64
     // bounded state — the deterministic, oracle-reproducible sibling of
     // approx_count_distinct (exact when a source has < 64 distinct tokens)
@@ -2124,6 +2150,14 @@ object SparkEntry {
        "WHERE substring(md5(doc_id::VARCHAR), 1, 15) <= printf('%015x', " +
        "least(CAST(floor(least(greatest(n_chars / 400.0, 0), 1) " +
        "* 1152921504606846976) AS BIGINT), 1152921504606846975))"),
+    "er_pairs" ->
+      ("WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer), " +
+       "dirty AS (SELECT c_custkey + 10000000 AS id, " +
+       "'Custoner' || substring(c_name, 9) AS name FROM customer WHERE c_custkey % 7 = 0), " +
+       "allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty) " +
+       "SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name)::INT AS dist " +
+       "FROM allr a JOIN allr b ON right(a.name, 6) = right(b.name, 6) AND a.id < b.id " +
+       "WHERE levenshtein(a.name, b.name) <= 2"),
     // KMV replay: k smallest distinct token hashes per source via one
     // window rank; est = 63 · 2^60 / int(hex15(h_(64))) — double math on
     // both sides, '0x…'::BIGINT is DuckDB's hex parse (Spark uses conv)
@@ -2299,7 +2333,11 @@ object SparkEntry {
     // trim+color+sweep algorithm
     "scc" ->
       ("WITH RECURSIVE " + partSeqCte(5) +
-       ", v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+       // explicit DISTINCT-over-UNION-ALL: see graph_sigma's note on this
+       // DuckDB build's UNION handling inside WITH RECURSIVE (harmless
+       // here — the GROUP BY collapses — but don't leave the trap armed)
+       ", v AS (SELECT DISTINCT id FROM " +
+       "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
        "reach(a, b) AS (SELECT src, dst FROM e " +
        "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
        "SELECT v.id, least(v.id, coalesce(min(r2.a), v.id)) AS scc " +
@@ -2325,6 +2363,31 @@ object SparkEntry {
        "SELECT v.id, round(coalesce(count(sp.dst) / sum(sp.d), 0), 6) AS closeness " +
        "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
     "hits" -> hitsOracle(iters = 2),
+    // σ replay: the recursive `sig` term extends ONLY shortest-path
+    // prefixes (the sp join pins depth+1 = the child's min distance), so
+    // each row is one distinct shortest path and count(*) per (src,dst)
+    // is σ — bounded here because max σ = 16 at sf0.01
+    "graph_sigma" ->
+      ("WITH RECURSIVE " + partSeqCte(5) +
+       // NB: inside WITH RECURSIVE this DuckDB build evaluates a plain
+       // `a UNION b` CTE as UNION ALL — dedup must be an explicit
+       // DISTINCT over the union, or a twice-appearing vertex double-fills
+       // the seed LIMIT
+       ", v AS (SELECT DISTINCT id FROM " +
+       "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
+       "seeds AS (SELECT id FROM v ORDER BY md5(id::VARCHAR), id LIMIT 4), " +
+       "reach(src, dst, depth) AS (" +
+       "SELECT id, id, 0 FROM seeds " +
+       "UNION SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN e ON r.dst = e.src " +
+       "WHERE r.depth < 20), " +
+       "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2), " +
+       "sig(src, dst, depth) AS (" +
+       "SELECT id, id, 0 FROM seeds " +
+       "UNION ALL SELECT g.src, e.dst, g.depth + 1 FROM sig g " +
+       "JOIN e ON g.dst = e.src " +
+       "JOIN sp p ON p.src = g.src AND p.dst = e.dst AND p.d = g.depth + 1) " +
+       "SELECT src, dst AS id, depth AS level, count(*)::BIGINT AS sigma " +
+       "FROM sig GROUP BY 1, 2, 3"),
     // diameter/p90 over the same depth-8 reach unroll as closeness/harmonic
     "graph_diameter" ->
       ("WITH RECURSIVE edge AS (" +

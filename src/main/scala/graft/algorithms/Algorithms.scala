@@ -313,6 +313,45 @@ object Algorithms {
   }
 
   /**
+   * Multi-source BFS carrying shortest-path COUNTS — the σ table of
+   * Brandes' algorithm exposed as its own operator: for each source s and
+   * each reachable vertex v, the hop distance and the number of distinct
+   * shortest s→v paths. σ sums over the level-(L−1) DAG parents inside the
+   * frontier aggregation, so the per-round cost is one frontier-sized join
+   * + partial sum — identical plan shape to [[bfsPerSource]] plus one
+   * aggregate column (and the same forward pass [[betweennessLandmark]]
+   * runs before its dependency sweep).
+   *
+   * @param edges (src, dst) directed
+   * @param sources seed vertices (σ(s, s) = 1 at level 0)
+   * @return (src, id, level INT, sigma BIGINT)
+   */
+  def shortestPathCounts(edges: DataFrame, sources: DataFrame,
+                         maxIter: Int = 100): DataFrame = {
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    val cutF = new Cutter; val cutV = new Cutter
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id").as("src"), col("id"), lit(0).as("level"), lit(1L).as("sigma"))
+    var frontier = visited
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = frontier.join(e, frontier("id") === col("e_src"))
+        .select(col("src"), col("e_dst").as("id"), col("sigma"))
+        .groupBy("src", "id").agg(sum("sigma").as("sigma"))
+        .join(visited.select("src", "id"), Seq("src", "id"), "left_anti")
+        .withColumn("level", lit(iter + 1))
+        .select("src", "id", "level", "sigma")
+      frontier = cutF(next, iter)
+      if (frontier.count() == 0L) done = true
+      else visited = cutV(visited.unionByName(frontier), iter)
+      iter += 1
+    }
+    if (!done) throw new BudgetExhausted("shortestPathCounts", maxIter)
+    releaseOnFirstAction(visited, e +: (cutF.leftovers ++ cutV.leftovers): _*)
+  }
+
+  /**
    * Single-source(s) shortest path over (min, plus): frontier-based
    * Bellman–Ford (reference DocSpec.scala:55-101 iterates the full
    * `d ← d min.+ A` product; the frontier form reaches the same fixpoint

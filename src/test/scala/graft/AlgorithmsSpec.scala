@@ -426,6 +426,22 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("shortest-path counts: diamond doubles sigma, diamond chain multiplies") {
+    // 0→{1,2}→3→{4,5}→6: σ(0,3) = 2, σ(0,6) = 4 (counts multiply across
+    // independent diamonds), levels are hop distances
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = Algorithms.shortestPathCounts(es, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got == Map(0L -> (0, 1L), 1L -> (1, 1L), 2L -> (1, 1L), 3L -> (2, 2L),
+      4L -> (3, 2L), 5L -> (3, 2L), 6L -> (4, 4L)))
+    // a shorter path wins over a more numerous longer one
+    val es2 = Seq((0L, 1L), (1L, 2L), (0L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    val g2 = Algorithms.shortestPathCounts(es2, Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(g2(2L) == (2, 1L))
+  }
+
   test("closeness: path graph and unreachable score") {
     val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
