@@ -1144,6 +1144,11 @@ object SparkEntry {
       graft.text.TextOps.sampleWeighted(t(s, dir, "documents"), "doc_id",
         col("n_chars") / lit(400.0))
         .select("doc_id", "source", "n_chars")),
+    // one-pass column profiling (ingest QA): row/null/distinct/min/max per
+    // column from a single Expand+partial-agg read of the table
+    "profile_docs" -> ((s, dir) =>
+      graft.sources.Profiler.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
     // entity resolution: blocked candidate pairs + levenshtein verify.
     // The corpus plants one typo variant ('Custoner', one substitution,
     // digits preserved) per custkey % 7 == 0 — the same deterministic
@@ -2150,6 +2155,11 @@ object SparkEntry {
        "WHERE substring(md5(doc_id::VARCHAR), 1, 15) <= printf('%015x', " +
        "least(CAST(floor(least(greatest(n_chars / 400.0, 0), 1) " +
        "* 1152921504606846976) AS BIGINT), 1152921504606846975))"),
+    "profile_docs" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"SELECT '$c' AS column, count(*) AS n_rows, " +
+      s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+      s"min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value FROM documents")
+      .mkString(" UNION ALL "),
     "er_pairs" ->
       ("WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer), " +
        "dirty AS (SELECT c_custkey + 10000000 AS id, " +

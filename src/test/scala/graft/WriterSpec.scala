@@ -74,4 +74,15 @@ class WriterSpec extends SparkSpec {
       s"expected a partition filter on lang in the scan:\n$scan")
     assert(one.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("profiler: nulls, distincts, stringified min/max, one row per column") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("k", "v")
+    val got = graft.sources.Profiler.profile(d, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") == (4L, 0L, 4L, "1", "4"))
+    assert(got("v") == (4L, 1L, 2L, "a", "b")) // count(DISTINCT) skips NULL
+  }
 }
