@@ -143,6 +143,35 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Luby MIS unrolled to `rounds` fixed CTE rounds (the kcore device):
+    * correct whenever the Spark loop converges within the unroll — the
+    * co-supply quasi-cliques resolve in 1-3 rounds against 6 here (a
+    * non-empty a6 would hash-mismatch loudly, never silently pass). The
+    * per-round priority key replays the Spark side byte-for-byte:
+    * md5('round:id') ++ zero-padded id. */
+  private def misOracle(frac: Double, rounds: Int): String = {
+    val sb = new StringBuilder(cosupplyCte(frac))
+    sb.append(", es AS MATERIALIZED (SELECT a AS src, b AS dst FROM e " +
+      "UNION ALL SELECT b AS src, a AS dst FROM e)")
+    sb.append(", a0 AS (SELECT s_suppkey AS id FROM supplier)")
+    for (k <- 1 to rounds) {
+      sb.append(s", h$k AS MATERIALIZED (SELECT id, " +
+        s"md5('$k:' || id::VARCHAR) || printf('%020d', id) AS kk FROM a${k - 1})")
+      sb.append(s", w$k AS MATERIALIZED (SELECT h.id FROM h$k h LEFT JOIN (" +
+        s"SELECT es.src AS id, min(n.kk) AS nmin FROM es " +
+        s"JOIN h$k n ON es.dst = n.id JOIN h$k s2 ON es.src = s2.id " +
+        "GROUP BY es.src) m ON h.id = m.id " +
+        "WHERE m.nmin IS NULL OR h.kk < m.nmin)")
+      sb.append(s", a$k AS MATERIALIZED (SELECT id FROM a${k - 1} " +
+        s"EXCEPT SELECT id FROM w$k " +
+        s"EXCEPT SELECT es.dst FROM es JOIN w$k w ON es.src = w.id)")
+    }
+    sb.append(" SELECT v.id, (m.id IS NOT NULL) AS in_mis FROM a0 v LEFT JOIN (" +
+      (1 to rounds).map(k => s"SELECT id FROM w$k").mkString(" UNION ALL ") +
+      ") m ON v.id = m.id")
+    sb.toString
+  }
+
   /** The k-core peel unrolled to `stages` fixed CTE rounds (same device as
     * [[pagerankOracle]]); correct whenever the peel converges within the
     * unroll depth — 3 rounds at sf0.01 against 8 stages here. */
@@ -1093,6 +1122,13 @@ object SparkEntry {
         .orderBy(col("h"), col("id")).limit(4).select("id")
       Algorithms.shortestPathCounts(e, seeds)
     }),
+    // maximal independent set (Luby, deterministic md5 priorities) over
+    // the strong co-supply graph — the classic symmetry-breaking
+    // primitive; quasi-clique components resolve in 1-3 rounds
+    "mis" -> ((s, dir) =>
+      Algorithms.maximalIndependentSet(
+        t(s, dir, "supplier").select(col("s_suppkey").as("id")),
+        cosupplyEdges(s, dir, 0.85))),
     // exact diameter + 90th-percentile effective diameter over finite
     // geography-DAG distances — one bfsPerSource pass, two aggregates
     "graph_diameter" -> ((s, dir) => {
@@ -1162,6 +1198,22 @@ object SparkEntry {
           concat(lit("Custoner"), expr("substring(name, 9)")).as("name"))
       graft.er.EntityResolution.candidatePairs(
         c.unionByName(dirty), "id", "name", expr("right(name, 6)"), maxDist = 2)
+    }),
+    // ER pairs → clusters → canonical survivor: the same transitive-drop
+    // resolution the near-dup pipeline runs (dedupClusters' WCC), applied
+    // to the record-linkage pairs — each planted variant clusters with its
+    // original, the original (min id) survives
+    "er_clusters" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val dirty = c.filter(col("id") % 7 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("Custoner"), expr("substring(name, 9)")).as("name"))
+      val all = c.unionByName(dirty)
+      val pairs = graft.er.EntityResolution.candidatePairs(
+        all, "id", "name", expr("right(name, 6)"), maxDist = 2)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.text.TextOps.dedupClusters(all, "id", pairs)
     }),
     // KMV distinct sketch: per-source distinct-token estimate with k=64
     // bounded state — the deterministic, oracle-reproducible sibling of
@@ -2155,6 +2207,14 @@ object SparkEntry {
        "WHERE substring(md5(doc_id::VARCHAR), 1, 15) <= printf('%015x', " +
        "least(CAST(floor(least(greatest(n_chars / 400.0, 0), 1) " +
        "* 1152921504606846976) AS BIGINT), 1152921504606846975))"),
+    // clusters = {custkey, custkey + 10M} for planted variants, singleton
+    // otherwise; canonical = min member, keep = is-canonical
+    "er_clusters" ->
+      ("WITH base AS (SELECT c_custkey AS id FROM customer), " +
+       "dirty AS (SELECT c_custkey + 10000000 AS id, c_custkey AS orig " +
+       "FROM customer WHERE c_custkey % 7 = 0) " +
+       "SELECT id, id AS canonical, true AS keep FROM base " +
+       "UNION ALL SELECT id, orig AS canonical, false AS keep FROM dirty"),
     "profile_docs" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
       s"SELECT '$c' AS column, count(*) AS n_rows, " +
       s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
@@ -2373,6 +2433,7 @@ object SparkEntry {
        "SELECT v.id, round(coalesce(count(sp.dst) / sum(sp.d), 0), 6) AS closeness " +
        "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
     "hits" -> hitsOracle(iters = 2),
+    "mis" -> misOracle(frac = 0.85, rounds = 6),
     // σ replay: the recursive `sig` term extends ONLY shortest-path
     // prefixes (the sp join pins depth+1 = the child's min distance), so
     // each row is one distinct shortest path and count(*) per (src,dst)

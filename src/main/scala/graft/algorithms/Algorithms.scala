@@ -313,6 +313,59 @@ object Algorithms {
   }
 
   /**
+   * Maximal independent set by Luby's algorithm (Luby 1986) with
+   * DETERMINISTIC per-round md5 priorities standing in for the RNG: each
+   * round, an active vertex joins the MIS iff its priority key
+   * (md5("round:id") ++ zero-padded id) is a strict minimum over its
+   * ACTIVE neighbors (no active neighbor ⇒ trivial winner); winners'
+   * neighbors deactivate. Fresh per-round hashes replay Luby's
+   * re-randomization, so the expected round count stays O(log n), and the
+   * priorities are engine-reproducible — an external oracle unrolls the
+   * same rounds (the kcore fixed-unroll device). Each round is two
+   * semi-joins + one aggregate + one anti-join over the ACTIVE subgraph —
+   * state shrinks geometrically.
+   *
+   * @param vertices (id) — isolated vertices are always in the MIS
+   * @param edges (src, dst), direction ignored, self-loops dropped
+   * @return (id, in_mis BOOLEAN) for every vertex
+   */
+  def maximalIndependentSet(vertices: DataFrame, edges: DataFrame,
+                            maxIter: Int = 50): DataFrame = {
+    val vs = vertices.select(col("id")).distinct().localCheckpoint(true)
+    val sym = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var active = vs
+    val winnersAcc = scala.collection.mutable.Buffer[DataFrame]()
+    var round = 0
+    var budget = maxIter
+    var live = active.count()
+    while (live > 0) {
+      if (budget <= 0) throw new BudgetExhausted("maximalIndependentSet", maxIter)
+      budget -= 1; round += 1
+      val h = active.withColumn("__k",
+        concat(md5(concat_ws(":", lit(round), col("id"))),
+          format_string("%020d", col("id")))).localCheckpoint(true)
+      val eAct = sym.join(h.select(col("id").as("src")), Seq("src"), "left_semi")
+      val nbrMin = eAct
+        .join(h.select(col("id").as("dst"), col("__k").as("__nk")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__nk").as("__nmin"))
+      val winners = h.join(nbrMin, Seq("id"), "left")
+        .filter(col("__nmin").isNull || col("__k") < col("__nmin"))
+        .select("id").localCheckpoint(true)
+      val losers = sym.join(winners.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+      winnersAcc += winners
+      active = active.join(winners, Seq("id"), "left_anti")
+        .join(losers, Seq("id"), "left_anti").localCheckpoint(true)
+      live = active.count()
+    }
+    val mis = winnersAcc.reduceOption(_.unionByName(_)).getOrElse(vs.filter(lit(false)))
+    vs.join(mis.withColumn("in_mis", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+  }
+
+  /**
    * Multi-source BFS carrying shortest-path COUNTS — the σ table of
    * Brandes' algorithm exposed as its own operator: for each source s and
    * each reachable vertex v, the hop distance and the number of distinct

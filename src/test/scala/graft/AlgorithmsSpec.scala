@@ -426,6 +426,31 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("maximal independent set: independence + maximality on random graphs") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rows = Algorithms.maximalIndependentSet(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val mis = rows.filter(_._2).keySet
+      // independence: no edge with both endpoints in the MIS
+      assert(edges.forall { case (a, b) => !(mis(a) && mis(b)) }, s"seed=$seed")
+      // maximality: every excluded vertex has a MIS neighbor
+      assert(rows.filter(!_._2).keySet.forall(v =>
+        adj.getOrElse(v, Set.empty).exists(mis)), s"seed=$seed")
+    }
+    // isolated vertices are always in (and an empty edge set keeps all)
+    val all = Algorithms.maximalIndependentSet(
+      (0L to 3L).toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(_.getBoolean(1))
+    assert(all.forall(identity))
+  }
+
   test("shortest-path counts: diamond doubles sigma, diamond chain multiplies") {
     // 0→{1,2}→3→{4,5}→6: σ(0,3) = 2, σ(0,6) = 4 (counts multiply across
     // independent diamonds), levels are hop distances
