@@ -1065,10 +1065,14 @@ object SparkEntry {
     // passes, ecc ≈ 14 at sf0.1; the sparser mod-10 slice ran a 16-layer
     // periphery and 29-hop eccentricity: 3x the rounds on half the data).
     "scc" -> ((s, dir) => {
-      val e = partSeqEdges(s, dir, mod = 5)
+      // persist the sequence graph ONCE: the vertex derivation and the
+      // algorithm otherwise each rebuild the 600k-row lineitem self-join
+      // (cache substitution only matches the identical projection)
+      val e = partSeqEdges(s, dir, mod = 5).persist()
       val vs = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
-      Algorithms.stronglyConnectedComponents(vs, e)
+      graft.util.CacheLifecycle.releaseOnFirstAction(
+        Algorithms.stronglyConnectedComponents(vs, e), e)
     }),
     // closeness centrality (reachable-set normalized) over the same
     // geography DAG as `harmonic` — the other classical distance centrality
@@ -1097,13 +1101,14 @@ object SparkEntry {
     // md5-order parts; next hop = md5-argmin neighbor, so an external
     // engine replays the exact walks
     "graph_walks" -> ((s, dir) => {
-      val e = partSeqEdges(s, dir)
+      val e = partSeqEdges(s, dir).persist() // see scc: one build, not two
       val vs = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
       val seeds = vs
         .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
         .orderBy(col("h"), col("id")).limit(16).select("id")
-      Algorithms.randomWalks(e, seeds, steps = 6)
+      graft.util.CacheLifecycle.releaseOnFirstAction(
+        Algorithms.randomWalks(e, seeds, steps = 6), e)
     }),
     // degree assortativity of the FULL part sequence graph (one-row summary:
     // do high-fanout parts chain into high-fanin parts?)
@@ -1112,15 +1117,18 @@ object SparkEntry {
         .select(round(col("assortativity"), 6).as("assortativity"))),
     // shortest-path counts (Brandes' σ table as a first-class operator):
     // distance + number of distinct shortest paths, from 4 md5-order seeds
-    // over the cyclic part sequence graph
+    // over the cyclic part sequence graph. mod-2 is the DENSEST slice —
+    // seed eccentricity 8 at sf0.1 (vs 14 on mod-5), and the BFS round
+    // count, not row volume, is what this query pays for
     "graph_sigma" -> ((s, dir) => {
-      val e = partSeqEdges(s, dir, mod = 5)
+      val e = partSeqEdges(s, dir, mod = 2).persist() // see scc: one build
       val vs = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
       val seeds = vs
         .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
         .orderBy(col("h"), col("id")).limit(4).select("id")
-      Algorithms.shortestPathCounts(e, seeds)
+      graft.util.CacheLifecycle.releaseOnFirstAction(
+        Algorithms.shortestPathCounts(e, seeds), e)
     }),
     // maximal independent set (Luby, deterministic md5 priorities) over
     // the strong co-supply graph — the classic symmetry-breaking
@@ -2437,9 +2445,9 @@ object SparkEntry {
     // σ replay: the recursive `sig` term extends ONLY shortest-path
     // prefixes (the sp join pins depth+1 = the child's min distance), so
     // each row is one distinct shortest path and count(*) per (src,dst)
-    // is σ — bounded here because max σ = 16 at sf0.01
+    // is σ — bounded here because max σ = 53 at sf0.01
     "graph_sigma" ->
-      ("WITH RECURSIVE " + partSeqCte(5) +
+      ("WITH RECURSIVE " + partSeqCte(2) +
        // NB: inside WITH RECURSIVE this DuckDB build evaluates a plain
        // `a UNION b` CTE as UNION ALL — dedup must be an explicit
        // DISTINCT over the union, or a twice-appearing vertex double-fills
