@@ -90,6 +90,19 @@ object SparkEntry {
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
   }
 
+  /** Weighted variant of [[partSeqEdges]]: (src, dst, w = pair
+    * multiplicity across all orders) — the co-occurrence weight. */
+  private def partSeqWeighted(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val li0 = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    val li = if (mod == 1) li0 else li0.filter(col("l_partkey") % mod === 0)
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** SQL twin of [[partSeqEdges]]: CTE `e(src, dst)`. */
   private def partSeqCte(mod: Int): String = {
     val filt = if (mod == 1) "" else s" AND a.l_partkey % $mod = 0 AND b.l_partkey % $mod = 0"
@@ -141,6 +154,35 @@ object SparkEntry {
     for (s <- 1 to steps)
       sb.append(s" UNION ALL SELECT walk_id, $s AS step, node FROM w$s")
     sb.toString
+  }
+
+  /** Weighted variant of [[pagerankOracle]] over the weighted part
+    * sequence graph: per-term contribution rank·w/wsum (left-associated
+    * in both engines), counts-as-weights so wsum is exact. */
+  private def wpagerankOracle(iters: Int, damping: Double, mod: Int): String = {
+    val d = damping.toString
+    val omd = (1 - damping).toString
+    val base =
+      "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "count(*)::DOUBLE AS w FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1 " +
+      s"WHERE a.l_partkey <> b.l_partkey AND a.l_partkey % $mod = 0 " +
+      s"AND b.l_partkey % $mod = 0 GROUP BY 1, 2), " +
+      "v AS MATERIALIZED (SELECT DISTINCT id FROM " +
+      "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
+      "ws AS MATERIALIZED (SELECT src AS id, sum(w) AS wsum FROM e GROUP BY 1), " +
+      "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v), " +
+      "r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM v), "
+    val stages = (0 until iters).map { i =>
+      s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank * e.w / ws.wsum) AS contrib " +
+      s"FROM e JOIN r$i r ON e.src = r.id JOIN ws ON e.src = ws.id GROUP BY 1), " +
+      s"d$i AS MATERIALIZED (SELECT (SELECT n FROM nv) - coalesce(sum(rank), 0) AS dm " +
+      s"FROM r$i WHERE id IN (SELECT id FROM ws)), " +
+      s"r${i + 1} AS MATERIALIZED (SELECT v.id, $omd + $d * (coalesce(c.contrib, 0) " +
+      s"+ (SELECT dm FROM d$i) / (SELECT n FROM nv)) AS rank " +
+      s"FROM v LEFT JOIN c$i c ON v.id = c.id)"
+    }.mkString(", ")
+    base + stages + s" SELECT id, round(rank, 6) AS rank FROM r$iters"
   }
 
   /** Luby MIS unrolled to `rounds` fixed CTE rounds (the kcore device):
@@ -1129,6 +1171,17 @@ object SparkEntry {
         .orderBy(col("h"), col("id")).limit(4).select("id")
       graft.util.CacheLifecycle.releaseOnFirstAction(
         Algorithms.shortestPathCounts(e, seeds), e)
+    }),
+    // edge-weighted PageRank over the WEIGHTED part sequence graph (weight
+    // = co-occurrence multiplicity): the 50×-seen pair carries 50× the
+    // mass of a singleton; degenerates to plain pagerank on unit weights
+    "pagerank_weighted" -> ((s, dir) => {
+      val e = partSeqWeighted(s, dir, mod = 5).persist()
+      val vs = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      graft.util.CacheLifecycle.releaseOnFirstAction(
+        Algorithms.pageRankWeighted(vs, e, iters = 10)
+          .select(col("id"), round(col("rank"), 6).as("rank")), e)
     }),
     // maximal independent set (Luby, deterministic md5 priorities) over
     // the strong co-supply graph — the classic symmetry-breaking
@@ -2442,6 +2495,7 @@ object SparkEntry {
        "FROM v LEFT JOIN sp ON v.id = sp.src GROUP BY 1"),
     "hits" -> hitsOracle(iters = 2),
     "mis" -> misOracle(frac = 0.85, rounds = 6),
+    "pagerank_weighted" -> wpagerankOracle(iters = 10, damping = 0.85, mod = 5),
     // σ replay: the recursive `sig` term extends ONLY shortest-path
     // prefixes (the sp join pins depth+1 = the child's min distance), so
     // each row is one distinct shortest path and count(*) per (src,dst)

@@ -902,6 +902,49 @@ object Algorithms {
   }
 
   /**
+   * Edge-weighted PageRank: the walker at u follows edge (u, v, w) with
+   * probability w / Σ w(u, ·) — the importance flow every co-occurrence /
+   * affinity graph wants (an edge seen 50× should carry 50× the mass of a
+   * singleton), degenerating exactly to [[pageRank]] on uniform weights.
+   * Vertices whose outgoing weight sums to 0 (or with no out-edges) are
+   * dangling and redistribute uniformly, as in the unweighted form. Same
+   * plan shape and determinism contract: links/out-weights cached once,
+   * the dangling mass a broadcast singleton, fixed iterations → unrolled
+   * oracle.
+   *
+   * @param edges (src, dst, w) — w coerced to double; non-positive total
+   *              out-weight makes the source dangling
+   * @return (id, rank DOUBLE), ranks sum to ~|V|
+   */
+  def pageRankWeighted(vertices: DataFrame, edges: DataFrame,
+                       iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val v = vertices.select(col("id")).distinct().cache()
+    val n = v.count()
+    val outW = edges.select(col("src"), col("w").cast("double").as("w"))
+      .groupBy(col("src").as("id")).agg(sum("w").as("wsum"))
+      .filter(col("wsum") > 0).cache()
+    val links = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .join(outW, col("src") === col("id")).drop("id").cache()
+    links.count()
+    val cutter = new Cutter
+    var ranks = v.withColumn("rank", lit(1.0))
+    for (i <- 0 until iters) {
+      val contribs = links.join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") * col("w") / col("wsum")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val dangling = ranks.join(outW, Seq("id"), "left_semi")
+        .agg((lit(n.toDouble) - sum("rank")).as("__dm"))
+      val next = v.join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+            col("__dm") / lit(n.toDouble))).as("rank"))
+      ranks = cutter(next, i)
+    }
+    releaseOnFirstAction(ranks, Seq(v, outW, links) ++ cutter.leftovers: _*)
+  }
+
+  /**
    * Personalized PageRank: random walks restart at the `sources` set instead
    * of uniformly, so ranks measure proximity to the sources — the standard
    * seeded-recommendation / related-entities primitive. Teleport vector

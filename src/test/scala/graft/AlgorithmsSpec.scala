@@ -426,6 +426,75 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank: uniform weights degenerate to plain; weight skews flow") {
+    val vs = Seq(0L, 1L, 2L).toDF("id")
+    val uni = Seq((0L, 1L, 1.0), (0L, 2L, 1.0)).toDF("src", "dst", "w")
+    val plain = Algorithms.pageRank(vs, uni.select("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wUni = Algorithms.pageRankWeighted(vs, uni, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L to 2L).foreach(v => assert(math.abs(plain(v) - wUni(v)) < 1e-12))
+    // 3:1 weights skew the split 3:1 (single iteration makes it exact)
+    val skew = Algorithms.pageRankWeighted(vs,
+      Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("src", "dst", "w"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c1 = skew(1L) - 0.15 - 0.85 * 2.0 / 3 // subtract teleport + dangling share
+    val c2 = skew(2L) - 0.15 - 0.85 * 2.0 / 3
+    assert(math.abs(c1 - 3 * c2) < 1e-12)
+    // mass conserved at |V|
+    assert(math.abs(skew.values.sum - 3.0) < 1e-9)
+  }
+
+  test("k-core matches an in-JVM peel on random graphs") {
+    for (seed <- Seq(5, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 18
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      def peel(k: Int): Set[Long] = {
+        var live = (0L until n.toLong).toSet
+        var changed = true
+        while (changed) {
+          val deg = live.map(v => v -> edges.count { case (a, b) =>
+            (a == v && live(b)) || (b == v && live(a)) }).toMap
+          val drop = live.filter(deg(_) < k)
+          changed = drop.nonEmpty; live --= drop
+        }
+        live
+      }
+      for (k <- Seq(2, 3)) {
+        val got = Algorithms.kCore(edges.toDF("src", "dst"), k)
+          .collect().map(_.getLong(0)).toSet
+        assert(got == peel(k), s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("hits matches an in-JVM power iteration on a random bipartite graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(40)((rnd.nextInt(8).toLong, 100L + rnd.nextInt(10))).distinct
+    val iters = 3
+    // JVM replay: L1-normalized alternating updates over the same node set
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 0 until iters) {
+      val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val aSum = aRaw.values.sum
+      auth = aRaw.view.mapValues(_ / aSum).toMap
+      val hRaw = nodes.map(v => v -> edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+      val hSum = hRaw.values.sum
+      hub = hRaw.view.mapValues(_ / hSum).toMap
+    }
+    val got = Algorithms.hits(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-9, s"hub($v)")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-9, s"auth($v)")
+    }
+  }
+
   test("maximal independent set: independence + maximality on random graphs") {
     for (seed <- Seq(3, 11)) {
       val rnd = new scala.util.Random(seed)
