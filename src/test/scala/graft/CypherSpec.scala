@@ -1597,6 +1597,18 @@ class CypherSpec extends SparkSpec {
     assert(sz.toSeq == Seq((2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("UNWIND range() composes with UNION branches") {
+    val db = new GraphDB(diamond)
+    val u = db.query(
+      "UNWIND range(1, 3) AS x RETURN x UNION UNWIND range(2, 4) AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(u.toSeq == Seq(1L, 2L, 3L, 4L)) // UNION dedups the overlap
+    val all = db.query(
+      "UNWIND range(1, 2) AS x RETURN x UNION ALL UNWIND range(1, 2) AS x RETURN x")
+      .collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
   test("split(): literal delimiter, list accessors; expression delimiter rejected") {
     val db = new GraphDB(propsG)
     val rows = db.query(
