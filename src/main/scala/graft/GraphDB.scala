@@ -169,6 +169,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val spark = graph.nodes.sparkSession
     // spark.range is end-EXCLUSIVE; openCypher range() is end-inclusive.
     // A bound pointing away from `end` yields the empty range (openCypher).
+    // The ±1 below would overflow at Long.MaxValue/MinValue and silently
+    // produce an empty/inverted interval — reject those bounds loudly.
+    if ((step > 0 && end == Long.MaxValue) || (step < 0 && end == Long.MinValue))
+      throw new cypher.ParseException(
+        s"range() end bound $end would overflow the inclusive-bound shift " +
+          "(Long.MaxValue/MinValue ends are not supported)")
     val stop = if (step > 0) end + 1 else end - 1
     val empty = (step > 0 && start > end) || (step < 0 && start < end)
     val src =
@@ -539,10 +545,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val labelsRefs = pg.items.filter(_.agg.contains("labels"))
       .map(i => i.binding -> "label")
     // keys(n) needs EVERY property column of the node joined back (the
-    // present-key list is computed per row from their null-ness)
+    // present-key list is computed per row from their null-ness) — both the
+    // bare item form (Ret.agg) and the expression form (EFn("keys", …)
+    // inside an item expression or a residual predicate)
     val nodePropCols = graph.nodes.columns.toSeq.filter(c => c != "id" && c != "label").sorted
-    val keysRefs = pg.items.filter(_.agg.contains("keys"))
-      .flatMap(i => nodePropCols.map(i.binding -> _))
+    val exprKeysBindings =
+      (pg.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.fns)) ++
+        pg.residual.flatMap(cypher.Ast.Pred.fns(_)))
+        .collect { case cypher.Ast.EFn("keys", Seq(cypher.Ast.ERef(b, _))) => b }
+    val keysRefs =
+      (pg.items.filter(_.agg.contains("keys")).map(_.binding) ++ exprKeysBindings)
+        .distinct.flatMap(b => nodePropCols.map(b -> _))
     val itemProps = pg.items
       .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
       .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty) ++
@@ -634,8 +647,18 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // columns; their property columns are functionally dependent)
     // resolver shared by residual predicates and expression items: prop ""
     // (a bare reference in a value expression) is the binding's id column
+    // keys(b): the node's present (non-null) property keys — computed per
+    // row from the joined-back property columns. A property-less node table
+    // yields a TYPED empty array (array() alone is array<null> and breaks
+    // downstream union/array ops).
+    def keysArray(b: String): Column =
+      if (nodePropCols.isEmpty) array().cast("array<string>")
+      else array_compact(array(
+        nodePropCols.map(p => when(col(s"${b}_$p").isNotNull, lit(p))): _*))
     def matchResolve(b: String, pr: String): Column =
-      if (pr.isEmpty) col(b) else col(s"${b}_$pr")
+      if (pr.isEmpty) col(b)
+      else if (pr == operators.Preds.KeysProp) keysArray(b)
+      else col(s"${b}_$pr")
     val filtered = restResidual.foldLeft(withPatFlags)((acc, p) =>
       acc.filter(operators.Preds.column(p, matchResolve,
         pp => coalesce(col(patFlag(pp)), lit(false)))))
@@ -668,11 +691,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         // an undirected match does not reorient the relationship)
         case Some("startnode") => col(s"__rel_${i.binding}_s")
         case Some("endnode")   => col(s"__rel_${i.binding}_d")
-        // keys(n): the node's present (non-null) property keys, sorted —
-        // computed per row from the joined-back property columns
-        case Some("keys") => array_compact(array(
-          nodePropCols.map(p =>
-            when(col(s"${i.binding}_$p").isNotNull, lit(p))): _*))
+        // keys(n): see keysArray (shared with the expression position)
+        case Some("keys") => keysArray(i.binding)
         case Some(f) if operators.Preds.valueFn.contains(f) =>
           operators.Preds.valueFn(f)(
             i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))

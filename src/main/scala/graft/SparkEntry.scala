@@ -564,12 +564,15 @@ object SparkEntry {
         "all(x IN vs WHERE x > -1000) AS all_ok, " +
         "single(x IN vs WHERE x > 9995) AS one_top ORDER BY n")),
     // comprehension + reduce over a collected range — filter/transform/
-    // aggregate; no explode, no UDF
+    // aggregate; no explode, no UDF. The list-valued result renders through
+    // join(list, sep): the driver's oracle comparer can't sort/hash array
+    // cells, so list outputs are canonically stringified on BOTH engines.
     "cy_list_comp" -> ((s, dir) =>
       db(s, dir).query(
         "UNWIND range(1, 12) AS x WITH collect(x) AS xs " +
         "RETURN size([y IN xs WHERE y % 3 = 0 | y * y]) AS n, " +
-        "reduce(s = 0, y IN xs | s + y) AS total, [y IN xs WHERE y > 9] AS big")),
+        "reduce(s = 0, y IN xs | s + y) AS total, " +
+        "join([y IN xs WHERE y > 9], ',') AS big")),
     // a bare list predicate standing alone as a WITH-stage WHERE conjunct
     "cy_list_where" -> ((s, dir) =>
       db(s, dir).query(
@@ -582,11 +585,14 @@ object SparkEntry {
         "MATCH (c:customer)-[r:IN_NATION]->(n:nation) WHERE c.value > 9990 " +
         "RETURN startNode(r) AS sn, endNode(r) AS en, type(r) AS t ORDER BY sn")),
     // keys(n): present (non-null) property keys per node — regions carry
-    // only `name`, customers `name` + `value`; exercised across a UNION ALL
+    // only `name`, customers `name` + `value`; exercised across a UNION ALL.
+    // Rendered via join(keys(n), ',') — keys() in an EXPRESSION position —
+    // so the oracle comparer (which can't hash array cells) sees a string.
     "cy_keys" -> ((s, dir) =>
       db(s, dir).query(
-        "MATCH (r:region) RETURN r AS id, keys(r) AS ks " +
-        "UNION ALL MATCH (c:customer) WHERE c.value > 9990 RETURN c AS id, keys(c) AS ks")),
+        "MATCH (r:region) RETURN r AS id, join(keys(r), ',') AS ks " +
+        "UNION ALL MATCH (c:customer) WHERE c.value > 9990 " +
+        "RETURN c AS id, join(keys(c), ',') AS ks")),
     // a value function as the grouping key of an aggregation
     "cy_fn_group" -> ((s, dir) =>
       db(s, dir).query(
@@ -1815,7 +1821,7 @@ object SparkEntry {
       ("WITH xs AS (SELECT list(x ORDER BY x) AS l FROM generate_series(1, 12) t(x)) " +
        "SELECT len(list_filter(l, y -> y % 3 = 0))::BIGINT AS n, " +
        "list_aggregate(l, 'sum')::BIGINT AS total, " +
-       "list_filter(l, y -> y > 9) AS big FROM xs"),
+       "array_to_string(list_filter(l, y -> y > 9), ',') AS big FROM xs"),
     "cy_list_where" ->
       ("SELECT n FROM (SELECT c_nationkey + 2000000000 AS n, " +
        "bool_or(c_acctbal > 9995) AS f FROM customer GROUP BY 1) WHERE f ORDER BY n"),
@@ -1823,8 +1829,8 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS sn, c_nationkey + 2000000000 AS en, " +
        "'IN_NATION' AS t FROM customer WHERE c_acctbal > 9990 ORDER BY sn"),
     "cy_keys" ->
-      ("SELECT r_regionkey + 1000000000 AS id, ['name'] AS ks FROM region " +
-       "UNION ALL SELECT c_custkey + 3000000000, ['name', 'value'] FROM customer " +
+      ("SELECT r_regionkey + 1000000000 AS id, 'name' AS ks FROM region " +
+       "UNION ALL SELECT c_custkey + 3000000000, 'name,value' FROM customer " +
        "WHERE c_acctbal > 9990"),
     "cy_fn_group" ->
       ("SELECT lower(n_name) AS nat, count(DISTINCT c_custkey) AS count_c " +

@@ -138,6 +138,21 @@ object Ast {
         patterns(init) ++ patterns(l) ++ patterns(body)
       case _             => Seq.empty
     }
+    /** Every function application in the expression, nested included —
+      * the match compiler scans these for keys() (which needs the whole
+      * property set joined back) and the parser for scope validation. */
+    def fns(e: Expr): Seq[EFn] = e match {
+      case f @ EFn(_, args) => f +: args.flatMap(fns)
+      case EBin(_, l, r)    => fns(l) ++ fns(r)
+      case ENeg(x)          => fns(x)
+      case ECase(ws, d)     =>
+        ws.flatMap { case (p, v) => Pred.fns(p) ++ fns(v) } ++ d.toSeq.flatMap(fns)
+      case EListPred(_, _, l, p)  => fns(l) ++ Pred.fns(p)
+      case EListComp(_, l, p, pr) =>
+        fns(l) ++ p.toSeq.flatMap(Pred.fns) ++ pr.toSeq.flatMap(fns)
+      case EReduce(_, init, _, l, body) => fns(init) ++ fns(l) ++ fns(body)
+      case _                => Seq.empty
+    }
   }
 
   object Pred {
@@ -166,6 +181,14 @@ object Ast {
       case Or(l, r)      => patterns(l) ++ patterns(r)
       case Not(x)        => patterns(x)
       case CmpE(l, _, r) => Expr.patterns(l) ++ Expr.patterns(r)
+      case _             => Seq.empty
+    }
+    /** Every function application nested in expression operands. */
+    def fns(p: Pred): Seq[EFn] = p match {
+      case And(l, r)     => fns(l) ++ fns(r)
+      case Or(l, r)      => fns(l) ++ fns(r)
+      case Not(x)        => fns(x)
+      case CmpE(l, _, r) => Expr.fns(l) ++ Expr.fns(r)
       case _             => Seq.empty
     }
   }
@@ -554,6 +577,8 @@ object CypherParser {
       def checkItemExpr(e: Expr, afterWith: Boolean, what: String): Unit = {
         if (Expr.patterns(e).nonEmpty)
           err(s"pattern predicates are not supported inside $what (use WHERE)")
+        if (afterWith && Expr.fns(e).exists(_.name == "keys"))
+          err("keys() is not available after WITH (project it in the WITH items instead)")
         if (afterWith)
           Expr.refs(e).collectFirst { case (b, p) if p.nonEmpty => s"$b.$p" }.foreach { r =>
             err(s"$r: property access is not available after WITH " +
@@ -1059,7 +1084,11 @@ object CypherParser {
     // 1-based substr.
     private val multiArgFns = Map(
       "substring" -> (2, 3), "replace" -> (3, 3), "left" -> (2, 2), "right" -> (2, 2),
-      "split" -> (2, 2), "range" -> (2, 3))
+      "split" -> (2, 2), "range" -> (2, 3),
+      // join(list, sep) renders a list as one string; keys(b) here covers
+      // the EXPRESSION position (e.g. join(keys(n), ',')) — the bare item
+      // form keys(n) still takes the scalarFns fast path above
+      "join" -> (2, 2), "keys" -> (1, 1))
     private def exprP(bare: Boolean): Expr = addE(bare)
     private def addE(bare: Boolean): Expr = {
       var l = mulE(bare)

@@ -13,7 +13,8 @@ import graft.util.CacheLifecycle.releaseOnFirstAction
  * Scale design: every operator is an inverted-index (explode + shuffle join
  * on the token/shingle/band key) or a pure per-row projection — never an
  * all-pairs cross join. At 100 TB the shingle join partitions by shingle
- * hash; hot shingles can be salted; AQE handles residual skew.
+ * hash; hot (boilerplate) shingles are doc-frequency-capped before any
+ * shingle self-join ([[jaccardPairs]] maxDocFreq); AQE handles residual skew.
  */
 object TextOps {
 
@@ -436,11 +437,29 @@ object TextOps {
   /**
    * Exact all-pairs n-gram Jaccard over an inverted shingle index:
    * self-join on shingle → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
-   * This IS the scalable shape (index join, not cross join).
+   * This IS the scalable shape (index join, not cross join) — with one
+   * mandatory guard: a HOT shingle shared by d documents emits d² rows
+   * from the self-join, so one boilerplate footer in 10⁶ docs would
+   * serialize the whole job. Shingles with doc-frequency > `maxDocFreq`
+   * are dropped BEFORE the join (standard df-capping), bounding the
+   * per-key fan-out at maxDocFreq². Recall contract: Jaccard is computed
+   * over the capped shingle universe — sizes included, so the metric
+   * stays a true Jaccard of the filtered sets — and a shingle appearing
+   * in >maxDocFreq docs carries no near-dup signal by construction
+   * (pairs similar ONLY through boilerplate are deliberately excluded).
+   *
+   * Plan shape: the doc-frequency is a count() over a shingle-partitioned
+   * window, so the SAME hash(shingle) exchange feeding the cap also
+   * co-locates both sides of the self-join — the cap costs no extra
+   * shuffle on the join path.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+                   n: Int, threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("a"), col("shingle"))
       .join(sh.select(col(idCol).as("b"), col("shingle")), "shingle")

@@ -1658,6 +1658,54 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("join(list, sep): list rendering; keys() composes in expression position") {
+    val db = new GraphDB(propsG)
+    // keys() nested inside join(): the canonical engine-portable rendering
+    val s = db.query("MATCH (a:A) RETURN join(keys(a), ',') AS ks")
+      .collect()(0).getString(0)
+    assert(s == "name,value")
+    // join over a comprehension (elements stringify via cast); empty → ""
+    val j = db.query(
+      "UNWIND range(1, 5) AS x WITH collect(x) AS xs " +
+      "RETURN join([y IN xs WHERE y > 3], '-') AS big, join([y IN xs WHERE y > 9], '-') AS none")
+      .collect()(0)
+    assert(j.getString(0) == "4-5" && j.getString(1) == "")
+    // separator must be a literal (mirrors split())
+    intercept[IllegalArgumentException] {
+      db.query("MATCH (a:A) RETURN join(keys(a), a.name) AS ks").collect()
+    }
+    // keys() is match-scope only: rejected after WITH like the item form
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A) WITH a RETURN join(keys(a), ',') AS ks")
+    }
+  }
+
+  test("expression-position range(): direction mismatch is empty, not reversed") {
+    val db = new GraphDB(diamond)
+    // openCypher: range(10, 1) = [] (Spark sequence() would auto-descend)
+    val r = db.query(
+      "UNWIND [1] AS x RETURN size(range(10, 1)) AS a, size(range(1, 10, -1)) AS b, " +
+      "size(range(3, 1, -1)) AS c, size(range(1, 3)) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+  }
+
+  test("toBoolean(): unparseable input yields null (ANSI-safe), not an error") {
+    val db = new GraphDB(diamond)
+    val r = db.query(
+      "UNWIND [1] AS x RETURN toBoolean('true') AS t, toBoolean('FALSE') AS f, " +
+      "toBoolean('nope') AS n")
+      .collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.isNullAt(2))
+  }
+
+  test("UNWIND range(): Long.MaxValue end bound rejected (would overflow)") {
+    val db = new GraphDB(diamond)
+    intercept[graft.cypher.ParseException] {
+      db.query(s"UNWIND range(1, ${Long.MaxValue}) AS x RETURN count(x) AS n")
+    }
+  }
+
   test("list predicates: any/all/none/single over collected values") {
     val db = new GraphDB(propsG)
     // values collected per a: [10.0, 20.0, 10.0]

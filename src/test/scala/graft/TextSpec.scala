@@ -38,6 +38,36 @@ class TextSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-6)
   }
 
+  test("jaccard pairs: hot-shingle doc-frequency cap defuses the d² self-join") {
+    // N docs sharing ONE boilerplate 5-gram (a viral footer) plus unique
+    // filler: uncapped, the self-join's boilerplate key alone fans out to
+    // N·(N−1)/2 candidate rows; the df-cap drops the shingle before the
+    // join, so docs similar ONLY through boilerplate produce no pairs.
+    val n = 40
+    val boiler = "all rights reserved by us"
+    val hotDocs = (1 to n).map(i =>
+      (i.toLong, s"$boiler unique$i filler$i words$i here$i now$i")).toDF("doc_id", "text")
+    // cap below N: the boilerplate shingle (df = N) is dropped → no pairs
+    // at all (every remaining shingle is unique to its doc)
+    val capped = TextOps.jaccardPairs(hotDocs, "doc_id", "text", 5, 0.01, maxDocFreq = n - 1)
+    assert(capped.count() == 0)
+    // cap at N: the shingle survives and the quadratic pair set appears —
+    // proving the cap (not luck) is what bounded the join above
+    val uncapped = TextOps.jaccardPairs(hotDocs, "doc_id", "text", 5, 0.01, maxDocFreq = n)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    // capped-universe semantics: sizes shrink with the dropped shingle, so
+    // surviving pairs score a TRUE Jaccard of the filtered sets. Two docs
+    // sharing boilerplate AND a real near-dup shingle set keep their pair.
+    val mixed = Seq(
+      (1L, s"$boiler the quick brown fox jumps over the lazy dog"),
+      (2L, s"$boiler the quick brown fox jumps over the lazy cat"),
+      (3L, s"$boiler completely unrelated content sits in this document"))
+      .toDF("doc_id", "text")
+    val p = TextOps.jaccardPairs(mixed, "doc_id", "text", 5, 0.3, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((1L, 2L)))
+  }
+
   test("minhash and simhash dedup match exhaustive jaccard on documents table") {
     val documents = spark.read.parquet(s"$SF/documents.parquet")
     val exhaustive = TextOps.jaccardPairs(documents, "doc_id", "text", 5, 0.5)
