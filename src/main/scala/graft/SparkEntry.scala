@@ -923,6 +923,23 @@ object SparkEntry {
       GrOps.extract(m, Span(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 999L), All,
         mask = Some(mask), accum = Some(Ops.lor), previous = Some(prev)).df
     }),
+    // stride + backwards row selectors (reference GrBRange GxB_STRIDE /
+    // GxB_BACKWARDS, grbv2/GrBRange.scala:7-45): every 7th customer row
+    // forward from 0, every 3rd backwards from 999 — both pure arithmetic
+    // predicates on the scan, no index list materialized
+    "kernel_extract_stride" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val m = GrMatrix(g.edgesByType(Seq("IN_NATION"))
+        .filter(col("src") >= TpchGraph.CustomerOff && col("src") < TpchGraph.SupplierOff)
+        .select(col("src").as("i"), col("dst").as("j"), lit(true).as("v")))
+      val fwd = GrOps.extract(m,
+        Stride(TpchGraph.CustomerOff, TpchGraph.CustomerOff + 999L, 7L), All).df
+        .withColumn("dir", lit("fwd"))
+      val bwd = GrOps.extract(m,
+        Stride(TpchGraph.CustomerOff + 999L, TpchGraph.CustomerOff, -3L), All).df
+        .withColumn("dir", lit("bwd"))
+      fwd.unionByName(bwd)
+    }),
     // masked region assign (reference assign takes mask/accum too,
     // grbv2/MatrixOps.scala:78-105): even-custkey cells in the region are
     // overwritten by the splice, odd-custkey cells keep their old value
@@ -2043,6 +2060,13 @@ object SparkEntry {
       ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
        "FROM customer WHERE c_custkey BETWEEN 0 AND 999 AND c_custkey % 2 = 0 " +
        "UNION ALL SELECT s_suppkey + 4000000000, s_nationkey + 2000000000, true FROM supplier"),
+    // the DuckDB twin enumerates the stride via range() (end-exclusive,
+    // signed step) and joins it against the customer keys
+    "kernel_extract_stride" ->
+      ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v, " +
+       "'fwd' AS dir FROM customer JOIN range(0, 1000, 7) r(x) ON c_custkey = r.x " +
+       "UNION ALL SELECT c_custkey + 3000000000, c_nationkey + 2000000000, true, 'bwd' " +
+       "FROM customer JOIN range(999, -1, -3) r(x) ON c_custkey = r.x"),
     "kernel_assign_masked" ->
       ("SELECT c_custkey + 3000000000 AS i, c_nationkey + 2000000000 AS j, true AS v " +
        "FROM customer WHERE c_custkey >= 500 " +

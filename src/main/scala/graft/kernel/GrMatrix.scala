@@ -153,6 +153,18 @@ final case class Indices(ix: Seq[Long]) extends GrRange {
 final case class Span(start: Long, endInclusive: Long) extends GrRange {
   def pred(c: Column): Option[Column] = Some(c.between(start, endInclusive))
 }
+/** GxB_STRIDE / GxB_BACKWARDS selector (reference GrBRange.scala:7-45):
+  * start..end inclusive stepping by `inc`; a NEGATIVE inc steps DOWN from
+  * start to end (GxB backwards). Membership is a pure arithmetic predicate,
+  * so extract/assign keep their single codegen'd filter — no index list is
+  * ever materialized (a stride over a 10⁹ dimension must not become a
+  * billion-element isin). */
+final case class Stride(start: Long, endInclusive: Long, inc: Long) extends GrRange {
+  require(inc != 0, "stride increment must be non-zero")
+  def pred(c: Column): Option[Column] =
+    if (inc > 0) Some(c.between(start, endInclusive) && (c - start) % inc === 0)
+    else Some(c.between(endInclusive, start) && (lit(start) - c) % -inc === 0)
+}
 
 object GrOps {
   import Ops._

@@ -122,6 +122,26 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("stride/backwards extract-assign matches the enumerated range") {
+    // reference GrBRange GxB_STRIDE / GxB_BACKWARDS (grbv2/GrBRange.scala:7-45):
+    // start..end inclusive stepping by inc; negative inc steps DOWN
+    cases(4).foreach { s =>
+      val a = sample(s)
+      for ((st, en, inc) <- Seq((0L, 5L, 2L), (1L, 5L, 3L), (5L, 0L, -2L), (4L, 1L, -3L))) {
+        val want = (st to en by inc).toSet
+        val ex = toMap(GrOps.extract(mat(a), Stride(st, en, inc), All).df)
+        assert(ex == a.view.filterKeys(k => want(k._1)).toMap, s"rows $st..$en by $inc")
+        val exCols = toMap(GrOps.extract(mat(a), All, Stride(st, en, inc)).df)
+        assert(exCols == a.view.filterKeys(k => want(k._2)).toMap, s"cols $st..$en by $inc")
+        // round-trip: assigning the strided extract back is the identity
+        val back = GrOps.assign(mat(a), Stride(st, en, inc), All,
+          GrOps.extract(mat(a), Stride(st, en, inc), All))
+        assert(toMap(back.df) == a, s"round-trip $st..$en by $inc")
+      }
+    }
+    intercept[IllegalArgumentException] { Stride(0, 5, 0) }
+  }
+
   test("mask, complement mask, and accumulator") {
     cases(3).foreach { s =>
       val (a, b, mk) = (sample(s), sample(s + 100), sample(s + 200))
