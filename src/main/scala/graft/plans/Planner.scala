@@ -16,8 +16,10 @@ import graft.plans.Pattern.{PatternEdge, PatternGraph}
  * start binding × every admissible edge order is enumerated, the greedy
  * (cheapest-next-expansion) plan seeds the incumbent, and prefixes are cut
  * as soon as their accumulated cost reaches the incumbent's (cost only
- * grows). Components above [[ExhaustiveEdgeLimit]] edges fall back to pure
- * greedy. The emitted tree is already join-ordered; Catalyst handles
+ * grows). Components above [[ExhaustiveEdgeLimit]] edges switch to DP over
+ * connected bound-vertex subsets (exact under the cost model to
+ * [[DpEdgeLimit]] edges — see planDp); beyond that, pure greedy.
+ * The emitted tree is already join-ordered; Catalyst handles
  * pushdown / pruning / physical join selection (SURVEY §7.3). The
  * `FilterExpandCommutative` alternative — push the target label onto the
  * edge scan vs. filter after the expand — is decided per hop from label
@@ -42,9 +44,24 @@ import graft.plans.Pattern.{PatternEdge, PatternGraph}
  */
 object Planner {
 
-  /** Components with more edges than this use greedy-only planning; below
-    * it, exhaustive search (≤ 8! orders before pruning, milliseconds). */
+  /** Components with more edges than this leave the exhaustive
+    * branch-and-bound (≤ 8! orders before pruning, milliseconds). */
   val ExhaustiveEdgeLimit = 8
+
+  /** Between [[ExhaustiveEdgeLimit]]+1 and this, planning switches to DP
+    * over connected bound-vertex subsets — the memo's coverage without the
+    * memo (reference Memo dedups commuted forms by group signature,
+    * optim/Memo.scala:85-106, logic/LogicNode.scala:20-31): every expansion
+    * order reaching the same bound set collapses into one DP state holding
+    * the Pareto-minimal (cost, card) prefixes, so the search is
+    * O(2^V · ParetoWidth · V) instead of O(V!). Above this, pure greedy. */
+  val DpEdgeLimit = 14
+
+  /** Per-DP-state cap on retained Pareto-incomparable (cost, card) prefixes.
+    * Cost-optimal continuations of a state need only the lowest-cost and
+    * lowest-card corners; 8 incomparable corners is far beyond what the
+    * monotone cost model produces in practice. */
+  val ParetoWidth = 8
 
   final case class Planned(root: LogicNode, estCard: Double, cost: Double)
 
@@ -87,9 +104,9 @@ object Planner {
       if (best == null || s.cost < best.cost)
         best = Planned(s.node, s.card, s.cost)
 
-    def step(s: State): Unit = {
-      // forced: close any cycle edges first — pure semi-filters, they only
-      // shrink the frontier, so applying them asap is always optimal
+    // forced: close any cycle edges first — pure semi-filters, they only
+    // shrink the frontier, so applying them asap is always optimal
+    def closeCycles(s: State): State = {
       val (cycles, rest) = s.remaining.partition(e => s.bound(e.src) && s.bound(e.dst))
       var node = s.node; var card = s.card; var cost = s.cost
       cycles.foreach { e =>
@@ -98,36 +115,85 @@ object Planner {
         card = math.max(card * 0.5, 1.0)
         cost += 1.2 * card
       }
-      if (rest.isEmpty) { record(State(node, s.bound, rest, card, cost)); return }
-      if (best != null && cost >= best.cost) return // branch-and-bound prune
-      val candidates = rest.filter(e => s.bound(e.src) || s.bound(e.dst))
-      require(candidates.nonEmpty, "pattern component not connected")
-      val ordered = candidates.map(e => e -> fanout(e, s.bound, pg, stats))
-        .sortBy { case (e, f) => (f, e.src, e.dst) }
-      val tried = if (exhaustive) ordered else ordered.take(1) // greedy = beam of 1
-      tried.foreach { case (edge, fan) =>
-        val transpose = !s.bound(edge.src) // walking against the arrow
-        val (fromB, toB) = if (transpose) (edge.dst, edge.src) else (edge.src, edge.dst)
-        val toLabel = pg.labels(toB)
-        // FilterExpandCommutative choice: selective label → pre-filter the edge scan
-        val push = toLabel.exists(_ => stats.nodeSel(toLabel) < 0.8)
-        val nextRemaining = rest.filterNot(_ eq edge)
-        val keep = (s.bound + toB) intersect (needed(pg, nextRemaining) + toB)
-        var n: LogicNode = Expand(node, fromB, GetEdges(edge.types, transpose, edge.undirected,
-          edge.minHops, edge.maxHops, edgePreds(edge)), toB, if (push) toLabel else None, keep)
-        if (!push && toLabel.isDefined) n = Filter(n, toLabel.get)
-        n = applyPreds(n, toB)
-        val nextCard = math.max(card * fan, 1.0)
-        step(State(n, s.bound + toB, nextRemaining, nextCard, cost + 1.2 * nextCard))
-      }
+      State(node, s.bound, rest, card, cost)
     }
 
-    val startsTried = if (exhaustive) starts else starts.take(1)
-    startsTried.foreach { start =>
+    // one expansion across `edge` from the bound side (shared by all three
+    // search tiers; `s` must already be cycle-closed)
+    def expandOne(s: State, edge: PatternEdge, fan: Double): State = {
+      val transpose = !s.bound(edge.src) // walking against the arrow
+      val (fromB, toB) = if (transpose) (edge.dst, edge.src) else (edge.src, edge.dst)
+      val toLabel = pg.labels(toB)
+      // FilterExpandCommutative choice: selective label → pre-filter the edge scan
+      val push = toLabel.exists(_ => stats.nodeSel(toLabel) < 0.8)
+      val nextRemaining = s.remaining.filterNot(_ eq edge)
+      val keep = (s.bound + toB) intersect (needed(pg, nextRemaining) + toB)
+      var n: LogicNode = Expand(s.node, fromB, GetEdges(edge.types, transpose, edge.undirected,
+        edge.minHops, edge.maxHops, edgePreds(edge)), toB, if (push) toLabel else None, keep)
+      if (!push && toLabel.isDefined) n = Filter(n, toLabel.get)
+      n = applyPreds(n, toB)
+      val nextCard = math.max(s.card * fan, 1.0)
+      State(n, s.bound + toB, nextRemaining, nextCard, s.cost + 1.2 * nextCard)
+    }
+
+    def orderedCandidates(s: State): Seq[(PatternEdge, Double)] = {
+      val candidates = s.remaining.filter(e => s.bound(e.src) || s.bound(e.dst))
+      require(candidates.nonEmpty, "pattern component not connected")
+      candidates.map(e => e -> fanout(e, s.bound, pg, stats))
+        .sortBy { case (e, f) => (f, e.src, e.dst) }
+    }
+
+    def startState(start: String): State = {
       val node = applyPreds(GetNodes(start, pg.labels(start)), start)
       val card = math.max(stats.nodeCount(pg.labels(start)).toDouble, 1.0)
-      step(State(node, Set(start), compEdges, card, 0.0))
+      State(node, Set(start), compEdges, card, 0.0)
     }
+
+    def step(s0: State): Unit = {
+      val s = closeCycles(s0)
+      if (s.remaining.isEmpty) { record(s); return }
+      if (best != null && s.cost >= best.cost) return // branch-and-bound prune
+      val ordered = orderedCandidates(s)
+      val tried = if (exhaustive) ordered else ordered.take(1) // greedy = beam of 1
+      tried.foreach { case (edge, fan) => step(expandOne(s, edge, fan)) }
+    }
+
+    // DP over connected bound-vertex subsets: every order reaching the same
+    // bound set shares the same remaining-edge set (cycle edges are forced
+    // closed), so bound-set = the DP state. Each state keeps the Pareto-
+    // minimal (cost, card) prefixes — min cost alone is not sufficient
+    // because future cost scales with card.
+    def planDp(): Planned = {
+      val verts = comp.toSeq.sorted
+      val vIdx = verts.zipWithIndex.toMap
+      val states = scala.collection.mutable.Map[Int, Vector[State]]()
+      def add(mask: Int, s: State): Unit = {
+        val cur = states.getOrElse(mask, Vector.empty)
+        if (cur.exists(t => t.cost <= s.cost && t.card <= s.card)) return // dominated
+        val kept = cur.filterNot(t => s.cost <= t.cost && s.card <= t.card)
+        states(mask) = (kept :+ s).sortBy(t => (t.cost, t.card)).take(ParetoWidth)
+      }
+      starts.foreach(b => add(1 << vIdx(b), closeCycles(startState(b))))
+      val full = (1 << verts.size) - 1
+      // transitions only add bits, so numeric ascending order visits every
+      // state after all of its predecessors
+      (1 until full).foreach { mask =>
+        states.get(mask).foreach(_.foreach { s =>
+          orderedCandidates(s).foreach { case (edge, fan) =>
+            val next = closeCycles(expandOne(s, edge, fan))
+            val toB = if (s.bound(edge.src)) edge.dst else edge.src
+            add(mask | (1 << vIdx(toB)), next)
+          }
+        })
+      }
+      val win = states(full).minBy(t => (t.cost, t.card))
+      Planned(win.node, win.card, win.cost)
+    }
+
+    if (!exhaustive && compEdges.size <= DpEdgeLimit) return planDp()
+
+    val startsTried = if (exhaustive) starts else starts.take(1)
+    startsTried.foreach(start => step(startState(start)))
     best
   }
 

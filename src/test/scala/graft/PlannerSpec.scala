@@ -155,4 +155,51 @@ class PlannerSpec extends AnyFunSuite {
     }
     assert(hasEdgePredicate(Planner.plan(p, s)))
   }
+
+  /** Expansion order: target bindings of Expand nodes, innermost first. */
+  private def expandOrder(n: LogicNode): Seq[String] = n match {
+    case Expand(f, _, _, toB, _, _) => expandOrder(f) :+ toB
+    case Filter(f, _)               => expandOrder(f)
+    case PropFilter(f, _)           => expandOrder(f)
+    case EdgePredicate(f, _, _, _)  => expandOrder(f)
+    case _                          => Seq.empty
+  }
+
+  // A 10-edge chain (a)-..->(k), 11 vertices — above ExhaustiveEdgeLimit,
+  // inside DpEdgeLimit. Stats are skewed so the left side COLLAPSES the
+  // cardinality (the d—e edge has triplet count 1 against label counts of
+  // 100 → fan 0.01) while the right side grows it (fan 2 per hop). A pure
+  // greedy (beam of 1) from the most selective start f takes the right
+  // side's locally-cheap fan-2 hops first and then pays the fan-10 left
+  // entry at card 32 (cost ≈ 474); the stats-optimal order clears the
+  // collapsing left side first and replays the right side from card 1
+  // (cost ≈ 80) — an order greedy provably misses, requiring the DP's
+  // full coverage of expansion orders (reference Memo coverage,
+  // optim/Memo.scala:85-106).
+  test("10-edge chain: DP finds the card-collapsing order greedy misses") {
+    val vs = "abcdefghijk".map(_.toString)
+    val edges = vs.zip(vs.tail).map { case (s, d) =>
+      PatternEdge(s, d, Seq("X"), undirected = false) }.toVector
+    val labels = vs.map(v => v -> Some(v.toUpperCase)).toMap
+    val p = pg(edges, labels, returns = Seq("a", "k"))
+    val trips = Map(
+      ("A", "X", "B") -> 100L, ("B", "X", "C") -> 100L, ("C", "X", "D") -> 100L,
+      ("D", "X", "E") -> 1L,   // the collapsing edge: fan 1/100 = 0.01
+      ("E", "X", "F") -> 10L,  // left entry from f: fan 10/1 = 10
+      ("F", "X", "G") -> 2L,   // right entry from f: fan 2/1 = 2
+      ("G", "X", "H") -> 200L, ("H", "X", "I") -> 200L, // fan 200/100 = 2 …
+      ("I", "X", "J") -> 200L, ("J", "X", "K") -> 200L)
+    val s = stats(
+      nodes = vs.map(v => v.toUpperCase -> (if (v == "f") 1L else 100L)).toMap,
+      edges = Map("X" -> trips.values.sum),
+      triplets = trips)
+    val order = expandOrder(Planner.plan(p, s))
+    assert(order.size == 10 && order.distinct.size == 10) // all 10 expansions present
+    // the stats-optimal order finishes the collapsing left side BEFORE
+    // growing the right side; greedy would emit g,h,i,j,k first
+    val leftDone = Seq("a", "b", "c").map(order.indexOf).max
+    val rightStart = Seq("h", "i", "j", "k").map(order.indexOf).min
+    assert(leftDone < rightStart,
+      s"left side must complete before the right side grows: $order")
+  }
 }
