@@ -149,14 +149,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"retries":$retries,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout line can exceed a log-capture tail window (r4: the driver's
-    // BENCH artifact recorded rc=0 but a truncated JSON → parsed:null and the
-    // per-query evidence was lost). Persist the same line to a file so the
-    // full record survives regardless of how stdout is captured.
+    // The full line (~20 KB at 190 queries) exceeds the driver's 2000-char
+    // stdout capture window — every BENCH_r*.json through r8 recorded
+    // parsed:null with a mid-line tail. Persist the complete record to a
+    // file, and keep stdout to EXACTLY ONE compact line that fits the
+    // window whole (so the captured tail is a complete JSON document no
+    // matter how it is parsed: whole-tail, last-line, or regex).
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val slowest = finalResults.sortBy(-_._2).take(25)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val errCount = finalResults.count(_._4.isDefined)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"errors":$errCount,"retried":${retried.size},"queries":$slowest,"note":"queries = slowest 25 of ${finalResults.size}; full per-query record in BENCH_LAST.json","sf":"$sfDir"}""")
     spark.stop()
     if (finalResults.exists(_._4.isDefined)) sys.exit(1)
   }

@@ -38,6 +38,119 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
   def addNodes(rows: DataFrame): GraphDB = new GraphDB(graph.addNodes(rows))
   def addEdges(rows: DataFrame): GraphDB = new GraphDB(graph.addEdges(rows))
 
+  def execute(text: String): GraphDB = execute(text, Map.empty[String, Any])
+
+  /** Cypher write surface: `CREATE (n:L {props})[, …]` (literal nodes and
+    * edges between them) and `MATCH … [WHERE …] CREATE (a)-[:T]->(b)`
+    * (one edge per DISTINCT match — the engine's set semantics), compiled
+    * to [[addNodes]]/[[addEdges]] (reference insertVertex/insertEdge,
+    * ConcurrentDirectedGraph.scala:109-153). Returns the NEW GraphDB
+    * (immutable mutation contract: the receiver and its stats snapshot are
+    * untouched; the new GraphDB recomputes stats lazily on first plan).
+    *
+    * Scale posture: literal node creation is driver-sized BY CONSTRUCTION
+    * (the statement enumerates the rows), so id allocation is one tiny
+    * max(id) job — the Spark analogue of the reference's AtomicLong id
+    * counter (DataStore.scala:44-49); an explicit `id` property skips the
+    * job. Per-match-row NODE creation is rejected loudly (bulk loads go
+    * through addNodes with a real DataFrame); per-match-row EDGE creation
+    * is fully distributed — the match compiles through the standard
+    * pattern planner and the created edges are its projected id pairs. */
+  def execute(text: String, params: Map[String, Any]): GraphDB = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val stmt = CypherParser.parseCreate(text, params)
+    val spark = graph.nodes.sparkSession
+    val created = stmt.nodes.map(_.name)
+    if (created.distinct.size != created.size)
+      throw new cypher.ParseException("duplicate created binding in CREATE")
+    val matchBound: Set[String] = stmt.matchPaths
+      .flatMap(p => p.first.name.toSeq ++ p.hops.flatMap(_._2.name.toSeq)).toSet
+    stmt.edges.flatMap(e => Seq(e.src, e.dst)).foreach { b =>
+      if (!created.contains(b) && !matchBound(b)) throw new cypher.ParseException(
+        s"CREATE endpoint $b is neither a created node nor a match binding")
+    }
+    if (stmt.matchPaths.nonEmpty && stmt.nodes.nonEmpty)
+      throw new cypher.ParseException(
+        "per-match-row node creation is not supported (CREATE after MATCH " +
+          "creates relationships; bulk-load nodes with addNodes)")
+    def norm(v: Any): Any = v match { case i: Int => i.toLong; case x => x }
+    def sparkType(v: Any): DataType = norm(v) match {
+      case _: String  => StringType
+      case _: Long    => LongType
+      case _: Double  => DoubleType
+      case _: Boolean => BooleanType
+      case other => throw new cypher.ParseException(
+        s"unsupported CREATE property value: $other")
+    }
+    /** Literal rows → DataFrame whose shared columns are cast to `alignTo`'s
+      * types (a LONG literal destined for a DOUBLE property column must not
+      * fail the unionByName). */
+    def literalDf(fixed: Seq[(String, DataType)], rows: Seq[Seq[Any]],
+                  props: Seq[Seq[(String, Any)]], alignTo: DataFrame): DataFrame = {
+      val keys = props.flatMap(_.map(_._1)).distinct
+      val keyType = keys.map(k =>
+        k -> sparkType(props.flatMap(_.collectFirst { case (`k`, v) => v }).head)).toMap
+      val schema = StructType(
+        fixed.map { case (n, t) => StructField(n, t, nullable = false) } ++
+          keys.map(k => StructField(k, keyType(k), nullable = true)))
+      val data = rows.zip(props).map { case (fx, ps) =>
+        val m = ps.map { case (k, v) => k -> norm(v) }.toMap
+        Row.fromSeq(fx.map(norm) ++ keys.map(m.get(_).orNull))
+      }
+      import scala.jdk.CollectionConverters._
+      var df = spark.createDataFrame(data.asJava, schema)
+      val existing = alignTo.schema.map(f => f.name -> f.dataType).toMap
+      keys.foreach { k =>
+        existing.get(k).foreach(t => if (t != keyType(k)) df = df.withColumn(k, col(k).cast(t)))
+      }
+      df
+    }
+    var out = this
+    var idOf = Map.empty[String, Long]
+    if (stmt.nodes.nonEmpty) {
+      val explicitId: cypher.Ast.CreateNode => Option[Long] =
+        n => n.props.collectFirst { case ("id", v: Long) => v; case ("id", v: Int) => v.toLong }
+      var next =
+        if (stmt.nodes.forall(explicitId(_).isDefined)) 0L
+        else {
+          val r = graph.nodes.agg(max(col("id"))).collect()(0)
+          (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+        }
+      val withIds = stmt.nodes.map { n =>
+        val id = explicitId(n).getOrElse { val v = next; next += 1; v }
+        idOf += n.name -> id
+        (id, n)
+      }
+      out = out.addNodes(literalDf(
+        Seq("id" -> LongType, "label" -> StringType),
+        withIds.map { case (id, n) => Seq[Any](id, n.label) },
+        withIds.map(_._2.props.filterNot(_._1 == "id")), graph.nodes))
+    }
+    val (matchEdges, literalEdges) = stmt.edges.partition(
+      e => matchBound(e.src) || matchBound(e.dst))
+    if (literalEdges.nonEmpty)
+      out = out.addEdges(literalDf(
+        Seq("src" -> LongType, "dst" -> LongType, "etype" -> StringType),
+        literalEdges.map(e => Seq[Any](idOf(e.src), idOf(e.dst), e.etype)),
+        literalEdges.map(_.props), graph.edges))
+    if (matchEdges.nonEmpty) {
+      val refs = matchEdges.flatMap(e => Seq(e.src, e.dst)).distinct
+      val m = runQuery(cypher.Ast.Query(stmt.matchPaths, Seq.empty, stmt.where,
+        refs.map(b => cypher.Ast.Ret(b)), distinct = true, Seq.empty, None))
+      matchEdges.foreach { e =>
+        val pairs = m.select(col(e.src).as("src"), col(e.dst).as("dst"),
+          lit(e.etype).as("etype")).dropDuplicates()
+        val withProps = e.props.foldLeft(pairs) { case (df, (k, v)) =>
+          val t = graph.edges.schema.find(_.name == k).map(_.dataType)
+          df.withColumn(k, t.fold(lit(norm(v)))(tt => lit(norm(v)).cast(tt)))
+        }
+        out = out.addEdges(withProps)
+      }
+    }
+    out
+  }
+
   def plan(cypher: String): LogicNode =
     Planner.plan(Pattern.fromQuery(CypherParser.parse(cypher)), stats)
 

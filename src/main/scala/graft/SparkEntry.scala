@@ -326,6 +326,17 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
         "RETURN n AS nation_id, count(c) AS customers ORDER BY customers DESC, nation_id LIMIT 10")),
+    // the Cypher WRITE surface (reference mutation API §2.5): CREATE a
+    // literal hub node into a TEMP GraphDB (the resident graph is shared —
+    // execute() returns a NEW GraphDB and never mutates the receiver), wire
+    // every nation to it per-match-row, read the result back through the
+    // standard read path
+    "cy_create" -> ((s, dir) =>
+      db(s, dir)
+        .execute("CREATE (h:hub {id: 9000000000, name: 'hub0'})")
+        .execute("MATCH (n:nation), (h:hub) CREATE (n)-[:IN_HUB {w: 7}]->(h)")
+        .query("MATCH (n:nation)-[r:IN_HUB]->(h:hub) " +
+               "RETURN n, h.name AS hub, r.w AS w ORDER BY n")),
     // ORDER BY + LIMIT through the Cypher surface (TakeOrderedAndProject —
     // the sort never materializes globally)
     "cy_orderby" -> ((s, dir) =>
@@ -1679,6 +1690,9 @@ object SparkEntry {
     "cy_multi_return" ->
       ("SELECT DISTINCT l1.l_suppkey + 4000000000 AS su, l2.l_orderkey + 6000000000 AS o " +
        "FROM lineitem l1 JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey"),
+    "cy_create" ->
+      ("SELECT n_nationkey + 2000000000 AS n, 'hub0' AS hub, 7 AS w " +
+       "FROM nation ORDER BY n"),
     "cy_props" ->
       ("SELECT DISTINCT r_regionkey + 1000000000 AS r, 'region' AS r_label, " +
        "r_name AS r_name FROM region"),

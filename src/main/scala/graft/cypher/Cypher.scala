@@ -314,6 +314,19 @@ object Ast {
         * left join (openCypher: the WHERE is part of the OPTIONAL MATCH).
         * Bare equality/comparison conjuncts only (enforced downstream). */
       optionalWhere: Seq[Seq[Pred]] = Seq.empty)
+
+  /** CREATE write surface (reference mutation API §2.5, insertVertex /
+    * insertEdge, ConcurrentDirectedGraph.scala:109-153). `name` is the
+    * element's binding (auto-generated when anonymous); `props` are
+    * literal key/value pairs in declaration order. */
+  final case class CreateNode(name: String, label: String, props: Seq[(String, Any)])
+  final case class CreateEdge(src: String, dst: String, etype: String,
+                              props: Seq[(String, Any)])
+  /** `[MATCH … [WHERE …]] CREATE pat (, pat)*`: `matchPaths`/`where` empty
+    * for the literal form; edge endpoints resolve against created-node
+    * names or match bindings (validated at execution). */
+  final case class CreateStmt(matchPaths: Seq[Path], where: Seq[Pred],
+                              nodes: Seq[CreateNode], edges: Seq[CreateEdge])
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -369,6 +382,15 @@ object CypherParser {
     }
     p.end()
     (qs.toSeq, all.getOrElse(false))
+  }
+
+  /** Parse a CREATE statement (the write surface — [[Ast.CreateStmt]]).
+    * Executed by GraphDB.execute, which returns a NEW GraphDB. */
+  def parseCreate(text: String, params: Map[String, Any] = Map.empty): CreateStmt = {
+    val p = new P(text, params)
+    val c = p.createStmt()
+    p.end()
+    c
   }
 
   private final class P(s: String, params: Map[String, Any] = Map.empty) {
@@ -439,6 +461,101 @@ object CypherParser {
         more = tryEat(',')
       }
       eat('}')
+    }
+
+    /** `{k: v, …}` as literal VALUES (CREATE position) — same value grammar
+      * as [[propMapInto]] but collected instead of compiled to predicates. */
+    private def literalMap(): Seq[(String, Any)] = {
+      eat('{')
+      if (tryEat('}')) return Seq.empty
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Any)]()
+      var more = true
+      while (more) {
+        val k = ident(); eat(':'); ws()
+        val v: Any =
+          if (peek == '\'' || peek == '"') stringLit()
+          else if (peek == '$') { i += 1; paramValue(ident()) }
+          else if (peek.isDigit || peek == '-') {
+            // integral literals stay Long (number() widens to Double, which
+            // would turn a created id/count column into DOUBLE)
+            val start = i
+            if (peek == '-') i += 1
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+            val isFloat = i < s.length && s.charAt(i) == '.'
+            if (isFloat) { i += 1; while (i < s.length && s.charAt(i).isDigit) i += 1 }
+            val txt = s.substring(start, i)
+            if (isFloat) txt.toDouble else txt.toLong
+          }
+          else err("property values must be string or number literals")
+        buf += (k -> v)
+        more = tryEat(',')
+      }
+      eat('}')
+      buf.toSeq
+    }
+
+    /** `[MATCH … [WHERE …]] CREATE pat (, pat)*` — the write surface.
+      * A parenthesized element WITH a label creates a node (literal props);
+      * one WITHOUT a label references a bound variable (match binding or a
+      * created node named earlier in the same statement). Relationships are
+      * directed with exactly one type: `(a)-[:T {props}]->(b)`. */
+    def createStmt(): CreateStmt = {
+      val paths = scala.collection.mutable.ArrayBuffer[Path]()
+      val preds = scala.collection.mutable.ArrayBuffer[Pred]()
+      val mapsBefore = mapPreds.size
+      if (kw("MATCH")) {
+        paths += path(); while (tryEat(',')) paths += path()
+        var more = true
+        while (more) {
+          if (kw("WHERE")) preds ++= Pred.conjuncts(orExpr())
+          if (kw("MATCH")) { paths += path(); while (tryEat(',')) paths += path() }
+          else more = false
+        }
+      }
+      preds ++= mapPreds.drop(mapsBefore)
+      mapPreds.remove(mapsBefore, mapPreds.size - mapsBefore)
+      if (!kw("CREATE")) err("expected CREATE")
+      val nodes = scala.collection.mutable.ArrayBuffer[CreateNode]()
+      val edges = scala.collection.mutable.ArrayBuffer[CreateEdge]()
+      def elem(): String = {
+        eat('(')
+        ws()
+        val name = if (peek != ':' && peek != ')' && peek != '{') Some(ident()) else None
+        val label = if (tryEat(':')) Some(ident()) else None
+        ws()
+        val props = if (peek == '{') literalMap() else Seq.empty
+        eat(')')
+        label match {
+          case Some(l) =>
+            val n = name.getOrElse(freshMapBinding())
+            nodes += CreateNode(n, l, props)
+            n
+          case None =>
+            if (props.nonEmpty) err(
+              "a CREATE endpoint without a label references a bound variable " +
+                "and cannot carry properties")
+            name.getOrElse(err("a CREATE endpoint without a label must name a bound variable"))
+        }
+      }
+      def onePat(): Unit = {
+        val a = elem()
+        ws()
+        if (peek == '-') {
+          eat('-'); eat('[')
+          if (!tryEat(':')) err("CREATE relationship requires a type: -[:T]->")
+          val t = ident()
+          ws()
+          val eprops = if (peek == '{') literalMap() else Seq.empty
+          eat(']'); eat('-')
+          ws()
+          if (peek != '>') err("CREATE relationships must be directed: -[:T]->")
+          i += 1
+          val b = elem()
+          edges += CreateEdge(a, b, t, eprops)
+        }
+      }
+      onePat(); while (tryEat(',')) onePat()
+      CreateStmt(paths.toSeq, preds.toSeq, nodes.toSeq, edges.toSeq)
     }
 
     def query(): Query = {

@@ -978,6 +978,49 @@ class CypherSpec extends SparkSpec {
     assert(got == Set(4L, 5L, 6L))
   }
 
+  test("CREATE: literal nodes and edges visible to subsequent queries") {
+    val db0 = new GraphDB(propsG)
+    // literal nodes with props (explicit + allocated id) plus an inline edge
+    val db1 = db0.execute(
+      "CREATE (p:B {id: 9, name: 'z', value: 30}), " +
+      "(q:A {name: 'a2'})-[:X]->(p)")
+    // allocated id = max(id)+1 = 5 (the reference's AtomicLong counter analogue)
+    val names = db1.query("MATCH (a:A) RETURN a, a.name ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(names.toSeq == Seq((1L, "a1"), (5L, "a2")))
+    val hop = db1.query("MATCH (a:A)-[:X]->(b:B) WHERE b.value > 25 RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hop.toSeq == Seq((5L, 9L)))
+    // the receiver is untouched (immutable mutation contract)
+    assert(db0.query("MATCH (a:A) RETURN a").collect().length == 1)
+    // stats refreshed on the new GraphDB
+    assert(db1.stats.nodeCounts("B") == db0.stats.nodeCounts("B") + 1)
+    assert(db1.stats.edgeCounts("X") == db0.stats.edgeCounts("X") + 1)
+  }
+
+  test("CREATE after MATCH: one edge per distinct match; rejections") {
+    val db0 = new GraphDB(diamond)
+    // connect every (a:A, c:C) pair reachable through the diamond — the
+    // distributed write path: match plan → projected id pairs → addEdges
+    val db1 = db0.execute(
+      "MATCH (a:A)-[:X]->(:B)-[:Y]->(c:C) CREATE (a)-[:SHORTCUT {w: 2}]->(c)")
+    val sc = db1.query("MATCH (a:A)-[r:SHORTCUT]->(c:C) RETURN a, c, r.w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sc.toSeq == Seq((1L, 4L, 2L))) // two paths, ONE distinct (a, c) pair
+    // per-match-row node creation rejected loudly
+    intercept[graft.cypher.ParseException] {
+      db0.execute("MATCH (a:A) CREATE (x:Copy {name: 'c'})-[:OF]->(a)")
+    }
+    // unknown endpoint rejected
+    intercept[graft.cypher.ParseException] {
+      db0.execute("CREATE (a)-[:T]->(b)")
+    }
+    // undirected CREATE rejected
+    intercept[graft.cypher.ParseException] {
+      db0.execute("MATCH (a:A), (c:C) CREATE (a)-[:T]-(c)")
+    }
+  }
+
   // --- round 8: pattern predicates, collect(), id()/type() ---
 
   /** A1,A2,A3 -X-> B10/B11; B10 -Y-> C20; A1 -Z-> C20; B11 -W-> C21. */
