@@ -28,14 +28,17 @@ final case class MediaResized(id: Long, out_w: Int, out_h: Int,
  * decode → feature-extract → frame-sample as distributed typed
  * transformations.
  *
- * DECODE IS STUBBED: no codec libraries exist in this environment, so
- * "decoding" parses a deterministic synthetic container format (`GMM1`)
- * whose header and body are pure integer functions of the id. Everything
- * around the stub — the binary parquet schema, `mapPartitions` batch shape,
- * per-partition decoder reuse, exploded frame rows — is the real 100 TB
- * plumbing; swapping [[SyntheticCodec]] for a JNI/javacpp codec changes no
- * plan shape. Because the fake is arithmetic, DuckDB can recompute the
- * contract exactly, so even the stubbed path is hash-oracle-checked.
+ * Codecs: every operator dispatches per payload on magic bytes between a
+ * REAL pure-JVM PPM (P6) image codec ([[MultimodalOps.PpmCodec]]: header
+ * parse, pixel decode, true 2-D nearest-neighbor resize — no dependencies)
+ * and a deterministic synthetic container format (`GMM1`) whose header and
+ * body are pure integer functions of the id. The synthetic codec remains
+ * the ORACLE fixture (DuckDB recomputes its arithmetic exactly, so the
+ * mm_* queries hash-check end to end); the PPM path proves the same
+ * distributed plumbing — binary parquet schema, `mapPartitions` batch
+ * shape, per-partition decoder reuse, exploded frame rows — decodes real
+ * bytes. Exotic formats (JPEG/MP4) would slot in as further magic
+ * branches (JNI/javacpp) with no plan-shape change.
  */
 object MultimodalOps {
 
@@ -82,6 +85,100 @@ object MultimodalOps {
       java.util.Arrays.copyOfRange(bytes, 29, bytes.length)
   }
 
+  /**
+   * REAL pure-JVM codec for binary PPM (P6) images — zero dependencies:
+   * ASCII header `P6 <w> <h> <maxval>` (whitespace-separated, `#` comments
+   * legal) followed by w·h·3 raw RGB bytes. This closes the "decode an
+   * image doesn't decode an image" gap: PPM payloads flow through the SAME
+   * distributed operators as the synthetic fixtures — [[decodeMeta]],
+   * [[mediaFeatures]] and [[resize]] dispatch on the payload's magic bytes,
+   * and the PPM resize is a true 2-D nearest-neighbor resample of the
+   * H×W×3 pixel grid. The synthetic codec remains the fixture generator
+   * (its arithmetic body is what the DuckDB oracle can recompute).
+   */
+  object PpmCodec {
+    def isPpm(bytes: Array[Byte]): Boolean =
+      bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"P6 body must be w*h*3 bytes, got ${rgb.length}")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Header scan: returns (width, height, bodyOffset). Maxval > 255
+      * (2-byte samples) is rejected — single-byte RGB only. */
+    private def header(bytes: Array[Byte]): (Int, Int, Int) = {
+      var p = 2 // past "P6"
+      def skipWs(): Unit = {
+        var in = true
+        while (in && p < bytes.length) {
+          val c = bytes(p).toChar
+          if (c == '#') while (p < bytes.length && bytes(p) != '\n') p += 1
+          else if (c.isWhitespace) p += 1
+          else in = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0; var any = false
+        while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+          v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+        }
+        require(any, "malformed PPM header")
+        v
+      }
+      val w = int(); val h = int(); val maxval = int()
+      require(maxval > 0 && maxval < 256, s"unsupported PPM maxval $maxval")
+      p += 1 // exactly ONE whitespace byte separates maxval from the raster
+      require(bytes.length - p >= w * h * 3, "truncated PPM body")
+      (w, h, p)
+    }
+
+    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val (w, h, off) = header(bytes)
+      MediaMeta(id, "image", "ppm", w, h, 3, 0L, bytes.length - off)
+    }
+
+    /** (width, height, H×W×3 pixel bytes). */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, off) = header(bytes)
+      (w, h, java.util.Arrays.copyOfRange(bytes, off, off + w * h * 3))
+    }
+
+    /** 2-D nearest-neighbor resample of the pixel grid to outW×outH. */
+    def resize(w: Int, h: Int, pixels: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = ((y.toLong * h) / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = ((x.toLong * w) / outW).toInt
+          val src = (sy * w + sx) * 3
+          val dst = (y * outW + x) * 3
+          out(dst) = pixels(src); out(dst + 1) = pixels(src + 1); out(dst + 2) = pixels(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Magic-dispatched metadata decode: real PPM or the synthetic container. */
+  private def metaOf(id: Long, bytes: Array[Byte]): MediaMeta =
+    if (PpmCodec.isPpm(bytes)) PpmCodec.decodeMeta(id, bytes)
+    else SyntheticCodec.decodeMeta(id, bytes)
+
+  /** Magic-dispatched body decode (PPM → pixel bytes). */
+  private def bodyOf(bytes: Array[Byte]): Array[Byte] =
+    if (PpmCodec.isPpm(bytes)) PpmCodec.decodePixels(bytes)._3
+    else SyntheticCodec.decodeBody(bytes)
+
   /** Attach a synthetic binary payload per id — the fixture loader standing
     * in for `spark.read.format("binaryFile")` over a media lake. */
   def syntheticMedia(ids: DataFrame, idCol: String, mediaType: String): Dataset[MediaRow] = {
@@ -91,11 +188,12 @@ object MultimodalOps {
       .mapPartitions(_.map(id => MediaRow(id, mediaType, SyntheticCodec.encode(id, mediaType))))
   }
 
-  /** Parse header metadata out of the binary column (distributed, typed). */
+  /** Parse header metadata out of the binary column (distributed, typed);
+    * dispatches per payload on magic bytes (PPM or synthetic). */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r => SyntheticCodec.decodeMeta(r.id, r.content)))
+    media.mapPartitions(_.map(r => metaOf(r.id, r.content)))
   }
 
   /**
@@ -111,7 +209,7 @@ object MultimodalOps {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val body = SyntheticCodec.decodeBody(r.content)
+        val body = bodyOf(r.content)
         val sums = new Array[Long](dim)
         val counts = new Array[Long](dim)
         var p = 0
@@ -140,16 +238,25 @@ object MultimodalOps {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val body = SyntheticCodec.decodeBody(r.content)
-        val k = outW * outH
-        val out = new Array[Byte](k)
-        var i = 0; var sum = 0L
-        while (i < k) {
-          out(i) = body(((i.toLong * body.length) / k).toInt)
-          sum += out(i) & 0xFF
-          i += 1
+        if (PpmCodec.isPpm(r.content)) {
+          // real 2-D nearest-neighbor resample over the H×W×3 pixel grid
+          val (w, h, px) = PpmCodec.decodePixels(r.content)
+          val out = PpmCodec.resize(w, h, px, outW, outH)
+          var i = 0; var sum = 0L
+          while (i < out.length) { sum += out(i) & 0xFF; i += 1 }
+          MediaResized(r.id, outW, outH, out.length, sum)
+        } else {
+          val body = SyntheticCodec.decodeBody(r.content)
+          val k = outW * outH
+          val out = new Array[Byte](k)
+          var i = 0; var sum = 0L
+          while (i < k) {
+            out(i) = body(((i.toLong * body.length) / k).toInt)
+            sum += out(i) & 0xFF
+            i += 1
+          }
+          MediaResized(r.id, outW, outH, k, sum)
         }
-        MediaResized(r.id, outW, outH, k, sum)
       }
     }
   }
@@ -162,7 +269,7 @@ object MultimodalOps {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val meta = SyntheticCodec.decodeMeta(r.id, r.content)
+        val meta = metaOf(r.id, r.content)
         (0L to meta.duration_ms by everyMs).iterator.zipWithIndex
           .map { case (ts, i) => MediaFrame(r.id, i, ts) }
       }

@@ -66,4 +66,59 @@ class MultimodalSpec extends SparkSpec {
     val counts = feats.groupBy("id").count().select("count").distinct().as[Long].collect()
     assert(counts.toSeq === Seq(8L))
   }
+
+  // --- the REAL codec: PPM (P6) payloads through the same operators ---
+
+  /** 4×2 RGB test card: distinct per-pixel channel values. */
+  private def testCard(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+
+  test("PPM: encode → decodeMeta/decodePixels round-trips real bytes") {
+    val (w, h) = (4, 2)
+    val px = testCard(w, h)
+    val bytes = PpmCodec.encode(w, h, px)
+    // header is genuine ASCII PPM — any external viewer would accept it
+    assert(new String(bytes.take(2), "US-ASCII") == "P6")
+    val media = Seq((77L, "image", bytes)).toDF("id", "media_type", "content")
+      .as[graft.multimodal.MediaRow]
+    val m = decodeMeta(media).collect().head
+    assert(m.format == "ppm" && m.width == w && m.height == h &&
+      m.channels == 3 && m.duration_ms == 0L && m.body_len == w * h * 3)
+    val (dw, dh, dpx) = PpmCodec.decodePixels(bytes)
+    assert(dw == w && dh == h && dpx.toSeq == px.toSeq)
+    // comments and extra whitespace in the header are legal PPM
+    val commented = ("P6\n# test card\n 4 2\n255\n".getBytes("US-ASCII") ++ px)
+    assert(PpmCodec.decodePixels(commented)._3.toSeq == px.toSeq)
+  }
+
+  test("PPM: true 2-D nearest-neighbor resize (downscale picks grid corners)") {
+    val (w, h) = (4, 4)
+    // pixel (x, y) has R = 16*y + x so sampled coordinates are readable
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) px((y * w + x) * 3) = (16 * y + x).toByte
+    val out = PpmCodec.resize(w, h, px, 2, 2)
+    // NN at ⌊i·4/2⌋: samples x ∈ {0, 2}, y ∈ {0, 2}
+    val rs = (0 until 4).map(i => out(i * 3) & 0xFF)
+    assert(rs == Seq(0, 2, 32, 34))
+    // identity resize reproduces the input grid exactly
+    assert(PpmCodec.resize(w, h, px, w, h).toSeq == px.toSeq)
+  }
+
+  test("PPM: mediaFeatures and resize run the same distributed operators") {
+    val rows = Seq(1L, 2L, 3L).map(id =>
+      (id, "image", PpmCodec.encode(4, 2, testCard(4, 2))))
+    val media = rows.toDF("id", "media_type", "content").as[graft.multimodal.MediaRow]
+    val feats = mediaFeatures(media, dim = 4).collect()
+    assert(feats.length == 12 && feats.map(_.n).sum == 3L * 4 * 2 * 3)
+    // stripe sums fold the REAL pixel bytes
+    val expected = (0 until 24).groupBy(_ % 4)
+      .map { case (d, ps) => d -> ps.map(p => ((p * 11 + 5) % 256).toLong).sum }
+    feats.filter(_.id == 1L).foreach(f => assert(f.stripe_sum == expected(f.d)))
+    val r = resize(media, 2, 2).collect().head
+    assert(r.out_len == 2 * 2 * 3) // H×W×3 thumbnail, not a 1-D stride
+    // mixed corpus: synthetic and PPM payloads in ONE dataset decode per-row
+    val mixed = media.union(syntheticMedia(Seq(9L).toDF("doc_id"), "doc_id", "image"))
+    val metas = decodeMeta(mixed).collect().map(m => m.id -> m.format).toMap
+    assert(metas(1L) == "ppm" && metas(9L) == "gmm1")
+  }
 }
