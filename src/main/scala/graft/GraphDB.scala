@@ -23,9 +23,15 @@ object GraphDB {
   val DefaultShortestMaxSources = 1000000L
 }
 
-final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = None) {
+final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = None,
+                    statsThunk: Option[() => GraphStats] = None) {
 
-  lazy val stats: GraphStats = precomputed.getOrElse(graph.computeStats())
+  /** `precomputed` wins, then `statsThunk` (a LAZY derivation — [[execute]]
+    * uses it to update stats incrementally from the pre-mutation snapshot,
+    * the reference's per-insert StatsStore contract without a graph scan),
+    * else a full distributed recompute. */
+  lazy val stats: GraphStats =
+    precomputed.orElse(statsThunk.map(_())).getOrElse(graph.computeStats())
 
   /** Mutation at the GraphDB level returns a NEW GraphDB whose stats are
     * recomputed (lazily, on first plan) over the mutated graph — the
@@ -106,7 +112,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       }
       df
     }
-    var out = this
+    var pg = graph
     var idOf = Map.empty[String, Long]
     if (stmt.nodes.nonEmpty) {
       val explicitId: cypher.Ast.CreateNode => Option[Long] =
@@ -122,18 +128,33 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         idOf += n.name -> id
         (id, n)
       }
-      out = out.addNodes(literalDf(
+      pg = pg.addNodes(literalDf(
         Seq("id" -> LongType, "label" -> StringType),
         withIds.map { case (id, n) => Seq[Any](id, n.label) },
         withIds.map(_._2.props.filterNot(_._1 == "id")), graph.nodes))
     }
+    val labelOfCreated = stmt.nodes.map(n => n.name -> n.label).toMap
     val (matchEdges, literalEdges) = stmt.edges.partition(
       e => matchBound(e.src) || matchBound(e.dst))
     if (literalEdges.nonEmpty)
-      out = out.addEdges(literalDf(
+      pg = pg.addEdges(literalDf(
         Seq("src" -> LongType, "dst" -> LongType, "etype" -> StringType),
         literalEdges.map(e => Seq[Any](idOf(e.src), idOf(e.dst), e.etype)),
         literalEdges.map(_.props), graph.edges))
+    // match-created edges: the statement carries the endpoint labels when
+    // the pattern declares them, so the stats delta is knowable without a
+    // graph scan — only the created-pair COUNT needs a job, deferred into
+    // the stats thunk. The pair set is persisted (lazily): the count job
+    // and every later scan of the unioned edge table share one evaluation
+    // of the match.
+    val matchLabel: Map[String, Option[String]] = stmt.matchPaths
+      .flatMap(p => (p.first +: p.hops.map(_._2)).flatMap(np => np.name.map(_ -> np.label)))
+      .toMap
+    var edgeDeltas = Seq.empty[(Option[String], String, Option[String], () => Long)]
+    literalEdges.groupBy(e => (labelOfCreated(e.src), e.etype, labelOfCreated(e.dst)))
+      .foreach { case ((sl, t, dl), es) =>
+        edgeDeltas :+= ((Some(sl), t, Some(dl), () => es.size.toLong))
+      }
     if (matchEdges.nonEmpty) {
       val refs = matchEdges.flatMap(e => Seq(e.src, e.dst)).distinct
       val m = runQuery(cypher.Ast.Query(stmt.matchPaths, Seq.empty, stmt.where,
@@ -144,11 +165,40 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         val withProps = e.props.foldLeft(pairs) { case (df, (k, v)) =>
           val t = graph.edges.schema.find(_.name == k).map(_.dataType)
           df.withColumn(k, t.fold(lit(norm(v)))(tt => lit(norm(v)).cast(tt)))
-        }
-        out = out.addEdges(withProps)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pg = pg.addEdges(withProps)
+        edgeDeltas :+= ((matchLabel.getOrElse(e.src, None), e.etype,
+          matchLabel.getOrElse(e.dst, None), () => withProps.count()))
       }
     }
-    out
+    // incremental stats (reference StatsStore per-insert updates,
+    // ConcurrentDirectedGraph.scala:121-124,151-152): exact when every
+    // created edge's endpoint labels are statically known; otherwise fall
+    // back to the lazy full recompute. The thunk forces the RECEIVER's
+    // stats (itself lazy) and folds the deltas in — no scan of the mutated
+    // graph, which at 100 TB turns a CREATE from a full-corpus stats pass
+    // into one bounded count of the created pairs.
+    val exact = edgeDeltas.forall { case (sl, _, dl, _) => sl.isDefined && dl.isDefined }
+    val thunk: Option[() => GraphStats] =
+      if (!exact) None
+      else Some(() => {
+        val base = stats
+        def bump[K](m: Map[K, Long], k: K, by: Long): Map[K, Long] =
+          if (by == 0) m else m.updated(k, m.getOrElse(k, 0L) + by)
+        var nc = base.nodeCounts
+        stmt.nodes.foreach(n => nc = bump(nc, n.label, 1L))
+        var ec = base.edgeCounts
+        var tc = base.tripletCounts
+        var eTotal = base.edgesTotal
+        edgeDeltas.foreach { case (sl, t, dl, cnt) =>
+          val c = cnt()
+          ec = bump(ec, t, c)
+          tc = bump(tc, (sl.get, t, dl.get), c)
+          eTotal += c
+        }
+        GraphStats(base.nodesTotal + stmt.nodes.size, eTotal, nc, ec, tc)
+      })
+    new GraphDB(pg, statsThunk = thunk)
   }
 
   def plan(cypher: String): LogicNode =

@@ -996,6 +996,8 @@ class CypherSpec extends SparkSpec {
     // stats refreshed on the new GraphDB
     assert(db1.stats.nodeCounts("B") == db0.stats.nodeCounts("B") + 1)
     assert(db1.stats.edgeCounts("X") == db0.stats.edgeCounts("X") + 1)
+    // incremental delta ≡ full recompute over the mutated graph
+    assert(db1.stats == new GraphDB(db1.graph).stats)
   }
 
   test("CREATE after MATCH: one edge per distinct match; rejections") {
@@ -1007,6 +1009,10 @@ class CypherSpec extends SparkSpec {
     val sc = db1.query("MATCH (a:A)-[r:SHORTCUT]->(c:C) RETURN a, c, r.w")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sc.toSeq == Seq((1L, 4L, 2L))) // two paths, ONE distinct (a, c) pair
+    // the INCREMENTAL stats (per-insert StatsStore contract: base + delta,
+    // no graph scan) must equal a full recompute over the mutated graph
+    assert(db1.stats.tripletCount(Some("A"), Seq("SHORTCUT"), Some("C")) == 1L)
+    assert(db1.stats == new GraphDB(db1.graph).stats)
     // per-match-row node creation rejected loudly
     intercept[graft.cypher.ParseException] {
       db0.execute("MATCH (a:A) CREATE (x:Copy {name: 'c'})-[:OF]->(a)")
