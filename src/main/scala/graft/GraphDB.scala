@@ -46,26 +46,47 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
 
   def execute(text: String): GraphDB = execute(text, Map.empty[String, Any])
 
-  /** Cypher write surface: `CREATE (n:L {props})[, …]` (literal nodes and
-    * edges between them) and `MATCH … [WHERE …] CREATE (a)-[:T]->(b)`
-    * (one edge per DISTINCT match — the engine's set semantics), compiled
-    * to [[addNodes]]/[[addEdges]] (reference insertVertex/insertEdge,
-    * ConcurrentDirectedGraph.scala:109-153). Returns the NEW GraphDB
-    * (immutable mutation contract: the receiver and its stats snapshot are
-    * untouched; the new GraphDB recomputes stats lazily on first plan).
+  /** Cypher write surface, compiled to the batch mutation API (reference
+    * insertVertex/insertEdge, ConcurrentDirectedGraph.scala:109-153; the
+    * delete/update forms are beyond the reference, whose matrices only
+    * grow). Always returns a NEW GraphDB — immutable mutation contract:
+    * the receiver and its stats snapshot are untouched.
+    *
+    *  - `CREATE (n:L {props})[, …]` — literal nodes and edges between them
+    *  - `MATCH … [WHERE …] CREATE (a)-[:T {props}]->(b)` — one edge per
+    *    DISTINCT match (the engine's set semantics), fully distributed
+    *  - `MERGE …` — both CREATE forms made idempotent: literal nodes check
+    *    existence (label + given props), edges anti-join the existing
+    *    (src, dst, etype) keys before the append
+    *  - `MATCH … SET b.prop = expr (, …)` — distributed column rewrite of
+    *    the node table (expr may read the binding's own properties)
+    *  - `MATCH … [DETACH] DELETE x (, …)` — anti-join removal of matched
+    *    relationships and/or nodes; a non-DETACH node delete that would
+    *    orphan relationships is refused (openCypher)
     *
     * Scale posture: literal node creation is driver-sized BY CONSTRUCTION
     * (the statement enumerates the rows), so id allocation is one tiny
     * max(id) job — the Spark analogue of the reference's AtomicLong id
     * counter (DataStore.scala:44-49); an explicit `id` property skips the
     * job. Per-match-row NODE creation is rejected loudly (bulk loads go
-    * through addNodes with a real DataFrame); per-match-row EDGE creation
-    * is fully distributed — the match compiles through the standard
-    * pattern planner and the created edges are its projected id pairs. */
+    * through addNodes with a real DataFrame); every per-match-row write
+    * (edges, SET, DELETE) is one distributed plan — match → projected ids →
+    * join/anti-join against the stored tables. */
   def execute(text: String, params: Map[String, Any]): GraphDB = {
+    val stmt = CypherParser.parseWrite(text, params)
+    if (stmt.sets.nonEmpty) runSet(stmt)
+    else if (stmt.deletes.nonEmpty) runDelete(stmt)
+    else runCreate(stmt)
+  }
+
+  /** The match of a write statement projected to `refs` (distinct). */
+  private def matchFrame(stmt: cypher.Ast.WriteStmt, refs: Seq[String]): DataFrame =
+    runQuery(cypher.Ast.Query(stmt.matchPaths, Seq.empty, stmt.where,
+      refs.map(b => cypher.Ast.Ret(b)), distinct = true, Seq.empty, None))
+
+  private def runCreate(stmt: cypher.Ast.WriteStmt): GraphDB = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
-    val stmt = CypherParser.parseCreate(text, params)
     val spark = graph.nodes.sparkSession
     val created = stmt.nodes.map(_.name)
     if (created.distinct.size != created.size)
@@ -114,33 +135,60 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     }
     var pg = graph
     var idOf = Map.empty[String, Long]
+    var createdNodes = Seq.empty[cypher.Ast.CreateNode]
     if (stmt.nodes.nonEmpty) {
       val explicitId: cypher.Ast.CreateNode => Option[Long] =
         n => n.props.collectFirst { case ("id", v: Long) => v; case ("id", v: Int) => v.toLong }
-      var next =
-        if (stmt.nodes.forall(explicitId(_).isDefined)) 0L
+      // MERGE: a literal node that already exists (same label, every given
+      // prop equal) binds its EXISTING id (edges may reference it) and is
+      // not re-created. One tiny lookup per literal element — driver-sized
+      // by construction.
+      val toCreate = stmt.nodes.filter { n =>
+        if (!stmt.merge) true
         else {
-          val r = graph.nodes.agg(max(col("id"))).collect()(0)
-          (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+          val pred = n.props.foldLeft(col("label") === lit(n.label)) {
+            case (p, (k, v)) => p && col(k) === lit(norm(v))
+          }
+          val hit = graph.nodes.filter(pred).select(col("id")).limit(1).collect()
+          if (hit.nonEmpty) { idOf += n.name -> hit(0).getLong(0); false } else true
         }
-      val withIds = stmt.nodes.map { n =>
-        val id = explicitId(n).getOrElse { val v = next; next += 1; v }
-        idOf += n.name -> id
-        (id, n)
       }
-      pg = pg.addNodes(literalDf(
-        Seq("id" -> LongType, "label" -> StringType),
-        withIds.map { case (id, n) => Seq[Any](id, n.label) },
-        withIds.map(_._2.props.filterNot(_._1 == "id")), graph.nodes))
+      createdNodes = toCreate
+      if (toCreate.nonEmpty) {
+        var next =
+          if (toCreate.forall(explicitId(_).isDefined)) 0L
+          else {
+            val r = graph.nodes.agg(max(col("id"))).collect()(0)
+            (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+          }
+        val withIds = toCreate.map { n =>
+          val id = explicitId(n).getOrElse { val v = next; next += 1; v }
+          idOf += n.name -> id
+          (id, n)
+        }
+        pg = pg.addNodes(literalDf(
+          Seq("id" -> LongType, "label" -> StringType),
+          withIds.map { case (id, n) => Seq[Any](id, n.label) },
+          withIds.map(_._2.props.filterNot(_._1 == "id")), graph.nodes))
+      }
     }
     val labelOfCreated = stmt.nodes.map(n => n.name -> n.label).toMap
     val (matchEdges, literalEdges) = stmt.edges.partition(
       e => matchBound(e.src) || matchBound(e.dst))
-    if (literalEdges.nonEmpty)
-      pg = pg.addEdges(literalDf(
+    var literalEdgeDf: Option[DataFrame] = None
+    if (literalEdges.nonEmpty) {
+      val df0 = literalDf(
         Seq("src" -> LongType, "dst" -> LongType, "etype" -> StringType),
         literalEdges.map(e => Seq[Any](idOf(e.src), idOf(e.dst), e.etype)),
-        literalEdges.map(_.props), graph.edges))
+        literalEdges.map(_.props), graph.edges)
+      // MERGE: only the keys not already stored are appended (idempotent)
+      val df = if (!stmt.merge) df0
+        else df0.join(graph.edges.select(col("src"), col("dst"), col("etype")),
+          Seq("src", "dst", "etype"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      literalEdgeDf = Some(df)
+      pg = pg.addEdges(df)
+    }
     // match-created edges: the statement carries the endpoint labels when
     // the pattern declares them, so the stats delta is knowable without a
     // graph scan — only the created-pair COUNT needs a job, deferred into
@@ -151,24 +199,39 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       .flatMap(p => (p.first +: p.hops.map(_._2)).flatMap(np => np.name.map(_ -> np.label)))
       .toMap
     var edgeDeltas = Seq.empty[(Option[String], String, Option[String], () => Long)]
-    literalEdges.groupBy(e => (labelOfCreated(e.src), e.etype, labelOfCreated(e.dst)))
-      .foreach { case ((sl, t, dl), es) =>
-        edgeDeltas :+= ((Some(sl), t, Some(dl), () => es.size.toLong))
-      }
+    if (literalEdges.nonEmpty) {
+      // labels of BOTH endpoints come from the statement (merge-matched
+      // nodes declared theirs too). Under MERGE the per-group created count
+      // is whatever survived the anti-join — one collect of the tiny
+      // persisted frame, shared by every group's thunk.
+      lazy val kept: Set[(Long, Long, String)] = literalEdgeDf.get
+        .select("src", "dst", "etype").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      literalEdges.groupBy(e => (labelOfCreated(e.src), e.etype, labelOfCreated(e.dst)))
+        .foreach { case ((sl, t, dl), es) =>
+          edgeDeltas :+= ((Some(sl), t, Some(dl),
+            if (!stmt.merge) () => es.size.toLong
+            else () => es.count(e => kept((idOf(e.src), idOf(e.dst), e.etype))).toLong))
+        }
+    }
     if (matchEdges.nonEmpty) {
-      val refs = matchEdges.flatMap(e => Seq(e.src, e.dst)).distinct
-      val m = runQuery(cypher.Ast.Query(stmt.matchPaths, Seq.empty, stmt.where,
-        refs.map(b => cypher.Ast.Ret(b)), distinct = true, Seq.empty, None))
+      val m = matchFrame(stmt, matchEdges.flatMap(e => Seq(e.src, e.dst)).distinct)
       matchEdges.foreach { e =>
         val pairs = m.select(col(e.src).as("src"), col(e.dst).as("dst"),
           lit(e.etype).as("etype")).dropDuplicates()
         val withProps = e.props.foldLeft(pairs) { case (df, (k, v)) =>
           val t = graph.edges.schema.find(_.name == k).map(_.dataType)
           df.withColumn(k, t.fold(lit(norm(v)))(tt => lit(norm(v)).cast(tt)))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pg = pg.addEdges(withProps)
+        }
+        // MERGE: anti-join the existing keys — the distributed idempotent
+        // write (re-running the statement appends nothing)
+        val appended = (if (!stmt.merge) withProps
+          else withProps.join(graph.edges.select(col("src"), col("dst"), col("etype")),
+            Seq("src", "dst", "etype"), "left_anti"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pg = pg.addEdges(appended)
         edgeDeltas :+= ((matchLabel.getOrElse(e.src, None), e.etype,
-          matchLabel.getOrElse(e.dst, None), () => withProps.count()))
+          matchLabel.getOrElse(e.dst, None), () => appended.count()))
       }
     }
     // incremental stats (reference StatsStore per-insert updates,
@@ -186,7 +249,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         def bump[K](m: Map[K, Long], k: K, by: Long): Map[K, Long] =
           if (by == 0) m else m.updated(k, m.getOrElse(k, 0L) + by)
         var nc = base.nodeCounts
-        stmt.nodes.foreach(n => nc = bump(nc, n.label, 1L))
+        createdNodes.foreach(n => nc = bump(nc, n.label, 1L))
         var ec = base.edgeCounts
         var tc = base.tripletCounts
         var eTotal = base.edgesTotal
@@ -196,9 +259,117 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           tc = bump(tc, (sl.get, t, dl.get), c)
           eTotal += c
         }
-        GraphStats(base.nodesTotal + stmt.nodes.size, eTotal, nc, ec, tc)
+        GraphStats(base.nodesTotal + createdNodes.size, eTotal, nc, ec, tc)
       })
     new GraphDB(pg, statsThunk = thunk)
+  }
+
+  /** `MATCH … SET b.prop = expr (, …)`: a distributed column rewrite —
+    * matched ids left-join the node table, each SET prop becomes
+    * `when(matched, value).otherwise(old)` (new columns null-fill outside
+    * the match). The value expression may read the binding's OWN joined
+    * property columns; stats are unchanged by construction (labels and
+    * topology untouched), so the new GraphDB reuses the receiver's. */
+  private def runSet(stmt: cypher.Ast.WriteStmt): GraphDB = {
+    stmt.sets.foreach { s =>
+      cypher.Ast.Expr.refs(s.value).foreach { case (b, _) =>
+        if (b != s.binding) throw new cypher.ParseException(
+          s"SET ${s.binding}.${s.prop}: the value may only read " +
+            s"${s.binding}'s own properties (found $b)")
+      }
+      if (s.prop == "id" || s.prop == "label") throw new cypher.ParseException(
+        s"SET cannot change the core column ${s.prop}")
+    }
+    val bindings = stmt.sets.map(_.binding).distinct
+    val m = matchFrame(stmt, bindings)
+    var nodesDf = graph.nodes
+    bindings.foreach { b =>
+      val ids = m.select(col(b).as("__set_id")).dropDuplicates()
+      var joined = nodesDf.join(ids, nodesDf("id") === ids("__set_id"), "left")
+      stmt.sets.filter(_.binding == b).foreach { s =>
+        val raw = operators.Preds.exprColumn(s.value,
+          (bb, pp) => if (pp.isEmpty) col("id") else col(pp))
+        val existing = nodesDf.schema.find(_.name == s.prop).map(_.dataType)
+        val v = existing.fold(raw)(t => raw.cast(t))
+        joined = joined.withColumn(s.prop,
+          if (existing.isDefined) when(col("__set_id").isNotNull, v).otherwise(col(s.prop))
+          else when(col("__set_id").isNotNull, v))
+      }
+      nodesDf = joined.drop("__set_id")
+    }
+    new GraphDB(graph.withNodes(nodesDf), statsThunk = Some(() => stats))
+  }
+
+  /** `MATCH … [DETACH] DELETE x (, …)`: distributed anti-join removal.
+    * A relationship target removes the matched (src, dst, etype) keys in
+    * the pattern's stored orientation (undirected matches remove both); a
+    * node target removes the matched ids — refusing (openCypher) when
+    * relationships would be orphaned unless DETACH, which removes the
+    * incident edges too. Stats recompute lazily (deleted rows' label
+    * distribution is not statically known). */
+  private def runDelete(stmt: cypher.Ast.WriteStmt): GraphDB = {
+    import cypher.Ast
+    // relationship name → (srcBinding, relPat, dstBinding), walking each path
+    val relInfo: Map[String, (Option[String], Ast.RelPat, Option[String])] =
+      stmt.matchPaths.flatMap { p =>
+        var prev = p.first
+        p.hops.flatMap { case (rp, np) =>
+          val entry = rp.name.map(n => n -> ((prev.name, rp, np.name)))
+          prev = np
+          entry
+        }
+      }.toMap
+    val nodeNames: Set[String] = stmt.matchPaths
+      .flatMap(p => p.first.name.toSeq ++ p.hops.flatMap(_._2.name.toSeq)).toSet
+    val (relTargets, rest) = stmt.deletes.distinct.partition(relInfo.contains)
+    val nodeTargets = rest.filter(nodeNames)
+    rest.filterNot(nodeNames).foreach(t => throw new cypher.ParseException(
+      s"DELETE target $t is not a bound node or relationship"))
+    val relEnds = relTargets.map(relInfo).flatMap { case (s, rp, d) =>
+      if (rp.hops.isDefined) throw new cypher.ParseException(
+        "DELETE of a variable-length relationship is not supported")
+      Seq(s.getOrElse(throw new cypher.ParseException(
+          "DELETE relationship requires named endpoints")),
+        d.getOrElse(throw new cypher.ParseException(
+          "DELETE relationship requires named endpoints")))
+    }
+    val refs = (relEnds ++ nodeTargets).distinct
+    val m = matchFrame(stmt, refs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pg = graph
+    relTargets.foreach { r =>
+      val (sOpt, rp, dOpt) = relInfo(r)
+      val (s, d) = (sOpt.get, dOpt.get)
+      val fwd = m.select(col(s).as("src"), col(d).as("dst"))
+      val rev = m.select(col(d).as("src"), col(s).as("dst"))
+      val pairs = rp.dir match {
+        case Ast.Out  => fwd
+        case Ast.In   => rev
+        case Ast.Both => fwd.unionByName(rev)
+      }
+      val keys =
+        if (rp.types.isEmpty) // untyped: every stored edge between the pairs
+          pg.edges.join(pairs, Seq("src", "dst"), "left_semi")
+            .select("src", "dst", "etype")
+        else pairs.withColumn("etype", explode(array(rp.types.map(lit): _*)))
+      pg = pg.removeEdges(keys)
+    }
+    if (nodeTargets.nonEmpty) {
+      val ids = nodeTargets.map(n => m.select(col(n).as("id")))
+        .reduce(_.unionByName(_)).dropDuplicates()
+      val incident = pg.edges
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .select("src", "dst", "etype")
+        .unionByName(pg.edges
+          .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst", "etype"))
+      if (!stmt.detach) {
+        if (incident.limit(1).count() > 0) throw new cypher.ParseException(
+          "DELETE would orphan relationships — use DETACH DELETE")
+      } else pg = pg.removeEdges(incident.dropDuplicates())
+      pg = pg.removeNodes(ids)
+    }
+    new GraphDB(pg)
   }
 
   def plan(cypher: String): LogicNode =

@@ -337,6 +337,32 @@ object SparkEntry {
         .execute("MATCH (n:nation), (h:hub) CREATE (n)-[:IN_HUB {w: 7}]->(h)")
         .query("MATCH (n:nation)-[r:IN_HUB]->(h:hub) " +
                "RETURN n, h.name AS hub, r.w AS w ORDER BY n")),
+    // MERGE is the idempotent write: every statement runs TWICE and the
+    // raw edge table (not the set-semantics read path, which would mask
+    // duplicates) must still hold exactly one edge per nation
+    "cy_merge" -> ((s, dir) => {
+      def wire(d: GraphDB): GraphDB = d
+        .execute("MERGE (h:hub {id: 9000000000, name: 'hub0'})")
+        .execute("MATCH (n:nation), (h:hub) MERGE (n)-[:IN_HUB]->(h)")
+      wire(wire(db(s, dir))).graph.edges.filter(col("etype") === "IN_HUB")
+        .groupBy(col("src").as("n")).agg(count(lit(1)).as("n_edges"))
+    }),
+    // SET: distributed per-match column rewrite, read back through a WHERE
+    // over the freshly-written property
+    "cy_set" -> ((s, dir) =>
+      db(s, dir)
+        .execute("MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+                 "WHERE n.name = 'NATION_7' SET c.tier = 'n7', c.value = c.value + 1000")
+        .query("MATCH (c:customer) WHERE c.tier = 'n7' " +
+               "RETURN c, round(c.value) AS v ORDER BY c")),
+    // DETACH DELETE: remove one nation's customers (and their incident
+    // edges); the per-nation counts read back without the deleted group
+    "cy_delete" -> ((s, dir) =>
+      db(s, dir)
+        .execute("MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+                 "WHERE n.name = 'NATION_3' DETACH DELETE c")
+        .query("MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+               "RETURN n, count(c) AS nc ORDER BY n")),
     // ORDER BY + LIMIT through the Cypher surface (TakeOrderedAndProject —
     // the sort never materializes globally)
     "cy_orderby" -> ((s, dir) =>
@@ -1693,6 +1719,16 @@ object SparkEntry {
     "cy_create" ->
       ("SELECT n_nationkey + 2000000000 AS n, 'hub0' AS hub, 7 AS w " +
        "FROM nation ORDER BY n"),
+    "cy_merge" ->
+      ("SELECT n_nationkey + 2000000000 AS n, 1 AS n_edges FROM nation"),
+    "cy_set" ->
+      ("SELECT c_custkey + 3000000000 AS c, round(c_acctbal + 1000) AS v " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_7' ORDER BY c"),
+    "cy_delete" ->
+      ("SELECT n_nationkey + 2000000000 AS n, count(DISTINCT c_custkey) AS nc " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE n_name <> 'NATION_3' GROUP BY 1 ORDER BY n"),
     "cy_props" ->
       ("SELECT DISTINCT r_regionkey + 1000000000 AS r, 'region' AS r_label, " +
        "r_name AS r_name FROM region"),

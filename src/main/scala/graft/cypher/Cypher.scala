@@ -315,18 +315,30 @@ object Ast {
         * Bare equality/comparison conjuncts only (enforced downstream). */
       optionalWhere: Seq[Seq[Pred]] = Seq.empty)
 
-  /** CREATE write surface (reference mutation API §2.5, insertVertex /
-    * insertEdge, ConcurrentDirectedGraph.scala:109-153). `name` is the
-    * element's binding (auto-generated when anonymous); `props` are
-    * literal key/value pairs in declaration order. */
+  /** Write surface (reference mutation API §2.5, insertVertex /
+    * insertEdge, ConcurrentDirectedGraph.scala:109-153; delete/update are
+    * beyond the reference). `name` is the element's binding (auto-generated
+    * when anonymous); `props` are literal key/value pairs in declaration
+    * order. */
   final case class CreateNode(name: String, label: String, props: Seq[(String, Any)])
   final case class CreateEdge(src: String, dst: String, etype: String,
                               props: Seq[(String, Any)])
-  /** `[MATCH … [WHERE …]] CREATE pat (, pat)*`: `matchPaths`/`where` empty
-    * for the literal form; edge endpoints resolve against created-node
-    * names or match bindings (validated at execution). */
-  final case class CreateStmt(matchPaths: Seq[Path], where: Seq[Pred],
-                              nodes: Seq[CreateNode], edges: Seq[CreateEdge])
+  /** `SET b.prop = <expr>` — the value expression may read the SAME
+    * binding's properties (plus literals); other bindings are rejected. */
+  final case class SetItem(binding: String, prop: String, value: Expr)
+  /** One write statement:
+    *  - `[MATCH …] CREATE|MERGE pat (, pat)*` → `nodes`/`edges` (+`merge`)
+    *  - `MATCH … SET b.p = e (, …)*`          → `sets`
+    *  - `MATCH … [DETACH] DELETE x (, …)*`    → `deletes` (+`detach`)
+    * `matchPaths`/`where` empty for the literal CREATE/MERGE form; CREATE
+    * edge endpoints resolve against created-node names or match bindings
+    * (validated at execution). */
+  final case class WriteStmt(matchPaths: Seq[Path], where: Seq[Pred],
+                             nodes: Seq[CreateNode], edges: Seq[CreateEdge],
+                             merge: Boolean = false,
+                             sets: Seq[SetItem] = Seq.empty,
+                             deletes: Seq[String] = Seq.empty,
+                             detach: Boolean = false)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -384,11 +396,11 @@ object CypherParser {
     (qs.toSeq, all.getOrElse(false))
   }
 
-  /** Parse a CREATE statement (the write surface — [[Ast.CreateStmt]]).
+  /** Parse a write statement (CREATE/MERGE/SET/DELETE — [[Ast.WriteStmt]]).
     * Executed by GraphDB.execute, which returns a NEW GraphDB. */
-  def parseCreate(text: String, params: Map[String, Any] = Map.empty): CreateStmt = {
+  def parseWrite(text: String, params: Map[String, Any] = Map.empty): WriteStmt = {
     val p = new P(text, params)
-    val c = p.createStmt()
+    val c = p.writeStmt()
     p.end()
     c
   }
@@ -494,12 +506,13 @@ object CypherParser {
       buf.toSeq
     }
 
-    /** `[MATCH … [WHERE …]] CREATE pat (, pat)*` — the write surface.
+    /** `[MATCH … [WHERE …]] CREATE|MERGE pat (, pat)*` — plus the
+      * MATCH-required `SET b.p = e` and `[DETACH] DELETE x` forms.
       * A parenthesized element WITH a label creates a node (literal props);
       * one WITHOUT a label references a bound variable (match binding or a
       * created node named earlier in the same statement). Relationships are
       * directed with exactly one type: `(a)-[:T {props}]->(b)`. */
-    def createStmt(): CreateStmt = {
+    def writeStmt(): WriteStmt = {
       val paths = scala.collection.mutable.ArrayBuffer[Path]()
       val preds = scala.collection.mutable.ArrayBuffer[Pred]()
       val mapsBefore = mapPreds.size
@@ -514,7 +527,31 @@ object CypherParser {
       }
       preds ++= mapPreds.drop(mapsBefore)
       mapPreds.remove(mapsBefore, mapPreds.size - mapsBefore)
-      if (!kw("CREATE")) err("expected CREATE")
+      // --- SET form ---
+      if (kw("SET")) {
+        if (paths.isEmpty) err("SET requires a MATCH clause")
+        val items = scala.collection.mutable.ArrayBuffer[SetItem]()
+        var more = true
+        while (more) {
+          val b = ident(); eat('.'); val p = ident(); eat('=')
+          items += SetItem(b, p, exprP(false))
+          more = tryEat(',')
+        }
+        return WriteStmt(paths.toSeq, preds.toSeq, Seq.empty, Seq.empty, sets = items.toSeq)
+      }
+      // --- DELETE form ---
+      val detach = kw("DETACH")
+      if (detach || kw("DELETE")) {
+        if (detach && !kw("DELETE")) err("expected DELETE after DETACH")
+        if (paths.isEmpty) err("DELETE requires a MATCH clause")
+        val targets = scala.collection.mutable.ArrayBuffer(ident())
+        while (tryEat(',')) targets += ident()
+        return WriteStmt(paths.toSeq, preds.toSeq, Seq.empty, Seq.empty,
+          deletes = targets.toSeq, detach = detach)
+      }
+      // --- CREATE / MERGE form ---
+      val merge = kw("MERGE")
+      if (!merge && !kw("CREATE")) err("expected CREATE, MERGE, SET or DELETE")
       val nodes = scala.collection.mutable.ArrayBuffer[CreateNode]()
       val edges = scala.collection.mutable.ArrayBuffer[CreateEdge]()
       def elem(): String = {
@@ -555,7 +592,7 @@ object CypherParser {
         }
       }
       onePat(); while (tryEat(',')) onePat()
-      CreateStmt(paths.toSeq, preds.toSeq, nodes.toSeq, edges.toSeq)
+      WriteStmt(paths.toSeq, preds.toSeq, nodes.toSeq, edges.toSeq, merge = merge)
     }
 
     def query(): Query = {

@@ -81,6 +81,27 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     copy(edges = edges.unionByName(rows, allowMissingColumns = true), edgesDistinct = false,
       edgesRev = edgesRev.map(_.unionByName(rows, allowMissingColumns = true)))
 
+  /** Batch removal of vertices by id — one distributed anti-join. The
+    * reference has no delete at all (its matrices only grow); this backs
+    * the write surface's DELETE/DETACH DELETE. Incident-edge handling is
+    * the CALLER's contract (GraphDB.execute refuses a non-DETACH delete
+    * that would orphan edges). `ids` is a one-column frame of node ids. */
+  def removeNodes(ids: DataFrame): PropertyGraph =
+    copy(nodes = nodes.join(
+      ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_anti"))
+
+  /** Batch removal of edges by (src, dst, etype) key — anti-joins BOTH the
+    * primary table and the dst-keyed copy (row-identity invariant). */
+  def removeEdges(keys: DataFrame): PropertyGraph = {
+    val k = keys.select("src", "dst", "etype")
+    def anti(df: DataFrame) = df.join(k, Seq("src", "dst", "etype"), "left_anti")
+    copy(edges = anti(edges), edgesRev = edgesRev.map(anti))
+  }
+
+  /** Wholesale node-table replacement (SET's column rewrite). The dst-keyed
+    * edge copy is untouched — SET never changes topology. */
+  def withNodes(newNodes: DataFrame): PropertyGraph = copy(nodes = newNodes)
+
   /** Point lookup (reference `getV`, ConcurrentDirectedGraph.scala:104). */
   def node(id: Long): DataFrame = nodes.filter(col("id") === lit(id))
 }

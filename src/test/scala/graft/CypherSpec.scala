@@ -1027,6 +1027,74 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("MERGE: idempotent node and edge creation") {
+    val db0 = new GraphDB(propsG)
+    // first MERGE creates; re-running the SAME statements appends nothing
+    val db1 = db0
+      .execute("MERGE (p:B {id: 9, name: 'z', value: 30})")
+      .execute("MATCH (a:A), (p:B) WHERE p.value > 25 MERGE (a)-[:X]->(p)")
+    val db2 = db1
+      .execute("MERGE (p:B {id: 9, name: 'z', value: 30})") // exists → no-op
+      .execute("MATCH (a:A), (p:B) WHERE p.value > 25 MERGE (a)-[:X]->(p)")
+    assert(db2.graph.nodes.count() == db1.graph.nodes.count())
+    assert(db2.graph.edges.count() == db1.graph.edges.count())
+    assert(db2.stats == db1.stats) // incremental deltas see zero creations
+    // a MERGE edge between existing endpoints skips stored duplicates:
+    // a-X->2 already exists, a-X->9 is new
+    val db3 = db1.execute("MATCH (a:A), (b:B) WHERE b.value < 15 MERGE (a)-[:X]->(b)")
+    assert(db3.graph.edges.count() == db1.graph.edges.count()) // 2 and 4 both stored
+    // MERGE binds the EXISTING node's id for edges in the same statement
+    val db4 = db0.execute("MERGE (a:A {name: 'a1'})-[:SELF]->(a2:B {name: 'x', value: 10})")
+    val self = db4.query("MATCH (x:A)-[:SELF]->(y:B) RETURN x, y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.toSeq == Seq((1L, 2L))) // both endpoints resolved, none created
+    assert(db4.graph.nodes.count() == db0.graph.nodes.count())
+    assert(db4.stats == new GraphDB(db4.graph).stats)
+  }
+
+  test("SET: distributed column rewrite; unmatched rows keep their values") {
+    val db0 = new GraphDB(propsG)
+    val db1 = db0.execute(
+      "MATCH (a:A)-[:X]->(b:B) WHERE b.value > 15 SET b.value = b.value * 2, b.tier = 'hi'")
+    val rows = db1.query("MATCH (b:B) RETURN b, b.value, b.tier ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))
+    // b3 (20.0) matched → doubled + tier; b2/b4 (10.0) untouched, tier null
+    assert(rows.toSeq == Seq((2L, 10.0, null), (3L, 40.0, "hi"), (4L, 10.0, null)))
+    // receiver untouched; stats shared (SET never changes labels/topology)
+    assert(db0.query("MATCH (b:B) WHERE b.value > 30 RETURN b").collect().isEmpty)
+    assert(db1.stats == db0.stats)
+    // value expressions may not read other bindings
+    intercept[graft.cypher.ParseException] {
+      db0.execute("MATCH (a:A)-[:X]->(b:B) SET b.value = a.value")
+    }
+    intercept[graft.cypher.ParseException] {
+      db0.execute("MATCH (b:B) SET b.id = 99")
+    }
+  }
+
+  test("DELETE: relationship and node removal, DETACH semantics") {
+    val db0 = new GraphDB(diamond)
+    // delete one matched edge type; storage orientation respected
+    val db1 = db0.execute("MATCH (a:A)-[r:X]->(b:B) WHERE b = 2 DELETE r")
+    assert(db1.query("MATCH (a:A)-[:X]->(b:B) RETURN b").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(db1.graph.edges.count() == 3)
+    // non-DETACH node delete with live relationships is refused
+    intercept[graft.cypher.ParseException] {
+      db0.execute("MATCH (b:B) WHERE b = 2 DELETE b")
+    }
+    // DETACH DELETE removes the node and its incident edges
+    val db2 = db0.execute("MATCH (b:B) WHERE b = 2 DETACH DELETE b")
+    assert(db2.graph.nodes.count() == 3)
+    assert(db2.graph.edges.count() == 2) // 1-X->2 and 2-Y->4 gone
+    assert(db2.query("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN b")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // stats recompute over the shrunk graph
+    assert(db2.stats.nodeCounts("B") == 1 && db2.stats.edgeCounts("X") == 1)
+    // deleting via an undirected match removes the stored orientation
+    val db3 = db0.execute("MATCH (b:B)-[r:X]-(a:A) DELETE r")
+    assert(db3.graph.edges.filter(org.apache.spark.sql.functions.col("etype") === "X").count() == 0)
+  }
+
   // --- round 8: pattern predicates, collect(), id()/type() ---
 
   /** A1,A2,A3 -X-> B10/B11; B10 -Y-> C20; A1 -Z-> C20; B11 -W-> C21. */
