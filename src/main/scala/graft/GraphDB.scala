@@ -287,13 +287,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       val ids = m.select(col(b).as("__set_id")).dropDuplicates()
       var joined = nodesDf.join(ids, nodesDf("id") === ids("__set_id"), "left")
       stmt.sets.filter(_.binding == b).foreach { s =>
-        val raw = operators.Preds.exprColumn(s.value,
-          (bb, pp) => if (pp.isEmpty) col("id") else col(pp))
         val existing = nodesDf.schema.find(_.name == s.prop).map(_.dataType)
-        val v = existing.fold(raw)(t => raw.cast(t))
-        joined = joined.withColumn(s.prop,
-          if (existing.isDefined) when(col("__set_id").isNotNull, v).otherwise(col(s.prop))
-          else when(col("__set_id").isNotNull, v))
+        // REMOVE (SET to null) of an absent property is a no-op (openCypher)
+        val isRemove = s.value == cypher.Ast.ELit(null)
+        if (!(isRemove && existing.isEmpty)) {
+          val raw = operators.Preds.exprColumn(s.value,
+            (bb, pp) => if (pp.isEmpty) col("id") else col(pp))
+          val v = existing.fold(raw)(t => raw.cast(t))
+          joined = joined.withColumn(s.prop,
+            if (existing.isDefined) when(col("__set_id").isNotNull, v).otherwise(col(s.prop))
+            else when(col("__set_id").isNotNull, v))
+        }
       }
       nodesDf = joined.drop("__set_id")
     }

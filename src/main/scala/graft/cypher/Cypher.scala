@@ -539,6 +539,19 @@ object CypherParser {
         }
         return WriteStmt(paths.toSeq, preds.toSeq, Seq.empty, Seq.empty, sets = items.toSeq)
       }
+      // --- REMOVE form: property removal = SET to null (openCypher;
+      // removing an absent property is a no-op, enforced at execution) ---
+      if (kw("REMOVE")) {
+        if (paths.isEmpty) err("REMOVE requires a MATCH clause")
+        val items = scala.collection.mutable.ArrayBuffer[SetItem]()
+        var more = true
+        while (more) {
+          val b = ident(); eat('.'); val p = ident()
+          items += SetItem(b, p, ELit(null))
+          more = tryEat(',')
+        }
+        return WriteStmt(paths.toSeq, preds.toSeq, Seq.empty, Seq.empty, sets = items.toSeq)
+      }
       // --- DELETE form ---
       val detach = kw("DETACH")
       if (detach || kw("DELETE")) {

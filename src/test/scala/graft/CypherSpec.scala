@@ -1072,6 +1072,21 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("REMOVE: matched rows drop the property; absent property is a no-op") {
+    val db0 = new GraphDB(propsG)
+    val db1 = db0.execute("MATCH (b:B) WHERE b.value > 15 REMOVE b.value")
+    val vals = db1.query("MATCH (b:B) RETURN b, b.value ORDER BY b")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+    assert(vals.toSeq == Seq((2L, 10.0), (3L, -1.0), (4L, 10.0)))
+    // keys() reflects the removal per row
+    val ks = db1.query("MATCH (b:B) RETURN b, join(keys(b), ',') AS ks ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ks.toSeq == Seq((2L, "name,value"), (3L, "name"), (4L, "name,value")))
+    // absent property → no-op, schema unchanged
+    val db2 = db0.execute("MATCH (b:B) REMOVE b.nope")
+    assert(db2.graph.nodes.columns.toSeq == db0.graph.nodes.columns.toSeq)
+  }
+
   test("DELETE: relationship and node removal, DETACH semantics") {
     val db0 = new GraphDB(diamond)
     // delete one matched edge type; storage orientation respected
