@@ -1362,6 +1362,17 @@ object SparkEntry {
       graft.text.TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.text.TextOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.5)),
+    // span-level exact-substring dedup (Lee et al. 2022): maximal token
+    // spans covered by 8-grams shared across >= 2 distinct docs, and the
+    // cleaned corpus with those spans cut out
+    "dedup_spans" -> ((s, dir) =>
+      graft.text.TextOps.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)),
+    "dedup_span_clean" -> ((s, dir) =>
+      graft.text.TextOps.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)
+        .select(col("doc_id"), col("kept_tokens"), col("removed_tokens"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))),
     "dedup_minhash" -> ((s, dir) =>
       graft.text.TextOps.minhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
@@ -2405,6 +2416,19 @@ object SparkEntry {
        "c AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') " +
        "SELECT c.doc_id AS doc_id, b.bench_id AS bench_id, count(*) AS shared " +
        "FROM c JOIN b USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3"),
+    "dedup_spans" -> (spanOraclePrelude +
+      "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end, " +
+      "(max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens FROM isl GROUP BY doc_id, island"),
+    "dedup_span_clean" -> (spanOraclePrelude +
+      ", sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl GROUP BY doc_id, island), " +
+      "tp AS (SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos FROM toks), " +
+      "kept AS (SELECT t.doc_id, t.tok, t.pos FROM tp t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)), " +
+      "agg AS (SELECT doc_id, count(*) AS kt, string_agg(tok, ' ' ORDER BY pos) AS ct " +
+      "FROM kept GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(kt, 0)::BIGINT AS kept_tokens, " +
+      "(len(ws) - coalesce(kt, 0))::BIGINT AS removed_tokens, " +
+      "md5(coalesce(ct, '')) AS clean_md5 FROM toks t LEFT JOIN agg USING (doc_id)"),
     "dedup_ngram_jaccard" -> jaccardOracle("a, b, jaccard"),
     "dedup_minhash" -> jaccardOracle("a, b"),
     "dedup_simhash" -> jaccardOracle("a, b"),
@@ -2981,6 +3005,21 @@ object SparkEntry {
     "x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE " +
     "/ len(string_split_regex(lower(text), '\\s+')) AS stop_r FROM documents) " +
     select
+
+  /** Shared CTE prelude for the span-dedup oracles: positioned 8-grams,
+    * cross-doc duplicated grams (count(DISTINCT doc) ≥ 2), marked
+    * positions, and the gaps-and-islands merge (break when the gap
+    * exceeds k = 8 — same rule as TextOps.duplicateSpans). */
+  private val spanOraclePrelude: String =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+    "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram " +
+    "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t WHERE len(ws) >= 8), " +
+    "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+    "m AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)), " +
+    "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+    "(PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk FROM m), " +
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
+    "ROWS UNBOUNDED PRECEDING) AS island FROM b) "
 
   private def jaccardOracle(select: String): String =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +

@@ -753,6 +753,88 @@ object TextOps {
     releaseOnFirstAction(out, shc)
   }
 
+  /**
+   * Span-level exact-substring dedup, the sequence-level complement of the
+   * document-level near-dup family (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better": duplicated SPANS inside
+   * otherwise-unique documents are what a doc-level dedup can never
+   * remove). Finds every maximal token span covered by `k`-token grams
+   * that appear in ≥ `minDocs` DISTINCT documents.
+   *
+   * Shape: positioned k-gram index (one posexplode), cross-doc frequency
+   * (one groupBy on the gram — the exact-match analogue of a suffix-array
+   * bucket), one semi-join back to positions, and a per-doc
+   * gaps-and-islands merge (window over (doc, pos) — partitioned by doc,
+   * never global). No self-join anywhere, so hot grams cost their row
+   * count, not its square.
+   *
+   * Output: (id, span_start, span_end, n_tokens) — token indices are
+   * 0-based inclusive over the whitespace-lowercase tokenization. Grams at
+   * p1 < p2 merge into one span iff p2 − p1 ≤ k (overlapping or exactly
+   * adjacent coverage).
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val ws = tokens(col(textCol))
+    val grams = df.select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))).as(Seq("pos", "gram")))
+    val gramsP = grams.persist()
+    val dup = gramsP.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val marked = gramsP.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    releaseOnFirstAction(islands.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens")), gramsP)
+  }
+
+  /**
+   * Cut the [[duplicateSpans]] spans out of each document. The cleaned
+   * text is the whitespace-normalized LOWERCASE reconstruction (one space
+   * between surviving tokens) — the canonical form every operator in this
+   * file tokenizes to, and the form an engine-independent oracle can
+   * recompute byte-for-byte. Span removal is a per-row higher-order
+   * filter over the token array against the doc's collected spans — no
+   * explode of the corpus, one broadcast-friendly left join of docs to
+   * their span lists.
+   *
+   * @return (id, kept_tokens, removed_tokens, clean_text)
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val ws = tokens(col(textCol))
+    df.select(col(idCol), ws.as("ws"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("ws"),
+        coalesce(col("spans"), array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans"))
+      .select(col(idCol), col("ws"),
+        filter(zip_with(col("ws"), sequence(lit(0L), size(col("ws")).cast("long") - 1L),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          e => !exists(col("spans"),
+            s => e.getField("i").between(s.getField("span_start"), s.getField("span_end"))))
+          .as("kept"))
+      .select(col(idCol),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", transform(col("kept"), e => e.getField("t"))).as("clean_text"))
+  }
+
   private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,
                             idCol: String, textCol: String, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)

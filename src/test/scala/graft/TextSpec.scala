@@ -38,6 +38,37 @@ class TextSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-6)
   }
 
+  test("duplicate spans: maximal cross-doc spans, merge rule, within-doc excluded") {
+    // docs 1/2 share one contiguous 6-token run ("alpha..zeta") embedded in
+    // unique context; doc 3 is fully unique; doc 4 repeats ITS OWN phrase
+    // (within-doc repetition must NOT mark — minDocs counts DISTINCT docs)
+    val d = Seq(
+      (1L, "u1 u2 alpha beta gamma delta eps zeta u3 u4"),
+      (2L, "v1 alpha beta gamma delta eps zeta v2 v3 v4"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4")
+    ).toDF("doc_id", "text")
+    val spans = TextOps.duplicateSpans(d, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc1: grams at pos 2,3,4 (alpha.., beta.., gamma..) → span tokens 2..7
+    // doc2: grams at pos 1,2,3 → span tokens 1..6
+    assert(spans == Set((1L, 2L, 7L), (2L, 1L, 6L)))
+    // cleaning cuts exactly the span and reconstructs canonical text
+    val clean = TextOps.removeDuplicateSpans(d, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(clean(1L) == ((4L, 6L, "u1 u2 u3 u4")))
+    assert(clean(2L) == ((4L, 6L, "v1 v2 v3 v4")))
+    assert(clean(3L) == ((9L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    assert(clean(4L)._2 == 0L) // within-doc repetition untouched
+    // two DISJOINT shared runs (gap > k) stay two spans
+    val d2 = Seq(
+      (1L, "a b c d x1 x2 x3 x4 x5 e f g h"),
+      (2L, "a b c d y1 y2 y3 y4 y5 e f g h")).toDF("doc_id", "text")
+    val s2 = TextOps.duplicateSpans(d2, "doc_id", "text", k = 4, minDocs = 2)
+      .filter($"doc_id" === 1).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(s2 == Set((0L, 3L), (9L, 12L)))
+  }
+
   test("jaccard pairs: hot-shingle doc-frequency cap defuses the d² self-join") {
     // N docs sharing ONE boilerplate 5-gram (a viral footer) plus unique
     // filler: uncapped, the self-join's boilerplate key alone fans out to
