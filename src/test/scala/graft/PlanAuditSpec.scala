@@ -202,4 +202,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(sk.exists(_.getClass.getSimpleName.contains("ObjectHashAggregate")),
       "sketch_distinct: expected ObjectHashAggregate (typed Aggregator partial combine)")
   }
+
+  test("round-9 plan shapes: span dedup is index-shaped, write surface joins bounded") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // duplicateSpans must be inverted-index shaped: gram frequency groupBy
+    // + ONE semi-join marking positions + a per-doc window merge. A
+    // gram-on-gram self-join (d² rows per hot gram) would show as an inner
+    // join here and be a 100 TB scale-killer.
+    val sp = plans("dedup_spans")
+    val joinTypes = sp.collect {
+      case j: SortMergeJoinExec => j.joinType.toString
+      case j: BroadcastHashJoinExec => j.joinType.toString
+      case j: ShuffledHashJoinExec => j.joinType.toString
+    }
+    assert(joinTypes.nonEmpty && joinTypes.forall(_.contains("LeftSemi")),
+      s"dedup_spans: only the position-mark semi-join is allowed, found $joinTypes")
+    assert(sp.exists(_.isInstanceOf[WindowExec]),
+      "dedup_spans: expected the per-doc gaps-and-islands window")
+    assert(sp.count(_.isInstanceOf[ShuffleExchangeExec]) <= 4,
+      "dedup_spans: gram agg + semi probe + doc window should bound the exchanges")
+    // the SET rewrite is one outer join of the node table against the
+    // matched ids — no exchange storm, no cartesian (global audit covers
+    // the latter); the match side is tiny and broadcasts
+    val st = plans("cy_set")
+    assert(st.count(_.isInstanceOf[ShuffleExchangeExec]) <= 6,
+      "cy_set: the match + one id join must not multiply exchanges")
+  }
 }
