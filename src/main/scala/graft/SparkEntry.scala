@@ -1457,6 +1457,21 @@ object SparkEntry {
       graft.ml.Similarity.kmeansCentroids(t(s, dir, "embeddings"), 8, 2)
         .select(col("cell"), posexplode(col("c_emb")).as(Seq("p", "m")))
         .select(col("cell"), col("p").cast("long").as("p"), round(col("m"), 6).as("m"))),
+    // product quantization: per-subspace codebooks (train), m-byte codes
+    // (encode), asymmetric-distance top-k over the codes alone (search) —
+    // the embedding-compression scale path (a 768-dim vector is 3 KB raw,
+    // m bytes coded; the ANN scan touches only codes + a broadcast table)
+    "pq_train" -> ((s, dir) =>
+      graft.ml.Similarity.pqTrain(t(s, dir, "embeddings"), dim = 64)
+        .select(col("sub"), col("cell"), posexplode(col("c_sub")).as(Seq("p", "mu")))
+        .select(col("sub"), col("cell"), col("p").cast("long").as("p"),
+          round(col("mu"), 6).as("mu"))),
+    "pq_encode" -> ((s, dir) =>
+      graft.ml.Similarity.pqEncode(t(s, dir, "embeddings"), dim = 64)),
+    "pq_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ml.Similarity.pqKnn(e, e.filter(col("vec_id") < 10), k = 5, dim = 64)
+    }),
     // per-label centroids: one posexplode + one combinable (label, dim) agg
     "emb_centroids" -> ((s, dir) =>
       graft.ml.Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
@@ -2547,6 +2562,22 @@ object SparkEntry {
        "FROM b LEFT JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id GROUP BY 1"),
     "emb_semantic_dedup" -> semanticDedupOracle(numCells = 16, threshold = 0.4),
     "kmeans_train" -> kmeansOracle(k = 8, iters = 2),
+    "pq_train" -> (pqPrelude() +
+      " SELECT sub, cell, gs - 1 AS p, round(c[gs], 6) AS mu FROM c2, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(c))) AS gs) t"),
+    "pq_encode" -> (pqPrelude() + " SELECT vec_id, sub, code FROM codes"),
+    "pq_knn" -> (pqPrelude() +
+      ", qsv AS (SELECT vec_id AS q_id, sub, v FROM sv WHERE vec_id < 10), " +
+      "dt AS (SELECT q.q_id, q.sub, c.cell AS code, " +
+      "round((list_inner_product(q.v, q.v) + list_inner_product(c.c, c.c) " +
+      "- 2 * list_inner_product(q.v, c.c)) * 1e6)::BIGINT AS dm " +
+      "FROM qsv q JOIN c2 c ON q.sub = c.sub), " +
+      "sc AS (SELECT dt.q_id, k.vec_id, sum(dm)::BIGINT AS d2_micros " +
+      "FROM codes k JOIN dt ON k.sub = dt.sub AND k.code = dt.code " +
+      "WHERE k.vec_id <> dt.q_id GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, vec_id, d2_micros, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY d2_micros ASC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, d2_micros, rank FROM r WHERE rank <= 5"),
     "emb_quantize" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
        "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v), " +
@@ -2947,6 +2978,40 @@ object SparkEntry {
       s"c$i AS (SELECT cell, list(m ORDER BY p) AS c_emb FROM m$i GROUP BY cell)"
     }.mkString(", ")
     s"WITH $init, $stages SELECT cell, p, round(m, 6) AS m FROM m$iters"
+  }
+
+  /** PQ oracle prelude (= Similarity.pqTrain/pqEncode, m=4 × d=16, ksub=8,
+    * iters=2): per-subspace slices, md5-ordered init, unrolled L2²-argmin /
+    * DECIMAL-mean k-means rounds. L2² spelled as the same three inner
+    * products the Spark side evaluates, rounded to 6 at assignment. */
+  private def pqL2(v: String, c: String): String =
+    s"round(list_inner_product($v, $v) + list_inner_product($c, $c) " +
+    s"- 2 * list_inner_product($v, $c), 6)"
+
+  private def pqPrelude(m: Int = 4, d: Int = 16, ksub: Int = 8, iters: Int = 2): String = {
+    val sv =
+      s"sv AS (SELECT vec_id, s.sub, CAST(embedding[s.sub*$d+1 : s.sub*$d+$d] AS DOUBLE[]) AS v " +
+      s"FROM embeddings, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s), " +
+      "ids AS (SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell " +
+      s"FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $ksub), " +
+      "c0 AS (SELECT sv.sub, ids.cell, sv.v AS c FROM ids JOIN sv USING (vec_id))"
+    val rounds = (1 to iters).map { i =>
+      s"a$i AS (SELECT sub, cell, v FROM (SELECT sv.vec_id, sv.sub, sv.v, c.cell, " +
+      s"row_number() OVER (PARTITION BY sv.vec_id, sv.sub " +
+      s"ORDER BY ${pqL2("sv.v", "c.c")} ASC, c.cell ASC) AS rk " +
+      s"FROM sv JOIN c${i - 1} c ON sv.sub = c.sub) WHERE rk = 1), " +
+      s"m$i AS (SELECT sub, cell, gs - 1 AS p, " +
+      "sum(v[gs]::DECIMAL(28,12))::DOUBLE / count(*) AS mu " +
+      s"FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(v))) AS gs) t GROUP BY 1, 2, 3), " +
+      s"c$i AS (SELECT sub, cell, list(mu ORDER BY p) AS c FROM m$i GROUP BY sub, cell)"
+    }.mkString(", ")
+    // codes: argmin against the FINAL codebook
+    val codes =
+      s"codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT sv.vec_id, sv.sub, c.cell, " +
+      s"row_number() OVER (PARTITION BY sv.vec_id, sv.sub " +
+      s"ORDER BY ${pqL2("sv.v", "c.c")} ASC, c.cell ASC) AS rk " +
+      s"FROM sv JOIN c$iters c ON sv.sub = c.sub) WHERE rk = 1)"
+    s"WITH $sv, $rounds, $codes"
   }
 
   /** IVF oracle: centroid CTE in md5-of-id order (= Similarity.ivfCentroids),

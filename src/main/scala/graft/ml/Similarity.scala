@@ -327,4 +327,114 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // --- product quantization (PQ): the embedding MEMORY story at 100 TB ---
+  // A 768-dim float32 vector is 3 KB; its m PQ codes are m bytes. Encoding
+  // turns the corpus scan of an ANN query into code-table lookups against a
+  // broadcast per-query distance table (asymmetric distance computation);
+  // raw vectors are only touched by an optional final rerank. Everything
+  // here is deterministic (md5-ordered init, DECIMAL-exact means, integer-
+  // micros distances) so a SQL oracle reproduces train/encode/search
+  // bit-for-bit — the same contract as the IVF/LSH/k-means family above.
+
+  /** L2² distance as three sequential dot products — the formula (not a
+    * fused subtraction loop) so any engine evaluating the same three dots
+    * left-to-right reproduces the double bit-for-bit. */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** One row per (vec_id, sub): the sub-th length-`d` slice, doubles. */
+  private def subVectors(corpus: DataFrame, m: Int, d: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(transform(col("embedding"), x => x.cast("double")),
+          s * d + 1, lit(d)))).as(Seq("sub", "v")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("v"))
+
+  /**
+   * Per-subspace codebooks: split `dim` into `m` subspaces of dim/m, run
+   * `iters` rounds of deterministic k-means (ksub centroids) in EVERY
+   * subspace simultaneously — one plan per round for all subspaces (the
+   * per-round work is a broadcast argmin assignment + one combinable
+   * (sub, cell, dim) mean, exactly the [[kmeansCentroids]] device keyed by
+   * an extra `sub` column). Init = the md5-of-id-first `ksub` vectors'
+   * slices (same ids for every subspace).
+   *
+   * @return (sub, cell, c_sub ARRAY<DOUBLE>)
+   */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int = 4, ksub: Int = 8,
+              iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    val sv = subVectors(corpus, m, d)
+    val h = md5(col("vec_id").cast("string").cast("binary"))
+    var cent = corpus.select(col("vec_id"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(ksub)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+          .cast("long").as("cell"))
+      .join(sv, Seq("vec_id"))
+      .select(col("sub"), col("cell"), col("v").as("c_sub"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("cell").asc)
+      val assigned = sv.join(broadcast(cent), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("v"), col("cell"),
+          round(l2sq(col("v"), col("c_sub")), 6).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("sub"), col("cell"), col("v"))
+      cent = assigned
+        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("sub"), col("cell"), col("p"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mu"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("mu")))),
+          s => s.getField("mu")).as("c_sub"))
+    }
+    cent
+  }
+
+  /** Encode every vector: per (vec_id, sub), the argmin-L2² codebook cell.
+    * Exploded (vec_id, sub, code) layout — hashes stably and is exactly the
+    * shape the ADC join consumes; packing to m bytes is a storage detail. */
+  def pqEncode(corpus: DataFrame, dim: Int, m: Int = 4, ksub: Int = 8,
+               iters: Int = 2): DataFrame = {
+    val cent = pqTrain(corpus, dim, m, ksub, iters)
+    val sv = subVectors(corpus, m, dim / m)
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("cell").asc)
+    sv.join(broadcast(cent), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell"),
+        round(l2sq(col("v"), col("c_sub")), 6).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+  }
+
+  /**
+   * Asymmetric-distance top-k: per query, a distance TABLE (query subvector
+   * vs every codebook centroid — |queries|·m·ksub rows, broadcast) joins
+   * the code table on (sub, code); the per-pair score is the SUM of m
+   * table entries. Distances are integer MICROS (round(d2·10⁶)) so the
+   * m-term sum is exact integer arithmetic — no cross-engine float-sum
+   * order to match. The corpus is scanned once as codes; raw vectors never
+   * join. Queries are a bounded set (the broadcast contract shared with
+   * [[bruteForceKnn]]).
+   *
+   * @return (q_id, vec_id, d2_micros, rank)
+   */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+            m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    val cent = pqTrain(corpus, dim, m, ksub, iters)
+    val codes = pqEncode(corpus, dim, m, ksub, iters)
+    val qsv = subVectors(queries.select(col("vec_id"), col("embedding")), m, dim / m)
+      .select(col("vec_id").as("q_id"), col("sub"), col("v"))
+    val distTable = qsv.join(broadcast(cent), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell").as("code"),
+        round(l2sq(col("v"), col("c_sub")) * 1e6).cast("long").as("dm"))
+    val scored = codes.join(broadcast(distTable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("d2_micros"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2_micros").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -141,4 +141,41 @@ class SimilaritySpec extends SparkSpec {
     val minCos = real.agg(min("recon_cos")).collect()(0).getDouble(0)
     assert(minCos > 0.999, s"worst reconstruction cosine $minCos")
   }
+
+  test("product quantization: codebook shape, codes, ADC finds planted duplicates") {
+    // deterministic 16-dim corpus with EXACT duplicates planted: vector
+    // 100+i copies vector i, so its PQ codes are identical and its ADC
+    // distance sum is the global minimum — the duplicate must surface
+    val base = (0L until 40L).map { id =>
+      (id, Array.tabulate(16)(j => (((id * 31 + j * 7) % 97).toFloat / 97f)))
+    }
+    val dups = (0L until 3L).map(i => (100L + i, base(i.toInt)._2))
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val cent = Similarity.pqTrain(corpus, dim = 16, m = 4, ksub = 8, iters = 2)
+    val bySub = cent.groupBy("sub").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySub.keySet == Set(0L, 1L, 2L, 3L) && bySub.values.forall(_ <= 8))
+    assert(cent.select("c_sub").collect().forall(_.getSeq[Double](0).size == 4))
+    val codes = Similarity.pqEncode(corpus, dim = 16, m = 4, ksub = 8, iters = 2)
+    assert(codes.count() == 43L * 4)
+    assert(codes.agg(max("code")).collect()(0).getLong(0) < 8)
+    // duplicates carry identical code rows
+    val codeMap = codes.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 3L).foreach { i =>
+      (0L until 4L).foreach(s => assert(codeMap((100L + i, s)) == codeMap((i, s))))
+    }
+    // ADC: querying each duplicate must rank its original FIRST (identical
+    // codes → the minimal possible distance sum; id tiebreak puts the
+    // original ahead of any same-code impostor only if codes differ — so
+    // assert membership at the minimum, which is exact)
+    val knn = Similarity.pqKnn(corpus, corpus.filter($"vec_id" >= 100L), k = 3,
+      dim = 16, m = 4, ksub = 8, iters = 2).collect()
+      .groupBy(_.getLong(0))
+    (0L until 3L).foreach { i =>
+      val rows = knn(100L + i).sortBy(_.getInt(3))
+      val minD = rows.head.getLong(2)
+      val atMin = rows.filter(_.getLong(2) == minD).map(_.getLong(1)).toSet
+      assert(atMin.contains(i), s"query ${100 + i}: original $i not at the ADC minimum")
+    }
+  }
 }
