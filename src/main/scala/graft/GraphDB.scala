@@ -234,6 +234,41 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           matchLabel.getOrElse(e.dst, None), () => appended.count()))
       }
     }
+    // MERGE upsert clauses: each merge node takes ON CREATE SET when it was
+    // created THIS statement, ON MATCH SET when it already existed — the
+    // standard upsert. Values compile through the same per-row rewrite as
+    // SET (own-property expressions); labels/ids are immutable.
+    if (stmt.onCreateSets.nonEmpty || stmt.onMatchSets.nonEmpty) {
+      val createdNames = createdNodes.map(_.name).toSet
+      def validate(items: Seq[cypher.Ast.SetItem], clause: String): Unit = items.foreach { s =>
+        if (!stmt.nodes.exists(_.name == s.binding)) throw new cypher.ParseException(
+          s"$clause targets ${s.binding}, which is not a merged node in this statement")
+        if (s.prop == "id" || s.prop == "label") throw new cypher.ParseException(
+          s"$clause cannot change the core column ${s.prop}")
+        cypher.Ast.Expr.refs(s.value).foreach { case (b, _) =>
+          if (b != s.binding) throw new cypher.ParseException(
+            s"$clause ${s.binding}.${s.prop}: the value may only read " +
+              s"${s.binding}'s own properties (found $b)")
+        }
+      }
+      validate(stmt.onCreateSets, "ON CREATE SET")
+      validate(stmt.onMatchSets, "ON MATCH SET")
+      val applicable =
+        stmt.onCreateSets.filter(s => createdNames(s.binding)) ++
+          stmt.onMatchSets.filter(s => !createdNames(s.binding))
+      var nodesDf = pg.nodes
+      applicable.foreach { s =>
+        val id = idOf(s.binding)
+        val existing = nodesDf.schema.find(_.name == s.prop).map(_.dataType)
+        val raw = operators.Preds.exprColumn(s.value,
+          (bb, pp) => if (pp.isEmpty) col("id") else col(pp))
+        val v = existing.fold(raw)(t => raw.cast(t))
+        nodesDf = nodesDf.withColumn(s.prop,
+          if (existing.isDefined) when(col("id") === id, v).otherwise(col(s.prop))
+          else when(col("id") === id, v))
+      }
+      pg = pg.withNodes(nodesDf)
+    }
     // incremental stats (reference StatsStore per-insert updates,
     // ConcurrentDirectedGraph.scala:121-124,151-152): exact when every
     // created edge's endpoint labels are statically known; otherwise fall

@@ -338,7 +338,12 @@ object Ast {
                              merge: Boolean = false,
                              sets: Seq[SetItem] = Seq.empty,
                              deletes: Seq[String] = Seq.empty,
-                             detach: Boolean = false)
+                             detach: Boolean = false,
+                             /** MERGE upsert clauses: applied to each merge
+                               * node depending on whether IT was created or
+                               * matched this statement. */
+                             onCreateSets: Seq[SetItem] = Seq.empty,
+                             onMatchSets: Seq[SetItem] = Seq.empty)
 }
 
 final class ParseException(msg: String) extends RuntimeException(msg)
@@ -605,7 +610,35 @@ object CypherParser {
         }
       }
       onePat(); while (tryEat(',')) onePat()
-      WriteStmt(paths.toSeq, preds.toSeq, nodes.toSeq, edges.toSeq, merge = merge)
+      // MERGE upsert clauses: ON CREATE SET … / ON MATCH SET …, each at
+      // most once, either order (openCypher)
+      var onCreate = Seq.empty[SetItem]
+      var onMatch = Seq.empty[SetItem]
+      def setItems(): Seq[SetItem] = {
+        val items = scala.collection.mutable.ArrayBuffer[SetItem]()
+        var more = true
+        while (more) {
+          val b = ident(); eat('.'); val p = ident(); eat('=')
+          items += SetItem(b, p, exprP(false))
+          more = tryEat(',')
+        }
+        items.toSeq
+      }
+      while (kw("ON")) {
+        if (!merge) err("ON CREATE/ON MATCH SET requires MERGE")
+        val isCreate = kw("CREATE")
+        if (!isCreate && !kw("MATCH")) err("expected CREATE or MATCH after ON")
+        if (!kw("SET")) err("expected SET after ON " + (if (isCreate) "CREATE" else "MATCH"))
+        if (isCreate) {
+          if (onCreate.nonEmpty) err("duplicate ON CREATE SET clause")
+          onCreate = setItems()
+        } else {
+          if (onMatch.nonEmpty) err("duplicate ON MATCH SET clause")
+          onMatch = setItems()
+        }
+      }
+      WriteStmt(paths.toSeq, preds.toSeq, nodes.toSeq, edges.toSeq, merge = merge,
+        onCreateSets = onCreate, onMatchSets = onMatch)
     }
 
     def query(): Query = {

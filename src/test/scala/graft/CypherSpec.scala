@@ -1052,6 +1052,35 @@ class CypherSpec extends SparkSpec {
     assert(db4.stats == new GraphDB(db4.graph).stats)
   }
 
+  test("MERGE ON CREATE SET / ON MATCH SET: the upsert takes the right branch") {
+    val db0 = new GraphDB(propsG)
+    val upsert = "MERGE (p:B {name: 'x', value: 10}) " +
+      "ON CREATE SET p.seen = 1 ON MATCH SET p.seen = p.seen + 1"
+    // (name x, value 10) matches node 2 → ON MATCH fires on the existing row
+    // … but seen doesn't exist yet: p.seen + 1 over null stays null, so
+    // seed it with a fresh merge first
+    val dbA = db0.execute(
+      "MERGE (q:B {name: 'q0', value: 5}) ON CREATE SET q.seen = 1 ON MATCH SET q.seen = q.seen + 1")
+    val seenNew = dbA.query("MATCH (b:B) WHERE b.name = 'q0' RETURN b.seen")
+      .collect()(0).getLong(0)
+    assert(seenNew == 1L) // created → ON CREATE branch
+    val dbB = dbA.execute(
+      "MERGE (q:B {name: 'q0', value: 5}) ON CREATE SET q.seen = 1 ON MATCH SET q.seen = q.seen + 1")
+    val seenAgain = dbB.query("MATCH (b:B) WHERE b.name = 'q0' RETURN b.seen")
+      .collect()(0).getLong(0)
+    assert(seenAgain == 2L) // matched → ON MATCH branch increments
+    assert(dbB.graph.nodes.count() == dbA.graph.nodes.count()) // no new row
+    // other rows untouched by the targeted rewrite
+    assert(dbB.query("MATCH (b:B) WHERE b.name = 'x' RETURN b").collect().length == 2)
+    // ON clauses only bind merged nodes; non-merge statements reject at parse
+    intercept[graft.cypher.ParseException] {
+      db0.execute(upsert + " , (z:B {name: 'y'}) ON CREATE SET nope.x = 1")
+    }
+    intercept[graft.cypher.ParseException] {
+      db0.execute("CREATE (p:B {name: 'w'}) ON CREATE SET p.seen = 1")
+    }
+  }
+
   test("SET: distributed column rewrite; unmatched rows keep their values") {
     val db0 = new GraphDB(propsG)
     val db1 = db0.execute(
