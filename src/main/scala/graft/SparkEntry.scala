@@ -1510,6 +1510,16 @@ object SparkEntry {
       graft.streaming.StreamOps.dedupAgainstCorpus(incoming, corpus, Seq("fp"))
         .select("doc_id")
     }),
+    // NEAR-dup dedup of an incoming slice against the historical corpus:
+    // per-row md5-minhash band buckets + one stream-static anti join per
+    // band (candidate-level LSH contract; identical code path on a stream)
+    "stream_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamOps.nearDedupAgainstCorpus(
+        docs.filter(col("source") === "src0").select("doc_id", "text"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .select("doc_id")
+    }),
     "stream_stateful_sessions" -> ((s, dir) => {
       import s.implicits._
       val ev = graft.sources.Tables.events(s, dir).as[graft.streaming.GEvent]
@@ -2707,6 +2717,21 @@ object SparkEntry {
        "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents) " +
        "SELECT doc_id FROM fp a WHERE a.source = 'src0' AND NOT EXISTS " +
        "(SELECT 1 FROM fp b WHERE b.source <> 'src0' AND b.fp = a.fp)"),
+    // replicates the md5-minhash banding exactly: 16 per-gram hash mins,
+    // 4 string_agg'd band buckets, survivor = no band shared with history
+    "stream_near_dedup" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "g AS (SELECT doc_id, source, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS gram " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
+       "sigs AS (SELECT doc_id, source, k, min(md5(k::VARCHAR || ':' || gram)) AS sig " +
+       "FROM g CROSS JOIN range(16) r(k) GROUP BY 1, 2, 3), " +
+       "bands AS (SELECT doc_id, source, (k // 4) AS band, " +
+       "md5((k // 4)::VARCHAR || '|' || string_agg(sig, '|' ORDER BY k)) AS bucket " +
+       "FROM sigs GROUP BY doc_id, source, (k // 4)), " +
+       "cb AS (SELECT DISTINCT band, bucket FROM bands WHERE source <> 'src0') " +
+       "SELECT d.doc_id FROM (SELECT doc_id FROM documents WHERE source = 'src0') d " +
+       "WHERE NOT EXISTS (SELECT 1 FROM bands ib JOIN cb ON ib.band = cb.band " +
+       "AND ib.bucket = cb.bucket WHERE ib.doc_id = d.doc_id AND ib.source = 'src0')"),
     "stream_interval_join" ->
       ("WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') " +

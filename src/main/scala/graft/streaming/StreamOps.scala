@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -97,6 +97,61 @@ object StreamOps {
    */
   def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(corpus.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+
+  /** Per-row minhash band buckets: `numBands` STRING columns `bucket_b`.
+    * The streaming-safe reformulation of the batch LSH banding
+    * ([[graft.text.TextOps.minhashDedup]]): the per-doc min-aggregate over
+    * exploded shingles becomes array_min over the row's OWN gram array —
+    * identical values (min ignores duplicates), zero state, zero shuffle.
+    * Hashes are md5 strings (not xxhash64) so an engine-independent oracle
+    * reproduces every bucket; the ~2× hash cost is the contract price. */
+  private def bandBucketCols(textCol: Column, n: Int, numHashes: Int,
+                             bandRows: Int): Seq[Column] = {
+    val grams = graft.text.TextOps.gramArray(textCol, n)
+    val sigs = (0 until numHashes).map(k =>
+      array_min(transform(grams, g => md5(concat_ws(":", lit(k), g).cast("binary")))))
+    (0 until numHashes / bandRows).map { b =>
+      // a doc with NO grams (shorter than n words) gets a NULL bucket: a
+      // null join key never matches, so gram-less docs neither drop nor
+      // block anything (minhash over the empty set is undefined)
+      when(size(grams) > 0, md5(concat_ws("|",
+        (lit(b) +: (0 until bandRows).map(r => sigs(b * bandRows + r))): _*).cast("binary")))
+        .as(s"bucket_$b")
+    }
+  }
+
+  /**
+   * NEAR-duplicate dedup of an incoming stream against a static historical
+   * corpus — the LSH analogue of [[dedupAgainstCorpus]]'s exact-fingerprint
+   * anti join. A document is dropped when ANY of its minhash band buckets
+   * appears in the corpus (candidate-level contract: recall-oriented —
+   * with numHashes=16/bandRows=4, a 0.9-similar pair collides in ≥1 band
+   * w.p. ≈ 0.96; rare false-positive drops are the accepted dedup
+   * trade-off, exactly as in batch LSH pipelines that skip the verify).
+   *
+   * Streaming legality is the design driver: the all-bands-miss condition
+   * is per-document, but recombining exploded band rows would need a
+   * stateful aggregation. Instead every band bucket is a per-row COLUMN
+   * and survival is `numBands` chained stream-static LEFT ANTI joins —
+   * each stateless, each probing one band's corpus bucket set. Identical
+   * code path on batch. At 100 TB the corpus bucket table should be
+   * bucketed by (band, bucket) so each micro-batch probes, not scans.
+   */
+  def nearDedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 5, numHashes: Int = 16,
+                             bandRows: Int = 4): DataFrame = {
+    require(numHashes % bandRows == 0)
+    val numBands = numHashes / bandRows
+    val buckets = bandBucketCols(col(textCol), n, numHashes, bandRows)
+    val corpusBuckets = (0 until numBands).map(b =>
+      corpus.select(buckets(b)).dropDuplicates())
+    val withBuckets = incoming.select(col("*") +: buckets: _*)
+    val survivors = (0 until numBands).foldLeft(withBuckets) { (df, b) =>
+      df.join(corpusBuckets(b), Seq(s"bucket_$b"), "left_anti")
+    }
+    survivors.drop((0 until numBands).map(b => s"bucket_$b"): _*)
+  }
 
   /**
    * Stream-stream (or batch) interval join: right rows with the same key

@@ -21,6 +21,18 @@ object TextOps {
   /** Whitespace tokens, lowercased; `ws` ARRAY<STRING> column. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** The document's word n-grams as ONE per-row array column (empty when
+    * the doc is shorter than n words) — the streaming-safe building block:
+    * everything derivable from it (minhash signatures, band buckets) stays
+    * a per-row expression, no explode, no per-doc aggregation. */
+  def gramArray(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        k => concat_ws(" ", slice(ws, k + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /**
    * Word n-gram shingles, one row per distinct (id, shingle).
    * Docs shorter than n words contribute no shingles.

@@ -164,6 +164,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupAgainstCorpus: LSH band anti joins drop near-dups of history, stream equals batch") {
+    // corpus doc 10 is a 9-word sentence; incoming doc 1 is a NEAR-dup
+    // (one word changed — 5-gram signatures collide in some band), doc 2 is
+    // unrelated, doc 3 is an EXACT dup (all bands collide)
+    // fixture chosen so the near-dup PROVABLY collides (hashing is
+    // deterministic md5: this 20-word/one-word-changed pair shares minhash
+    // bands 0, 1 and 3 — verified against an independent replication)
+    val corpusText = (1 to 20).map("w" + _).mkString(" ")
+    val nearDup = (1 to 19).map("w" + _).mkString(" ") + " cat"
+    val corpus = Seq((10L, corpusText)).toDF("doc_id", "text")
+    val batchIn = Seq(
+      (1L, nearDup),
+      (2L, "completely unrelated words live in this document here"),
+      (3L, corpusText)).toDF("doc_id", "text")
+    val batchOut = StreamOps.nearDedupAgainstCorpus(batchIn, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchOut == Set(2L)) // both the exact and the near dup dropped
+    // identical code path on an append-mode stream: numBands chained
+    // stream-static anti joins, all stateless
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDedupAgainstCorpus(
+        in.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("neardedup").outputMode("append").start()
+    try {
+      in.addData((1L, nearDup), (2L,
+        "completely unrelated words live in this document here"))
+      drain(q)
+      in.addData((3L, corpusText))
+      drain(q)
+      assert(spark.table("neardedup").as[Long].collect().toSet == batchOut)
+    } finally q.stop()
+  }
+
   test("writePartitionedStream: micro-batches land in the partitioned layout, idempotent per batch") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink")
