@@ -630,6 +630,12 @@ object SparkEntry {
         "MATCH (r:region) RETURN r AS id, join(keys(r), ',') AS ks " +
         "UNION ALL MATCH (c:customer) WHERE c.value > 9990 " +
         "RETURN c AS id, join(keys(c), ',') AS ks")),
+    // `=~` regex predicate: openCypher FULL-string match semantics (the
+    // pattern is anchored — a partial match does not qualify)
+    "cy_regex" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
+        "WHERE c.name =~ 'Customer#0+1[0-2]' RETURN c, n ORDER BY c")),
     // a value function as the grouping key of an aggregation
     "cy_fn_group" -> ((s, dir) =>
       db(s, dir).query(
@@ -1935,6 +1941,9 @@ object SparkEntry {
       ("SELECT r_regionkey + 1000000000 AS id, 'name' AS ks FROM region " +
        "UNION ALL SELECT c_custkey + 3000000000, 'name,value' FROM customer " +
        "WHERE c_acctbal > 9990"),
+    "cy_regex" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
+       "FROM customer WHERE regexp_full_match(c_name, 'Customer#0+1[0-2]') ORDER BY c"),
     "cy_fn_group" ->
       ("SELECT lower(n_name) AS nat, count(DISTINCT c_custkey) AS count_c " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +

@@ -1237,7 +1237,8 @@ object CypherParser {
         else if (kw("ENDS")) { if (!kw("WITH")) err("expected WITH after ENDS"); "ENDS WITH" }
         else if (kw("CONTAINS")) "CONTAINS"
         else {
-          val ops = Seq("<=", ">=", "<>", "=", "<", ">")
+          // `=~` (regex) before `=` — longest match wins
+          val ops = Seq("<=", ">=", "<>", "=~", "=", "<", ">")
           ops.find(o => s.regionMatches(false, i, o, 0, o.length)) match {
             case Some(o) => i += o.length; o
             case None => l match {
@@ -1249,7 +1250,7 @@ object CypherParser {
           }
         }
       val r = exprP(bareAtoms)
-      val strOp = Set("STARTS WITH", "ENDS WITH", "CONTAINS")(op)
+      val strOp = Set("STARTS WITH", "ENDS WITH", "CONTAINS", "=~")(op)
       (lref, r) match {
         // `<ref> <op> <literal>` keeps the legacy Cmp (pushdown
         // classification; numeric literals normalize to Double there —

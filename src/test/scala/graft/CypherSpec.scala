@@ -1802,6 +1802,28 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("=~ regex: FULL-string match semantics, partial matches excluded") {
+    val db = new GraphDB(propsG)
+    // names: a1, x, y, x — 'a.' full-matches a1 only; bare 'a' matches none
+    val full = db.query("MATCH (n:A) WHERE n.name =~ 'a.' RETURN n")
+      .collect().map(_.getLong(0))
+    assert(full.toSeq == Seq(1L))
+    assert(db.query("MATCH (n:A) WHERE n.name =~ 'a' RETURN n").collect().isEmpty)
+    // alternation stays intact under the anchoring wrapper
+    val alt = db.query("MATCH (b:B) WHERE b.name =~ 'x|y' RETURN b ORDER BY b")
+      .collect().map(_.getLong(0))
+    assert(alt.toSeq == Seq(2L, 3L, 4L))
+    // character classes + quantifiers; composes with other conjuncts
+    val cc = db.query(
+      "MATCH (b:B) WHERE b.name =~ '[xy]+' AND b.value > 15 RETURN b")
+      .collect().map(_.getLong(0))
+    assert(cc.toSeq == Seq(3L))
+    // non-string literal RHS rejected at parse
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (b:B) WHERE b.name =~ 5 RETURN b")
+    }
+  }
+
   test("keys(n): present property keys, sorted; relationship rejected") {
     val db = new GraphDB(propsG)
     val ks = db.query("MATCH (a:A) RETURN keys(a) AS ks").collect()(0).getSeq[String](0)
