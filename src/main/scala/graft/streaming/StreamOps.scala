@@ -105,9 +105,8 @@ object StreamOps {
     * identical values (min ignores duplicates), zero state, zero shuffle.
     * Hashes are md5 strings (not xxhash64) so an engine-independent oracle
     * reproduces every bucket; the ~2× hash cost is the contract price. */
-  private def bandBucketCols(textCol: Column, n: Int, numHashes: Int,
+  private def bandBucketCols(grams: Column, numHashes: Int,
                              bandRows: Int): Seq[Column] = {
-    val grams = graft.text.TextOps.gramArray(textCol, n)
     val sigs = (0 until numHashes).map(k =>
       array_min(transform(grams, g => md5(concat_ws(":", lit(k), g).cast("binary")))))
     (0 until numHashes / bandRows).map { b =>
@@ -143,14 +142,41 @@ object StreamOps {
                              bandRows: Int = 4): DataFrame = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
-    val buckets = bandBucketCols(col(textCol), n, numHashes, bandRows)
-    val corpusBuckets = (0 until numBands).map(b =>
-      corpus.select(buckets(b)).dropDuplicates())
-    val withBuckets = incoming.select(col("*") +: buckets: _*)
-    val survivors = (0 until numBands).foldLeft(withBuckets) { (df, b) =>
-      df.join(corpusBuckets(b), Seq(s"bucket_$b"), "left_anti")
+    val shuffleP = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // The md5 banding is the COMPUTE of this operator (numHashes hashes per
+    // gram) — two things keep it parallel and single-pass:
+    //  1. the gram array is PROJECTED once per row and every signature
+    //     reads the projected column (inlining it would re-split the text
+    //     numHashes times per row);
+    //  2. both sides repartition BEFORE the banding projection — a small
+    //     parquet corpus arrives as one partition, and the anti joins
+    //     broadcast the bucket side, so nothing downstream would otherwise
+    //     spread the hash work across cores (measured 29 s → 3 s at sf0.1).
+    //     A stream keeps its micro-batch partitioning (no extra shuffle).
+    def withBuckets(df: DataFrame): DataFrame = {
+      val spread = if (df.isStreaming) df else df.repartition(shuffleP)
+      val grams = graft.text.TextOps.gramArray(col(textCol), n)
+      spread.withColumn("__grams", grams)
+        .select(col("*") +: bandBucketCols(col("__grams"), numHashes, bandRows): _*)
+        .drop("__grams")
     }
-    survivors.drop((0 until numBands).map(b => s"bucket_$b"): _*)
+    // ONE corpus pass computes every band's buckets; the exploded
+    // (band, bucket) set persists so each of the numBands anti joins probes
+    // cached blocks instead of re-running the banding over the corpus per
+    // band. On a stream the cache deliberately outlives the query (every
+    // micro-batch probes it); on batch it releases after the first action.
+    val corpusBuckets = withBuckets(corpus)
+      .select(posexplode(array((0 until numBands).map(b => col(s"bucket_$b")): _*))
+        .as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull).dropDuplicates()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = (0 until numBands).foldLeft(withBuckets(incoming)) { (df, b) =>
+      df.join(corpusBuckets.filter(col("band") === b)
+        .select(col("bucket").as(s"bucket_$b")), Seq(s"bucket_$b"), "left_anti")
+    }
+    val out = survivors.drop((0 until numBands).map(b => s"bucket_$b"): _*)
+    if (incoming.isStreaming) out
+    else graft.util.CacheLifecycle.releaseOnFirstAction(out, corpusBuckets)
   }
 
   /**
