@@ -118,4 +118,43 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(s.toSeq == Seq(14.0))
   }
+
+  test("write surface edge cases: zero-match writes, params, empty graphs") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      Seq((1L, "A", "a1"), (2L, "B", "b1")).toDF("id", "label", "name"),
+      Seq((1L, 2L, "X")).toDF("src", "dst", "etype"))
+    val db = new GraphDB(g)
+    // zero-match SET / DELETE / edge-CREATE are clean no-ops, not errors
+    val s0 = db.execute("MATCH (b:B) WHERE b.name = 'nope' SET b.name = 'x'")
+    assert(s0.graph.nodes.collect().map(_.getString(2)).sorted.toSeq == Seq("a1", "b1"))
+    val d0 = db.execute("MATCH (a:A)-[r:NOPE]->(b:B) DELETE r")
+    assert(d0.graph.edges.count() == 1)
+    val c0 = db.execute("MATCH (a:A), (b:B) WHERE a.name = 'nope' CREATE (a)-[:Y]->(b)")
+    assert(c0.graph.edges.count() == 1)
+    assert(c0.stats == db.stats) // incremental delta of an empty pair set
+    // $params flow into CREATE property maps
+    val p = db.execute("CREATE (c:C {id: $cid, name: $nm})",
+      Map("cid" -> 77L, "nm" -> "seven"))
+    assert(p.query("MATCH (c:C) RETURN c, c.name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((77L, "seven")))
+    // DETACH DELETE everything, then CREATE into the emptied graph:
+    // id allocation survives an empty node table (max(id) over zero rows)
+    val emptied = db.execute("MATCH (a:A) DETACH DELETE a")
+      .execute("MATCH (b:B) DETACH DELETE b")
+    assert(emptied.graph.nodes.count() == 0 && emptied.graph.edges.count() == 0)
+    val reborn = emptied.execute("CREATE (z:Z {name: 'first'})")
+    assert(reborn.query("MATCH (z:Z) RETURN z").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // MERGE against a multigraph edge table (duplicate stored rows) adds
+    // nothing when the key exists, regardless of multiplicity
+    val multi = new GraphDB(graft.graph.PropertyGraph(
+      Seq((1L, "A", "a1"), (2L, "B", "b1")).toDF("id", "label", "name"),
+      Seq((1L, 2L, "X"), (1L, 2L, "X")).toDF("src", "dst", "etype")))
+    val m1 = multi.execute("MATCH (a:A), (b:B) MERGE (a)-[:X]->(b)")
+    assert(m1.graph.edges.count() == 2) // both stored rows kept, none added
+    // a read-query text is not a write statement — loud parse error
+    intercept[graft.cypher.ParseException] {
+      db.execute("MATCH (a:A) RETURN a")
+    }
+  }
 }
