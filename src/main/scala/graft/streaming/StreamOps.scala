@@ -285,4 +285,38 @@ object StreamOps {
           batch, s"$path/batch_id=$batchId", partitionCols, sortCols = sortCols)
       }
       .start()
+
+  /**
+   * Incremental GRAPH ingestion: a stream of edge rows (src, dst, etype
+   * [, props…]) lands in an append-only parquet lake, one directory per
+   * micro-batch — idempotent (a replayed batch OVERWRITES its own
+   * directory, never duplicates) and non-blocking (writers never touch a
+   * base snapshot; the reference's ConcurrentDirectedGraph serializes
+   * writers through one JVM lock — here ingestion and reads share nothing
+   * but the lake listing). [[loadIngested]] assembles the CURRENT graph =
+   * base + every landed increment as a fresh immutable GraphDB — the
+   * batch-mutation contract ([[graft.GraphDB.addEdges]]) fed by a stream.
+   */
+  def ingestEdges(edges: DataFrame, lakePath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$lakePath/batch_id=$batchId")
+      }
+      .start()
+
+  /** Base graph + all edge increments landed in `lakePath` (empty lake →
+    * the base unchanged). Each call reads the CURRENT listing — a new
+    * GraphDB per refresh, stats recomputed lazily. */
+  def loadIngested(spark: SparkSession, base: graft.graph.PropertyGraph,
+                   lakePath: String): graft.GraphDB = {
+    val dirs = new java.io.File(lakePath).listFiles()
+    if (dirs == null || dirs.isEmpty) new graft.GraphDB(base)
+    else {
+      val inc = spark.read.parquet(lakePath).drop("batch_id")
+      new graft.GraphDB(base.addEdges(inc))
+    }
+  }
 }

@@ -164,6 +164,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestEdges + loadIngested: streamed edges become queryable graph increments") {
+    val root = java.nio.file.Files.createTempDirectory("graft-graph-ingest")
+    val base = graft.graph.PropertyGraph(
+      Seq((1L, "A", "a1"), (2L, "B", "b1"), (3L, "B", "b2"))
+        .toDF("id", "label", "name"),
+      Seq((1L, 2L, "X")).toDF("src", "dst", "etype"))
+    // empty lake → base unchanged
+    assert(StreamOps.loadIngested(spark, base, s"$root/lake")
+      .query("MATCH (a:A)-[:X]->(b:B) RETURN b").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.ingestEdges(in.toDF().toDF("src", "dst", "etype"),
+      s"$root/lake", s"$root/ckpt")
+    try {
+      in.addData((1L, 3L, "X"))
+      drain(q)
+      val db1 = StreamOps.loadIngested(spark, base, s"$root/lake")
+      assert(db1.query("MATCH (a:A)-[:X]->(b:B) RETURN b")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+      in.addData((2L, 3L, "Y"))
+      drain(q)
+      // a fresh load sees the second increment; stats are fresh per load
+      val db2 = StreamOps.loadIngested(spark, base, s"$root/lake")
+      assert(db2.query("MATCH (b:B)-[:Y]->(c:B) RETURN b, c")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+      assert(db2.stats.edgeCounts("X") == 2 && db2.stats.edgeCounts("Y") == 1)
+      // the earlier load is an immutable snapshot — unaffected
+      assert(db1.stats.edgeCounts.get("Y").isEmpty)
+    } finally q.stop()
+  }
+
   test("nearDedupAgainstCorpus: LSH band anti joins drop near-dups of history, stream equals batch") {
     // corpus doc 10 is a 9-word sentence; incoming doc 1 is a NEAR-dup
     // (one word changed — 5-gram signatures collide in some band), doc 2 is
