@@ -445,6 +445,54 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(skew.values.sum - 3.0) < 1e-9)
   }
 
+  test("distance centralities match an in-JVM BFS on random digraphs") {
+    // the per-source multi-BFS feeds harmonic, closeness and diameter —
+    // pin all three against one driver-side reference BFS on seeded graphs
+    for (seed <- Seq(7, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 14
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // reference: level-synchronous BFS
+      def bfsRef(s: Long): Map[Long, Int] = {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        var frontier = Seq(s); var lvl = 0
+        while (frontier.nonEmpty) {
+          lvl += 1
+          val next = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+            .distinct.filterNot(dist.contains)
+          next.foreach(v => dist(v) = lvl)
+          frontier = next
+        }
+        dist.toMap
+      }
+      val sources = edges.map(_._1).distinct
+      val expHarm = sources.map(s =>
+        s -> bfsRef(s).collect { case (v, d) if d > 0 => 1.0 / d }.sum).toMap
+      val expClose = sources.map { s =>
+        val ds = bfsRef(s).collect { case (v, d) if d > 0 => d }
+        s -> (if (ds.isEmpty) 0.0 else ds.size.toDouble / ds.sum)
+      }.toMap
+      val vids = (0L until n.toLong).toDF("id")
+      val eDf = edges.toDF("src", "dst")
+      val gotH = Algorithms.harmonicCentrality(vids, eDf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gotC = Algorithms.closenessCentrality(vids, eDf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0L until n.toLong).foreach { v =>
+        assert(math.abs(gotH(v) - expHarm.getOrElse(v, 0.0)) < 1e-9, s"harmonic seed=$seed v=$v")
+        assert(math.abs(gotC(v) - expClose.getOrElse(v, 0.0)) < 1e-9, s"closeness seed=$seed v=$v")
+      }
+      // diameter = max pairwise reachable distance from any source
+      val expDiam = sources.flatMap(s => bfsRef(s).values.filter(_ > 0)).max
+      val gotDiam = Algorithms.bfsPerSource(eDf,
+          eDf.select(org.apache.spark.sql.functions.col("src").as("id")).distinct())
+        .filter("level > 0").agg(Map("level" -> "max")).collect()(0).getInt(0)
+      assert(gotDiam == expDiam, s"diameter seed=$seed")
+    }
+  }
+
   test("k-core matches an in-JVM peel on random graphs") {
     for (seed <- Seq(5, 19)) {
       val rnd = new scala.util.Random(seed)
