@@ -1740,6 +1740,29 @@ object SparkEntry {
         .select(col("event_id"),
           (col("ts").cast("long") - col("__prev").cast("long")).as("gap_s"))
     }),
+    // quartile bucketing per event type (spend-tier segmentation device)
+    "window_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      graft.sources.Tables.events(s, dir)
+        .withColumn("q", ntile(4).over(w))
+        .groupBy("event_type", "q").agg(count(lit(1)).as("n"),
+          round(max(col("value")), 6).as("q_max"))
+    }),
+    // per-type z-score outliers — the data-quality gate a training
+    // pipeline runs over numeric telemetry: flag |z| > 2 against the
+    // population mean/stddev of the event's own type. One combinable
+    // aggregate joined back per row — no window, no second shuffle of the
+    // fact side beyond the broadcastable per-type stats
+    "ev_anomaly" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2889,6 +2912,17 @@ object SparkEntry {
       ("SELECT event_id, date_diff('second', " +
        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s " +
        "FROM events"),
+    "window_ntile" ->
+      ("WITH q AS (SELECT event_type, value, ntile(4) OVER " +
+       "(PARTITION BY event_type ORDER BY value, event_id) AS q FROM events) " +
+       "SELECT event_type, q, count(*)::BIGINT AS n, round(max(value), 6) AS q_max " +
+       "FROM q GROUP BY 1, 2"),
+    "ev_anomaly" ->
+      ("WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd " +
+       "FROM events GROUP BY 1) " +
+       "SELECT event_id, e.event_type, round((value - mu) / sd, 6) AS z " +
+       "FROM events e JOIN s ON e.event_type = s.event_type " +
+       "WHERE abs((value - mu) / sd) > 2"),
     "window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
        "(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey " +
