@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Compare two Bench records (BENCH_LAST.json files or git revisions).
+
+Usage:
+  bench_diff.py <old.json|git-rev> <new.json|git-rev>
+
+A git revision argument reads BENCH_LAST.json from that revision
+(`git show REV:BENCH_LAST.json`). Prints the shared-subset ratio, the
+largest regressions/improvements, and queries present on one side only.
+"""
+import json, subprocess, sys, os
+
+
+def load(arg):
+    if os.path.exists(arg):
+        return json.load(open(arg))
+    out = subprocess.check_output(["git", "show", f"{arg}:BENCH_LAST.json"])
+    return json.loads(out)
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    so, sn = sum(oq[q] for q in shared), sum(nq[q] for q in shared)
+    print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s "
+          f"(ratio {sn / so:.3f})")
+    deltas = sorted(((nq[q] - oq[q], q) for q in shared), reverse=True)
+    print("largest regressions:")
+    for d, q in deltas[:8]:
+        if d <= 0:
+            break
+        print(f"  +{d:6.2f}s  {q}: {oq[q]:.2f} -> {nq[q]:.2f}")
+    print("largest improvements:")
+    for d, q in sorted(deltas)[:8]:
+        if d >= 0:
+            break
+        print(f"  {d:7.2f}s  {q}: {oq[q]:.2f} -> {nq[q]:.2f}")
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    if only_old:
+        print("removed:", ", ".join(only_old))
+    if only_new:
+        print("added:", ", ".join(f"{q} ({nq[q]:.2f}s)" for q in only_new))
+
+
+if __name__ == "__main__":
+    main()
