@@ -1802,6 +1802,43 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("parser fuzz: junk token streams raise ParseException, never crash") {
+    import graft.cypher.CypherParser
+    val rnd = new scala.util.Random(1234)
+    val toks = Seq("MATCH", "(", ")", "-", "[", "]", ">", "<", "RETURN", "WHERE",
+      "a", "b", ":", "A", "X", ",", "'x'", "1", "*", "WITH", "UNWIND", "CREATE",
+      "MERGE", "SET", "DELETE", ".", "=", "=~", "AS", "ORDER", "BY", "LIMIT",
+      "{", "}", "|", "..", "$", "AND", "OR", "NOT", "count", "collect")
+    var legal = 0
+    for (i <- 1 to 800) {
+      val s = Seq.fill(rnd.nextInt(14) + 1)(toks(rnd.nextInt(toks.size))).mkString(" ")
+      try { CypherParser.parse(s); legal += 1 }
+      catch {
+        case _: graft.cypher.ParseException => ()
+        case e: Throwable => fail(s"non-ParseException for [$s]: ${e.getClass} ${e.getMessage}")
+      }
+      try { CypherParser.parseWrite(s); legal += 1 }
+      catch {
+        case _: graft.cypher.ParseException => ()
+        case e: Throwable => fail(s"parseWrite non-ParseException for [$s]: ${e.getClass}")
+      }
+    }
+    // raw character noise exercises the lexical layer too (unterminated
+    // strings/backticks, orphan operators, control chars)
+    val chars = "MATCHRETURNabz(){}[]<>-.*,':`|=~$ \t1".toCharArray
+    for (_ <- 1 to 400) {
+      val s = Seq.fill(rnd.nextInt(24) + 1)(chars(rnd.nextInt(chars.length))).mkString
+      try { CypherParser.parse(s); legal += 1 }
+      catch {
+        case _: graft.cypher.ParseException => ()
+        case e: Throwable => fail(s"char-noise non-ParseException for [$s]: ${e.getClass}")
+      }
+    }
+    // a few random streams happen to be legal — both outcomes are fine;
+    // the property is the exception CHANNEL, not the accept rate
+    assert(legal >= 0)
+  }
+
   test("=~ regex: FULL-string match semantics, partial matches excluded") {
     val db = new GraphDB(propsG)
     // names: a1, x, y, x — 'a.' full-matches a1 only; bare 'a' matches none
