@@ -344,8 +344,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     * the pattern's stored orientation (undirected matches remove both); a
     * node target removes the matched ids — refusing (openCypher) when
     * relationships would be orphaned unless DETACH, which removes the
-    * incident edges too. Stats recompute lazily (deleted rows' label
-    * distribution is not statically known). */
+    * incident edges too. Stats update INCREMENTALLY (base − deltas): the
+    * deleted rows' label distribution is measured by joins against the
+    * removed set only — work ∝ |deleted|, never a rescan of the surviving
+    * graph (the CREATE path's per-insert StatsStore contract, mirrored). */
   private def runDelete(stmt: cypher.Ast.WriteStmt): GraphDB = {
     import cypher.Ast
     // relationship name → (srcBinding, relPat, dstBinding), walking each path
@@ -376,6 +378,8 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val m = matchFrame(stmt, refs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pg = graph
+    var removedKeys = Seq.empty[DataFrame] // (src, dst, etype) removed keys
+    var removedIds: Option[DataFrame] = None
     relTargets.foreach { r =>
       val (sOpt, rp, dOpt) = relInfo(r)
       val (s, d) = (sOpt.get, dOpt.get)
@@ -392,6 +396,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
             .select("src", "dst", "etype")
         else pairs.withColumn("etype", explode(array(rp.types.map(lit): _*)))
       pg = pg.removeEdges(keys)
+      removedKeys :+= keys
     }
     if (nodeTargets.nonEmpty) {
       val ids = nodeTargets.map(n => m.select(col(n).as("id")))
@@ -405,10 +410,48 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (!stmt.detach) {
         if (incident.limit(1).count() > 0) throw new cypher.ParseException(
           "DELETE would orphan relationships — use DETACH DELETE")
-      } else pg = pg.removeEdges(incident.dropDuplicates())
+      } else {
+        val inc = incident.dropDuplicates()
+        pg = pg.removeEdges(inc)
+        removedKeys :+= inc
+      }
       pg = pg.removeNodes(ids)
+      removedIds = Some(ids)
     }
-    new GraphDB(pg)
+    // incremental stats: measure the REMOVED rows (labels joined over the
+    // pre-delete graph — work ∝ |deleted|) and subtract from the snapshot;
+    // zeroed entries drop so the result is structurally identical to a
+    // full recompute over the survivors.
+    val thunk: () => GraphStats = () => {
+      val base = stats
+      val tripDeltas: Seq[((String, String, String), Long)] =
+        if (removedKeys.isEmpty) Seq.empty
+        else {
+          val keys = removedKeys.map(_.select("src", "dst", "etype"))
+            .reduce(_.unionByName(_)).dropDuplicates()
+          val lab = graph.nodes.select(col("id"), col("label"))
+          graph.edges.select("src", "dst", "etype")
+            .join(keys, Seq("src", "dst", "etype"), "left_semi")
+            .join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "sl"), "src")
+            .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "dl"), "dst")
+            .groupBy("sl", "etype", "dl").count().collect()
+            .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toSeq
+        }
+      val nodeDeltas: Seq[(String, Long)] = removedIds.fold(Seq.empty[(String, Long)])(ids =>
+        graph.nodes.join(ids, Seq("id"), "left_semi").groupBy("label").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      var nc = base.nodeCounts; var ec = base.edgeCounts; var tc = base.tripletCounts
+      var eTot = base.edgesTotal; var nTot = base.nodesTotal
+      tripDeltas.foreach { case ((sl, t, dl), c) =>
+        ec = ec.updated(t, ec.getOrElse(t, 0L) - c)
+        tc = tc.updated((sl, t, dl), tc.getOrElse((sl, t, dl), 0L) - c)
+        eTot -= c
+      }
+      nodeDeltas.foreach { case (l, c) => nc = nc.updated(l, nc.getOrElse(l, 0L) - c); nTot -= c }
+      GraphStats(nTot, eTot,
+        nc.filter(_._2 != 0), ec.filter(_._2 != 0), tc.filter(_._2 != 0))
+    }
+    new GraphDB(pg, statsThunk = Some(thunk))
   }
 
   def plan(cypher: String): LogicNode =

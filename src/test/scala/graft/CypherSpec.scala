@@ -1132,8 +1132,10 @@ class CypherSpec extends SparkSpec {
     assert(db2.graph.edges.count() == 2) // 1-X->2 and 2-Y->4 gone
     assert(db2.query("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN b")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
-    // stats recompute over the shrunk graph
+    // incremental stats (base − measured removed rows) ≡ full recompute
     assert(db2.stats.nodeCounts("B") == 1 && db2.stats.edgeCounts("X") == 1)
+    assert(db2.stats == new GraphDB(db2.graph).stats)
+    assert(db1.stats == new GraphDB(db1.graph).stats)
     // deleting via an undirected match removes the stored orientation
     val db3 = db0.execute("MATCH (b:B)-[r:X]-(a:A) DELETE r")
     assert(db3.graph.edges.filter(org.apache.spark.sql.functions.col("etype") === "X").count() == 0)
