@@ -347,6 +347,15 @@ object SparkEntry {
       wire(wire(db(s, dir))).graph.edges.filter(col("etype") === "IN_HUB")
         .groupBy(col("src").as("n")).agg(count(lit(1)).as("n_edges"))
     }),
+    // the canonical upsert: MERGE runs three times — created once (ON
+    // CREATE seeds seen=1), matched twice (ON MATCH increments) — and the
+    // read-back pins the branch taken each time
+    "cy_upsert" -> ((s, dir) => {
+      val up = "MERGE (h:hub {id: 9100000000, name: 'uhub'}) " +
+        "ON CREATE SET h.seen = 1 ON MATCH SET h.seen = h.seen + 1"
+      db(s, dir).execute(up).execute(up).execute(up)
+        .query("MATCH (h:hub) RETURN h, h.name AS nm, h.seen AS seen")
+    }),
     // SET: distributed per-match column rewrite, read back through a WHERE
     // over the freshly-written property
     "cy_set" -> ((s, dir) =>
@@ -1786,6 +1795,8 @@ object SparkEntry {
        "FROM nation ORDER BY n"),
     "cy_merge" ->
       ("SELECT n_nationkey + 2000000000 AS n, 1 AS n_edges FROM nation"),
+    "cy_upsert" ->
+      ("SELECT 9100000000 AS h, 'uhub' AS nm, 3 AS seen"),
     "cy_set" ->
       ("SELECT c_custkey + 3000000000 AS c, round(c_acctbal + 1000) AS v " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
