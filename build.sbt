@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through UNPREFIXED: the bench/verify drivers
+// parse the one-line JSON record from raw stdout, and sbt's default logger
+// would prefix every line with "[info] " (the reason BENCH_r*.json carried
+// `parsed: null` — the record line never started with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

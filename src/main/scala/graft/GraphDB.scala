@@ -143,26 +143,54 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       // prop equal) binds its EXISTING id (edges may reference it) and is
       // not re-created. One tiny lookup per literal element — driver-sized
       // by construction.
+      val knownCols = graph.nodes.schema.fieldNames.toSet
       val toCreate = stmt.nodes.filter { n =>
         if (!stmt.merge) true
+        // a prop key the node table has never stored can match no existing
+        // node — skip the lookup (filtering on the missing column would be
+        // an AnalysisException) and take the create branch, consistent with
+        // CREATE's unionByName(allowMissingColumns) handling of new columns
+        else if (!n.props.forall { case (k, _) => knownCols(k) }) true
         else {
           val pred = n.props.foldLeft(col("label") === lit(n.label)) {
             case (p, (k, v)) => p && col(k) === lit(norm(v))
           }
-          val hit = graph.nodes.filter(pred).select(col("id")).limit(1).collect()
+          // lowest id wins when several stored nodes satisfy (label, props):
+          // repeated runs must bind the same node (determinism contract)
+          val hit = graph.nodes.filter(pred).select(col("id"))
+            .orderBy(col("id")).limit(1).collect()
           if (hit.nonEmpty) { idOf += n.name -> hit(0).getLong(0); false } else true
         }
       }
       createdNodes = toCreate
       if (toCreate.nonEmpty) {
+        val explicitIds = toCreate.flatMap(explicitId)
+        if (explicitIds.distinct.size != explicitIds.size)
+          throw new cypher.ParseException(
+            s"duplicate explicit id in CREATE: ${explicitIds.diff(explicitIds.distinct).head}")
+        // an explicit id colliding with a stored node would silently corrupt
+        // id-keyed joins — fail loudly (one tiny lookup, driver-sized input)
+        if (explicitIds.nonEmpty) {
+          val clash = graph.nodes.filter(col("id").isin(explicitIds: _*))
+            .select(col("id")).orderBy(col("id")).limit(1).collect()
+          if (clash.nonEmpty) throw new cypher.ParseException(
+            s"CREATE explicit id ${clash(0).getLong(0)} already exists in the node table")
+        }
         var next =
           if (toCreate.forall(explicitId(_).isDefined)) 0L
           else {
             val r = graph.nodes.agg(max(col("id"))).collect()(0)
             (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
           }
+        // the allocator must never re-mint one of the statement's own
+        // explicit ids: CREATE (a:L {id: 100}), (b:L) over max(stored) = 99
+        // would otherwise assign 100 twice
+        val taken = explicitIds.toSet
         val withIds = toCreate.map { n =>
-          val id = explicitId(n).getOrElse { val v = next; next += 1; v }
+          val id = explicitId(n).getOrElse {
+            while (taken(next)) next += 1
+            val v = next; next += 1; v
+          }
           idOf += n.name -> id
           (id, n)
         }
@@ -176,6 +204,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val (matchEdges, literalEdges) = stmt.edges.partition(
       e => matchBound(e.src) || matchBound(e.dst))
     var literalEdgeDf: Option[DataFrame] = None
+    // persisted scratch frames, released via CacheLifecycle once the mutated
+    // edge table is first acted on — a long-lived session issuing many write
+    // statements must not accumulate cached blocks unboundedly
+    var scratch = Seq.empty[DataFrame]
     if (literalEdges.nonEmpty) {
       val df0 = literalDf(
         Seq("src" -> LongType, "dst" -> LongType, "etype" -> StringType),
@@ -186,6 +218,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         else df0.join(graph.edges.select(col("src"), col("dst"), col("etype")),
           Seq("src", "dst", "etype"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (stmt.merge) scratch :+= df
       literalEdgeDf = Some(df)
       pg = pg.addEdges(df)
     }
@@ -229,6 +262,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           else withProps.join(graph.edges.select(col("src"), col("dst"), col("etype")),
             Seq("src", "dst", "etype"), "left_anti"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scratch :+= appended
         pg = pg.addEdges(appended)
         edgeDeltas :+= ((matchLabel.getOrElse(e.src, None), e.etype,
           matchLabel.getOrElse(e.dst, None), () => appended.count()))
@@ -296,6 +330,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         }
         GraphStats(base.nodesTotal + createdNodes.size, eTotal, nc, ec, tc)
       })
+    // scratch caches do their whole job inside the first action that scans
+    // the mutated edge table (the appended subtrees are in its lineage);
+    // afterwards they release and later scans recompute — bounded memory
+    // over a long write session (the CacheLifecycle default contract)
+    if (scratch.nonEmpty)
+      graft.util.CacheLifecycle.releaseOnFirstAction(pg.edges, scratch: _*)
     new GraphDB(pg, statsThunk = thunk)
   }
 
@@ -390,11 +430,25 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         case Ast.In   => rev
         case Ast.Both => fwd.unionByName(rev)
       }
-      val keys =
-        if (rp.types.isEmpty) // untyped: every stored edge between the pairs
-          pg.edges.join(pairs, Seq("src", "dst"), "left_semi")
-            .select("src", "dst", "etype")
-        else pairs.withColumn("etype", explode(array(rp.types.map(lit): _*)))
+      // removal keys come from the edges that ACTUALLY matched: the stored
+      // table restricted to the pattern's declared types, with the
+      // relationship's own WHERE conjuncts applied, semi-joined on the
+      // matched pairs. An exploded (pairs × declared types) set would also
+      // delete a declared type whose edge failed the predicate — e.g.
+      // MATCH (a)-[x:A|B]->(b) WHERE x.w = 5 DELETE x, where only the A
+      // edge carries w = 5, must not remove the B edge on the same pair.
+      val xPreds = stmt.where.flatMap(Ast.Pred.conjuncts).filter { p =>
+        val prefs = Ast.Pred.refs(p)
+        prefs.nonEmpty && prefs.forall { case (b, pr) => b == r && pr.nonEmpty } &&
+          Ast.Pred.patterns(p).isEmpty
+      }
+      val typed =
+        if (rp.types.isEmpty) pg.edges
+        else pg.edges.filter(col("etype").isin(rp.types: _*))
+      val candidates = xPreds.foldLeft(typed)((df, p) =>
+        df.filter(operators.Preds.column(p, (_, pr) => col(pr))))
+      val keys = candidates.join(pairs, Seq("src", "dst"), "left_semi")
+        .select("src", "dst", "etype")
       pg = pg.removeEdges(keys)
       removedKeys :+= keys
     }
@@ -451,6 +505,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       GraphStats(nTot, eTot,
         nc.filter(_._2 != 0), ec.filter(_._2 != 0), tc.filter(_._2 != 0))
     }
+    // the persisted match releases once the mutated edge table (whose
+    // anti-join lineage contains it) is first acted on — bounded memory
+    // over a long write session
+    graft.util.CacheLifecycle.releaseOnFirstAction(pg.edges, m)
     new GraphDB(pg, statsThunk = Some(thunk))
   }
 

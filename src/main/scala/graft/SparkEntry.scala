@@ -735,11 +735,15 @@ object SparkEntry {
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE exists(c.value) " +
         "RETURN labels(n) AS ls, count(c) AS k")
         .withColumn("ls", concat_ws(",", col("ls")))),
-    // the rest of the openCypher aggregate set: stDev/stDevP per group
+    // the rest of the openCypher aggregate set: stDev/stDevP per group.
+    // Rounded to 6 decimals on BOTH engines: stddev's partial-merge order is
+    // partition-dependent, so the last ULP is run-to-run noise
     "cy_agg_stats" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) " +
-        "RETURN n, stDev(c.value) AS sd, stDevP(c.value) AS sp ORDER BY n")),
+        "RETURN n, stDev(c.value) AS sd, stDevP(c.value) AS sp ORDER BY n")
+        .withColumn("sd", round(col("sd"), 6))
+        .withColumn("sp", round(col("sp"), 6))),
     // exact interpolated + discrete percentiles (global)
     "cy_agg_percentile" -> ((s, dir) =>
       db(s, dir).query(
@@ -1359,6 +1363,40 @@ object SparkEntry {
         .select(col("source"), explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
       graft.sketch.Sketches.kmvDistinct(toks, "source", col("tok"), k = 64)
     }),
+    // HyperLogLog registers→estimate, p=9 (512 registers): distinct users
+    // per event type lands in the linear-counting branch (150 « 2.5·m),
+    // distinct event ids (~2000) in the raw-estimate branch — one query
+    // exercises both correction regimes of the estimator
+    "sketch_hll" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val users = graft.sketch.Sketches
+        .hllDistinct(ev, Seq("event_type"), col("user_id"), p = 9)
+        .withColumnRenamed("est", "est_users")
+      val ids = graft.sketch.Sketches
+        .hllDistinct(ev, Seq("event_type"), col("event_id"), p = 9)
+        .withColumnRenamed("est", "est_events")
+      users.join(ids, "event_type")
+    }),
+    // Count-Min heavy hitters: words with estimated frequency ≥ 200 over
+    // the document corpus (d=4 rows × w=1024 buckets; estimates only ever
+    // overcount, so no true heavy hitter is missed)
+    "sketch_cms" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("word"))
+      graft.sketch.Sketches.cmsHeavyHitters(
+        words, col("word"), "word", d = 4, w = 1024, minCount = 200L)
+    }),
+    // Bloom-filter membership: which customers MIGHT have an urgent order —
+    // the compact bit-position set broadcasts, the probe side never
+    // shuffles (false positives possible, false negatives impossible)
+    "sketch_bloom" -> ((s, dir) => {
+      val bits = graft.sketch.Sketches.bloomBits(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey"), k = 5, mBits = 4096)
+      graft.sketch.Sketches.bloomMightContain(
+        bits, t(s, dir, "customer").select(col("c_custkey")), "c_custkey",
+        k = 5, mBits = 4096)
+    }),
     "pack_sequences" -> ((s, dir) =>
       graft.text.TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)),
     // fixed-size character chunks with overlap (RAG splitter) — pure
@@ -1388,6 +1426,18 @@ object SparkEntry {
         k = 8, minDocs = 2)
         .select(col("doc_id"), col("kept_tokens"), col("removed_tokens"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))),
+    // BPE tokenizer training (8 greedy merges over the corpus word-frequency
+    // table; deterministic count-desc/pair-asc selection) and corpus
+    // encoding with the trained rules — the trainer's only corpus-scale job
+    // is the word count, every merge round runs on the vocabulary table
+    "bpe_merges" -> ((s, dir) =>
+      graft.text.TextOps.bpeMerges(t(s, dir, "documents"), "text", 8)),
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.TextOps.bpeTrain(docs, "text", 8)
+      graft.text.TextOps.bpeEncode(
+        docs.filter(col("doc_id") < 40), "doc_id", "text", merges)
+    }),
     "dedup_minhash" -> ((s, dir) =>
       graft.text.TextOps.minhashDedup(t(s, dir, "documents"), "doc_id", "text").select("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
@@ -1774,9 +1824,69 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB twin of the BPE trainer's shared CTE chain: w0 = the wrapped
+    * word-frequency table (symbols chr(1)/chr(2)-wrapped, space-joined —
+    * the representation under which a literal `replace` IS the exact
+    * left-to-right BPE merge, see TextOps.SymOpen), then per merge round i:
+    * p{i} = weighted adjacent-pair counts, b{i} = the argmax pair (count
+    * desc, pair asc — binary collation, identical to Spark) with its
+    * replacement, w{i+1} = the merged table. chr(4) is an unmatchable
+    * no-op pattern for rounds past exhaustion. Every CTE is MATERIALIZED:
+    * each level is referenced several times (p_i and w_{i+1} both read w_i;
+    * b_i is read three times), so DuckDB's default inlining re-evaluates
+    * the chain ~3^k times — materialization makes it k linear passes. */
+  private def bpeOracleWith(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH w0 AS MATERIALIZED (SELECT array_to_string(list_transform(string_split(word, ''), " +
+      "c -> chr(1)||c||chr(2)), ' ') AS seq, cnt FROM (" +
+      "SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(" +
+      "regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY w))")
+    for (i <- 0 until k) {
+      sb ++= (s", p$i AS MATERIALIZED (SELECT s[i]||' '||s[i+1] AS pair, sum(cnt) AS c FROM (" +
+        s"SELECT cnt, s, unnest(range(1, len(s))) AS i FROM (" +
+        s"SELECT cnt, string_split(seq, ' ') AS s FROM w$i)) GROUP BY 1)")
+      sb ++= (s", b$i AS MATERIALIZED (SELECT pair, chr(1)||replace(replace(replace(pair, " +
+        s"chr(1), ''), chr(2), ''), ' ', '')||chr(2) AS rep FROM p$i " +
+        s"ORDER BY c DESC, pair ASC LIMIT 1)")
+      sb ++= (s", w${i + 1} AS MATERIALIZED (SELECT replace(seq, " +
+        s"coalesce((SELECT pair FROM b$i), chr(4)), " +
+        s"coalesce((SELECT rep FROM b$i), chr(4))) AS seq, cnt FROM w$i)")
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String = {
+    val rows = (0 until k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, " +
+        "replace(replace(split_part(pair, ' ', 1), chr(1), ''), chr(2), '') AS \"left\", " +
+        "replace(replace(split_part(pair, ' ', 2), chr(1), ''), chr(2), '') AS \"right\", " +
+        s"replace(replace(replace(pair, chr(1), ''), chr(2), ''), ' ', '') AS merged FROM b$i"
+    }.mkString(" UNION ALL ")
+    bpeOracleWith(k) + " SELECT * FROM (" + rows + ") ORDER BY rank"
+  }
+
+  private def bpeEncodeOracle(k: Int): String = {
+    val chain = (0 until k).foldLeft("seq")((acc, i) =>
+      s"replace($acc, coalesce((SELECT pair FROM b$i), chr(4)), " +
+        s"coalesce((SELECT rep FROM b$i), chr(4)))")
+    bpeOracleWith(k) +
+      ", enc AS (SELECT doc_id, array_to_string(list_transform(" +
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''), " +
+      "w -> array_to_string(list_transform(string_split(w, ''), " +
+      "c -> chr(1)||c||chr(2)), ' ')), ' '||chr(3)||' ') AS seq " +
+      "FROM documents WHERE doc_id < 40) " +
+      "SELECT doc_id, tokens, CAST(CASE WHEN tokens = '' THEN 0 ELSE " +
+      "len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens FROM (" +
+      s"SELECT doc_id, replace(replace(replace($chain, ' '||chr(3)||' ', ' '), " +
+      "chr(1), ''), chr(2), '') AS tokens FROM enc)"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8),
     "cy_expand_1hop" ->
       "SELECT DISTINCT c_nationkey + 2000000000 AS n FROM customer",
     "cy_2hop" ->
@@ -2036,8 +2146,8 @@ object SparkEntry {
       ("SELECT 'nation' AS ls, count(DISTINCT c_custkey) AS k " +
        "FROM customer WHERE c_acctbal IS NOT NULL"),
     "cy_agg_stats" ->
-      ("SELECT n_nationkey + 2000000000 AS n, stddev_samp(c_acctbal) AS sd, " +
-       "stddev_pop(c_acctbal) AS sp FROM customer JOIN nation " +
+      ("SELECT n_nationkey + 2000000000 AS n, round(stddev_samp(c_acctbal), 6) AS sd, " +
+       "round(stddev_pop(c_acctbal), 6) AS sp FROM customer JOIN nation " +
        "ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY n"),
     "cy_agg_percentile" ->
       ("SELECT quantile_cont(c_acctbal, 0.5) AS med, " +
@@ -2462,6 +2572,58 @@ object SparkEntry {
        "SELECT source, round(CASE WHEN n < 64 THEN n::DOUBLE " +
        "ELSE 63.0 * 1152921504606846976.0 / ('0x' || substring(hk, 1, 15))::BIGINT END, 6) " +
        "AS est FROM s"),
+    // HLL replay: registers = per-(group, h1%512) max rank of the second
+    // md5 half in a 32-bit frame (rank = 33 − bitlength; bin() renders
+    // minimal-width on both engines); the harmonic sum's terms are all
+    // powers of two, so the double is exact — only ln/÷ can drift an ulp,
+    // hence round(…, 4) on both sides
+    "sketch_hll" -> {
+      def est(value: String) =
+        s"(WITH h AS (SELECT event_type, " +
+          s"('0x'||substr(md5(CAST($value AS VARCHAR)),1,8))::BIGINT % 512 AS idx, " +
+          s"CASE WHEN ('0x'||substr(md5(CAST($value AS VARCHAR)),9,8))::BIGINT = 0 THEN 33 " +
+          s"ELSE 33 - len(bin(('0x'||substr(md5(CAST($value AS VARCHAR)),9,8))::BIGINT)) END AS r " +
+          s"FROM events), " +
+          s"regs AS (SELECT event_type, idx, max(r) AS r FROM h GROUP BY 1, 2), " +
+          s"agg AS (SELECT event_type, count(*) AS nz, sum(power(2.0, -r)) AS hs " +
+          s"FROM regs GROUP BY 1) " +
+          s"SELECT event_type, round(CASE WHEN raw <= 1280.0 AND zeros > 0 " +
+          s"THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 4) AS est FROM (" +
+          s"SELECT event_type, (0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
+          s"512.0 - nz AS zeros FROM agg))"
+      "SELECT u.event_type, u.est AS est_users, i.est AS est_events FROM " +
+        est("user_id") + " u JOIN " + est("event_id") + " i USING (event_type)"
+    },
+    // CMS replay: the count table is per-(row j, bucket) occurrence sums
+    // over salted 32-bit hashes; a key's estimate is the min over its d
+    // buckets — pure integer arithmetic, exact hash match
+    "sketch_cms" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word " +
+       "FROM documents), " +
+       "js AS (SELECT unnest(range(4)) AS j), " +
+       "cms AS (SELECT j, bucket, count(*)::BIGINT AS c FROM (" +
+       "SELECT j, ('0x'||substr(md5(j::VARCHAR||':'||word),1,8))::BIGINT % 1024 AS bucket " +
+       "FROM w CROSS JOIN js) GROUP BY 1, 2), " +
+       "probes AS (SELECT DISTINCT word FROM w), " +
+       "pb AS (SELECT word, j, ('0x'||substr(md5(j::VARCHAR||':'||word),1,8))::BIGINT % 1024 " +
+       "AS bucket FROM probes CROSS JOIN js) " +
+       "SELECT word, est FROM (SELECT pb.word, min(coalesce(cms.c, 0))::BIGINT AS est " +
+       "FROM pb LEFT JOIN cms ON pb.j = cms.j AND pb.bucket = cms.bucket GROUP BY 1) " +
+       "WHERE est >= 200"),
+    // Bloom replay: bit positions = k salted 32-bit hashes mod 4096 over
+    // the build keys; a probe might-contains iff all k of its positions
+    // are set (count counts only matched rows on both engines)
+    "sketch_bloom" ->
+      ("WITH js AS (SELECT unnest(range(5)) AS j), " +
+       "build AS (SELECT DISTINCT o_custkey FROM orders " +
+       "WHERE o_orderpriority = '1-URGENT'), " +
+       "bits AS (SELECT DISTINCT ('0x'||substr(md5(j::VARCHAR||':'||" +
+       "o_custkey::VARCHAR),1,8))::BIGINT % 4096 AS pos FROM build CROSS JOIN js), " +
+       "pp AS (SELECT c_custkey, ('0x'||substr(md5(j::VARCHAR||':'||" +
+       "c_custkey::VARCHAR),1,8))::BIGINT % 4096 AS pos " +
+       "FROM (SELECT DISTINCT c_custkey FROM customer) CROSS JOIN js) " +
+       "SELECT c_custkey, count(b.pos) = 5 AS might " +
+       "FROM pp LEFT JOIN bits b USING (pos) GROUP BY 1"),
     "pack_sequences" ->
       ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tok " +
        "FROM documents), " +

@@ -85,4 +85,177 @@ object Sketches {
               conv(substring(col("__sk._2"), 1, 15), 16, 10).cast("long").cast("double")),
           6).as("est"))
   }
+
+  // ── HyperLogLog (registers-as-DataFrame) ──────────────────────────────
+
+  /** First 8 md5 hex chars as a 32-bit value (register index source) and
+    * the next 8 as the rank frame. Two independent 32-bit halves instead of
+    * one split hash keep every intermediate inside a signed long on both
+    * engines; the 32-bit rank frame caps usable cardinality well below
+    * 2^32 — the documented contract (plenty for per-group distincts; the
+    * global-corpus count at 100 TB belongs to [[kmvDistinct]] with large k
+    * or a wider-frame variant). */
+  private def h32(value: Column, off: Int): Column =
+    conv(substring(md5(value.cast("string").cast("binary")), off, 8), 16, 10).cast("long")
+
+  /** Rank of a 32-bit hash: leading zeros in the 32-bit frame + 1, i.e.
+    * 33 − bitlength. `bin` renders minimal-width on both Spark and DuckDB,
+    * so `length(bin(h))` IS the bitlength; h = 0 (all 32 bits zero) ranks
+    * 33. */
+  private def rho32(h: Column): Column =
+    when(h === 0L, lit(33L)).otherwise(lit(33L) - length(bin(h)).cast("long"))
+
+  /**
+   * HyperLogLog registers (Flajolet et al. 2007) as a DataFrame — the
+   * sketch IS a ≤ m-row (groupCols…, idx, r) table: idx = hash % m over m =
+   * 2^p registers, r = max rank. This shape is the 100 TB story: one
+   * narrow projection + one partially-aggregating groupBy (map-side max),
+   * and the result is storable, incremental (union new data's registers)
+   * and mergeable across corpora ([[hllMerge]]) without touching raw data
+   * again. Deterministic (md5), so the external oracle reproduces it
+   * bit-for-bit — unlike Spark's own approx_count_distinct, whose xxhash64
+   * HLL no second engine can replay.
+   */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
+    val m = 1L << p
+    df.select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
+        :+ rho32(h32(value, 9)).as("r"): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge two register tables of the same precision: union + max. The
+    * algebra that lets 1000 executors (or 1000 days of partitions) sketch
+    * independently and combine at read time. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
+  /**
+   * Estimate from a register table: E = α·m²/S with S = Σ 2^−M[j] over all
+   * m registers (absent rows contribute 2^0), linear counting below 2.5·m
+   * when any register is empty. Every harmonic term is a power of two
+   * ≥ 2^−33 and there are ≤ 2^16 of them, so S is EXACT in a double no
+   * matter the aggregation order — the estimate is reproducible, not just
+   * approximately stable. Rounded to 4 decimals (the ln/÷ steps may differ
+   * by an ulp across libm implementations).
+   *
+   * @return (groupCols…, est DOUBLE)
+   */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = (1L << p).toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val agged = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__nz"),
+        sum(pow(lit(2.0), -col("r"))).as("__hs"))
+    val s = (lit(m) - col("__nz")) + col("__hs")
+    val raw = lit(alpha * m * m) / s
+    val zeros = lit(m) - col("__nz")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m) * log(lit(m) / zeros)).otherwise(raw)
+    agged.select(groupCols.map(col) :+ round(est, 4).as("est"): _*)
+  }
+
+  /** Per-group approximate distinct count of `value` — registers +
+    * estimate in one call. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p)
+
+  // ── Count-Min sketch (count table as a DataFrame) ─────────────────────
+
+  /** Salted 32-bit row hash for CMS/Bloom: md5 of "j:value". */
+  private def saltedH32(j: Int, value: Column): Column =
+    conv(substring(md5(concat(lit(j.toString), lit(":"),
+      value.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /**
+   * Count-Min sketch (Cormode & Muthukrishnan 2005) as a ≤ d·w-row
+   * (j, bucket, c) DataFrame: d salted hash rows of w buckets, c = the
+   * bucket's summed weight. One pass over the data, d-way explode collapsed
+   * by map-side partial aggregation to ≤ d·w rows per partition — the
+   * frequency-table answer at 100 TB where an exact per-key count would
+   * shuffle every key. Mergeable: union + sum ([[cmsMerge]]). Estimates
+   * overcount only (min over d rows), never undercount.
+   */
+  def cmsTable(df: DataFrame, key: Column, weight: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
+    df.select(weight.as("__w"),
+        posexplode(array((0 until d).map(j => saltedH32(j, key) % w): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
+      .groupBy("j", "bucket").agg(sum(col("__w")).as("c"))
+  }
+
+  /** Merge two CMS tables built with the same (d, w): union + sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+
+  /**
+   * Point-query a CMS for each distinct key in `keys`: the estimate is the
+   * MIN over the d rows' buckets (a key missing a bucket row reads 0). The
+   * sketch side is ≤ d·w rows — a broadcast join against any probe set, so
+   * the big side never shuffles.
+   *
+   * @return (keyName, est LONG)
+   */
+  def cmsLookup(cms: DataFrame, keys: DataFrame, keyName: String, d: Int, w: Int): DataFrame = {
+    val probes = keys.select(col(keyName)).distinct()
+      .select(col(keyName),
+        posexplode(array((0 until d).map(j => saltedH32(j, col(keyName)) % w): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
+    probes.join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy(keyName)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Keys of `df` whose CMS-estimated total weight is ≥ minCount — the
+    * heavy-hitter query. The candidate set is df's own distinct keys (at
+    * true 100 TB scale feed a pre-filtered candidate DataFrame to
+    * [[cmsLookup]] instead). */
+  def cmsHeavyHitters(df: DataFrame, key: Column, keyName: String,
+                      d: Int, w: Int, minCount: Long): DataFrame = {
+    val keyed = df.select(key.as(keyName))
+    val cms = cmsTable(keyed, col(keyName), lit(1L), d, w)
+    cmsLookup(cms, keyed, keyName, d, w).filter(col("est") >= minCount)
+  }
+
+  // ── Bloom filter (bit positions as a DataFrame) ───────────────────────
+
+  /**
+   * Bloom filter as a ≤ mBits-row set of distinct bit positions: k salted
+   * hashes per value. Built in one pass (explode + distinct with map-side
+   * partial dedup); merging filters = union + distinct. The classic 100 TB
+   * use is the bloom SEMI-JOIN: broadcast the compact position set to
+   * prefilter a huge probe side before an exact join — no false negatives,
+   * bounded false positives.
+   */
+  def bloomBits(df: DataFrame, value: Column, k: Int, mBits: Int): DataFrame = {
+    require(k >= 1 && mBits >= 2, s"Bloom needs k >= 1, mBits >= 2, got k=$k mBits=$mBits")
+    df.select(explode(array((0 until k).map(j => saltedH32(j, value) % mBits): _*)).as("pos"))
+      .distinct()
+  }
+
+  /**
+   * Membership probe: for each distinct probe key, `might` = all k bit
+   * positions present. `might = false` is definitive absence; `might =
+   * true` admits the filter's false-positive rate ≈ (1 − e^(−kn/m))^k.
+   * The bits side broadcasts; the probe side never shuffles its payload.
+   *
+   * @return (keyName, might BOOLEAN)
+   */
+  def bloomMightContain(bits: DataFrame, probe: DataFrame, keyName: String,
+                        k: Int, mBits: Int): DataFrame = {
+    probe.select(col(keyName)).distinct()
+      .select(col(keyName),
+        explode(array((0 until k).map(j => saltedH32(j, col(keyName)) % mBits): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+      .groupBy(keyName)
+      .agg((count(col("__hit")) === k).as("might"))
+  }
 }

@@ -847,6 +847,122 @@ object TextOps {
         concat_ws(" ", transform(col("kept"), e => e.getField("t"))).as("clean_text"))
   }
 
+  // ── Byte-pair encoding (tokenizer training + encoding) ────────────────
+
+  /** Symbol sentinels for the BPE working representation: every symbol is
+    * wrapped `\u0001sym\u0002` and symbols are space-joined, so a literal
+    * `replace(seq, "\u0001a\u0002 \u0001b\u0002", "\u0001ab\u0002")` IS the
+    * exact left-to-right non-overlapping BPE merge application (the pattern
+    * consumes no surrounding delimiter, so consecutive occurrences like
+    * `a b a b` both merge, and a symbol can never match a suffix/prefix of
+    * a longer symbol). Both Spark's and DuckDB's `replace` are plain
+    * left-to-right non-overlapping literal replaces, which is what makes
+    * the whole trainer oracle-comparable. */
+  private val SymOpen = "\u0001"
+  private val SymClose = "\u0002"
+  /** Word boundary marker for [[bpeEncode]]: wrapped word sequences join
+    * with `" \u0003 "` so a merge pattern (always `\u0002 \u0001`-bridged)
+    * can never apply across words. */
+  private val WordSep = " \u0003 "
+
+  /** One word → its wrapped initial character sequence. */
+  private def bpeWrapChars(w: Column): Column =
+    array_join(transform(filter(split(w, ""), c => c =!= ""),
+      c => concat(lit(SymOpen), c, lit(SymClose))), " ")
+
+  /** Training corpus → (seq, cnt) word-frequency table. Words are lowercase
+    * `[a-z]+` runs — the deterministic, oracle-replicable convention. */
+  private def bpeWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(bpeWrapChars(col("word")).as("seq"), col("cnt"))
+
+  /**
+   * Train a byte-pair-encoding tokenizer: `numMerges` greedy merges over
+   * the corpus word-frequency table (classic Sennrich et al. 2016 BPE,
+   * trained on word counts — merges never cross word boundaries). Each
+   * round picks the most frequent adjacent symbol pair, tie-broken
+   * deterministically by the pair's wrapped string ascending (binary
+   * collation, identical in Spark and DuckDB).
+   *
+   * Scale: the only corpus-sized job is the word count (one shuffle);
+   * every merge round runs on the vocabulary-sized cached table — pair
+   * candidates are a per-row `zip_with` (no self-join), the round's
+   * aggregation output is one driver row. This is how production BPE
+   * trainers scale: corpus → compact word-frequency table → iterate there.
+   *
+   * @return merge rules in rank order: (left, right, merged)
+   */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, String)] = {
+    val base = bpeWords(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    try {
+      // merges applied on the fly over the cached base — k narrow replaces
+      // over a vocabulary-sized table beat managing k cache generations
+      var seqCol: Column = col("seq")
+      var i = 0
+      var done = false
+      while (i < numMerges && !done) {
+        val s = split(seqCol, " ")
+        val best = base
+          .select(col("cnt"), explode(filter(
+            zip_with(s, slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b)),
+            p => p.isNotNull)).as("pair"))
+          .groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pat = best(0).getString(0) // "\u0001a\u0002 \u0001b\u0002"
+          val parts = pat.split(" ")
+          def unwrap(x: String) = x.substring(1, x.length - 1)
+          val (a, b) = (unwrap(parts(0)), unwrap(parts(1)))
+          out += ((a, b, a + b))
+          seqCol = replace(seqCol, lit(pat), lit(SymOpen + a + b + SymClose))
+          i += 1
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    out.toSeq
+  }
+
+  /** [[bpeTrain]] as a DataFrame: (rank, left, right, merged). */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrain(df, textCol, numMerges).zipWithIndex
+      .map { case ((a, b, m), i) => (i.toLong, a, b, m) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /**
+   * Apply trained merge rules to a corpus: each doc's words (same `[a-z]+`
+   * convention as training) become wrapped character sequences joined with
+   * the word-boundary marker; the rules apply in rank order as literal
+   * replaces (exact left-to-right BPE, see [[SymOpen]]); sentinels strip at
+   * the end. A pure per-row projection — no shuffle, no explode; the merge
+   * chain compiles to `numMerges` chained codegen'd string replaces.
+   *
+   * @return (id, tokens = space-joined token string, n_tokens)
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String, String)]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z]+"), w => w =!= "")
+    val seq0 = array_join(transform(words, w => bpeWrapChars(w)), WordSep)
+    val mergedSeq = merges.foldLeft(seq0) { case (c, (a, b, m)) =>
+      replace(c, lit(SymOpen + a + SymClose + " " + SymOpen + b + SymClose),
+        lit(SymOpen + m + SymClose))
+    }
+    val toks = replace(replace(replace(mergedSeq,
+      lit(WordSep), lit(" ")), lit(SymOpen), lit("")), lit(SymClose), lit(""))
+    df.select(col(idCol), toks.as("tokens"),
+      when(toks === "", lit(0L))
+        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"))
+  }
+
   private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,
                             idCol: String, textCol: String, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)

@@ -1141,6 +1141,89 @@ class CypherSpec extends SparkSpec {
     assert(db3.graph.edges.filter(org.apache.spark.sql.functions.col("etype") === "X").count() == 0)
   }
 
+  test("DELETE: multi-type pattern with edge predicate removes only matching edges") {
+    // parallel X (w=5) and Z (w=3) edges on the same pair: a typed DELETE
+    // whose predicate only the X edge satisfies must not sweep the Z edge
+    // (removal keys derive from the edges that actually matched, not from
+    // pairs × declared types)
+    val pg = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A"), (2L, "B"))).toDF("id", "label"),
+      spark.createDataFrame(Seq((1L, 2L, "X", 5L), (1L, 2L, "Z", 3L), (1L, 2L, "W", 5L)))
+        .toDF("src", "dst", "etype", "w"))
+    val db0 = new GraphDB(pg)
+    val db1 = db0.execute("MATCH (a:A)-[x:X|Z]->(b:B) WHERE x.w = 5 DELETE x")
+    val left = db1.graph.edges.collect().map(_.getString(2)).sorted
+    assert(left.toSeq == Seq("W", "Z"), "only the X edge (w=5, declared type) goes")
+    // incremental stats ≡ full recompute over the survivors
+    assert(db1.stats == new GraphDB(db1.graph).stats)
+    // without the predicate, both declared types on the matched pair go
+    val db2 = db0.execute("MATCH (a:A)-[x:X|Z]->(b:B) DELETE x")
+    assert(db2.graph.edges.collect().map(_.getString(2)).toSeq == Seq("W"))
+    // a declared type with no stored edge removes nothing (and doesn't fail)
+    val db3 = db0.execute("MATCH (a:A)-[x:X|NOPE]->(b:B) DELETE x")
+    assert(db3.graph.edges.count() == 2)
+  }
+
+  test("MERGE: a never-stored prop key takes the create branch (no AnalysisException)") {
+    val db0 = new GraphDB(propsG)
+    // `fresh` has never been a node column: no stored node can match, so the
+    // merge must create — consistent with CREATE's allowMissingColumns union
+    val db1 = db0.execute("MERGE (n:B {fresh: 1})")
+    val got = db1.query("MATCH (n:B) WHERE n.fresh = 1 RETURN n").collect()
+    assert(got.length == 1)
+    // once the column exists, re-running the same MERGE is a no-op (idempotent)
+    val db2 = db1.execute("MERGE (n:B {fresh: 1})")
+    assert(db2.graph.nodes.count() == db1.graph.nodes.count())
+    assert(db1.stats == new GraphDB(db1.graph).stats)
+  }
+
+  test("MERGE: deterministic bind — lowest id wins among several matches") {
+    // propsG has b2 (x, 10) and b4 (x, 10): the merge must always bind id 2
+    val db0 = new GraphDB(propsG)
+    val db1 = db0.execute("MERGE (p:B {name: 'x'})-[:PICK]->(q:B {name: 'y'})")
+    val picks = db1.graph.edges
+      .filter(org.apache.spark.sql.functions.col("etype") === "PICK")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.toSeq == Seq((2L, 3L)), "ambiguous merge binds the lowest id")
+  }
+
+  test("CREATE: explicit ids collision-checked; allocation clears explicit ids") {
+    val db0 = new GraphDB(propsG) // stored ids 1..4
+    // explicit id already stored → loud failure (silent duplicate ids would
+    // corrupt every id-keyed join downstream)
+    val e = intercept[graft.cypher.ParseException] {
+      db0.execute("CREATE (a:B {id: 2, name: 'dup'})")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // duplicate explicit ids within one statement → loud failure
+    intercept[graft.cypher.ParseException] {
+      db0.execute("CREATE (a:B {id: 9}), (b:B {id: 9})")
+    }
+    // mixing explicit and allocated ids: the allocator (max(stored)+1 = 5)
+    // skips the statement's explicit ids — no double-mint, and an explicit
+    // id far above the stored range doesn't waste the id space below it
+    val db1 = db0.execute("CREATE (a:B {id: 100, name: 'ex'}), (b:B {name: 'al'})")
+    val ids = db1.query("MATCH (n:B) RETURN n ORDER BY n").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L, 3L, 4L, 5L, 100L))
+    // an explicit id equal to the next allocation slot is skipped over
+    val db2 = db0.execute("CREATE (a:B {id: 5, name: 'ex'}), (b:B {name: 'al'})")
+    val ids2 = db2.query("MATCH (n:B) RETURN n ORDER BY n").collect().map(_.getLong(0))
+    assert(ids2.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(db1.stats == new GraphDB(db1.graph).stats)
+  }
+
+  test("write surface: persisted scratch releases after the first read of the mutated graph") {
+    def cachedCount = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount
+    val db1 = new GraphDB(diamond)
+      .execute("MATCH (a:A)-[:X]->(b:B) CREATE (a)-[:S]->(b)")
+    // the appended-pairs cache exists until the mutated edge table is acted on
+    assert(db1.query("MATCH (a:A)-[:S]->(b:B) RETURN b").collect().length == 2)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (cachedCount > before && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cachedCount == before, "write-path scratch must release after the first action")
+  }
+
   // --- round 8: pattern predicates, collect(), id()/type() ---
 
   /** A1,A2,A3 -X-> B10/B11; B10 -Y-> C20; A1 -Z-> C20; B11 -W-> C21. */

@@ -39,4 +39,118 @@ class SketchSpec extends SparkSpec {
     val many = Sketches.kmvDistinct(d.repartition(13), "g", $"v", 32).collect()(0).getDouble(1)
     assert(one == many)
   }
+
+  // ── HyperLogLog ───────────────────────────────────────────────────────
+
+  /** JVM replay of the engine's HLL: same md5 halves, same 32-bit rank
+    * frame, same estimator with round-4. */
+  private def hllReplay(values: Seq[String], p: Int): Double = {
+    val m = 1L << p
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    for (v <- values) {
+      val h = md5hex(v)
+      val h1 = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(h.substring(8, 16), 16)
+      val rho = if (h2 == 0L) 33L else 33L - (64 - java.lang.Long.numberOfLeadingZeros(h2))
+      val idx = h1 % m
+      regs(idx) = math.max(regs.getOrElse(idx, 0L), rho)
+    }
+    val md = m.toDouble
+    val alpha = if (p >= 7) 0.7213 / (1.0 + 1.079 / md)
+                else Seq(0.673, 0.697, 0.709)(p - 4)
+    val s = (md - regs.size) + regs.values.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * md * md / s
+    val zeros = md - regs.size
+    val est = if (raw <= 2.5 * md && zeros > 0) md * math.log(md / zeros) else raw
+    BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("hll: matches the JVM replay exactly in both estimator branches") {
+    // 90 distinct → linear-counting branch; 2000 distinct → raw branch
+    for (n <- Seq(90, 2000)) {
+      val d = (1 to n).map(i => ("g", s"val$i")).toDF("g", "v")
+      val got = Sketches.hllDistinct(d, Seq("g"), $"v", p = 9).collect()(0).getDouble(1)
+      assert(got == hllReplay((1 to n).map(i => s"val$i"), 9), s"n=$n")
+      // and it is an actual estimate: within 15% at p=9 (stderr ~4.6%)
+      assert(math.abs(got - n) < 0.15 * n, s"n=$n got=$got")
+    }
+  }
+
+  test("hll: layout-independent; merge of halves == sketch of the union") {
+    val all = (1 to 600).map(i => ("g", s"u${i % 400}")).toDF("g", "v")
+    val one = Sketches.hllDistinct(all.coalesce(1), Seq("g"), $"v", 9).collect()(0).getDouble(1)
+    val many = Sketches.hllDistinct(all.repartition(13), Seq("g"), $"v", 9).collect()(0).getDouble(1)
+    assert(one == many)
+    val ra = Sketches.hllRegisters(all.filter($"v" < "u3"), Seq("g"), $"v", 9)
+    val rb = Sketches.hllRegisters(all.filter($"v" >= "u3"), Seq("g"), $"v", 9)
+    val merged = Sketches.hllEstimate(Sketches.hllMerge(ra, rb, Seq("g")), Seq("g"), 9)
+      .collect()(0).getDouble(1)
+    assert(merged == one, "register merge must equal the one-shot sketch")
+  }
+
+  test("hll: duplicates don't move the estimate (a set, not a bag)") {
+    val once = (1 to 150).map(i => ("g", s"x$i")).toDF("g", "v")
+    val thrice = (1 to 450).map(i => ("g", s"x${(i - 1) % 150 + 1}")).toDF("g", "v")
+    assert(Sketches.hllDistinct(once, Seq("g"), $"v", 9).collect()(0).getDouble(1)
+      == Sketches.hllDistinct(thrice, Seq("g"), $"v", 9).collect()(0).getDouble(1))
+  }
+
+  // ── Count-Min ─────────────────────────────────────────────────────────
+
+  test("cms: never undercounts, exact for most keys at low load") {
+    val data = (1 to 50).flatMap(i => Seq.fill(i)(s"k$i")).map(Tuple1(_)).toDF("k")
+    val est = Sketches.cmsLookup(
+      Sketches.cmsTable(data, $"k", org.apache.spark.sql.functions.lit(1L), 4, 1024),
+      data, "k", 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = (1 to 50).map(i => s"k$i" -> i.toLong).toMap
+    for ((k, t) <- truth) assert(est(k) >= t, s"$k undercounted: ${est(k)} < $t")
+    // 50 keys into 4 rows of 1024 buckets: collisions are rare — at least
+    // 45 of 50 estimates must be exact
+    assert(truth.count { case (k, t) => est(k) == t } >= 45)
+  }
+
+  test("cms: heavy hitters keeps every true heavy; merge == one-shot build") {
+    val heavy = (1 to 3).flatMap(i => Seq.fill(100)(s"hot$i"))
+    val light = (1 to 200).map(i => s"cold$i")
+    val d = (heavy ++ light).map(Tuple1(_)).toDF("k")
+    val hits = Sketches.cmsHeavyHitters(d, $"k", "k", 4, 1024, 100L)
+      .collect().map(_.getString(0)).toSet
+    assert(Set("hot1", "hot2", "hot3").subsetOf(hits))
+    assert(!hits.exists(_.startsWith("cold")), "cold keys can't reach 100 at this load")
+    val one = org.apache.spark.sql.functions.lit(1L)
+    val whole = Sketches.cmsTable(d, $"k", one, 4, 1024)
+    val halves = Sketches.cmsMerge(
+      Sketches.cmsTable(d.limit(250), $"k", one, 4, 1024),
+      Sketches.cmsTable(d.exceptAll(d.limit(250)), $"k", one, 4, 1024))
+    val a = Sketches.cmsLookup(whole, d, "k", 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.cmsLookup(halves, d, "k", 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ── Bloom ─────────────────────────────────────────────────────────────
+
+  test("bloom: no false negatives; absent keys overwhelmingly resolve false") {
+    val build = (1 to 100).map(i => Tuple1(s"in$i")).toDF("v")
+    val bits = Sketches.bloomBits(build, $"v", k = 5, mBits = 4096)
+    val probe = ((1 to 100).map(i => s"in$i") ++ (1 to 100).map(i => s"out$i"))
+      .map(Tuple1(_)).toDF("v")
+    val got = Sketches.bloomMightContain(bits, probe, "v", k = 5, mBits = 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert((1 to 100).forall(i => got(s"in$i")), "a built key can never probe false")
+    // fpr ≈ (1 − e^(−kn/m))^k ≈ 2e-5 here: all 100 absents should be false
+    val fps = (1 to 100).count(i => got(s"out$i"))
+    assert(fps <= 2, s"$fps false positives out of 100 at fpr ~2e-5")
+  }
+
+  test("bloom: bit positions replay the salted-md5 contract") {
+    val bits = Sketches.bloomBits(Seq(Tuple1("abc")).toDF("v"), $"v", 3, 4096)
+      .collect().map(_.getLong(0)).toSet
+    val expect = (0 until 3).map { j =>
+      java.lang.Long.parseLong(md5hex(s"$j:abc").substring(0, 8), 16) % 4096
+    }.toSet
+    assert(bits == expect)
+  }
 }

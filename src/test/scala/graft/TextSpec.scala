@@ -322,4 +322,35 @@ class TextSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty && got.size < 200) // a real subset at these weights
   }
+
+  test("bpeTrain: greedy merges with deterministic tie-break; early stop when dry") {
+    // words: aba(1), abab(1), ab(2), cd(1)
+    // round 1: (a,b)=1+2+2=5 wins → ab
+    // round 2: (ab,a)=1, (ab,ab)=1, (c,d)=1 — tie-break pair-asc → (ab,a)
+    // round 3: (ab,ab) vs (c,d) → (ab,ab); round 4: (c,d); round 5: dry
+    val d = Seq((1L, "aba abab"), (2L, "ab cd ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(d, "text", 5)
+    assert(merges == Seq(("a", "b", "ab"), ("ab", "a", "aba"),
+      ("ab", "ab", "abab"), ("c", "d", "cd")))
+    // the DataFrame form carries ranks in merge order
+    val mdf = TextOps.bpeMerges(d, "text", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(mdf.toSeq == Seq((0L, "a", "b", "ab"), (1L, "ab", "a", "aba"),
+      (2L, "ab", "ab", "abab"), (3L, "c", "d", "cd")))
+  }
+
+  test("bpeEncode: left-to-right application incl. consecutive pairs; no cross-word merges") {
+    val train = Seq((1L, "aba abab"), (2L, "ab cd ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(train, "text", 5)
+    val rows = TextOps.bpeEncode(
+      Seq((10L, "abab aba ab ba cd"), (11L, "a ba"), (12L, "!!")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 'abab' → a b a b → (a,b) merges BOTH consecutive pairs → ab ab → abab
+    assert(rows(10L) == (("abab aba ab b a cd", 6L)))
+    // 'a ba': the (a,b) pair spans a word boundary — must NOT merge
+    assert(rows(11L) == (("a b a", 3L)))
+    // no [a-z] words at all → empty tokens, zero count
+    assert(rows(12L) == (("", 0L)))
+  }
 }
