@@ -950,8 +950,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // WHERE predicates read (possibly beyond the returned set). A residual
     // ref to a RELATIONSHIP variable carries the edge's two endpoint
     // bindings instead — the property value joins back on that pair.
+    // path functions read through the path's member bindings: nodes(p)
+    // carries every node binding on the path, relationships(p) every
+    // relationship's identity columns (length(p) is a constant)
+    val pathNodeNeeds = pg.items.filter(_.agg.contains("nodes"))
+      .flatMap(i => pg.namedPaths.get(i.binding).toSeq.flatMap(_._1)).distinct
+    val pathRelNames = pg.items.filter(_.agg.contains("relationships"))
+      .flatMap(i => pg.namedPaths.get(i.binding).toSeq.flatMap(_._2)).distinct
     val baseNeeded =
-      (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared)).distinct
+      (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared) ++
+        pathNodeNeeds).distinct
     val edgeByName = pg.edges.flatMap(e => e.name.map(_ -> e)).toMap
     // expression items read (binding, prop) pairs — node refs join like
     // item properties, edge refs like residual edge refs; bare refs (prop
@@ -964,9 +972,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       .map(i => i.binding -> i.prop.get) ++ exprEdgeRefs.filter(_._2.nonEmpty)).distinct
     // type(r)/startNode(r)/endNode(r) project the matched relationship's
     // identity columns — same identity join-back, no property columns
-    val typeRefNames = pg.items
+    val typeRefNames = (pg.items
       .filter(_.agg.exists(Set("type", "startnode", "endnode")))
-      .map(_.binding).distinct
+      .map(_.binding) ++ pathRelNames).distinct
     val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
     val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
     val edgeRefNames =
@@ -1167,6 +1175,17 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
         case Some("endnode")   => col(s"__rel_${i.binding}_d")
         // keys(n): see keysArray (shared with the expression position)
         case Some("keys") => keysArray(i.binding)
+        // path functions: the path's node-id list / relationship-type list
+        // (identity join-back) / constant hop count. Zero-hop paths emit a
+        // TYPED empty array (bare array() is array<null>).
+        case Some("nodes") if pg.namedPaths.contains(i.binding) =>
+          array(pg.namedPaths(i.binding)._1.map(col): _*)
+        case Some("relationships") if pg.namedPaths.contains(i.binding) =>
+          val rels = pg.namedPaths(i.binding)._2
+          if (rels.isEmpty) array().cast("array<string>")
+          else array(rels.map(r => col(s"__rel_${r}_t")): _*)
+        case Some("length") if pg.namedPaths.contains(i.binding) =>
+          lit(pg.namedPaths(i.binding)._2.size.toLong)
         case Some(f) if operators.Preds.valueFn.contains(f) =>
           operators.Preds.valueFn(f)(
             i.prop.fold(col(i.binding))(p => col(s"${i.binding}_$p")))

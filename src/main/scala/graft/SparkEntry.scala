@@ -735,6 +735,15 @@ object SparkEntry {
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) WHERE exists(c.value) " +
         "RETURN labels(n) AS ls, count(c) AS k")
         .withColumn("ls", concat_ws(",", col("ls")))),
+    // general path variables: nodes(p)/relationships(p)/length(p) over a
+    // fixed 2-hop chain; list outputs render canonically (comma-joined) for
+    // the hash compare, same contract as cy_labels
+    "cy_path_fns" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region) " +
+        "RETURN c, nodes(p) AS ns, relationships(p) AS rs, length(p) AS ln")
+        .withColumn("ns", concat_ws(",", col("ns")))
+        .withColumn("rs", concat_ws(",", col("rs")))),
     // the rest of the openCypher aggregate set: stDev/stDevP per group.
     // Rounded to 6 decimals on BOTH engines: stddev's partial-merge order is
     // partition-dependent, so the last ULP is run-to-run noise
@@ -2145,6 +2154,12 @@ object SparkEntry {
     "cy_labels" ->
       ("SELECT 'nation' AS ls, count(DISTINCT c_custkey) AS k " +
        "FROM customer WHERE c_acctbal IS NOT NULL"),
+    "cy_path_fns" ->
+      ("SELECT c_custkey + 3000000000 AS c, " +
+       "(c_custkey + 3000000000)::VARCHAR || ',' || (c_nationkey + 2000000000)::VARCHAR " +
+       "|| ',' || (n_regionkey + 1000000000)::VARCHAR AS ns, " +
+       "'IN_NATION,IN_REGION' AS rs, CAST(2 AS BIGINT) AS ln " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
     "cy_agg_stats" ->
       ("SELECT n_nationkey + 2000000000 AS n, round(stddev_samp(c_acctbal), 6) AS sd, " +
        "round(stddev_pop(c_acctbal), 6) AS sp FROM customer JOIN nation " +

@@ -313,7 +313,16 @@ object Ast {
         * its property-map conjuncts + its own WHERE — filtered INSIDE the
         * left join (openCypher: the WHERE is part of the OPTIONAL MATCH).
         * Bare equality/comparison conjuncts only (enforced downstream). */
-      optionalWhere: Seq[Seq[Pred]] = Seq.empty)
+      optionalWhere: Seq[Seq[Pred]] = Seq.empty,
+      /** `MATCH p = (a)-[r:T]->(b)-…` — general (fixed-length) path
+        * variables: pathVar → (node bindings in path order, relationship
+        * bindings in path order; anonymous elements are auto-named at
+        * parse). `nodes(p)` renders the node-id list, `relationships(p)`
+        * the relationship-type list, `length(p)` the hop count. Restricted
+        * to fixed-length paths: a variable-length hop binds a SET of
+        * endpoint pairs (walk semantics), not an enumerable node sequence —
+        * shortestPath() is the varlen path form. */
+      namedPaths: Map[String, (Seq[String], Seq[String])] = Map.empty)
 
   /** Write surface (reference mutation API §2.5, insertVertex /
     * insertEdge, ConcurrentDirectedGraph.scala:109-153; delete/update are
@@ -681,6 +690,8 @@ object CypherParser {
       // of an opening '(' selects the shortest-path form
       var shortest: Option[Shortest] = None
       val paths = scala.collection.mutable.ArrayBuffer[Path]()
+      // general fixed-length path variables of this query slice
+      var namedPaths = Map.empty[String, (Seq[String], Seq[String])]
       // WHERE conjuncts attached to individual MATCH clauses (sequential
       // MATCH form); merged with the pattern-level WHERE below
       val earlyPreds = scala.collection.mutable.ArrayBuffer[Pred]()
@@ -689,18 +700,48 @@ object CypherParser {
       } else if (peek != '(') {
         val pv = ident()
         eat('=')
-        if (!kw("shortestPath")) err("expected shortestPath after path variable")
-        eat('(')
-        val src = nodePat()
-        allowUnbounded = true
-        val rel = try relPat() finally { allowUnbounded = false }
-        val dst = nodePat()
-        eat(')')
-        shortest = Some(Shortest(pv, src, rel, dst))
         ws()
-        if (peek == ',') err("shortestPath cannot be combined with other patterns")
-        if (mapPreds.size > mapPredsAtStart)
-          err("property maps are not supported with shortestPath (WHERE is not either)")
+        if (kw("shortestPath")) {
+          eat('(')
+          val src = nodePat()
+          allowUnbounded = true
+          val rel = try relPat() finally { allowUnbounded = false }
+          val dst = nodePat()
+          eat(')')
+          shortest = Some(Shortest(pv, src, rel, dst))
+          ws()
+          if (peek == ',') err("shortestPath cannot be combined with other patterns")
+          if (mapPreds.size > mapPredsAtStart)
+            err("property maps are not supported with shortestPath (WHERE is not either)")
+        } else {
+          // general (fixed-length) named path: anonymous elements are
+          // auto-named so nodes(p)/relationships(p) can render them; a
+          // varlen hop binds endpoint PAIRS (walk semantics), not an
+          // enumerable node sequence — shortestPath is the varlen form
+          var k = 0
+          def nodeNamed(n: NodePat): NodePat =
+            if (n.name.isDefined) n
+            else { k += 1; n.copy(name = Some(s"__pn_${pv}_$k")) }
+          def relNamed(r: RelPat): RelPat = {
+            if (r.hops.isDefined) err(s"path variable $pv over a variable-length " +
+              "relationship is not supported (use shortestPath for varlen paths)")
+            if (r.name.isDefined) r
+            else { k += 1; r.copy(name = Some(s"__pr_${pv}_$k")) }
+          }
+          val p0 = path()
+          val named = Path(nodeNamed(p0.first),
+            p0.hops.map { case (r, n) => (relNamed(r), nodeNamed(n)) })
+          namedPaths += pv -> ((named.first.name.get +: named.hops.map(_._2.name.get),
+            named.hops.map(_._1.name.get)))
+          paths += named
+          while (tryEat(',')) paths += path()
+          var more = true
+          while (more) {
+            if (kw("WHERE")) earlyPreds ++= Pred.conjuncts(orExpr())
+            if (kw("MATCH")) { paths += path(); while (tryEat(',')) paths += path() }
+            else more = false
+          }
+        }
       } else {
         paths += path()
         while (tryEat(',')) paths += path()
@@ -766,7 +807,8 @@ object CypherParser {
       // id, type(r) = the matched relationship's type, labels(n) = the node's
       // label list (this model is single-label, so a 1-element array) —
       // carried in Ret.agg but classified scalar by Pattern.ScalarFns
-      val scalarFns = Set("id", "type", "labels", "startnode", "endnode", "keys")
+      val scalarFns = Set("id", "type", "labels", "startnode", "endnode", "keys",
+        "nodes", "relationships")
       // openCypher value functions: `fn(b.prop)` over a match, `fn(col)`
       // over a post-WITH column (Column impls: operators.Preds.valueFn) —
       // the single shared list the expression parser also consults
@@ -1003,8 +1045,16 @@ object CypherParser {
       val limit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
       // trailing-input enforcement lives in the entry points (end()) so a
       // UNION connector after this query is the caller's to consume
+      // path functions are RETURN-only: the WITH pipeline reads bare stage
+      // columns, and an array-of-ids stage column would silently decay the
+      // path into a value with no further path semantics
+      withClauses.foreach(_.items.foreach { it =>
+        if (it.agg.exists(Set("nodes", "relationships", "length")))
+          err(s"${it.agg.get}(${it.binding}) is not available in WITH — return it directly")
+      })
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
-        limit, skip, shortest, withClauses.toSeq, unwindLit, unwindRange, optionalWhere.toSeq)
+        limit, skip, shortest, withClauses.toSeq, unwindLit, unwindRange, optionalWhere.toSeq,
+        namedPaths)
     }
 
     private def path(): Path = {

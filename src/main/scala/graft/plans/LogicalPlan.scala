@@ -32,7 +32,8 @@ object Pattern {
     * `labels(n)` the node's label list (single-label model → 1-element
     * array), plus the [[ValueFnNames]] value functions. They are grouping
     * keys under aggregation, not aggregates. */
-  val ScalarFns: Set[String] = Set("id", "type", "labels", "startnode", "endnode", "keys") ++ ValueFnNames
+  val ScalarFns: Set[String] = Set("id", "type", "labels", "startnode", "endnode", "keys",
+    "nodes", "relationships", "length") ++ ValueFnNames
 
   /** minHops/maxHops > 1 = bounded variable-length pattern (walk semantics,
     * see Ast.RelPat); (1, 1) is a plain relationship. `name` is the
@@ -78,7 +79,12 @@ object Pattern {
         * the output binding column as `__sort_<b>_<p>` purely for the
         * sort, then dropped — functionally dependent on the returned id,
         * so set-semantics granularity is untouched. */
-      extraSortProps: Seq[(String, String)] = Seq.empty) {
+      extraSortProps: Seq[(String, String)] = Seq.empty,
+      /** Fixed-length path variables: pathVar → (node bindings in path
+        * order, relationship bindings in path order). nodes(p) renders the
+        * node-id array, relationships(p) the type array (via the rels'
+        * identity join-back), length(p) the constant hop count. */
+      namedPaths: Map[String, (Seq[String], Seq[String])] = Map.empty) {
     def bindings: Set[String] = labels.keySet
     /** Non-aggregated items — the grouping keys when aggregates are present.
       * Per-row scalar functions (id/type) group, they don't aggregate. */
@@ -191,6 +197,18 @@ object Pattern {
     // back on the endpoint pair like residual edge refs. Bare `RETURN r`
     // (a relationship entity) has no relational rendering here.
     val returnableEdges = mainEdges.flatMap(_.name).toSet
+    // path variables: must not shadow a binding; path functions are only
+    // legal in RETURN (the WITH pipeline reads bare stage columns)
+    q.namedPaths.keys.foreach { pv =>
+      if (allBindings(pv) || returnableEdges(pv))
+        throw new graft.cypher.ParseException(
+          s"path variable $pv collides with a node/relationship binding")
+    }
+    q.withClauses.foreach(_.items.foreach { i =>
+      if (i.agg.exists(Set("nodes", "relationships", "length")))
+        throw new graft.cypher.ParseException(
+          s"${i.agg.get}(${i.binding}) is not available in WITH — return it directly")
+    })
     q.returns.foreach { r =>
       // expression items: every reference must resolve to a bound node
       // binding (bare or property) or a relationship variable's PROPERTY
@@ -207,8 +225,13 @@ object Pattern {
         }
       }
       if (r.expr.isEmpty) r.agg match {
-        case Some("length") => throw new graft.cypher.ParseException(
-          s"length(${r.binding}) is only supported with shortestPath")
+        case Some(f @ ("nodes" | "relationships" | "length"))
+            if !q.namedPaths.contains(r.binding) =>
+          throw new graft.cypher.ParseException(
+            if (f == "length") s"length(${r.binding}) takes a path variable " +
+              "(MATCH p = … or shortestPath)"
+            else s"$f(${r.binding}): unknown path variable — bind one with MATCH p = …")
+        case Some("nodes" | "relationships" | "length") => // named-path fn: ok
         case Some("id") =>
           if (!allBindings(r.binding)) throw new graft.cypher.ParseException(
             if (returnableEdges(r.binding))
@@ -242,7 +265,10 @@ object Pattern {
               if (r.prop.isEmpty) throw new graft.cypher.ParseException(
                 s"RETURN ${r.binding}: returning a relationship entity is not supported — " +
                   s"project a property (${r.binding}.prop)")
-            } else throw new graft.cypher.ParseException(
+            } else if (q.namedPaths.contains(r.binding)) throw new graft.cypher.ParseException(
+              s"RETURN ${r.binding}: returning a path entity is not supported — " +
+                s"use nodes(${r.binding}), relationships(${r.binding}) or length(${r.binding})")
+            else throw new graft.cypher.ParseException(
               s"RETURN references unbound: ${r.binding}")
           }
       }
@@ -360,7 +386,7 @@ object Pattern {
       }
     }
     PatternGraph(mainLabels, mainEdges, nodeCmps, q.returns, q.distinct, orderByResolved,
-      q.limit, q.skip, groups, edgeCmps, residual, extraSort.toSeq)
+      q.limit, q.skip, groups, edgeCmps, residual, extraSort.toSeq, q.namedPaths)
   }
 }
 

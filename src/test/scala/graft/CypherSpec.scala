@@ -2068,4 +2068,84 @@ class CypherSpec extends SparkSpec {
       "log10(1000) AS lg").collect()(0)
     assert(m.getBoolean(0) && m.getDouble(1) == 100.0 && m.getDouble(2) == 3.0)
   }
+
+  // --- round 10: general (fixed-length) path variables ---
+
+  test("path variable: nodes/relationships/length over a fixed chain") {
+    val db = new GraphDB(diamond)
+    val got = db.query(
+      "MATCH p = (a:A)-[:X]->(b:B)-[:Y]->(c:C) " +
+      "RETURN b, nodes(p) AS ns, relationships(p) AS rs, length(p) AS ln")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[String](2).toList, r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, List(1L, 2L, 4L), List("X", "Y"), 2L),
+      (3L, List(1L, 3L, 4L), List("X", "Y"), 2L)))
+  }
+
+  test("path variable: anonymous elements are auto-named and render") {
+    val db = new GraphDB(diamond)
+    val got = db.query("MATCH p = (a:A)-->()-->(c:C) RETURN nodes(p) AS ns, length(p) AS ln")
+      .collect().map(r => (r.getSeq[Long](0).toList, r.getLong(1))).sortBy(_._1.toString)
+    assert(got.toSeq == Seq((List(1L, 2L, 4L), 2L), (List(1L, 3L, 4L), 2L)))
+    // RETURN * must not leak the auto-generated path bindings
+    val cols = db.query("MATCH p = (a:A)-[:X]->(b:B) RETURN *").columns.toSet
+    assert(cols == Set("a", "b"))
+  }
+
+  test("path variable: multi-type relationship fans one row per matched type") {
+    // parallel X and Z edges on the same pair: two distinct one-hop paths
+    val pg = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "B")),
+      edges = Seq((1L, 2L, "X"), (1L, 2L, "Z")))
+    val got = new GraphDB(pg).query(
+      "MATCH p = (a:A)-[:X|Z]->(b:B) RETURN relationships(p) AS rs")
+      .collect().map(_.getSeq[String](0).toList).sortBy(_.toString)
+    assert(got.toSeq == Seq(List("X"), List("Z")))
+  }
+
+  test("path variable: zero-hop path; scalar path fns group under aggregation") {
+    val db = new GraphDB(diamond)
+    val z = db.query("MATCH p = (a:A) RETURN nodes(p) AS ns, relationships(p) AS rs, " +
+      "length(p) AS ln").collect()(0)
+    assert(z.getSeq[Long](0).toList == List(1L) && z.getSeq[String](1).isEmpty
+      && z.getLong(2) == 0L)
+    val agg = db.query("MATCH p = (a:A)-[:X]->(b:B) RETURN length(p) AS ln, count(b) AS k")
+      .collect()(0)
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 2L)
+  }
+
+  test("path variable: named path composes with more patterns and WHERE") {
+    val db = new GraphDB(propsG)
+    // propsG: A1 -X-> B2(x,10), A1 -X-> B3(y,20), B2 -Y-> B4(x,10)…
+    val got = db.query(
+      "MATCH p = (a:A)-[:X]->(b:B) WHERE b.value >= 10 " +
+      "RETURN b, length(p) AS ln ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.forall(_._2 == 1L))
+  }
+
+  test("path variable: rejections — varlen, bare RETURN p, unknown path, WITH") {
+    val db = new GraphDB(diamond)
+    val e1 = intercept[graft.cypher.ParseException] {
+      db.query("MATCH p = (a:A)-[:X*1..2]->(b) RETURN length(p)")
+    }
+    assert(e1.getMessage.contains("variable-length"))
+    val e2 = intercept[graft.cypher.ParseException] {
+      db.query("MATCH p = (a:A)-[:X]->(b:B) RETURN p")
+    }
+    assert(e2.getMessage.contains("path entity"))
+    val e3 = intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) RETURN nodes(q)")
+    }
+    assert(e3.getMessage.contains("unknown path variable"))
+    val e4 = intercept[graft.cypher.ParseException] {
+      db.query("MATCH p = (a:A)-[:X]->(b:B) WITH nodes(p) AS ns RETURN ns")
+    }
+    assert(e4.getMessage.contains("not available in WITH"))
+    // length() over a non-path binding stays rejected
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) RETURN length(a)")
+    }
+  }
 }
