@@ -166,14 +166,14 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (toCreate.nonEmpty) {
         val explicitIds = toCreate.flatMap(explicitId)
         if (explicitIds.distinct.size != explicitIds.size)
-          throw new cypher.ParseException(
+          throw new cypher.WriteConflictException(
             s"duplicate explicit id in CREATE: ${explicitIds.diff(explicitIds.distinct).head}")
         // an explicit id colliding with a stored node would silently corrupt
         // id-keyed joins — fail loudly (one tiny lookup, driver-sized input)
         if (explicitIds.nonEmpty) {
           val clash = graph.nodes.filter(col("id").isin(explicitIds: _*))
             .select(col("id")).orderBy(col("id")).limit(1).collect()
-          if (clash.nonEmpty) throw new cypher.ParseException(
+          if (clash.nonEmpty) throw new cypher.WriteConflictException(
             s"CREATE explicit id ${clash(0).getLong(0)} already exists in the node table")
         }
         var next =
@@ -406,49 +406,37 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val nodeTargets = rest.filter(nodeNames)
     rest.filterNot(nodeNames).foreach(t => throw new cypher.ParseException(
       s"DELETE target $t is not a bound node or relationship"))
-    val relEnds = relTargets.map(relInfo).flatMap { case (s, rp, d) =>
+    relTargets.map(relInfo).foreach { case (s, rp, d) =>
       if (rp.hops.isDefined) throw new cypher.ParseException(
         "DELETE of a variable-length relationship is not supported")
-      Seq(s.getOrElse(throw new cypher.ParseException(
-          "DELETE relationship requires named endpoints")),
-        d.getOrElse(throw new cypher.ParseException(
-          "DELETE relationship requires named endpoints")))
+      if (s.isEmpty || d.isEmpty) throw new cypher.ParseException(
+        "DELETE relationship requires named endpoints")
     }
-    val refs = (relEnds ++ nodeTargets).distinct
-    val m = matchFrame(stmt, refs)
+    // The match carries each deleted relationship's IDENTITY out of the
+    // query (startNode/endNode/type — the physical (src, dst, etype) of the
+    // edge that matched, via the render path's identity join-back), so the
+    // removal keys are EXACTLY the matched edges after the FULL WHERE. A
+    // reconstruction from matched endpoint pairs would have to re-apply the
+    // relationship's predicates to the stored table, and a conjunct mixing
+    // the relationship's props with other bindings (e.g. WHERE x.w = 5 OR
+    // b.v = 1) cannot be re-applied per-edge — it would over-delete a
+    // declared-type edge whose own match row failed the WHERE while another
+    // edge matched the same pair.
+    val relRets = relTargets.flatMap(r => Seq(
+      cypher.Ast.Ret(r, agg = Some("startnode"), alias = Some(s"__del_${r}_s")),
+      cypher.Ast.Ret(r, agg = Some("endnode"), alias = Some(s"__del_${r}_d")),
+      cypher.Ast.Ret(r, agg = Some("type"), alias = Some(s"__del_${r}_t"))))
+    val m = runQuery(cypher.Ast.Query(stmt.matchPaths, Seq.empty, stmt.where,
+        relRets ++ nodeTargets.map(n => cypher.Ast.Ret(n)),
+        distinct = true, Seq.empty, None))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pg = graph
     var removedKeys = Seq.empty[DataFrame] // (src, dst, etype) removed keys
     var removedIds: Option[DataFrame] = None
     relTargets.foreach { r =>
-      val (sOpt, rp, dOpt) = relInfo(r)
-      val (s, d) = (sOpt.get, dOpt.get)
-      val fwd = m.select(col(s).as("src"), col(d).as("dst"))
-      val rev = m.select(col(d).as("src"), col(s).as("dst"))
-      val pairs = rp.dir match {
-        case Ast.Out  => fwd
-        case Ast.In   => rev
-        case Ast.Both => fwd.unionByName(rev)
-      }
-      // removal keys come from the edges that ACTUALLY matched: the stored
-      // table restricted to the pattern's declared types, with the
-      // relationship's own WHERE conjuncts applied, semi-joined on the
-      // matched pairs. An exploded (pairs × declared types) set would also
-      // delete a declared type whose edge failed the predicate — e.g.
-      // MATCH (a)-[x:A|B]->(b) WHERE x.w = 5 DELETE x, where only the A
-      // edge carries w = 5, must not remove the B edge on the same pair.
-      val xPreds = stmt.where.flatMap(Ast.Pred.conjuncts).filter { p =>
-        val prefs = Ast.Pred.refs(p)
-        prefs.nonEmpty && prefs.forall { case (b, pr) => b == r && pr.nonEmpty } &&
-          Ast.Pred.patterns(p).isEmpty
-      }
-      val typed =
-        if (rp.types.isEmpty) pg.edges
-        else pg.edges.filter(col("etype").isin(rp.types: _*))
-      val candidates = xPreds.foldLeft(typed)((df, p) =>
-        df.filter(operators.Preds.column(p, (_, pr) => col(pr))))
-      val keys = candidates.join(pairs, Seq("src", "dst"), "left_semi")
-        .select("src", "dst", "etype")
+      val keys = m.select(col(s"__del_${r}_s").as("src"),
+          col(s"__del_${r}_d").as("dst"), col(s"__del_${r}_t").as("etype"))
+        .dropDuplicates()
       pg = pg.removeEdges(keys)
       removedKeys :+= keys
     }
@@ -1065,7 +1053,16 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       typeRefNames.filterNot(edgePropsNeeded0.contains).map(_ -> Seq.empty[String])
     val withAllProps = edgePropsNeeded.foldLeft(withNodeProps) { case (acc, (r, ps)) =>
       val e = edgeByName(r)
-      val base = graph.edgesByType(e.types)
+      // the relationship's PUSHED WHERE conjuncts re-apply here: the match
+      // narrowed the endpoint PAIRS, but this join-back re-fans each pair
+      // to every stored declared-type edge — without the filter, a parallel
+      // edge that failed the predicate would resurface with its type/props
+      // (e.g. MATCH (a)-[x:X|Z]->(b) WHERE x.w = 5 RETURN type(x) must not
+      // render the Z edge of a pair whose X edge matched; runDelete keys
+      // edge removal on these identity columns, so it would over-delete).
+      val base = pg.edgePredicates.filter(_.binding == r)
+        .foldLeft(graph.edgesByType(e.types))((df, p) =>
+          df.filter(operators.Preds.column(p, (_, pr) => col(pr))))
       def sel(df: DataFrame, srcAs: String, dstAs: String) = df.select(
         (Seq(col("src").as(srcAs), col("dst").as(dstAs),
           col("src").as(s"__rel_${r}_s"), col("dst").as(s"__rel_${r}_d"),

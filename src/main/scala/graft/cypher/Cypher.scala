@@ -357,6 +357,13 @@ object Ast {
 
 final class ParseException(msg: String) extends RuntimeException(msg)
 
+/** A runtime write conflict — the statement parsed and validated fine, but
+  * the DATA state rejects it (duplicate explicit ids in one CREATE, an
+  * explicit id already stored). Deliberately NOT a ParseException: callers
+  * catching ParseException to mean "bad query text" must not misclassify a
+  * data-state conflict. */
+final class WriteConflictException(msg: String) extends RuntimeException(msg)
+
 object CypherParser {
   import Ast._
 

@@ -849,34 +849,19 @@ object TextOps {
 
   // ── Byte-pair encoding (tokenizer training + encoding) ────────────────
 
-  /** Symbol sentinels for the BPE working representation: every symbol is
-    * wrapped `\u0001sym\u0002` and symbols are space-joined, so a literal
-    * `replace(seq, "\u0001a\u0002 \u0001b\u0002", "\u0001ab\u0002")` IS the
-    * exact left-to-right non-overlapping BPE merge application (the pattern
-    * consumes no surrounding delimiter, so consecutive occurrences like
-    * `a b a b` both merge, and a symbol can never match a suffix/prefix of
-    * a longer symbol). Both Spark's and DuckDB's `replace` are plain
-    * left-to-right non-overlapping literal replaces, which is what makes
-    * the whole trainer oracle-comparable. */
+  /** Symbol sentinels for the BPE working representation the ORACLE uses:
+    * every symbol is wrapped `\u0001sym\u0002` and symbols space-joined, so
+    * a literal `replace(seq, "\u0001a\u0002 \u0001b\u0002", "\u0001ab\u0002")`
+    * IS the exact left-to-right non-overlapping BPE merge application (the
+    * pattern consumes no surrounding delimiter, so consecutive occurrences
+    * like `a b a b` both merge, and a symbol can never match a suffix or
+    * prefix of a longer symbol). The engine-side trainer/encoder work on
+    * symbol ARRAYS with the same left-to-right pass semantics
+    * ([[bpeMergePass]]); the wrapped rendering survives as the
+    * deterministic tie-break key ([[bpeWrapPair]]).
+    */
   private val SymOpen = "\u0001"
   private val SymClose = "\u0002"
-  /** Word boundary marker for [[bpeEncode]]: wrapped word sequences join
-    * with `" \u0003 "` so a merge pattern (always `\u0002 \u0001`-bridged)
-    * can never apply across words. */
-  private val WordSep = " \u0003 "
-
-  /** One word → its wrapped initial character sequence. */
-  private def bpeWrapChars(w: Column): Column =
-    array_join(transform(filter(split(w, ""), c => c =!= ""),
-      c => concat(lit(SymOpen), c, lit(SymClose))), " ")
-
-  /** Training corpus → (seq, cnt) word-frequency table. Words are lowercase
-    * `[a-z]+` runs — the deterministic, oracle-replicable convention. */
-  private def bpeWords(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(bpeWrapChars(col("word")).as("seq"), col("cnt"))
 
   /**
    * Train a byte-pair-encoding tokenizer: `numMerges` greedy merges over
@@ -886,46 +871,126 @@ object TextOps {
    * deterministically by the pair's wrapped string ascending (binary
    * collation, identical in Spark and DuckDB).
    *
-   * Scale: the only corpus-sized job is the word count (one shuffle);
-   * every merge round runs on the vocabulary-sized cached table — pair
-   * candidates are a per-row `zip_with` (no self-join), the round's
-   * aggregation output is one driver row. This is how production BPE
-   * trainers scale: corpus → compact word-frequency table → iterate there.
+   * Scale: the only corpus-sized (distributed) job is the word count — one
+   * shuffle, map-side combined. The word-frequency table is
+   * VOCABULARY-sized by construction, so it collects once and training
+   * iterates driver-side with incremental pair-count maintenance (see
+   * [[bpeTrainOnWordFreq]]) — how production BPE trainers scale: 100 TB of
+   * text still reduces to one compact word table; per-round work touches
+   * only the words containing the chosen pair, and NO per-round cluster
+   * job exists to pay 30k× scheduling latency on a real vocabulary.
    *
    * @return merge rules in rank order: (left, right, merged)
    */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, String)] = {
-    val base = bpeWords(df, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    try {
-      // merges applied on the fly over the cached base — k narrow replaces
-      // over a vocabulary-sized table beat managing k cache generations
-      var seqCol: Column = col("seq")
-      var i = 0
-      var done = false
-      while (i < numMerges && !done) {
-        val s = split(seqCol, " ")
-        val best = base
-          .select(col("cnt"), explode(filter(
-            zip_with(s, slice(s, lit(2), greatest(size(s) - 1, lit(0))),
-              (a, b) => concat(a, lit(" "), b)),
-            p => p.isNotNull)).as("pair"))
-          .groupBy("pair").agg(sum("cnt").as("c"))
-          .orderBy(col("c").desc, col("pair").asc)
-          .limit(1).collect()
-        if (best.isEmpty) done = true
-        else {
-          val pat = best(0).getString(0) // "\u0001a\u0002 \u0001b\u0002"
-          val parts = pat.split(" ")
-          def unwrap(x: String) = x.substring(1, x.length - 1)
-          val (a, b) = (unwrap(parts(0)), unwrap(parts(1)))
-          out += ((a, b, a + b))
-          seqCol = replace(seqCol, lit(pat), lit(SymOpen + a + b + SymClose))
-          i += 1
+    val wf = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    bpeTrainOnWordFreq(wf, numMerges)
+  }
+
+  /** One left-to-right non-overlapping merge pass of (a, b) → m over a
+    * symbol sequence — exactly what a literal string `replace` of the
+    * wrapped pair does (the scan continues AFTER a replacement, so
+    * overlapping occurrences merge greedily left-first and the replacement
+    * output is never rescanned within the pass). */
+  private def bpeMergePass(w: Array[String], a: String, b: String, m: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { out += m; i += 2 }
+      else { out += w(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The trainer's selection key: the pair rendered in its wrapped working
+    * representation, compared ascending. All symbol chars are BMP (letters
+    * + sentinels), so Java's compareTo equals the binary UTF-8 collation
+    * the DuckDB oracle's selection uses. */
+  private def bpeWrapPair(a: String, b: String): String =
+    SymOpen + a + SymClose + " " + SymOpen + b + SymClose
+
+  /**
+   * Greedy BPE training over a collected word-frequency table (Sennrich et
+   * al. 2016): each round picks the most frequent adjacent symbol pair
+   * (count desc, wrapped-pair string asc — the deterministic oracle
+   * tie-break) and merges it left-to-right in every word containing it.
+   * Incremental: a round subtracts the touched words' old pair
+   * contributions and adds the merged form's back, so per-round cost is
+   * O(words containing the pair), not O(vocabulary) — the standard trainer
+   * shape that survives real merge counts (30k+), unlike the former
+   * one-Spark-job-per-round chained-replace plan whose Catalyst expression
+   * depth grew with the merge rank.
+   */
+  private[graft] def bpeTrainOnWordFreq(wf: Array[(Array[String], Long)],
+                                       numMerges: Int): Seq[(String, String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = wf.map(_._1)
+    val cnts: Array[Long] = wf.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → indices of words that contained it at some point. A SUPERSET:
+    // entries go stale when a later merge rewrites the word; the per-round
+    // containment re-check filters them, while `counts` stays EXACT through
+    // the subtract/add bookkeeping.
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val w = words(i); val c = cnts(i) * sign
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val nv = counts.getOrElse(p, 0L) + c
+        if (nv == 0L) counts.remove(p) else counts.update(p, nv)
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+    val out = mutable.ArrayBuffer.empty[(String, String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      // total-order scan → deterministic regardless of hash iteration order
+      var best: (String, String) = null
+      var bestC = 0L
+      var bestKey: String = null
+      counts.foreach { case (p, c) =>
+        if (c > 0L) {
+          val key = bpeWrapPair(p._1, p._2)
+          if (best == null || c > bestC || (c == bestC && key < bestKey)) {
+            best = p; bestC = c; bestKey = key
+          }
         }
       }
-    } finally base.unpersist(blocking = false)
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        val m = a + b
+        out += ((a, b, m))
+        // merging (a,b) → m can never create a new (a,b) adjacency (m is
+        // strictly longer than either part), so one pass per word suffices
+        where.getOrElse(best, mutable.HashSet.empty).toArray.foreach { wi =>
+          val w = words(wi)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < w.length) {
+            if (w(j) == a && w(j + 1) == b) has = true
+            j += 1
+          }
+          if (has) {
+            addWord(wi, -1L)
+            words(wi) = bpeMergePass(w, a, b, m)
+            addWord(wi, 1L)
+          }
+        }
+        where.remove(best)
+        round += 1
+      }
+    }
     out.toSeq
   }
 
@@ -938,29 +1003,97 @@ object TextOps {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Encode one word against the rank-ordered merges: the merges apply in
+    * rank order, each as one left-to-right non-overlapping pass — exactly
+    * the semantics of chaining literal `replace`s of the wrapped pairs (the
+    * oracle's formulation). A presence superset of the word's symbols skips
+    * the passes that cannot apply, so a word costs O(numMerges) hash probes
+    * plus O(word length) per APPLICABLE merge — not a 30k-deep Catalyst
+    * expression chain like the former chained-replace projection, which
+    * codegen could not survive at real vocabulary sizes. */
+  private def bpeEncodeWord(word: String,
+                            merges: Array[(String, String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    // superset of symbols present (merged symbols add, consumed parts stay —
+    // a stale member only costs one wasted pass, never a wrong result)
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    var r = 0
+    while (r < merges.length) {
+      val (a, b, m) = merges(r)
+      if (syms.length > 1 && present(a) && present(b)) {
+        var has = false
+        var j = 0
+        while (!has && j + 1 < syms.length) {
+          if (syms(j) == a && syms(j + 1) == b) has = true
+          j += 1
+        }
+        if (has) {
+          syms = bpeMergePass(syms, a, b, m)
+          present += m
+        }
+      }
+      r += 1
+    }
+    syms
+  }
+
   /**
    * Apply trained merge rules to a corpus: each doc's words (same `[a-z]+`
-   * convention as training) become wrapped character sequences joined with
-   * the word-boundary marker; the rules apply in rank order as literal
-   * replaces (exact left-to-right BPE, see [[SymOpen]]); sentinels strip at
-   * the end. A pure per-row projection — no shuffle, no explode; the merge
-   * chain compiles to `numMerges` chained codegen'd string replaces.
+   * convention as training) encode independently (merges never cross word
+   * boundaries) in rank order, exact left-to-right BPE — semantically
+   * identical to the oracle's chained literal replaces. One `mapPartitions`
+   * pass with the merge table BROADCAST: per-row symbol merging is a
+   * data-dependent fixpoint, not a fixed projection, so this is the one
+   * place an imperative row loop beats an expression tree — a 30k-rule
+   * vocabulary is a broadcast array probe, not a 30k-node Catalyst plan.
+   * A per-partition word cache exploits the corpus's Zipfian word
+   * distribution (each distinct word encodes once per partition).
    *
    * @return (id, tokens = space-joined token string, n_tokens)
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String, String)]): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "[^a-z]+"), w => w =!= "")
-    val seq0 = array_join(transform(words, w => bpeWrapChars(w)), WordSep)
-    val mergedSeq = merges.foldLeft(seq0) { case (c, (a, b, m)) =>
-      replace(c, lit(SymOpen + a + SymClose + " " + SymOpen + b + SymClose),
-        lit(SymOpen + m + SymClose))
-    }
-    val toks = replace(replace(replace(mergedSeq,
-      lit(WordSep), lit(" ")), lit(SymOpen), lit("")), lit(SymClose), lit(""))
-    df.select(col(idCol), toks.as("tokens"),
-      when(toks === "", lit(0L))
-        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("tokens", StringType, nullable = true),
+      StructField("n_tokens", LongType, nullable = true)))
+    df.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val ms = bc.value
+        val wordRe = java.util.regex.Pattern.compile("[^a-z]+")
+        val cache = new java.util.HashMap[String, Array[String]]()
+        rows.map { r =>
+          val text = if (r.isNullAt(1)) null else r.getString(1)
+          if (text == null) Row(r.get(0), null, null)
+          else {
+            val words = wordRe.split(text.toLowerCase(java.util.Locale.ROOT))
+            val sb = new java.lang.StringBuilder
+            var n = 0L
+            var i = 0
+            while (i < words.length) {
+              val w = words(i)
+              if (w.nonEmpty) {
+                var toks = cache.get(w)
+                if (toks == null) { toks = bpeEncodeWord(w, ms); cache.put(w, toks) }
+                var j = 0
+                while (j < toks.length) {
+                  if (sb.length > 0) sb.append(' ')
+                  sb.append(toks(j))
+                  n += 1L
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            Row(r.get(0), sb.toString, n)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,

@@ -1164,6 +1164,43 @@ class CypherSpec extends SparkSpec {
     assert(db3.graph.edges.count() == 2)
   }
 
+  test("pushed rel predicate re-applies at the identity join-back (parallel edges)") {
+    // X (w=5) and Z (w=3) in parallel on one pair: the pushed x.w = 5
+    // narrows the matched PAIR, but type(x)/x.w render via a join-back that
+    // re-fans the pair to every declared-type edge — the predicate must
+    // re-apply there or the failed Z edge resurfaces
+    val pg = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A"), (2L, "B"))).toDF("id", "label"),
+      spark.createDataFrame(Seq((1L, 2L, "X", 5L), (1L, 2L, "Z", 3L)))
+        .toDF("src", "dst", "etype", "w"))
+    val db = new GraphDB(pg)
+    val t = db.query("MATCH (a:A)-[x:X|Z]->(b:B) WHERE x.w = 5 RETURN type(x)")
+      .collect().map(_.getString(0))
+    assert(t.toSeq == Seq("X"))
+    val w = db.query("MATCH (a:A)-[x:X|Z]->(b:B) WHERE x.w = 5 RETURN a, b, x.w")
+      .collect().map(_.getLong(2))
+    assert(w.toSeq == Seq(5L))
+  }
+
+  test("DELETE: WHERE mixing the relationship's props with other bindings") {
+    // parallel X (w=5) and Z (w=3) edges 1->2, plus X (w=3) 1->3. The OR
+    // conjunct mixes x.w with b's id, so it cannot be re-applied per-edge —
+    // removal keys must be the matched edges' identities: on pair (1,2)
+    // only the X edge satisfies x.w = 5 (b=2 fails the other arm), so the
+    // Z edge on the SAME pair must survive; on pair (1,3) the X edge
+    // matches via b = 3 despite w = 3.
+    val pg = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A"), (2L, "B"), (3L, "B"))).toDF("id", "label"),
+      spark.createDataFrame(Seq(
+        (1L, 2L, "X", 5L), (1L, 2L, "Z", 3L), (1L, 3L, "X", 3L)))
+        .toDF("src", "dst", "etype", "w"))
+    val db0 = new GraphDB(pg)
+    val db1 = db0.execute("MATCH (a:A)-[x:X|Z]->(b:B) WHERE x.w = 5 OR b = 3 DELETE x")
+    val left = db1.graph.edges.collect().map(r => (r.getLong(1), r.getString(2))).sorted
+    assert(left.toSeq == Seq((2L, "Z")), "only the two WHERE-matched edges go")
+    assert(db1.stats == new GraphDB(db1.graph).stats)
+  }
+
   test("MERGE: a never-stored prop key takes the create branch (no AnalysisException)") {
     val db0 = new GraphDB(propsG)
     // `fresh` has never been a node column: no stored node can match, so the
@@ -1191,12 +1228,13 @@ class CypherSpec extends SparkSpec {
     val db0 = new GraphDB(propsG) // stored ids 1..4
     // explicit id already stored → loud failure (silent duplicate ids would
     // corrupt every id-keyed join downstream)
-    val e = intercept[graft.cypher.ParseException] {
+    // a data-state conflict, not a syntax problem → WriteConflictException
+    val e = intercept[graft.cypher.WriteConflictException] {
       db0.execute("CREATE (a:B {id: 2, name: 'dup'})")
     }
     assert(e.getMessage.contains("already exists"))
     // duplicate explicit ids within one statement → loud failure
-    intercept[graft.cypher.ParseException] {
+    intercept[graft.cypher.WriteConflictException] {
       db0.execute("CREATE (a:B {id: 9}), (b:B {id: 9})")
     }
     // mixing explicit and allocated ids: the allocator (max(stored)+1 = 5)

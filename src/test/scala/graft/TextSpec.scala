@@ -353,4 +353,77 @@ class TextSpec extends SparkSpec {
     // no [a-z] words at all → empty tokens, zero count
     assert(rows(12L) == (("", 0L)))
   }
+
+  test("bpe: incremental trainer ≡ brute-force recount trainer (seeded corpus)") {
+    // the incremental pair-count bookkeeping must select exactly the same
+    // merge sequence as recounting every word's pairs from scratch per round
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val wf: Array[(Array[String], Long)] = (0 until 80).map { _ =>
+      val len = 4 + rnd.nextInt(8)
+      (Array.fill(len)(alpha(rnd.nextInt(alpha.length)).toString),
+        (1 + rnd.nextInt(5)).toLong)
+    }.toArray
+    def clone2(a: Array[(Array[String], Long)]) = a.map { case (w, c) => (w.clone(), c) }
+    def naive(wf0: Array[(Array[String], Long)], k: Int): Seq[(String, String, String)] = {
+      var words = wf0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      def wrap(s: String) = "\u0001" + s + "\u0002"
+      var done = false
+      while (out.size < k && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (w, c) =>
+          (0 until w.length - 1).foreach(j =>
+            counts.update((w(j), w(j + 1)), counts.getOrElse((w(j), w(j + 1)), 0L) + c))
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (a, b) = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, wrap(a) + " " + wrap(b)) }._1
+          val m = a + b
+          out += ((a, b, m))
+          words = words.map { case (w, c) =>
+            val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { nb += m; i += 2 }
+              else { nb += w(i); i += 1 }
+            }
+            (nb.toArray, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val expected = naive(clone2(wf), 120)
+    val got = graft.text.TextOps.bpeTrainOnWordFreq(clone2(wf), 120)
+    assert(got == expected)
+  }
+
+  test("bpe: trains and encodes at a realistic merge count (2000 merges)") {
+    // the former chained-replace encode compiled one replace PER MERGE into
+    // a single Catalyst expression — 2000 merges would not analyze; the
+    // broadcast merge-rank mapPartitions encode must handle it routinely
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    val vocab = (0 until 700).map { _ =>
+      val len = 6 + rnd.nextInt(10)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    val docs = vocab.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = graft.text.TextOps.bpeTrain(docs, "text", 2000)
+    assert(merges.size == 2000, s"corpus too small for 2000 merges: ${merges.size}")
+    val enc = graft.text.TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // lossless round-trip: deleting the token separators reproduces the
+    // document's letter stream (BPE merges never add or drop characters)
+    docs.collect().foreach { r =>
+      val (toks, n) = enc(r.getLong(0))
+      assert(toks.replace(" ", "") == r.getString(1).replace(" ", ""))
+      assert(n == toks.split(" ").length.toLong)
+      assert(n < r.getString(1).count(_ != ' ')) // merges actually applied
+    }
+  }
 }
