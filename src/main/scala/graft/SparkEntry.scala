@@ -1386,6 +1386,13 @@ object SparkEntry {
         .withColumnRenamed("est", "est_events")
       users.join(ids, "event_type")
     }),
+    // Wide-frame (48-bit rank) HLL on a synthetic 4M-distinct column — the
+    // GLOBAL-corpus-count variant whose rank frame doesn't saturate near
+    // 2^32 like the 32-bit one; distributed range source, no driver list
+    "sketch_hll_big" -> ((s, dir) => {
+      val vals = s.range(4000000L).select(lit("all").as("g"), col("id"))
+      graft.sketch.Sketches.hllDistinctWide(vals, Seq("g"), col("id"), p = 12)
+    }),
     // Count-Min heavy hitters: words with estimated frequency ≥ 200 over
     // the document corpus (d=4 rows × w=1024 buckets; estimates only ever
     // overcount, so no true heavy hitter is missed)
@@ -2609,6 +2616,24 @@ object SparkEntry {
       "SELECT u.event_type, u.est AS est_users, i.est AS est_events FROM " +
         est("user_id") + " u JOIN " + est("event_id") + " i USING (event_type)"
     },
+    // Wide-frame HLL replay: rank = 49 − bitlength of the 48-bit frame
+    // (md5 chars 9-20); harmonic sum scaled by 2^49 so it is pure integer
+    // arithmetic on both engines (sum of 2^(49−r) longs; absent registers
+    // add 2^49 each), one double conversion at the end
+    "sketch_hll_big" ->
+      ("WITH v AS (SELECT unnest(range(4000000)) AS id), " +
+       "h AS (SELECT ('0x'||substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT % 4096 AS idx, " +
+       "CASE WHEN ('0x'||substr(md5(CAST(id AS VARCHAR)),9,12))::BIGINT = 0 THEN 49 " +
+       "ELSE 49 - len(bin(('0x'||substr(md5(CAST(id AS VARCHAR)),9,12))::BIGINT)) END AS r " +
+       "FROM v), " +
+       "regs AS (SELECT idx, max(r) AS r FROM h GROUP BY 1), " +
+       "agg AS (SELECT count(*) AS nz, sum((power(2.0, 49 - r))::BIGINT) AS hsl " +
+       "FROM regs) " +
+       "SELECT 'all' AS g, round(CASE WHEN raw <= 10240.0 AND zeros > 0 " +
+       "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS est FROM (" +
+       "SELECT (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0 / " +
+       "(((hsl + (4096 - nz) * 562949953421312)::DOUBLE) / 562949953421312.0) AS raw, " +
+       "4096.0 - nz AS zeros FROM agg)"),
     // CMS replay: the count table is per-(row j, bucket) occurrence sums
     // over salted 32-bit hashes; a key's estimate is the min over its d
     // buckets — pure integer arithmetic, exact hash match

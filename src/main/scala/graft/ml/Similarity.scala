@@ -398,8 +398,14 @@ object Similarity {
     * Exploded (vec_id, sub, code) layout — hashes stably and is exactly the
     * shape the ADC join consumes; packing to m bytes is a storage detail. */
   def pqEncode(corpus: DataFrame, dim: Int, m: Int = 4, ksub: Int = 8,
-               iters: Int = 2): DataFrame = {
-    val cent = pqTrain(corpus, dim, m, ksub, iters)
+               iters: Int = 2): DataFrame =
+    pqEncodeWith(corpus, pqTrain(corpus, dim, m, ksub, iters), dim, m)
+
+  /** [[pqEncode]] against an ALREADY-trained codebook — the overload that
+    * lets a caller train once and reuse the (sub, cell, c_sub) table for
+    * encoding AND query distance tables ([[pqKnn]] threads one codebook
+    * through both instead of re-running the iters×window training twice). */
+  def pqEncodeWith(corpus: DataFrame, cent: DataFrame, dim: Int, m: Int = 4): DataFrame = {
     val sv = subVectors(corpus, m, dim / m)
     val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("cell").asc)
     sv.join(broadcast(cent), Seq("sub"))
@@ -423,8 +429,13 @@ object Similarity {
    */
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
             m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    // ONE training run serves both consumers: the codebook (m·ksub rows) is
+    // persisted so the code table and the query distance table share one
+    // evaluation of the iters×window-heavy training subtree, released after
+    // the result's first action (bounded memory in a long session)
     val cent = pqTrain(corpus, dim, m, ksub, iters)
-    val codes = pqEncode(corpus, dim, m, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncodeWith(corpus, cent, dim, m)
     val qsv = subVectors(queries.select(col("vec_id"), col("embedding")), m, dim / m)
       .select(col("vec_id").as("q_id"), col("sub"), col("v"))
     val distTable = qsv.join(broadcast(cent), Seq("sub"))
@@ -435,6 +446,8 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dm")).as("d2_micros"))
     val w = Window.partitionBy("q_id").orderBy(col("d2_micros").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val result = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.util.CacheLifecycle.releaseOnFirstAction(result, cent)
+    result
   }
 }

@@ -75,7 +75,11 @@ object Sketches {
    */
   def kmvDistinct(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
     val sketch = udaf(new KmvAggregator(k), Encoders.STRING)
-    df.select(col(groupCol), md5(value.cast("string").cast("binary")).as("__h"))
+    // NULL contract (all sketches): NULLs are ignored, COUNT(DISTINCT) /
+    // membership semantics — md5(NULL) is NULL and would otherwise pollute
+    // the sketch state (a phantom register/bucket/bit)
+    df.filter(value.isNotNull)
+      .select(col(groupCol), md5(value.cast("string").cast("binary")).as("__h"))
       .groupBy(groupCol)
       .agg(sketch(col("__h")).as("__sk"))
       .select(col(groupCol),
@@ -119,7 +123,11 @@ object Sketches {
   def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
     val m = 1L << p
-    df.select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
+    // NULLs are ignored (COUNT DISTINCT semantics) — md5(NULL) is NULL and
+    // would otherwise land a phantom null-idx register row, inflating the
+    // nonzero count and shifting the linear-counting branch
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
         :+ rho32(h32(value, 9)).as("r"): _*)
       .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max(col("r")).as("r"))
@@ -168,6 +176,77 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p)
 
+  // ── Wide-frame HyperLogLog (48-bit rank frame) ────────────────────────
+  //
+  // The 32-bit rank frame above caps register ranks at 33 — fine for
+  // per-group distincts, but a GLOBAL corpus count approaching 2^32 pushes
+  // ranks against the frame and the estimate saturates low. The wide
+  // variant draws the rank from the NEXT 12 md5 hex chars (48 independent
+  // bits, ranks to 49), lifting the comfortable range to ~2^48 while
+  // keeping every intermediate in a signed long.
+
+  /** md5 hex chars [off, off+12) as a 48-bit long (rank-frame source). */
+  private def h48(value: Column, off: Int): Column =
+    conv(substring(md5(value.cast("string").cast("binary")), off, 12), 16, 10).cast("long")
+
+  /** Rank in the 48-bit frame: 49 − bitlength; the all-zero frame ranks 49. */
+  private def rho48(h: Column): Column =
+    when(h === 0L, lit(49L)).otherwise(lit(49L) - length(bin(h)).cast("long"))
+
+  /** [[hllRegisters]] with the 48-bit rank frame. Same register-table shape
+    * and merge algebra ([[hllMerge]] applies unchanged); p capped at 13 so
+    * the estimator's scaled-integer harmonic sum stays inside a long. */
+  def hllRegistersWide(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 13, s"wide-frame HLL precision must be in [4,13], got $p")
+    val m = 1L << p
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
+        :+ rho48(h48(value, 9)).as("r"): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** [[hllEstimate]] for wide-frame registers. Exactness here needs more
+    * care than the 32-bit variant (whose ≤ 2^16 power-of-two terms span
+    * ≤ 49 binary orders — always exact in a double): ranks reach 49, so the
+    * harmonic sum is computed SCALED by 2^49 — every term 2^(49−r) is an
+    * integer ≤ 2^48, absent registers contribute 2^49, and the total stays
+    * under 2^62 for p ≤ 13 — pure long arithmetic both engines replay
+    * bit-for-bit; the single double conversion at the end is IEEE-rounded
+    * identically everywhere.
+    *
+    * @return (groupCols…, est DOUBLE) rounded to 4 decimals
+    */
+  def hllEstimateWide(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4 && p <= 13, s"wide-frame HLL precision must be in [4,13], got $p")
+    val mL = 1L << p
+    val m = mL.toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val scaleL = 1L << 49
+    val agged = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__nz"),
+        // pow is exact for integer powers of two within range; the long
+        // cast is exact; the long sum is exact
+        sum(pow(lit(2.0), lit(49.0) - col("r").cast("double")).cast("long")).as("__hsl"))
+    val sScaled = (col("__hsl") + (lit(mL) - col("__nz")) * lit(scaleL)).cast("double")
+    val s = sScaled / lit(scaleL.toDouble)
+    val raw = lit(alpha * m * m) / s
+    val zeros = lit(m) - col("__nz")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m) * log(lit(m) / zeros)).otherwise(raw)
+    agged.select(groupCols.map(col) :+ round(est, 4).as("est"): _*)
+  }
+
+  /** Per-group wide-frame distinct estimate — registers + estimate in one
+    * call; the global-corpus-count entry point at 100 TB scale. */
+  def hllDistinctWide(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame =
+    hllEstimateWide(hllRegistersWide(df, groupCols, value, p), groupCols, p)
+
   // ── Count-Min sketch (count table as a DataFrame) ─────────────────────
 
   /** Salted 32-bit row hash for CMS/Bloom: md5 of "j:value". */
@@ -186,7 +265,9 @@ object Sketches {
    */
   def cmsTable(df: DataFrame, key: Column, weight: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
-    df.select(weight.as("__w"),
+    // NULL keys are ignored (the shared sketch NULL contract, see kmvDistinct)
+    df.filter(key.isNotNull)
+      .select(weight.as("__w"),
         posexplode(array((0 until d).map(j => saltedH32(j, key) % w): _*)))
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
       .groupBy("j", "bucket").agg(sum(col("__w")).as("c"))
@@ -237,7 +318,9 @@ object Sketches {
    */
   def bloomBits(df: DataFrame, value: Column, k: Int, mBits: Int): DataFrame = {
     require(k >= 1 && mBits >= 2, s"Bloom needs k >= 1, mBits >= 2, got k=$k mBits=$mBits")
-    df.select(explode(array((0 until k).map(j => saltedH32(j, value) % mBits): _*)).as("pos"))
+    // NULL values are ignored (the shared sketch NULL contract)
+    df.filter(value.isNotNull)
+      .select(explode(array((0 until k).map(j => saltedH32(j, value) % mBits): _*)).as("pos"))
       .distinct()
   }
 

@@ -177,5 +177,25 @@ class SimilaritySpec extends SparkSpec {
       val atMin = rows.filter(_.getLong(2) == minD).map(_.getLong(1)).toSet
       assert(atMin.contains(i), s"query ${100 + i}: original $i not at the ADC minimum")
     }
+    // pqEncodeWith ≡ pqEncode given the same trained codebook (the overload
+    // pqKnn uses to train ONCE instead of twice)
+    val viaWith = Similarity.pqEncodeWith(corpus, cent, dim = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaWith == codeMap)
+  }
+
+  test("pqKnn trains its codebook once (single training subtree in the plan)") {
+    val corpus = (0L until 30L).map { id =>
+      (id, Array.tabulate(16)(j => (((id * 17 + j * 11) % 89).toFloat / 89f)))
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.pqKnn(corpus, corpus.limit(2), k = 2, dim = 16)
+    // the codebook is persisted, so BOTH consumers (code table + query
+    // distance table) read InMemoryRelation; the training subtree — whose
+    // distinctive marker is the md5-ordered init — appears in the analyzed
+    // plan exactly once (under the cache), not once per consumer
+    val plan = knn.queryExecution.optimizedPlan.toString
+    val trainMarkers = "InMemoryRelation".r.findAllIn(plan).size
+    assert(trainMarkers >= 2, s"expected cached codebook reads, got:\n$plan")
+    assert(!plan.contains("md5"), "training subtree duplicated past the cache")
   }
 }

@@ -153,4 +153,67 @@ class SketchSpec extends SparkSpec {
     }.toSet
     assert(bits == expect)
   }
+
+  test("sketches ignore NULLs (COUNT DISTINCT / membership semantics)") {
+    val withNulls = Seq(("g", Option("a")), ("g", Option("b")), ("g", None),
+      ("g", Option("a")), ("g", None)).toDF("g", "v")
+    val clean = withNulls.filter($"v".isNotNull)
+    // kmv: exact branch — 2 distincts, the nulls contribute nothing
+    val kmv = Sketches.kmvDistinct(withNulls, "g", $"v", 64).collect()(0).getDouble(1)
+    assert(kmv == 2.0)
+    // hll: estimate equals the null-free corpus's estimate (no phantom
+    // null-idx register shifting the linear-counting branch)
+    val est = Sketches.hllDistinct(withNulls, Seq("g"), $"v", 9).collect()(0).getDouble(1)
+    val estClean = Sketches.hllDistinct(clean, Seq("g"), $"v", 9).collect()(0).getDouble(1)
+    assert(est == estClean)
+    // cms: the count table matches the null-free build
+    val c1 = Sketches.cmsTable(withNulls, $"v", org.apache.spark.sql.functions.lit(1L), 2, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val c2 = Sketches.cmsTable(clean, $"v", org.apache.spark.sql.functions.lit(1L), 2, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c1 == c2)
+    // bloom: no phantom bit positions
+    assert(Sketches.bloomBits(withNulls, $"v", 3, 256).count() ==
+      Sketches.bloomBits(clean, $"v", 3, 256).count())
+  }
+
+  test("wide-frame hll: matches a JVM replay; survives ranks past the 32-bit cap") {
+    // exact replay of the 48-bit-frame estimator on a small corpus
+    val n = 3000
+    val d = (1 to n).map(i => ("g", s"v$i")).toDF("g", "v")
+    val p = 9; val m = 1 << p
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    (1 to n).foreach { i =>
+      val hx = md5hex(s"v$i")
+      val idx = java.lang.Long.parseLong(hx.substring(0, 8), 16) % m
+      val frame = java.lang.Long.parseLong(hx.substring(8, 20), 16)
+      val r = if (frame == 0L) 49L else 49L - (64 - java.lang.Long.numberOfLeadingZeros(frame))
+      regs(idx) = math.max(regs.getOrElse(idx, 0L), r)
+    }
+    val hsl = regs.values.map(r => 1L << (49 - r)).sum +
+      (m - regs.size).toLong * (1L << 49)
+    val s = hsl.toDouble / (1L << 49).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / s
+    val zeros = (m - regs.size).toDouble
+    val expect = math.rint((if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+                            else raw) * 1e4) / 1e4
+    val got = Sketches.hllDistinctWide(d, Seq("g"), $"v", p).collect()(0).getDouble(1)
+    assert(got == expect)
+    assert(math.abs(got - n) / n < 0.15, s"estimate $got vs true $n")
+    // the wide frame REPRESENTS ranks the 32-bit frame cannot: registers at
+    // r = 40 (≈ one-in-2^39 hash tails — cardinality ~2^48 territory) feed
+    // the estimator and yield the correspondingly huge estimate instead of
+    // the rho32 ceiling of 33
+    val bigRegs = (0 until m).map(i => ("g", i.toLong, 40L)).toDF("g", "idx", "r")
+    val big = Sketches.hllEstimateWide(bigRegs, Seq("g"), p).collect()(0).getDouble(1)
+    assert(big > math.pow(2.0, 40) * m / 2, s"saturated estimate: $big")
+    // merge algebra is unchanged: union+max register tables
+    val (h1, h2) = (d.filter($"v" < "v2"), d.filter($"v" >= "v2"))
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegistersWide(h1, Seq("g"), $"v", p),
+      Sketches.hllRegistersWide(h2, Seq("g"), $"v", p), Seq("g"))
+    val viaMerge = Sketches.hllEstimateWide(merged, Seq("g"), p).collect()(0).getDouble(1)
+    assert(viaMerge == got)
+  }
 }
