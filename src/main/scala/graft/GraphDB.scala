@@ -566,14 +566,91 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
   }
 
   private def runQuery(q: cypher.Ast.Query): DataFrame =
-    q.shortest match {
+    expandVarlenNamedPath(q).getOrElse(q.shortest match {
       case Some(sp) => runShortest(sp, q)
       case None =>
         if (q.unwindLit.isDefined) runUnwindLit(q)
         else if (q.unwindRange.isDefined) runUnwindRange(q)
         else if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
         else run(Pattern.fromQuery(q))
+    })
+
+  /**
+   * `MATCH p = (a)-[:T*lo..hi]->(b)` — a BOUNDED variable-length hop inside
+   * a named path enumerates paths, not endpoint pairs (the bare varlen
+   * Expand's walk semantics bind pairs and are kept for unnamed patterns).
+   * Expansion: one fixed-length branch per length L in [lo, hi], the hop
+   * unrolled into L single-hop relationships over fresh intermediate
+   * bindings, `namedPaths` rewritten so nodes(p)/relationships(p)/length(p)
+   * render per branch; branches union (set semantics — one row per distinct
+   * path) and the final ORDER BY/SKIP/LIMIT apply post-union, exactly like
+   * a UNION query. hi − lo + 1 branches of an already-planned shape — the
+   * plan grows linearly with the bound, never with the data.
+   *
+   * @return None when the query has no varlen hop inside a named path
+   */
+  private def expandVarlenNamedPath(q: cypher.Ast.Query): Option[DataFrame] = {
+    import cypher.Ast
+    if (q.namedPaths.isEmpty) return None
+    val pathRels: Set[String] = q.namedPaths.values.flatMap(_._2).toSet
+    val varlenHops = q.paths.flatMap(_.hops).collect {
+      case (r, _) if r.hops.isDefined && r.name.exists(pathRels) => r
     }
+    if (varlenHops.isEmpty) return None
+    if (varlenHops.sizeIs > 1) throw new cypher.ParseException(
+      "at most one variable-length hop per named path query is supported")
+    if (q.withClauses.nonEmpty) throw new cypher.ParseException(
+      "a variable-length named path does not compose with WITH " +
+        "(aggregate per fixed length or drop the path variable)")
+    if (q.returns.exists(r => r.agg.exists(a => !plans.Pattern.ScalarFns(a))))
+      throw new cypher.ParseException(
+        "aggregates over a variable-length named path are not supported " +
+          "(each length is a separate branch; aggregate over a fixed-length path)")
+    val vr = varlenHops.head
+    val relName = vr.name.get
+    val (lo, hi) = vr.hops.get
+    val branches = (lo to hi).map { len =>
+      val midName = (k: Int) => s"__vp_${relName}_${len}_$k"
+      val relNameAt = (k: Int) => s"__vr_${relName}_${len}_$k"
+      val newPaths = q.paths.map { p =>
+        val idx = p.hops.indexWhere(_._1.name.contains(relName))
+        if (idx < 0) p
+        else {
+          val (_, endNode) = p.hops(idx)
+          val mids = (1 until len).map(k => Ast.NodePat(Some(midName(k)), None))
+          val rels = (1 to len).map(k => vr.copy(hops = None, name = Some(relNameAt(k))))
+          val newHops = rels.zip(mids :+ endNode)
+          Ast.Path(p.first, p.hops.take(idx) ++ newHops ++ p.hops.drop(idx + 1))
+        }
+      }
+      val np = q.namedPaths.map { case (pv, (ns, rs)) =>
+        val ri = rs.indexOf(relName)
+        if (ri < 0) pv -> ((ns, rs))
+        else pv -> ((
+          ns.take(ri + 1) ++ (1 until len).map(midName) ++ ns.drop(ri + 1),
+          rs.take(ri) ++ (1 to len).map(relNameAt) ++ rs.drop(ri + 1)))
+      }
+      q.copy(paths = newPaths, namedPaths = np,
+        orderBy = Seq.empty, limit = None, skip = None)
+    }
+    val dfs = branches.map(runQuery)
+    // distinct paths across branches can never collide (their lengths
+    // differ), but endpoint-only projections can — set semantics dedups
+    val u = dfs.reduce(_.unionByName(_)).dropDuplicates()
+    val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
+    val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
+    if (unknownSort.nonEmpty) throw new cypher.ParseException(
+      s"ORDER BY over a variable-length named path references non-returned " +
+        s"columns: ${unknownSort.mkString(",")}")
+    val ordered =
+      if (q.orderBy.isEmpty) u
+      else u.orderBy(q.orderBy.map { k =>
+        val c = col(sortKeyToOut(k.binding))
+        if (k.asc) c.asc else c.desc
+      }: _*)
+    val skipped = q.skip.fold(ordered)(ordered.offset)
+    Some(q.limit.fold(skipped)(skipped.limit))
+  }
 
   /**
    * `MATCH … WITH <items> [WHERE …] (WITH …)* RETURN …`: the FIRST stage

@@ -744,6 +744,22 @@ object SparkEntry {
         "RETURN c, nodes(p) AS ns, relationships(p) AS rs, length(p) AS ln")
         .withColumn("ns", concat_ws(",", col("ns")))
         .withColumn("rs", concat_ws(",", col("rs")))),
+    // bounded varlen NAMED path: one fixed-length branch per length with
+    // enumerable nodes(p) (union of 1-hop customer→nation and 2-hop
+    // customer→nation→region paths here)
+    "cy_path_varlen" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) " +
+        "RETURN c, nodes(p) AS ns, length(p) AS ln")
+        .withColumn("ns", concat_ws(",", col("ns")))),
+    // WITH-stage path functions: nodes(p)/length(p) decay to value columns
+    // at the stage boundary; the pipeline then filters and aggregates them
+    // as plain rows (count paths per nation)
+    "cy_with_path" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region) " +
+        "WITH n AS n2, nodes(p) AS ns, length(p) AS ln WHERE ln = 2 " +
+        "RETURN n2, count(*) AS paths")),
     // the rest of the openCypher aggregate set: stDev/stDevP per group.
     // Rounded to 6 decimals on BOTH engines: stddev's partial-merge order is
     // partition-dependent, so the last ULP is run-to-run noise
@@ -2167,6 +2183,21 @@ object SparkEntry {
        "|| ',' || (n_regionkey + 1000000000)::VARCHAR AS ns, " +
        "'IN_NATION,IN_REGION' AS rs, CAST(2 AS BIGINT) AS ln " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+    // per-length branch union: L=1 is customer→nation (the only typed edge
+    // out of a customer), L=2 appends nation→region; rows are distinct
+    // across branches by construction (ln differs)
+    "cy_path_varlen" ->
+      ("SELECT c_custkey + 3000000000 AS c, " +
+       "(c_custkey + 3000000000)::VARCHAR || ',' || (c_nationkey + 2000000000)::VARCHAR AS ns, " +
+       "CAST(1 AS BIGINT) AS ln FROM customer " +
+       "UNION ALL " +
+       "SELECT c_custkey + 3000000000, " +
+       "(c_custkey + 3000000000)::VARCHAR || ',' || (c_nationkey + 2000000000)::VARCHAR " +
+       "|| ',' || (n_regionkey + 1000000000)::VARCHAR, CAST(2 AS BIGINT) " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+    "cy_with_path" ->
+      ("SELECT n_nationkey + 2000000000 AS n2, count(*) AS paths " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"),
     "cy_agg_stats" ->
       ("SELECT n_nationkey + 2000000000 AS n, round(stddev_samp(c_acctbal), 6) AS sd, " +
        "round(stddev_pop(c_acctbal), 6) AS sp FROM customer JOIN nation " +

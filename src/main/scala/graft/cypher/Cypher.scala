@@ -314,14 +314,15 @@ object Ast {
         * left join (openCypher: the WHERE is part of the OPTIONAL MATCH).
         * Bare equality/comparison conjuncts only (enforced downstream). */
       optionalWhere: Seq[Seq[Pred]] = Seq.empty,
-      /** `MATCH p = (a)-[r:T]->(b)-…` — general (fixed-length) path
-        * variables: pathVar → (node bindings in path order, relationship
-        * bindings in path order; anonymous elements are auto-named at
-        * parse). `nodes(p)` renders the node-id list, `relationships(p)`
-        * the relationship-type list, `length(p)` the hop count. Restricted
-        * to fixed-length paths: a variable-length hop binds a SET of
-        * endpoint pairs (walk semantics), not an enumerable node sequence —
-        * shortestPath() is the varlen path form. */
+      /** `MATCH p = (a)-[r:T]->(b)-…` — general path variables: pathVar →
+        * (node bindings in path order, relationship bindings in path order;
+        * anonymous elements are auto-named at parse). `nodes(p)` renders
+        * the node-id list, `relationships(p)` the relationship-type list,
+        * `length(p)` the hop count. A BOUNDED variable-length hop in a
+        * named path is expanded by GraphDB into one fixed-length branch per
+        * length (union of enumerable paths); as parsed, this map holds ONE
+        * rel entry for the varlen hop, which the expansion rewrites per
+        * branch. shortestPath() remains the unbounded/minimal path form. */
       namedPaths: Map[String, (Seq[String], Seq[String])] = Map.empty)
 
   /** Write surface (reference mutation API §2.5, insertVertex /
@@ -729,9 +730,10 @@ object CypherParser {
           def nodeNamed(n: NodePat): NodePat =
             if (n.name.isDefined) n
             else { k += 1; n.copy(name = Some(s"__pn_${pv}_$k")) }
+          // a bounded variable-length hop is allowed: GraphDB expands the
+          // query into one fixed-length branch per length in [lo, hi]
+          // (a union), each with enumerable nodes(p)/relationships(p)
           def relNamed(r: RelPat): RelPat = {
-            if (r.hops.isDefined) err(s"path variable $pv over a variable-length " +
-              "relationship is not supported (use shortestPath for varlen paths)")
             if (r.name.isDefined) r
             else { k += 1; r.copy(name = Some(s"__pr_${pv}_$k")) }
           }
@@ -849,6 +851,10 @@ object CypherParser {
           val nl = name.toLowerCase
           if (nl == "length" && peek == '(') {
             eat('('); val b = ident(); eat(')')
+            // post-WITH rows have no path in scope (same rule as the other
+            // path/entity scalar functions below)
+            if (afterWith) err("length() is not available after WITH " +
+              "(project it in the first WITH items instead)")
             Some(Ret(b, None, Some("length"))) // path length projection (shortestPath)
           } else if (scalarFns(nl) && peek == '(') {
             eat('('); val b = ident(); eat(')')
@@ -1052,13 +1058,11 @@ object CypherParser {
       val limit = if (kw("LIMIT")) Some(nonNegInt("LIMIT")) else None
       // trailing-input enforcement lives in the entry points (end()) so a
       // UNION connector after this query is the caller's to consume
-      // path functions are RETURN-only: the WITH pipeline reads bare stage
-      // columns, and an array-of-ids stage column would silently decay the
-      // path into a value with no further path semantics
-      withClauses.foreach(_.items.foreach { it =>
-        if (it.agg.exists(Set("nodes", "relationships", "length")))
-          err(s"${it.agg.get}(${it.binding}) is not available in WITH — return it directly")
-      })
+      // Path functions in the FIRST WITH clause materialize the path as a
+      // VALUE column at the stage boundary (nodes(p) → its id array) —
+      // which is exactly what WITH means: the path decays to a value.
+      // Later clauses are post-match scope, where retItem(afterWith=true)
+      // already rejects them.
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
         limit, skip, shortest, withClauses.toSeq, unwindLit, unwindRange, optionalWhere.toSeq,
         namedPaths)

@@ -2163,12 +2163,8 @@ class CypherSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 == 1L))
   }
 
-  test("path variable: rejections — varlen, bare RETURN p, unknown path, WITH") {
+  test("path variable: rejections — bare RETURN p, unknown path, post-first-WITH") {
     val db = new GraphDB(diamond)
-    val e1 = intercept[graft.cypher.ParseException] {
-      db.query("MATCH p = (a:A)-[:X*1..2]->(b) RETURN length(p)")
-    }
-    assert(e1.getMessage.contains("variable-length"))
     val e2 = intercept[graft.cypher.ParseException] {
       db.query("MATCH p = (a:A)-[:X]->(b:B) RETURN p")
     }
@@ -2177,13 +2173,70 @@ class CypherSpec extends SparkSpec {
       db.query("MATCH (a:A)-[:X]->(b:B) RETURN nodes(q)")
     }
     assert(e3.getMessage.contains("unknown path variable"))
+    // path fns are first-WITH-clause / RETURN only: post-WITH rows have no
+    // path in scope
     val e4 = intercept[graft.cypher.ParseException] {
-      db.query("MATCH p = (a:A)-[:X]->(b:B) WITH nodes(p) AS ns RETURN ns")
+      db.query("MATCH p = (a:A)-[:X]->(b:B) WITH a AS a2 WITH nodes(p) AS ns RETURN ns")
     }
-    assert(e4.getMessage.contains("not available in WITH"))
+    assert(e4.getMessage.contains("not available after WITH"))
+    intercept[graft.cypher.ParseException] {
+      db.query("MATCH p = (a:A)-[:X]->(b:B) WITH a AS a2 RETURN length(p)")
+    }
     // length() over a non-path binding stays rejected
     intercept[graft.cypher.ParseException] {
       db.query("MATCH (a:A)-[:X]->(b:B) RETURN length(a)")
     }
+  }
+
+  test("path variable: WITH-stage path functions decay the path to a value") {
+    val db = new GraphDB(diamond)
+    // nodes(p) materializes as an array column at the WITH boundary; the
+    // later stage reads it as a plain value (size() etc.)
+    val got = db.query(
+      "MATCH p = (a:A)-[:X]->(b:B)-[:Y]->(c:C) " +
+      "WITH b AS mid, nodes(p) AS ns, length(p) AS ln " +
+      "WHERE ln = 2 RETURN mid, size(ns) AS n ORDER BY mid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 3L), (3L, 3L)))
+    // aggregation over the decayed value: count paths per length
+    val agg = db.query(
+      "MATCH p = (a:A)-->(x) WITH length(p) AS ln, nodes(p) AS ns " +
+      "RETURN ln, count(*) AS paths").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(agg.toSeq == Seq((1L, 2L)))
+  }
+
+  test("path variable: bounded varlen named path enumerates per-length branches") {
+    // diamond: 1-X->2, 1-X->3, 2-Y->4, 3-Y->4
+    val db = new GraphDB(diamond)
+    val got = db.query(
+      "MATCH p = (a:A)-[*1..2]->(c) RETURN nodes(p) AS ns, length(p) AS ln")
+      .collect().map(r => (r.getSeq[Long](0).toList, r.getLong(1)))
+      .sortBy(_._1.toString)
+    assert(got.toSet == Set(
+      (List(1L, 2L), 1L), (List(1L, 3L), 1L),
+      (List(1L, 2L, 4L), 2L), (List(1L, 3L, 4L), 2L)))
+    // typed varlen hop + relationships(p); minHops > 1 excludes short paths.
+    // Both 2-hop paths render the same type list — set semantics (one row
+    // per DISTINCT projection, engine-wide) collapse them to one row.
+    val rs = db.query(
+      "MATCH p = (a:A)-[:X|Y*2..2]->(c:C) RETURN relationships(p) AS rs")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rs.toSeq == Seq(List("X", "Y")))
+    // composes with surrounding fixed hops and ORDER BY/LIMIT post-union
+    val lim = db.query(
+      "MATCH p = (a:A)-[*1..2]->(x) RETURN length(p) AS ln ORDER BY ln DESC LIMIT 1")
+      .collect().map(_.getLong(0))
+    assert(lim.toSeq == Seq(2L))
+    // endpoint-only projection dedups across branches (set semantics):
+    // node 4 is reachable at length 2 only; 2 and 3 at length 1 only
+    val ends = db.query("MATCH p = (a:A)-[*1..2]->(x) RETURN x")
+      .collect().map(_.getLong(0)).sorted
+    assert(ends.toSeq == Seq(2L, 3L, 4L))
+    // aggregates across branches are rejected loudly
+    val e = intercept[graft.cypher.ParseException] {
+      db.query("MATCH p = (a:A)-[*1..2]->(x) RETURN count(x)")
+    }
+    assert(e.getMessage.contains("variable-length named path"))
   }
 }
