@@ -1588,6 +1588,12 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedAgg(graft.sources.Tables.events(s, dir))
         .select(col("w_start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))),
+    // streaming distinct-count sketch: per-(day, event_type) HLL register
+    // maintenance as one streaming aggregate; estimate read-side
+    "stream_hll" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedHllDistinct(
+        graft.sources.Tables.events(s, dir), Seq("event_type"), col("user_id"), p = 9)
+        .select(col("w_start").cast("date").as("day"), col("event_type"), col("est"))),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(graft.sources.Tables.events(s, dir))
         .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
@@ -2973,6 +2979,22 @@ object SparkEntry {
     "stream_window_agg" ->
       ("SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n, " +
        "sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2"),
+    // windowed HLL replay: same register/rank contract as sketch_hll with
+    // the tumbling day window as an extra group key
+    "stream_hll" ->
+      ("WITH h AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, " +
+       "('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 512 AS idx, " +
+       "CASE WHEN ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT = 0 THEN 33 " +
+       "ELSE 33 - len(bin(('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT)) END AS r " +
+       "FROM events WHERE user_id IS NOT NULL), " +
+       "regs AS (SELECT day, event_type, idx, max(r) AS r FROM h GROUP BY 1, 2, 3), " +
+       "agg AS (SELECT day, event_type, count(*) AS nz, sum(power(2.0, -r)) AS hs " +
+       "FROM regs GROUP BY 1, 2) " +
+       "SELECT day, event_type, round(CASE WHEN raw <= 1280.0 AND zeros > 0 " +
+       "THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 4) AS est FROM (" +
+       "SELECT day, event_type, " +
+       "(0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
+       "512.0 - nz AS zeros FROM agg)"),
     "stream_session_window" ->
       // Spark session_window: an event extends the session iff it lands
       // strictly inside [last_ts, last_ts + gap); window end = last_ts + gap

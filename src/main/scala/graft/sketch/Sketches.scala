@@ -109,6 +109,14 @@ object Sketches {
   private def rho32(h: Column): Column =
     when(h === 0L, lit(33L)).otherwise(lit(33L) - length(bin(h)).cast("long"))
 
+  /** The (register index, rank) column pair of one value — the per-row HLL
+    * projection, exposed so other register-table maintainers (e.g. the
+    * streaming windowed variant) share the exact hash/rank contract. */
+  private[graft] def hllRegisterCols(value: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
+    ((h32(value, 1) % (1L << p), rho32(h32(value, 9))))
+  }
+
   /**
    * HyperLogLog registers (Flajolet et al. 2007) as a DataFrame — the
    * sketch IS a ≤ m-row (groupCols…, idx, r) table: idx = hash % m over m =

@@ -59,6 +59,43 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
   /**
+   * Windowed streaming HyperLogLog: maintains the HLL REGISTER table per
+   * (tumbling window, groupCols) as ONE streaming aggregate — max(rank) is
+   * monotone and commutative, so each micro-batch folds in with map-side
+   * partial aggregation and state is bounded at ≤ live-windows × groups ×
+   * 2^p rows regardless of how many distinct values stream past (the
+   * property an exact streaming COUNT DISTINCT cannot have). The register
+   * table IS the durable sketch: sink it per window and merge/estimate at
+   * read time ([[graft.sketch.Sketches.hllMerge]]/[[graft.sketch.Sketches.hllEstimate]])
+   * — at 100 TB the stream never holds raw values. Identical on batch
+   * input (the oracle path). NULL values are ignored (the sketch family's
+   * shared NULL contract).
+   */
+  def windowedHllRegisters(events: DataFrame, groupCols: Seq[String], value: Column,
+                           p: Int, windowDur: String = "1 day",
+                           wm: String = "1 hour"): DataFrame = {
+    val (idx, rank) = graft.sketch.Sketches.hllRegisterCols(value, p)
+    watermarked(events, "ts", wm)
+      .filter(value.isNotNull)
+      .groupBy(window(col("ts"), windowDur).as("w") +: groupCols.map(col)
+        :+ idx.as("idx"): _*)
+      .agg(max(rank).as("r"))
+      .select(col("w.start").as("w_start") +: groupCols.map(col)
+        :+ col("idx") :+ col("r"): _*)
+  }
+
+  /** Per-(window, groupCols) distinct estimate from [[windowedHllRegisters]].
+    * The estimate is a SECOND aggregation, so on a stream run it at read
+    * time over the sunk register table (one stateful operator per streaming
+    * query); on batch input the whole chain is one plan. */
+  def windowedHllDistinct(events: DataFrame, groupCols: Seq[String], value: Column,
+                          p: Int, windowDur: String = "1 day",
+                          wm: String = "1 hour"): DataFrame =
+    graft.sketch.Sketches.hllEstimate(
+      windowedHllRegisters(events, groupCols, value, p, windowDur, wm),
+      "w_start" +: groupCols, p)
+
+  /**
    * Gap-based session windows via the built-in `session_window` — the
    * declarative form of sessionization (merging windows within `gap`).
    * Works identically on batch and streaming input.

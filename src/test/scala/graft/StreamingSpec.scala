@@ -275,4 +275,43 @@ class StreamingSpec extends SparkSpec {
       assert(stream("b") == 5.0) // under k → exact
     } finally q.stop()
   }
+
+  test("windowedHllRegisters streaming ≡ batch; read-side estimate matches") {
+    // the register table is ONE streaming aggregate (max rank is monotone),
+    // maintained incrementally across micro-batches in update mode; the
+    // estimate over the final registers equals the one-shot batch estimate
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedHllRegisters(
+        in.toDF(), Seq("event_type"), $"user_id", p = 6,
+        windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("hllregs").outputMode("complete").start()
+    try {
+      val evs = (1 to 120).map(i => GEvent(i.toLong,
+        ts(f"2024-01-0${1 + i % 2}%d 10:00:00"), (i % 37).toLong, "click", 1.0))
+      in.addData(evs.take(60): _*)
+      drain(q)
+      in.addData(evs.drop(60): _*)
+      drain(q)
+      val streamRegs = spark.table("hllregs")
+        .select($"w_start".cast("string"), $"event_type", $"idx", $"r")
+        .as[(String, String, Long, Long)].collect().toSet
+      val batchRegs = StreamOps.windowedHllRegisters(
+          evs.toDF(), Seq("event_type"), $"user_id", p = 6)
+        .select($"w_start".cast("string"), $"event_type", $"idx", $"r")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamRegs == batchRegs)
+      // read-side estimate over the sunk registers == one-shot batch chain
+      val est = graft.sketch.Sketches.hllEstimate(
+          spark.table("hllregs"), Seq("w_start", "event_type"), 6)
+        .select($"w_start".cast("string"), $"event_type", $"est")
+        .as[(String, String, Double)].collect().toSet
+      val batchEst = StreamOps.windowedHllDistinct(
+          evs.toDF(), Seq("event_type"), $"user_id", p = 6)
+        .select($"w_start".cast("string"), $"event_type", $"est")
+        .as[(String, String, Double)].collect().toSet
+      assert(est == batchEst)
+      // sanity: ~37 distinct users split over two daily windows
+      est.foreach { case (_, _, e) => assert(e > 15 && e < 45, s"est $e") }
+    } finally q.stop()
+  }
 }
