@@ -154,8 +154,17 @@ object Bench {
         case None => (n, t, qm, e)
       }
     }
+    // `suspect` marks a final value that may STILL be storm-contaminated:
+    // the query stayed above the bar AND its attempts disagree by > 2x (a
+    // genuine cost reproduces tightly across attempts spread over the run —
+    // e.g. 11.2/10.5/9.3 s is an expensive query, not a storm; 70/71/4 s is
+    // a storm that outlasted two attempts). Fewer than 3 recorded attempts
+    // (an errored retry) can't be cross-checked and stays suspect.
     val suspects = finalResults.collect {
-      case (n, t, _, err) if err.isEmpty && t > hotBar && retried.contains(n) => n
+      case (n, t, _, err) if err.isEmpty && t > hotBar && retried.get(n).exists { at =>
+        val ts = at.map(_._1)
+        ts.sizeIs < 3 || ts.max > 2 * ts.min
+      } => n
     }.sorted
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

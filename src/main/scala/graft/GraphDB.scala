@@ -1035,11 +1035,23 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // rendered by the same endpoint-pair join-back as residual edge refs
     val itemEdgeRefs = (pg.items.filter(i => i.prop.isDefined && edgeByName.contains(i.binding))
       .map(i => i.binding -> i.prop.get) ++ exprEdgeRefs.filter(_._2.nonEmpty)).distinct
-    // type(r)/startNode(r)/endNode(r) project the matched relationship's
-    // identity columns — same identity join-back, no property columns
+    // keys(b) bindings from every position: bare item form, expression
+    // items, residual predicates. Node bindings join ALL node property
+    // columns back (the present-key list reads their null-ness); a
+    // RELATIONSHIP binding does the same over the edge table's property
+    // columns via the identity join-back below.
+    val allKeysBindings =
+      (pg.items.filter(_.agg.contains("keys")).map(_.binding) ++
+        (pg.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.fns)) ++
+          pg.residual.flatMap(cypher.Ast.Pred.fns(_)))
+          .collect { case cypher.Ast.EFn("keys", Seq(cypher.Ast.ERef(b, _))) => b }).distinct
+    val keysEdgeNames = allKeysBindings.filter(edgeByName.contains)
+    // type(r)/startNode(r)/endNode(r)/keys(r) project the matched
+    // relationship's identity (and, for keys, property) columns — same
+    // identity join-back; the dedup below keys on which edge matched
     val typeRefNames = (pg.items
       .filter(_.agg.exists(Set("type", "startnode", "endnode")))
-      .map(_.binding) ++ pathRelNames).distinct
+      .map(_.binding) ++ pathRelNames ++ keysEdgeNames).distinct
     val resRefs = pg.residual.flatMap(cypher.Ast.Pred.refs(_)).distinct
     val (resEdgeRefs, resNodeRefs) = resRefs.partition(r => edgeByName.contains(r._1))
     val edgeRefNames =
@@ -1096,13 +1108,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // bare item form (Ret.agg) and the expression form (EFn("keys", …)
     // inside an item expression or a residual predicate)
     val nodePropCols = graph.nodes.columns.toSeq.filter(c => c != "id" && c != "label").sorted
-    val exprKeysBindings =
-      (pg.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.fns)) ++
-        pg.residual.flatMap(cypher.Ast.Pred.fns(_)))
-        .collect { case cypher.Ast.EFn("keys", Seq(cypher.Ast.ERef(b, _))) => b }
-    val keysRefs =
-      (pg.items.filter(_.agg.contains("keys")).map(_.binding) ++ exprKeysBindings)
-        .distinct.flatMap(b => nodePropCols.map(b -> _))
+    val edgePropCols = graph.edges.columns.toSeq
+      .filterNot(Set("src", "dst", "etype")).sorted
+    val keysRefs = allKeysBindings.filterNot(edgeByName.contains)
+      .flatMap(b => nodePropCols.map(b -> _))
     val itemProps = pg.items
       .filter(i => i.prop.isDefined && !edgeByName.contains(i.binding))
       .map(i => i.binding -> i.prop.get) ++ exprNodeRefs.filter(_._2.nonEmpty) ++
@@ -1123,8 +1132,11 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // src/dst/etype) so the granularity dedup below keys on which
     // relationship matched, never on property values (two distinct
     // relationships sharing a value must both contribute to aggregates).
-    val edgePropsNeeded0 = (resEdgeRefs ++ itemEdgeRefs)
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    // keys(r) needs EVERY edge property column of the relationship
+    val edgePropsNeeded0 =
+      (resEdgeRefs.filter(_._2.nonEmpty) ++ itemEdgeRefs ++
+        keysEdgeNames.flatMap(r => edgePropCols.map(r -> _)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     // type()-only relationships join just their identity columns back
     val edgePropsNeeded = edgePropsNeeded0 ++
       typeRefNames.filterNot(edgePropsNeeded0.contains).map(_ -> Seq.empty[String])
@@ -1207,10 +1219,14 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     // row from the joined-back property columns. A property-less node table
     // yields a TYPED empty array (array() alone is array<null> and breaks
     // downstream union/array ops).
-    def keysArray(b: String): Column =
-      if (nodePropCols.isEmpty) array().cast("array<string>")
+    def keysArray(b: String): Column = {
+      // node binding → node property columns; relationship binding → the
+      // matched edge's property columns (joined back above)
+      val propCols = if (edgeByName.contains(b)) edgePropCols else nodePropCols
+      if (propCols.isEmpty) array().cast("array<string>")
       else array_compact(array(
-        nodePropCols.map(p => when(col(s"${b}_$p").isNotNull, lit(p))): _*))
+        propCols.map(p => when(col(s"${b}_$p").isNotNull, lit(p))): _*))
+    }
     def matchResolve(b: String, pr: String): Column =
       if (pr.isEmpty) col(b)
       else if (pr == operators.Preds.KeysProp) keysArray(b)

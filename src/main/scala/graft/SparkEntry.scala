@@ -431,6 +431,12 @@ object SparkEntry {
     "cy_edge_prop" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH (o:order)-[r:CONTAINS]->(p:part) WHERE r.weight >= 45 RETURN o, p")),
+    // keys() on relationships: per matched edge's present property keys —
+    // IN_NATION edges carry no weight (empty list), PLACED edges do
+    "cy_rel_keys" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (c:customer)-[r:IN_NATION|PLACED]->(x) " +
+        "RETURN c, x, join(keys(r), ',') AS ks")),
     // relationship property inside an OR residual (mixed with a node prop):
     // the edge value joins back on the endpoint pair post-match
     "cy_edge_prop_or" -> ((s, dir) =>
@@ -1987,6 +1993,13 @@ object SparkEntry {
     "cy_edge_prop" ->
       ("SELECT l_orderkey + 6000000000 AS o, l_partkey + 5000000000 AS p " +
        "FROM lineitem GROUP BY 1, 2 HAVING min(l_quantity) >= 45"),
+    // IN_NATION edges have a NULL weight (empty key list); PLACED edges
+    // carry weight = o_totalprice
+    "cy_rel_keys" ->
+      ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS x, '' AS ks " +
+       "FROM customer " +
+       "UNION ALL " +
+       "SELECT o_custkey + 3000000000, o_orderkey + 6000000000, 'weight' FROM orders"),
     "cy_edge_prop_or" ->
       ("SELECT li.o, li.p FROM (SELECT l_orderkey + 6000000000 AS o, " +
        "l_partkey + 5000000000 AS p, min(l_quantity) AS w FROM lineitem " +

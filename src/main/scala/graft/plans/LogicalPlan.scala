@@ -204,19 +204,27 @@ object Pattern {
         throw new graft.cypher.ParseException(
           s"path variable $pv collides with a node/relationship binding")
     }
-    q.withClauses.foreach(_.items.foreach { i =>
+    // path functions are legal in the FIRST WITH clause (the path decays to
+    // a value column at the stage boundary — GraphDB.runWith strips the
+    // clauses before planning); later clauses are post-match scope
+    q.withClauses.drop(1).foreach(_.items.foreach { i =>
       if (i.agg.exists(Set("nodes", "relationships", "length")))
         throw new graft.cypher.ParseException(
-          s"${i.agg.get}(${i.binding}) is not available in WITH — return it directly")
+          s"${i.agg.get}(${i.binding}) is only available in the first WITH clause")
     })
     q.returns.foreach { r =>
       // expression items: every reference must resolve to a bound node
       // binding (bare or property) or a relationship variable's PROPERTY
       r.expr.foreach { e =>
+        // a bare relationship ref is legal exactly when it is the argument
+        // of keys() — keys(r) reads the edge's property columns, not an
+        // entity value
+        val keysArgs = Ast.Expr.fns(e)
+          .collect { case Ast.EFn("keys", Seq(Ast.ERef(b, _))) => b }.toSet
         Ast.Expr.refs(e).foreach { case (b, p) =>
           if (!allBindings(b)) {
             if (returnableEdges(b)) {
-              if (p.isEmpty) throw new graft.cypher.ParseException(
+              if (p.isEmpty && !keysArgs(b)) throw new graft.cypher.ParseException(
                 s"$b: a relationship entity has no value in an expression — " +
                   s"use a property ($b.prop)")
             } else throw new graft.cypher.ParseException(
@@ -254,11 +262,11 @@ object Pattern {
                 s"$f() takes a relationship variable"
             else s"$f(${r.binding}): unknown relationship variable")
         case Some("keys") =>
-          if (!allBindings(r.binding)) throw new graft.cypher.ParseException(
-            if (returnableEdges(r.binding))
-              s"keys(${r.binding}): relationship property keys are not supported — " +
-                "project a property instead"
-            else s"keys(${r.binding}): unknown binding")
+          // keys() accepts node bindings AND single-hop relationship
+          // variables (the edge's present property keys, per matched edge)
+          if (!allBindings(r.binding) && !returnableEdges(r.binding))
+            throw new graft.cypher.ParseException(
+              s"keys(${r.binding}): unknown binding")
         case _ =>
           if (!allBindings(r.binding)) {
             if (returnableEdges(r.binding)) {

@@ -1984,7 +1984,7 @@ class CypherSpec extends SparkSpec {
     }
   }
 
-  test("keys(n): present property keys, sorted; relationship rejected") {
+  test("keys(n)/keys(r): present property keys, sorted, per matched element") {
     val db = new GraphDB(propsG)
     val ks = db.query("MATCH (a:A) RETURN keys(a) AS ks").collect()(0).getSeq[String](0)
     assert(ks == Seq("name", "value"))
@@ -1996,9 +1996,22 @@ class CypherSpec extends SparkSpec {
     val ks2 = new GraphDB(g2).query("MATCH (a:A) RETURN keys(a) AS ks")
       .collect()(0).getSeq[String](0)
     assert(ks2 == Seq("value"))
-    intercept[graft.cypher.ParseException] {
-      db.query("MATCH (a:A)-[r:X]->(b:B) RETURN keys(r) AS ks")
-    }
+    // relationship keys over a property-less edge table: typed empty list
+    val ek0 = db.query("MATCH (a:A)-[r:X]->(b:B) RETURN b, keys(r) AS ks")
+      .collect().map(_.getSeq[String](1))
+    assert(ek0.length == 3 && ek0.forall(_.isEmpty))
+    // per-edge present keys: parallel edges on one pair each render THEIR
+    // OWN non-null property set (identity join-back granularity)
+    val g3 = PropertyGraph(
+      spark.createDataFrame(Seq((1L, "A"), (2L, "B"))).toDF("id", "label"),
+      spark.createDataFrame(Seq(
+        (1L, 2L, "X", Some(5L), Option.empty[String]),
+        (1L, 2L, "Z", Option.empty[Long], Some("u"))))
+        .toDF("src", "dst", "etype", "w", "tag"))
+    val ek = new GraphDB(g3).query(
+      "MATCH (a:A)-[r:X|Z]->(b:B) RETURN type(r) AS t, join(keys(r), ',') AS ks")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ek == Set(("X", "w"), ("Z", "tag")))
   }
 
   test("join(list, sep): list rendering; keys() composes in expression position") {
@@ -2204,6 +2217,12 @@ class CypherSpec extends SparkSpec {
       "RETURN ln, count(*) AS paths").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(agg.toSeq == Seq((1L, 2L)))
+    // UNWIND over the decayed node list: one row per node per path
+    val un = db.query(
+      "MATCH p = (a:A)-->(x) WITH nodes(p) AS ns UNWIND ns AS nid " +
+      "RETURN nid, count(*) AS k ORDER BY nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(un.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
   test("path variable: bounded varlen named path enumerates per-length branches") {
