@@ -230,4 +230,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(st.count(_.isInstanceOf[ShuffleExchangeExec]) <= 6,
       "cy_set: the match + one id join must not multiply exchanges")
   }
+
+  test("round-11 plan shapes: streaming-HLL registers one shuffle, varlen union bounded") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    // the register maintenance must be ONE partially-aggregated groupBy:
+    // a single exchange between partial and final max(r) — that is the
+    // whole 100 TB claim (map-side state collapse before any shuffle).
+    // stream_hll chains the read-side estimate, adding its own agg pair.
+    val sh = plans("stream_hll")
+    assert(sh.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2,
+      "stream_hll: register max + estimate sum must be two agg pairs at most")
+    val aggs = sh.count(p =>
+      p.isInstanceOf[HashAggregateExec] || p.isInstanceOf[ObjectHashAggregateExec])
+    assert(aggs >= 2 && aggs <= 6, s"stream_hll: expected partial+final agg pairs, got $aggs")
+    // varlen named path: hi-lo+1 fixed-length branches union — the plan
+    // size grows with the BOUND (2 branches here), never the data, and the
+    // per-branch joins stay broadcast/hash (no cartesian — global audit)
+    val vp = plans("cy_path_varlen")
+    import org.apache.spark.sql.execution.UnionExec
+    assert(vp.exists(_.isInstanceOf[UnionExec]), "cy_path_varlen: expected the branch union")
+    assert(vp.count(_.isInstanceOf[ShuffleExchangeExec]) <= 8,
+      "cy_path_varlen: two fixed-length branches must stay exchange-bounded")
+  }
 }
