@@ -2258,4 +2258,39 @@ class CypherSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("variable-length named path"))
   }
+
+  test("varlen named path: branch expansion == brute-force walk enumeration (seeded)") {
+    // random small graphs: the union-of-fixed-lengths expansion must equal
+    // a direct DFS enumeration of typed walks (walk semantics: nodes may
+    // repeat; one row per DISTINCT projection — engine set semantics)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(4)
+      val nodes = (0L until n.toLong).map(i =>
+        (i, if (i % 2 == 0) "A" else "B"))
+      val edges = (for {
+        s <- 0L until n.toLong; d <- 0L until n.toLong
+        if s != d && rnd.nextDouble() < 0.3
+      } yield (s, d, if (rnd.nextBoolean()) "X" else "Y")).distinct
+      if (edges.nonEmpty) {
+        val pg = PropertyGraph.fromTuples(spark, nodes, edges)
+        val lo = 1 + rnd.nextInt(2)
+        val hi = lo + rnd.nextInt(2)
+        val got = new GraphDB(pg).query(
+          s"MATCH p = (a:A)-[:X|Y*$lo..$hi]->(b) RETURN a, b, nodes(p) AS ns")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        def walks(from: Long, len: Int): Seq[List[Long]] =
+          if (len == 0) Seq(List(from))
+          else adj.getOrElse(from, Seq.empty)
+            .flatMap(nx => walks(nx, len - 1).map(from :: _))
+        val expect = (for {
+          a <- nodes.collect { case (i, "A") => i }
+          len <- lo to hi
+          w <- walks(a, len)
+        } yield (a, w.last, w)).toSet
+        assert(got == expect, s"trial $trial (n=$n lo=$lo hi=$hi)")
+      }
+    }
+  }
 }
