@@ -1408,6 +1408,13 @@ object SparkEntry {
         .withColumnRenamed("est", "est_events")
       users.join(ids, "event_type")
     }),
+    // deterministic bottom-k quantile sketch: per event type, the k=256
+    // smallest-md5(event_id) rows are a uniform sample; quantiles are the
+    // ceil(q*n)-th smallest sampled values — mergeable, O(k) state
+    "sketch_quantiles" -> ((s, dir) =>
+      graft.sketch.Sketches.quantileSketch(t(s, dir, "events"),
+        Seq("event_type"), col("event_id"), col("value"),
+        Seq(0.5, 0.9, 0.99), k = 256)),
     // Wide-frame (48-bit rank) HLL on a synthetic 4M-distinct column — the
     // GLOBAL-corpus-count variant whose rank frame doesn't saturate near
     // 2^32 like the 32-bit one; distributed range source, no driver list
@@ -2666,6 +2673,20 @@ object SparkEntry {
       "SELECT u.event_type, u.est AS est_users, i.est AS est_events FROM " +
         est("user_id") + " u JOIN " + est("event_id") + " i USING (event_type)"
     },
+    // bottom-k sample replay: rank rows by md5(event_id) per type, keep
+    // 256, quantile = the ceil(q*n)-th smallest sampled value (1-indexed
+    // arrays on both engines; no interpolation, so the estimate is a data
+    // value and hashes exactly)
+    "sketch_quantiles" ->
+      ("WITH h AS (SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h, " +
+       "value::DOUBLE AS v FROM events " +
+       "WHERE event_id IS NOT NULL AND value IS NOT NULL), " +
+       "rk AS (SELECT event_type, h, v, row_number() OVER " +
+       "(PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+       "s AS (SELECT event_type, list_sort(list(v)) AS vs FROM rk " +
+       "WHERE rn <= 256 GROUP BY 1) " +
+       "SELECT event_type, q, vs[CAST(ceil(q * len(vs)) AS INT)] AS est " +
+       "FROM s CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)"),
     // Wide-frame HLL replay: rank = 49 − bitlength of the 48-bit frame
     // (md5 chars 9-20); harmonic sum scaled by 2^49 so it is pure integer
     // arithmetic on both engines (sum of 2^(49−r) longs; absent registers

@@ -349,4 +349,106 @@ object Sketches {
       .groupBy(keyName)
       .agg((count(col("__hit")) === k).as("might"))
   }
+
+  // ── Bottom-k uniform sample → quantile sketch ─────────────────────────
+  //
+  // Bottom-k sampling: the k rows with the SMALLEST md5(rowId) are a
+  // simple random sample without replacement (md5 is the random oracle, so
+  // the "random" permutation is deterministic and engine-reproducible).
+  // The sample is the quantile sketch: mergeable (union two samples, keep
+  // the k smallest again — coordinated by the shared hash), bounded at
+  // O(k) per group, map-side combined. The deterministic sibling of
+  // percentile_approx for pipelines that need reproducible, externally
+  // replayable quantiles; error is the classic sample-quantile bound
+  // (±O(1/√k) in rank).
+
+  /** Bounded-state bottom-k collector: ≤ k (hash, value) pairs sorted by
+    * hash ascending; duplicates of a hash collapse (row ids are expected
+    * unique, so this only de-dups genuinely replayed rows). */
+  final class BottomKAggregator(k: Int)
+      extends Aggregator[(String, Double), Vector[(String, Double)], Vector[(String, Double)]] {
+    require(k >= 1, s"bottom-k sample needs k >= 1, got $k")
+    def zero: Vector[(String, Double)] = Vector.empty
+    def reduce(b: Vector[(String, Double)], r: (String, Double)): Vector[(String, Double)] =
+      insert(b, r)
+    def merge(a: Vector[(String, Double)],
+              b: Vector[(String, Double)]): Vector[(String, Double)] = b.foldLeft(a)(insert)
+    def finish(b: Vector[(String, Double)]): Vector[(String, Double)] = b
+    private def insert(b: Vector[(String, Double)],
+                       r: (String, Double)): Vector[(String, Double)] = {
+      if (r == null || r._1 == null) return b
+      var lo = 0; var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid)._1 < r._1) lo = mid + 1 else hi = mid
+      }
+      if (lo < b.size && b(lo)._1 == r._1) b
+      else if (b.size < k) b.patch(lo, Seq(r), 0)
+      else if (lo >= k) b
+      else b.patch(lo, Seq(r), 0).take(k)
+    }
+    def bufferEncoder: Encoder[Vector[(String, Double)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Vector[(String, Double)]] = ExpressionEncoder()
+  }
+
+  /**
+   * Per-group deterministic uniform row sample: the k rows with the
+   * smallest md5(id). One partially-aggregating groupBy — O(k) state per
+   * group at any scale. NULL ids/values are ignored (the sketch family's
+   * NULL contract); `id` must be row-unique or colliding rows collapse.
+   *
+   * @return (groupCols…, h, v) — ≤ k rows per group, h the sampling hash
+   */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String], id: Column,
+                    value: Column, k: Int): DataFrame = {
+    val agg = udaf(new BottomKAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+    df.filter(id.isNotNull && value.isNotNull)
+      .select(groupCols.map(col) :+ md5(id.cast("string").cast("binary")).as("__h")
+        :+ value.cast("double").as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__h"), col("__v")).as("__s"))
+      .select(groupCols.map(col) :+ explode(col("__s")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e._1").as("h") :+ col("e._2").as("v"): _*)
+  }
+
+  /** Merge two bottom-k samples of the same k: union, keep the k smallest
+    * hashes per group again — the shared hash coordinates the samples, so
+    * the merge IS a bottom-k sample of the union. */
+  def sampleMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val agg = udaf(new BottomKAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("h"), col("v")).as("__s"))
+      .select(groupCols.map(col) :+ explode(col("__s")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e._1").as("h") :+ col("e._2").as("v"): _*)
+  }
+
+  /**
+   * Quantile estimates from a bottom-k sample: for each q, the
+   * ceil(q·n)-th smallest sampled value (discrete/lower quantile — no
+   * interpolation, so the estimate is a VALUE from the data and replays
+   * exactly in any engine).
+   *
+   * @return (groupCols…, q, est)
+   */
+  def sampleQuantiles(sample: DataFrame, groupCols: Seq[String],
+                      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    sample.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("v"))).as("__vs"))
+      .select(groupCols.map(col)
+        :+ explode(array(qs.map(lit): _*)).as("q") :+ col("__vs"): _*)
+      .select(groupCols.map(col) :+ col("q")
+        :+ element_at(col("__vs"),
+          ceil(col("q") * size(col("__vs"))).cast("int")).as("est"): _*)
+  }
+
+  /** Sample + estimate in one call — the per-group approximate-quantiles
+    * entry point. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], id: Column,
+                     value: Column, qs: Seq[Double], k: Int): DataFrame =
+    sampleQuantiles(bottomKSample(df, groupCols, id, value, k), groupCols, qs)
 }

@@ -154,6 +154,39 @@ class SketchSpec extends SparkSpec {
     assert(bits == expect)
   }
 
+  test("bottom-k sample: JVM replay, layout independence, merge, quantiles") {
+    val n = 1000
+    val rows = (1 to n).map(i => ("g", i.toLong, i.toDouble))
+    val d = rows.toDF("g", "id", "v")
+    val k = 64
+    // exact replay: the k smallest md5(id) rows
+    val expect = rows.map { case (_, id, v) => (md5hex(id.toString), v) }
+      .sortBy(_._1).take(k).toSet
+    val got = Sketches.bottomKSample(d, Seq("g"), $"id", $"v", k)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    // partition-layout independence
+    val many = Sketches.bottomKSample(d.repartition(13), Seq("g"), $"id", $"v", k)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(many == got)
+    // merge of halves == one-shot sample of the union (shared-hash
+    // coordination)
+    val h1 = Sketches.bottomKSample(d.filter($"id" <= n / 2), Seq("g"), $"id", $"v", k)
+    val h2 = Sketches.bottomKSample(d.filter($"id" > n / 2), Seq("g"), $"id", $"v", k)
+    val merged = Sketches.sampleMerge(h1, h2, Seq("g"), k)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(merged == got)
+    // quantiles: ceil(q*n)-th smallest sampled value; roughly right on the
+    // uniform 1..1000 data (±O(1/sqrt(k)) rank error)
+    val qs = Sketches.sampleQuantiles(
+        Sketches.bottomKSample(d, Seq("g"), $"id", $"v", k), Seq("g"), Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sampleSorted = expect.toSeq.map(_._2).sorted
+    assert(qs(0.5) == sampleSorted(math.ceil(0.5 * k).toInt - 1))
+    assert(qs(0.9) == sampleSorted(math.ceil(0.9 * k).toInt - 1))
+    assert(math.abs(qs(0.5) - 500) < 200 && math.abs(qs(0.9) - 900) < 150)
+  }
+
   test("sketches ignore NULLs (COUNT DISTINCT / membership semantics)") {
     val withNulls = Seq(("g", Option("a")), ("g", Option("b")), ("g", None),
       ("g", Option("a")), ("g", None)).toDF("g", "v")
