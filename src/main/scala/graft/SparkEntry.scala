@@ -1607,6 +1607,12 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedHllDistinct(
         graft.sources.Tables.events(s, dir), Seq("event_type"), col("user_id"), p = 9)
         .select(col("w_start").cast("date").as("day"), col("event_type"), col("est"))),
+    // streaming frequency sketch: per-day CMS count table maintained as
+    // one summing streaming aggregate; point/heavy-hitter lookups read-side
+    "stream_cms" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedCmsTable(
+        graft.sources.Tables.events(s, dir), col("user_id"), lit(1L), d = 4, w = 256)
+        .select(col("w_start").cast("date").as("day"), col("j"), col("bucket"), col("c"))),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(graft.sources.Tables.events(s, dir))
         .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
@@ -3029,6 +3035,14 @@ object SparkEntry {
        "SELECT day, event_type, " +
        "(0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
        "512.0 - nz AS zeros FROM agg)"),
+    // windowed CMS replay: same salted-hash bucket contract as sketch_cms
+    // with the tumbling day window as an extra group key
+    "stream_cms" ->
+      ("SELECT date_trunc('day', ts)::DATE AS day, j, " +
+       "('0x'||substr(md5(j::VARCHAR||':'||user_id::VARCHAR),1,8))::BIGINT % 256 AS bucket, " +
+       "count(*)::BIGINT AS c FROM events CROSS JOIN " +
+       "(SELECT unnest(range(4)) AS j) WHERE user_id IS NOT NULL " +
+       "GROUP BY 1, 2, 3"),
     "stream_session_window" ->
       // Spark session_window: an event extends the session iff it lands
       // strictly inside [last_ts, last_ts + gap); window end = last_ts + gap

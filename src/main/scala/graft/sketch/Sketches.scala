@@ -262,6 +262,12 @@ object Sketches {
     conv(substring(md5(concat(lit(j.toString), lit(":"),
       value.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Row j's bucket for `value` in a w-bucket CMS — exposed so other CMS
+    * table maintainers (the streaming windowed variant) share the exact
+    * salted-hash contract. */
+  private[graft] def cmsBucket(j: Int, value: Column, w: Int): Column =
+    saltedH32(j, value) % w
+
   /**
    * Count-Min sketch (Cormode & Muthukrishnan 2005) as a ≤ d·w-row
    * (j, bucket, c) DataFrame: d salted hash rows of w buckets, c = the

@@ -96,6 +96,30 @@ object StreamOps {
       "w_start" +: groupCols, p)
 
   /**
+   * Windowed streaming Count-Min: the (j, bucket) → summed-weight table
+   * per tumbling window as one streaming aggregate — sum is commutative,
+   * so state is bounded at ≤ live-windows × d × w rows however many keys
+   * stream past. The sunk table answers point-frequency/heavy-hitter
+   * queries at read time ([[graft.sketch.Sketches.cmsLookup]] on the
+   * window's slice; merge windows with [[graft.sketch.Sketches.cmsMerge]]).
+   * Identical on batch input. NULL keys are ignored.
+   */
+  def windowedCmsTable(events: DataFrame, key: Column, weight: Column,
+                       d: Int, w: Int, windowDur: String = "1 day",
+                       wm: String = "1 hour"): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
+    watermarked(events, "ts", wm)
+      .filter(key.isNotNull)
+      .select(window(col("ts"), windowDur).as("win"), weight.as("__w"),
+        posexplode(array((0 until d).map(j =>
+          graft.sketch.Sketches.cmsBucket(j, key, w)): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
+      .groupBy(col("win"), col("j"), col("bucket"))
+      .agg(sum(col("__w")).as("c"))
+      .select(col("win.start").as("w_start"), col("j"), col("bucket"), col("c"))
+  }
+
+  /**
    * Gap-based session windows via the built-in `session_window` — the
    * declarative form of sessionization (merging windows within `gap`).
    * Works identically on batch and streaming input.

@@ -314,4 +314,38 @@ class StreamingSpec extends SparkSpec {
       est.foreach { case (_, _, e) => assert(e > 15 && e < 45, s"est $e") }
     } finally q.stop()
   }
+
+  test("windowedCmsTable streaming ≡ batch; lookups never undercount") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedCmsTable(in.toDF(), col("user_id"), lit(1L),
+        d = 3, w = 64, windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("cmswin").outputMode("complete").start()
+    try {
+      val evs = (1 to 200).map(i => GEvent(i.toLong,
+        ts(f"2024-02-0${1 + i % 2}%d 09:00:00"), (i % 23).toLong, "click", 1.0))
+      in.addData(evs.take(90): _*)
+      drain(q)
+      in.addData(evs.drop(90): _*)
+      drain(q)
+      val stream = spark.table("cmswin")
+        .select($"w_start".cast("string"), $"j", $"bucket", $"c")
+        .as[(String, Int, Long, Long)].collect().toSet
+      val batch = StreamOps.windowedCmsTable(evs.toDF(), col("user_id"), lit(1L),
+          d = 3, w = 64, windowDur = "1 day")
+        .select($"w_start".cast("string"), $"j", $"bucket", $"c")
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(stream == batch)
+      // read-side lookup on one window's slice never undercounts the truth
+      val day1 = spark.table("cmswin").filter($"w_start".cast("string").startsWith("2024-02-01"))
+        .select($"j", $"bucket", $"c")
+      val probes = evs.filter(_.ts.toString.startsWith("2024-02-01"))
+        .map(_.user_id).distinct.map(Tuple1(_)).toDF("user_id")
+      val est = graft.sketch.Sketches.cmsLookup(day1, probes, "user_id", 3, 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = evs.filter(_.ts.toString.startsWith("2024-02-01"))
+        .groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      truth.foreach { case (u, t) => assert(est(u) >= t, s"user $u: ${est(u)} < $t") }
+    } finally q.stop()
+  }
 }
