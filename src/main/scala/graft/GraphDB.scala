@@ -565,15 +565,51 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     last.limit.fold(skipped)(skipped.limit)
   }
 
-  private def runQuery(q: cypher.Ast.Query): DataFrame =
-    expandVarlenNamedPath(q).getOrElse(q.shortest match {
-      case Some(sp) => runShortest(sp, q)
-      case None =>
-        if (q.unwindLit.isDefined) runUnwindLit(q)
-        else if (q.unwindRange.isDefined) runUnwindRange(q)
-        else if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
-        else run(Pattern.fromQuery(q))
-    })
+  private def runQuery(q0: cypher.Ast.Query): DataFrame =
+    expandVarlenNamedPath(q0).getOrElse {
+      val q = substPathLengths(q0)
+      q.shortest match {
+        case Some(sp) => runShortest(sp, q)
+        case None =>
+          if (q.unwindLit.isDefined) runUnwindLit(q)
+          else if (q.unwindRange.isDefined) runUnwindRange(q)
+          else if (q.withClauses.nonEmpty) runWith(q, q.withClauses)
+          else run(Pattern.fromQuery(q))
+      }
+    }
+
+  /** `length(p)` in a WHERE / expression position resolves to the named
+    * path's CONSTANT hop count — for a varlen path per branch, since the
+    * expansion recurses through here with each branch's rewritten
+    * `namedPaths` (so `WHERE length(p) = 2` keeps exactly the 2-hop
+    * branch: the other branches' filters fold to constant-false and
+    * Catalyst prunes them to empty relations). Leftover length()
+    * applications (unknown variable, a shortestPath variable, a non-path
+    * argument) are rejected loudly; the bare ITEM form `RETURN length(p)`
+    * takes the scalar-function path instead and is untouched. */
+  private def substPathLengths(q: cypher.Ast.Query): cypher.Ast.Query = {
+    import cypher.Ast
+    val f: Ast.Expr => Ast.Expr = {
+      case Ast.EFn("length", Seq(Ast.ERef(pv, _))) if q.namedPaths.contains(pv) =>
+        Ast.ELit(q.namedPaths(pv)._2.size.toLong)
+      case e => e
+    }
+    val q2 = q.copy(
+      where = q.where.map(Ast.Pred.transformExprs(_)(f)),
+      returns = q.returns.map(r => r.copy(expr = r.expr.map(Ast.Expr.transform(_)(f)))),
+      withClauses = q.withClauses.map(w => w.copy(
+        items = w.items.map(r => r.copy(expr = r.expr.map(Ast.Expr.transform(_)(f)))),
+        where = w.where.map(Ast.Pred.transformExprs(_)(f)))))
+    val leftover = (q2.where.flatMap(Ast.Pred.fns(_)) ++
+      q2.returns.flatMap(_.expr.toSeq.flatMap(Ast.Expr.fns)) ++
+      q2.withClauses.flatMap(w =>
+        w.items.flatMap(_.expr.toSeq.flatMap(Ast.Expr.fns)) ++
+          w.where.flatMap(Ast.Pred.fns(_))))
+      .exists(_.name == "length")
+    if (leftover) throw new cypher.ParseException(
+      "length() in an expression takes a named path variable (MATCH p = …)")
+    q2
+  }
 
   /**
    * `MATCH p = (a)-[:T*lo..hi]->(b)` — a BOUNDED variable-length hop inside

@@ -758,6 +758,13 @@ object SparkEntry {
         "MATCH p = (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) " +
         "RETURN c, nodes(p) AS ns, length(p) AS ln")
         .withColumn("ns", concat_ws(",", col("ns")))),
+    // length(p) in WHERE: the constant substitutes per branch, so the
+    // filter keeps exactly the 2-hop branch (the 1-hop branch folds to
+    // constant false and prunes to an empty relation)
+    "cy_path_varlen_len" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) " +
+        "WHERE length(p) = 2 RETURN c, x, length(p) AS ln")),
     // WITH-stage path functions: nodes(p)/length(p) decay to value columns
     // at the stage boundary; the pipeline then filters and aggregates them
     // as plain rows (count paths per nation)
@@ -1351,6 +1358,13 @@ object SparkEntry {
       graft.text.TextOps.sampleWeighted(t(s, dir, "documents"), "doc_id",
         col("n_chars") / lit(400.0))
         .select("doc_id", "source", "n_chars")),
+    // fixed-BUDGET weighted sampling without replacement (A-ES): exactly
+    // the 100 documents winning the largest ln(u)/w draw keys, w = n_chars
+    // — sample-k-proportional-to-quality, as a projection + global top-k
+    // (TakeOrderedAndProject: per-partition heaps, no sort shuffle)
+    "sample_weighted_k" -> ((s, dir) =>
+      graft.text.TextOps.sampleWeightedK(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), 100, "7").select("doc_id", "source", "n_chars")),
     // one-pass column profiling (ingest QA): row/null/distinct/min/max per
     // column from a single Expand+partial-agg read of the table
     "profile_docs" -> ((s, dir) =>
@@ -1422,6 +1436,14 @@ object SparkEntry {
       val vals = s.range(4000000L).select(lit("all").as("g"), col("id"))
       graft.sketch.Sketches.hllDistinctWide(vals, Seq("g"), col("id"), p = 12)
     }),
+    // EXACT heavy hitters: users with strictly more than N/120 of all
+    // events. Misra-Gries bounded-state candidates (s=120 counters vs 150
+    // distinct users, so the decrement path is live) → broadcast the ≤ s
+    // candidates back and count them exactly — the final output is exact
+    // and partitioning-independent even though the MG candidate set isn't
+    "sketch_topk" -> ((s, dir) =>
+      graft.sketch.Sketches.heavyHitters(
+        t(s, dir, "events"), col("user_id"), 120, "user_id")),
     // Count-Min heavy hitters: words with estimated frequency ≥ 200 over
     // the document corpus (d=4 rows × w=1024 buckets; estimates only ever
     // overcount, so no true heavy hitter is missed)
@@ -1444,6 +1466,13 @@ object SparkEntry {
     }),
     "pack_sequences" -> ((s, dir) =>
       graft.text.TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 2048)),
+    // deterministic training-shard shuffle: seeded-md5 shard split + within-
+    // shard md5-order positions — parallelism = numShards, no global sort
+    "shard_assign" -> ((s, dir) =>
+      graft.text.TextOps.shuffleShards(t(s, dir, "documents"), "doc_id", 16, "s")),
+    // per-shard doc/token/char totals — the epoch-planning manifest
+    "shard_manifest" -> ((s, dir) =>
+      graft.text.TextOps.shardManifest(t(s, dir, "documents"), "doc_id", "text", 16, "s")),
     // fixed-size character chunks with overlap (RAG splitter) — pure
     // per-row projection, runs inside the scan stage
     "chunk_docs" -> ((s, dir) =>
@@ -1703,6 +1732,18 @@ object SparkEntry {
       val ev = graft.sources.Tables.events(s, dir)
       graft.events.EventOps.sessionize(ev, "user_id", "ts", 1800)
         .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    }),
+    // binned time-range join: error × purchase pairs of the same user
+    // within 1 hour — an equi-join on (user, delta-width bin) with the
+    // exact post-filter, never the per-key history cross product
+    "ev_range_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.events.EventOps.rangeJoin(
+        ev.filter(col("event_type") === "error").select("user_id", "ts", "event_id"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id"),
+        "user_id", "ts", "ts", 3600000L, Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("r_event_id").as("r_id"))
     }),
     "ev_asof_join" -> ((s, dir) => {
       val ev = graft.sources.Tables.events(s, dir)
@@ -2230,6 +2271,10 @@ object SparkEntry {
     "cy_with_path" ->
       ("SELECT n_nationkey + 2000000000 AS n2, count(*) AS paths " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"),
+    "cy_path_varlen_len" ->
+      ("SELECT c_custkey + 3000000000 AS c, n_regionkey + 1000000000 AS x, " +
+       "CAST(2 AS BIGINT) AS ln " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
     "cy_agg_stats" ->
       ("SELECT n_nationkey + 2000000000 AS n, round(stddev_samp(c_acctbal), 6) AS sd, " +
        "round(stddev_pop(c_acctbal), 6) AS sp FROM customer JOIN nation " +
@@ -2622,6 +2667,14 @@ object SparkEntry {
        "WHERE substring(md5(doc_id::VARCHAR), 1, 15) <= printf('%015x', " +
        "least(CAST(floor(least(greatest(n_chars / 400.0, 0), 1) " +
        "* 1152921504606846976) AS BIGINT), 1152921504606846975))"),
+    // the same A-ES draw replayed in SQL: u from the seeded 48-bit md5
+    // prefix, key = ln(u)/w, top-100 by (key DESC, doc_id)
+    "sample_weighted_k" ->
+      ("WITH u AS (SELECT doc_id, source, n_chars, " +
+       "(('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT + 1) " +
+       "/ 281474976710656.0 AS u FROM documents WHERE n_chars > 0) " +
+       "SELECT doc_id, source, n_chars FROM u " +
+       "ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100"),
     // clusters = {custkey, custkey + 10M} for planted variants, singleton
     // otherwise; canonical = min member, keep = is-canonical
     "er_clusters" ->
@@ -2711,6 +2764,13 @@ object SparkEntry {
        "SELECT (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0 / " +
        "(((hsl + (4096 - nz) * 562949953421312)::DOUBLE) / 562949953421312.0) AS raw, " +
        "4096.0 - nz AS zeros FROM agg)"),
+    // Exact heavy hitters: the verified output is plain exact counting
+    // with an integer threshold — the MG candidate stage only bounds
+    // state, it never changes the answer
+    "sketch_topk" ->
+      ("SELECT CAST(user_id AS VARCHAR) AS user_id, count(*)::BIGINT AS cnt " +
+       "FROM events WHERE user_id IS NOT NULL GROUP BY 1 " +
+       "HAVING count(*) * 120 > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)"),
     // CMS replay: the count table is per-(row j, bucket) occurrence sums
     // over salted 32-bit hashes; a key's estimate is the min over its d
     // buckets — pure integer arithmetic, exact hash match
@@ -2750,6 +2810,17 @@ object SparkEntry {
        // surface as float64 and the driver's type-sensitive hash trips even though
        // values are identical (verified row-for-row in round 3).
        "SELECT doc_id, n_tok, (cum // 2048)::BIGINT AS bin, (cum % 2048)::BIGINT AS bin_offset FROM c"),
+    "shard_assign" ->
+      ("WITH h AS (SELECT doc_id, md5('s:' || doc_id::VARCHAR) AS hh FROM documents), " +
+       "a AS (SELECT doc_id, hh, ('0x' || substr(hh, 1, 8))::BIGINT % 16 AS shard FROM h) " +
+       "SELECT doc_id, shard, (row_number() OVER " +
+       "(PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT AS pos FROM a"),
+    "shard_manifest" ->
+      ("WITH a AS (SELECT ('0x' || substr(md5('s:' || doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard, " +
+       "len(string_split_regex(lower(text), '\\s+'))::BIGINT AS t, " +
+       "length(text)::BIGINT AS c FROM documents) " +
+       "SELECT shard, count(*)::BIGINT AS docs, sum(t)::BIGINT AS tokens, " +
+       "sum(c)::BIGINT AS chars FROM a GROUP BY 1"),
     "chunk_docs" ->
       ("SELECT doc_id, gs AS chunk_id, substring(text, CAST(gs AS INTEGER) * 150 + 1, 200) AS chunk_text " +
        "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +
@@ -3126,6 +3197,11 @@ object SparkEntry {
        "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
        "SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY 1"),
+    "ev_range_join" ->
+      ("SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id " +
+       "FROM events l JOIN events r ON l.user_id = r.user_id " +
+       "WHERE l.event_type = 'error' AND r.event_type = 'purchase' " +
+       "AND abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 3600000"),
     "ev_asof_join" ->
       ("WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +

@@ -153,6 +153,25 @@ object Ast {
       case EReduce(_, init, _, l, body) => fns(init) ++ fns(l) ++ fns(body)
       case _                => Seq.empty
     }
+    /** Bottom-up structural rewrite: children first, then `f` on the
+      * rebuilt node. Nested predicates (CASE conditions, lambda bodies)
+      * rewrite their expression operands too. */
+    def transform(e: Expr)(f: Expr => Expr): Expr = {
+      def rec(x: Expr): Expr = transform(x)(f)
+      val e2 = e match {
+        case EBin(op, l, r) => EBin(op, rec(l), rec(r))
+        case ENeg(x)        => ENeg(rec(x))
+        case EFn(n, args)   => EFn(n, args.map(rec))
+        case ECase(ws, d)   =>
+          ECase(ws.map { case (p, v) => (Pred.transformExprs(p)(f), rec(v)) }, d.map(rec))
+        case EListPred(k, v, l, p)  => EListPred(k, v, rec(l), Pred.transformExprs(p)(f))
+        case EListComp(v, l, p, pr) =>
+          EListComp(v, rec(l), p.map(Pred.transformExprs(_)(f)), pr.map(rec))
+        case EReduce(a, init, v, l, body) => EReduce(a, rec(init), v, rec(l), rec(body))
+        case other => other
+      }
+      f(e2)
+    }
   }
 
   object Pred {
@@ -190,6 +209,16 @@ object Ast {
       case Not(x)        => fns(x)
       case CmpE(l, _, r) => Expr.fns(l) ++ Expr.fns(r)
       case _             => Seq.empty
+    }
+    /** Rewrite every expression operand in the predicate tree with
+      * [[Expr.transform]]'s `f`. Pattern predicates are left as-is (their
+      * nested preds anchor a different scope). */
+    def transformExprs(p: Pred)(f: Expr => Expr): Pred = p match {
+      case CmpE(l, op, r) => CmpE(Expr.transform(l)(f), op, Expr.transform(r)(f))
+      case And(l, r)      => And(transformExprs(l)(f), transformExprs(r)(f))
+      case Or(l, r)       => Or(transformExprs(l)(f), transformExprs(r)(f))
+      case Not(x)         => Not(transformExprs(x)(f))
+      case other          => other
     }
   }
   /** (key, ascending) — ORDER BY keys; `key` is the OUTPUT column name of a
@@ -851,11 +880,18 @@ object CypherParser {
           val nl = name.toLowerCase
           if (nl == "length" && peek == '(') {
             eat('('); val b = ident(); eat(')')
-            // post-WITH rows have no path in scope (same rule as the other
-            // path/entity scalar functions below)
-            if (afterWith) err("length() is not available after WITH " +
-              "(project it in the first WITH items instead)")
-            Some(Ret(b, None, Some("length"))) // path length projection (shortestPath)
+            ws()
+            // an operator after length(p) means it is part of a larger
+            // value expression — backtrack so the expression parser sees it
+            // (the constant substitutes at query preprocessing)
+            if ("+-*/%".indexOf(peek.toInt) >= 0) { i = save; None }
+            else {
+              // post-WITH rows have no path in scope (same rule as the
+              // other path/entity scalar functions below)
+              if (afterWith) err("length() is not available after WITH " +
+                "(project it in the first WITH items instead)")
+              Some(Ret(b, None, Some("length"))) // path length projection (shortestPath)
+            }
           } else if (scalarFns(nl) && peek == '(') {
             eat('('); val b = ident(); eat(')')
             if (afterWith) err(s"$nl() is not available after WITH " +
@@ -1429,6 +1465,13 @@ object CypherParser {
         } else if (peek == '(' && valueFnNames(nl)) {
           eat('('); val a = addE(bare); eat(')')
           EFn(nl, Seq(a))
+        } else if (peek == '(' && nl == "length") {
+          // length(p) of a named path in an expression/WHERE position —
+          // GraphDB substitutes the path's constant hop count before
+          // planning (per branch for varlen paths) and rejects unknown
+          // path variables there
+          eat('('); val b = ident(); eat(')')
+          EFn("length", Seq(ERef(b, None)))
         } else if (peek == '(' && multiArgFns.contains(nl)) {
           eat('(')
           val args = scala.collection.mutable.ArrayBuffer(addE(bare))

@@ -62,6 +62,44 @@ object EventOps {
   }
 
   /**
+   * Time-range join: every (left, right) pair sharing `key` whose
+   * timestamps differ by at most `deltaMillis`. The naive form is an
+   * inequality theta-join — a per-key cross product that explodes on hot
+   * keys. This is the binned decomposition instead: each side buckets its
+   * timestamp into delta-width bins; any qualifying pair's bins differ by
+   * at most 1, so the LEFT side expands to its bin and both neighbors
+   * (a fixed 3× of one side, not |L|·|R|) and the join becomes an
+   * EQUI-join on (key, bin) with the exact |Δt| ≤ delta post-filter.
+   * Each right row owns exactly one bin and the three probed bins are
+   * distinct, so no pair is emitted twice — no dedup pass.
+   *
+   * At 100 TB this is a plain shuffled (or AQE-skew-split) hash join whose
+   * fan-out is bounded by real temporal co-occurrence, never the full
+   * per-key history square. Timestamps are epoch-positive by contract
+   * (long floor-division buckets; pre-1970 data would need floor, not
+   * truncate-toward-zero).
+   *
+   * @return left row (key, leftTime, left payload…) ++ rightCols renamed
+   *         `r_<col>` ++ `r_<rightTime>`
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String, deltaMillis: Long,
+                rightCols: Seq[String]): DataFrame = {
+    require(deltaMillis > 0, s"deltaMillis must be > 0, got $deltaMillis")
+    val lp = left.columns.filterNot(_ == key)
+    val l = left.select(col(key) +: lp.map(col): _*)
+      .withColumn("__bin0", floor(unix_millis(col(leftTime)) / deltaMillis).cast("long"))
+      .withColumn("__bin", explode(array(col("__bin0") - 1, col("__bin0"), col("__bin0") + 1)))
+      .drop("__bin0")
+    val r = right.select(col(key) +:
+        (rightCols.map(c => col(c).as(s"r_$c")) :+ col(rightTime).as(s"r_$rightTime")): _*)
+      .withColumn("__bin", floor(unix_millis(col(s"r_$rightTime")) / deltaMillis).cast("long"))
+    l.join(r, Seq(key, "__bin"))
+      .filter(abs(unix_millis(col(leftTime)) - unix_millis(col(s"r_$rightTime"))) <= deltaMillis)
+      .drop("__bin")
+  }
+
+  /**
    * Ordered funnel analysis: the furthest stage each key reached walking
    * `steps` in order — stage i counts only if an event of step i occurred
    * STRICTLY AFTER the time stage i−1 was first reached (the standard

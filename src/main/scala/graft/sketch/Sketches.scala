@@ -457,4 +457,84 @@ object Sketches {
   def quantileSketch(df: DataFrame, groupCols: Seq[String], id: Column,
                      value: Column, qs: Seq[Double], k: Int): DataFrame =
     sampleQuantiles(bottomKSample(df, groupCols, id, value, k), groupCols, qs)
+
+  // ── Heavy hitters (Misra–Gries candidates + exact verify) ─────────────
+
+  /**
+   * Misra–Gries frequent-items summary: at most `s` (key → count) counters.
+   * Seeing a tracked key increments its counter; an untracked key either
+   * claims a free slot or decrements EVERY counter by one (dropping zeros)
+   * — each decrement "spends" s+1 stream elements, so a merged summary
+   * undercounts any key by at most N/(s+1), and every key with true count
+   * > N/(s+1) is guaranteed to survive (Misra & Garcia 1982; merge rule
+   * from Agarwal et al. 2012, "Mergeable Summaries": pointwise sum, then
+   * subtract the (s+1)-th largest count from all and drop non-positives).
+   *
+   * The surviving SET can depend on encounter order, which is why the
+   * summary is only the CANDIDATE stage of [[heavyHitters]] — the exact
+   * verify downstream makes the final output order-independent.
+   */
+  final class MisraGriesAggregator(s: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(s >= 1, s"Misra-Gries needs s >= 1 counters, got $s")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], k: String): Map[String, Long] =
+      if (k == null) m
+      else m.get(k) match {
+        case Some(c)              => m.updated(k, c + 1)
+        case None if m.size < s   => m.updated(k, 1L)
+        case None                 => // decrement-all: spends s+1 elements
+          m.flatMap { case (k2, c) => if (c > 1) Some(k2 -> (c - 1)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+      if (sum.size <= s) sum
+      else {
+        // subtract the (s+1)-th largest count, keep strictly positive
+        val cut = sum.valuesIterator.toIndexedSeq.sorted(Ordering[Long].reverse)(s)
+        sum.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      }
+    }
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  }
+
+  /**
+   * EXACT φ-heavy-hitters with bounded state, φ = 1/s: every key whose
+   * count strictly exceeds N/s, with its exact count. Two passes, neither
+   * of which shuffles the raw key stream by key:
+   *
+   *  1. candidates — one global Misra–Gries aggregate (O(s) state,
+   *     map-side partial reduce per partition, associative merge; only the
+   *     ≤ s-entry summaries cross the wire). The merged summary provably
+   *     contains every key with count > N/(s+1) ⊇ every key with
+   *     count > N/s, so no true heavy hitter is missed.
+   *  2. verify — broadcast the ≤ s candidate keys back over the stream and
+   *     count THEM exactly (a groupBy on ≤ s distinct keys is a map-side
+   *     combine into s rows, not a data-sized shuffle), then keep
+   *     cnt · s > N (integer arithmetic — no float threshold).
+   *
+   * The MG candidate SET varies with partitioning; the verified OUTPUT is
+   * exact and partitioning-independent — which is what makes it oracle-
+   * checkable (`HAVING count(*) * s > N`). At 100 TB this is the
+   * "top domains / most frequent tokens" primitive: state O(s), one scan
+   * per pass, never a full-cardinality groupBy.
+   *
+   * @return (outName = key as string, cnt BIGINT), only rows with
+   *         cnt · s > N
+   */
+  def heavyHitters(df: DataFrame, key: Column, s: Int,
+                   outName: String = "key"): DataFrame = {
+    val keyed = df.select(key.cast("string").as("__hh")).filter(col("__hh").isNotNull)
+    val mg = udaf(new MisraGriesAggregator(s), Encoders.STRING)
+    val cand = keyed.agg(mg(col("__hh")).as("__ks"))
+      .select(explode(col("__ks")).as("__hh"))
+    val n = keyed.agg(count(lit(1)).as("__n"))
+    keyed.join(broadcast(cand), "__hh")
+      .groupBy("__hh").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * s > col("__n"))
+      .select(col("__hh").as(outName), col("cnt"))
+  }
 }

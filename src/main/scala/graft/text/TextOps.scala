@@ -273,6 +273,38 @@ object TextOps {
   }
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006, algorithm A-ES): keep the k rows with the largest
+   * u^(1/w) — equivalently the largest ln(u)/w — where u is the row's
+   * seeded-md5 uniform draw and w its positive weight. This is the
+   * fixed-BUDGET complement of [[sampleWeighted]]'s per-row Bernoulli:
+   * "sample exactly k documents proportional to quality score", the shape
+   * an actual training-mix budget takes. The draw is a pure per-row
+   * projection over a reproducible hash, so the sampled set is identical
+   * across engines, runs, and partition layouts (ids break the
+   * astronomically-unlikely 48-bit draw ties).
+   *
+   * Scale shape: projection + global top-k, which Spark executes as
+   * TakeOrderedAndProject — per-partition size-k heaps merged on the
+   * driver, never a global sort shuffle. k is driver-bounded by contract
+   * (it is a sample you materialize). Rows with NULL or non-positive
+   * weight carry zero mass and are excluded, matching the A-ES domain.
+   */
+  def sampleWeightedK(df: DataFrame, idCol: String, weight: Column, k: Int,
+                      seed: String = "0"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 48-bit md5 prefix + 1 → u ∈ (0, 1]; log(u) ∈ (-∞, 0]
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string")).cast("binary")), 1, 12), 16, 10).cast("long") + 1L) /
+      lit(281474976710656.0)
+    df.filter(weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("__aes", log(u) / weight.cast("double"))
+      .orderBy(col("__aes").desc, col(idCol))
+      .limit(k)
+      .drop("__aes")
+  }
+
+  /**
    * Deterministic epoch-mix resampling — the UPSAMPLING complement of
    * [[sampleStratified]]: each group (domain/source) is repeated
    * `epochs(g)` times in the output, the way production training mixes run
@@ -375,6 +407,54 @@ object TextOps {
       .select(col(idCol), col("n_tok"),
         floor(global / budget).cast("long").as("bin"),
         (global % budget).as("bin_offset"))
+  }
+
+  /**
+   * Deterministic training-shard shuffle: each document is assigned a
+   * shard (seeded-md5 hash split over `numShards`) and a position within
+   * that shard (seeded-md5 order) — the "global shuffle then write N
+   * shards" step before training, reproducible across engines and runs
+   * because the permutation IS the hash order, not an RNG.
+   *
+   * Scale shape: no global sort and no global row_number — shard
+   * assignment is a per-row projection, and the position window is
+   * partitioned BY SHARD, so parallelism equals `numShards` (at 100 TB you
+   * run thousands of shards, so the per-shard sort is a few GB — exactly
+   * the file size a training loader wants). Shard sizes concentrate at
+   * N/numShards ± O(√(N/numShards)) by the usual balls-in-bins bound.
+   *
+   * @return (idCol, shard BIGINT in [0, numShards), pos BIGINT 0-based
+   *         within the shard in shuffled order)
+   */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: String = "0"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    df.select(col(idCol), h.as("__h"),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % numShards).as("shard"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard")
+          .orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /**
+   * Per-shard manifest for [[shuffleShards]]'s assignment: document count,
+   * token total, and character total per shard — what the training job
+   * reads to plan epochs without scanning the shards. One projection + one
+   * combinable aggregation over `numShards` groups.
+   *
+   * @return (shard, docs, tokens, chars)
+   */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    numShards: Int, seed: String = "0"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    df.select((conv(substring(h, 1, 8), 16, 10).cast("long") % numShards).as("shard"),
+        size(tokens(col(textCol))).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("__t").as("tokens"), sum("__c").as("chars"))
   }
 
   /**

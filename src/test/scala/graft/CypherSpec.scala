@@ -2259,6 +2259,31 @@ class CypherSpec extends SparkSpec {
     assert(e.getMessage.contains("variable-length named path"))
   }
 
+  test("length(p) in WHERE and expressions: constant per path/branch") {
+    val db = new GraphDB(diamond)
+    // varlen: WHERE length(p) = 2 keeps exactly the 2-hop branch (the
+    // 1-hop branch's filter folds to constant false)
+    val two = db.query(
+      "MATCH p = (a:A)-[*1..2]->(x) WHERE length(p) = 2 RETURN x, length(p) AS ln")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.toSeq == Seq((4L, 2L)))
+    // expression position: arithmetic over the substituted constant
+    val ex = db.query(
+      "MATCH p = (a:A)-[:X]->(b:B) RETURN b, length(p) * 10 AS ln10 ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ex.toSeq == Seq((2L, 10L), (3L, 10L)))
+    // combined with other conjuncts
+    val mix = db.query(
+      "MATCH p = (a:A)-[*1..2]->(x) WHERE length(p) = 1 AND x = 2 RETURN x")
+      .collect().map(_.getLong(0))
+    assert(mix.toSeq == Seq(2L))
+    // a non-path argument is rejected loudly
+    val e = intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A)-[:X]->(b:B) WHERE length(b) = 1 RETURN b")
+    }
+    assert(e.getMessage.contains("named path variable"))
+  }
+
   test("varlen named path: branch expansion == brute-force walk enumeration (seeded)") {
     // random small graphs: the union-of-fixed-lengths expansion must equal
     // a direct DFS enumeration of typed walks (walk semantics: nodes may

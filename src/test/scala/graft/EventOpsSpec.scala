@@ -57,6 +57,38 @@ class EventOpsSpec extends SparkSpec {
     assert(simul("t1").contains(99.0))
   }
 
+  test("range join: binned decomposition equals brute-force theta join (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // timestamps landing on exact bin edges and delta-exact gaps included
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val off = rnd.nextInt(40) * 30000L // 30 s grid, delta = 60 s → edge hits
+      (rnd.nextInt(4).toLong, new java.sql.Timestamp(base + off), s"$tag$i")
+    }
+    val l = mk(60, "l").toDF("k", "ts", "lid")
+    val r = mk(60, "r").toDF("k", "ts", "rid")
+    val delta = 60000L
+    val got = EventOps.rangeJoin(l, r, "k", "ts", "ts", delta, Seq("rid"))
+      .select("lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1)))
+    val lr = l.collect().map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getString(2)))
+    val rr = r.collect().map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getString(2)))
+    val expect = for {
+      (lk, lt, lid) <- lr; (rk, rt, rid) <- rr
+      if lk == rk && math.abs(lt - rt) <= delta
+    } yield (lid, rid)
+    assert(got.sorted.toSeq == expect.sorted.toSeq) // incl. no duplicate pairs
+    assert(expect.nonEmpty)
+    // a pair exactly delta apart joins; delta + 1 ms does not (and the
+    // second pair crosses a bin boundary relative to the first)
+    val l2 = Seq((9L, new java.sql.Timestamp(base), "a"),
+                 (9L, new java.sql.Timestamp(base + 100000L), "b")).toDF("k", "ts", "lid")
+    val r2 = Seq((9L, new java.sql.Timestamp(base + delta), "x"),
+                 (9L, new java.sql.Timestamp(base + 100000L + delta + 1), "y")).toDF("k", "ts", "rid")
+    val g2 = EventOps.rangeJoin(l2, r2, "k", "ts", "ts", delta, Seq("rid"))
+      .select("lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(g2 == Set(("a", "x"), ("b", "x") /* 100000−60000 = 40000 ≤ delta */ ))
+  }
+
   test("funnel: stage gated on strictly-after ordering, per key") {
     val ev = Seq(
       // u1: full ordered funnel

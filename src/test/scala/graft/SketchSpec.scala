@@ -249,4 +249,40 @@ class SketchSpec extends SparkSpec {
     val viaMerge = Sketches.hllEstimateWide(merged, Seq("g"), p).collect()(0).getDouble(1)
     assert(viaMerge == got)
   }
+
+  test("heavy hitters: exact phi-frequent set, partitioning-independent") {
+    // Zipf-ish skew: key i appears ceil(600/i) times, i = 1..80 → N ≈ 2968,
+    // cardinality 80 > s, so the MG decrement/merge paths are all live
+    val rows = (1 to 80).flatMap(i => Seq.fill((600 + i - 1) / i)(s"k$i"))
+    val n = rows.size
+    val s = 24
+    val expect = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * s > n }.toMap
+    assert(expect.nonEmpty && expect.size < 24, s"fixture sanity: ${expect.size}")
+    // several partition layouts and row orders must all verify to the same
+    // exact answer, even though the MG candidate SET may differ
+    for (parts <- Seq(1, 3, 32); seed <- Seq(1, 2)) {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val df = shuffled.toDF("k").repartition(parts)
+      val got = Sketches.heavyHitters(df, $"k", s, "k")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts seed=$seed")
+    }
+  }
+
+  test("heavy hitters: MG summary merge bound and null contract") {
+    // a merged MG(s) summary must retain every key with count > N/(s+1)
+    val agg = new Sketches.MisraGriesAggregator(4)
+    val stream = Seq.fill(30)("hot") ++ (1 to 40).map(i => s"cold$i")
+    val (h1, h2) = stream.splitAt(13)
+    val m = agg.merge(h1.foldLeft(agg.zero)(agg.reduce),
+                      h2.foldLeft(agg.zero)(agg.reduce))
+    assert(m.size <= 4 && m.contains("hot")) // 30 > 70/5
+    // nulls are ignored end-to-end (COUNT semantics)
+    val withNulls = (Seq.fill(9)(Some("a")) ++ Seq.fill(5)(None) ++
+      Seq.fill(2)(Some("b"))).toDF("k")
+    val got = Sketches.heavyHitters(withNulls, $"k", 2, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 9L)) // N = 11 non-null; 9*2 > 11, 2*2 < 11
+  }
 }

@@ -426,4 +426,68 @@ class TextSpec extends SparkSpec {
       assert(n < r.getString(1).count(_ != ' ')) // merges actually applied
     }
   }
+
+  test("sampleWeightedK: A-ES top-k replay, layout/scale invariance, zero-mass drop") {
+    val docs = (1L to 400L).map(i => (i, (i % 97 + 1).toDouble)).toDF("doc_id", "w")
+    // JVM replay of the exact draw: u = (48-bit md5 prefix + 1) / 2^48,
+    // key = ln(u)/w, top-k by (key desc, id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val replay = (1L to 400L).map { i =>
+      val hex = md.digest(s"7:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 12), 16) + 1L) / 281474976710656.0
+      (i, math.log(u) / (i % 97 + 1).toDouble)
+    }.sortBy { case (id, key) => (-key, id) }.take(50).map(_._1)
+    val plan = TextOps.sampleWeightedK(docs, "doc_id", $"w", 50, "7")
+    val got = plan.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == replay.sorted)
+    // global top-k must be TakeOrderedAndProject (partition heaps), never
+    // a full sort shuffle
+    assert(plan.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // layout-independent
+    val re = TextOps.sampleWeightedK(docs.repartition(17), "doc_id", $"w", 50, "7")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(re.sorted == got.sorted)
+    // A-ES keys are scale-free: w → 3w selects the same set
+    val scaled = TextOps.sampleWeightedK(docs, "doc_id", $"w" * 3.0, 50, "7")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(scaled.sorted == got.sorted)
+    // NULL / non-positive weights carry zero mass — never sampled
+    val mixed = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) null else java.lang.Double.valueOf(i.toDouble))).toDF("doc_id", "w")
+    val m = TextOps.sampleWeightedK(mixed, "doc_id", $"w", 30, "7")
+      .collect().map(_.getLong(0))
+    assert(m.length == 20 && m.forall(_ % 2 == 1))
+  }
+
+  test("shuffleShards: valid seeded permutation, layout-independent; manifest totals") {
+    val docs = (0L until 300L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val k = 8
+    val base = TextOps.shuffleShards(docs, "doc_id", k, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once; shard in range; pos is 0..size-1 per shard
+    assert(base.length == 300 && base.map(_._1).distinct.length == 300)
+    assert(base.forall { case (_, s, _) => s >= 0 && s < k })
+    base.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.size.toLong))
+    }
+    // layout-independent: a different partitioning yields the same triples
+    val re = TextOps.shuffleShards(docs.repartition(13), "doc_id", k, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sorted.toSeq == base.sorted.toSeq)
+    // a different seed is a genuinely different permutation
+    val other = TextOps.shuffleShards(docs, "doc_id", k, "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq != base.sorted.toSeq)
+    // manifest: per-shard totals equal a direct per-doc recomputation
+    val byShard = base.map { case (id, s, _) => id -> s }.toMap
+    val expect = docs.collect().map { r =>
+      (byShard(r.getLong(0)), r.getString(1).split("\\s+").length.toLong,
+        r.getString(1).length.toLong)
+    }.groupBy(_._1).map { case (s, rs) =>
+      s -> ((rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum))
+    }
+    val got = TextOps.shardManifest(docs, "doc_id", "text", k, "s1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
 }
