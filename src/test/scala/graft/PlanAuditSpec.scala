@@ -253,4 +253,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(vp.count(_.isInstanceOf[ShuffleExchangeExec]) <= 8,
       "cy_path_varlen: two fixed-length branches must stay exchange-bounded")
   }
+
+  test("round-11b plan shapes: range join equi-only, heavy hitters broadcast-verified, " +
+       "shard shuffle single-exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // ev_range_join: the binned decomposition must plan as an EQUI-join on
+    // (key, bin) — a nested-loop join on the data path is exactly the
+    // per-key theta cross product the operator exists to avoid
+    val rj = plans("ev_range_join")
+    assert(rj.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec] || p.isInstanceOf[BroadcastHashJoinExec]),
+      "ev_range_join: expected an equi-join on (key, bin)")
+    assert(!rj.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "ev_range_join: a theta/nested-loop join leaked into the plan")
+    // sketch_topk: the only shuffles are the O(s)-sized aggregate
+    // exchanges (two single-partition summary aggs + the ≤ s-key verify
+    // groupBy); candidates and N return to the stream as broadcasts
+    val hh = plans("sketch_topk")
+    assert(hh.count(_.isInstanceOf[ShuffleExchangeExec]) <= 3,
+      "sketch_topk: expected at most the two summary aggs + bounded verify groupBy")
+    assert(hh.count(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 2,
+      "sketch_topk: candidate keys and N must come back as broadcasts")
+    // shard_assign: exactly ONE exchange — the hash-by-shard partition for
+    // the in-shard position window; a global sort (range exchange /
+    // ordered take) anywhere means the no-global-sort claim broke
+    val sa = plans("shard_assign")
+    assert(sa.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "shard_assign: expected exactly the hash-by-shard exchange")
+    assert(!sa.exists(p => p.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]
+        || p.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec]),
+      "shard_assign: no global take/limit belongs in the shard window plan")
+  }
 }
