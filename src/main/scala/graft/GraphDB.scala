@@ -804,6 +804,9 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (Ast.Pred.patterns(p).nonEmpty) throw new cypher.ParseException(
         "pattern predicates are not supported in WITH … WHERE " +
           "(apply them in the MATCH WHERE, before the pipeline)")
+      if (Ast.Pred.patAggs(p).nonEmpty) throw new cypher.ParseException(
+        "pattern expressions (size(pattern) / pattern comprehensions) are " +
+          "MATCH-stage only — compute them in the first WITH items or the MATCH WHERE")
     }
     where.flatMap(Ast.Pred.refs(_)).foreach { case (b, p) =>
       if (p.nonEmpty) throw new cypher.ParseException(
@@ -824,6 +827,10 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       items.foreach { r =>
         r.expr match {
           case Some(e) =>
+            if (Ast.Expr.patAggs(e).nonEmpty) throw new cypher.ParseException(
+              "pattern expressions (size(pattern) / pattern comprehensions) are " +
+                "MATCH-stage only — compute them in the first WITH items " +
+                s"(not in $stage over the pipeline)")
             Ast.Expr.refs(e).foreach { case (b, p) =>
               if (p.nonEmpty) throw new cypher.ParseException(
                 s"$b.$p: property access is not available after WITH " +
@@ -1045,7 +1052,34 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     graft.util.CacheLifecycle.releaseOnFirstAction(result, srcIds)
   }
 
-  private def run(pg: Pattern.PatternGraph): DataFrame = {
+  private def run(pg0: Pattern.PatternGraph): DataFrame = {
+    // pattern-valued expressions (size(pattern) / pattern comprehensions):
+    // each DISTINCT one compiles as its own grouped sub-match (below,
+    // patAggFrame) joined back on its anchor bindings; here the expression
+    // trees are rewritten to read the joined column (a bare __paggN ref),
+    // so every downstream compile stage sees ordinary references
+    val patAggList =
+      (pg0.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.patAggs)) ++
+        pg0.residual.flatMap(cypher.Ast.Pred.patAggs(_))).distinct
+    val patAggCol = patAggList.zipWithIndex
+      .map { case (pa, ix) => pa -> s"__pagg$ix" }.toMap
+    val patAggRewrite: cypher.Ast.Expr => cypher.Ast.Expr = {
+      case pa: cypher.Ast.EPatAgg => cypher.Ast.ERef(patAggCol(pa), None)
+      case other => other
+    }
+    val pg =
+      if (patAggList.isEmpty) pg0
+      else pg0.copy(
+        items = pg0.items.map(i =>
+          i.copy(expr = i.expr.map(cypher.Ast.Expr.transform(_)(patAggRewrite)))),
+        residual = pg0.residual.map(cypher.Ast.Pred.transformExprs(_)(patAggRewrite)))
+    // item-side pattern aggs anchor the RESULT granularity (they behave
+    // like a property read of their anchors), so those anchors join
+    // baseNeeded — the dedup keys — not just the carry set
+    val itemPatAggAnchors =
+      pg0.items.flatMap(_.expr.toSeq.flatMap(cypher.Ast.Expr.patAggs))
+        .flatMap(pa => (pa.pat.path.first.name.toSeq ++
+          pa.pat.path.hops.flatMap(_._2.name)).distinct.filter(pg0.bindings))
     // the required pattern must carry everything the result needs from it,
     // plus every optional group's join keys, plus the bindings the residual
     // WHERE predicates read (possibly beyond the returned set). A residual
@@ -1060,7 +1094,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       .flatMap(i => pg.namedPaths.get(i.binding).toSeq.flatMap(_._2)).distinct
     val baseNeeded =
       (pg.referenced.filter(pg.bindings) ++ pg.optional.flatMap(_.shared) ++
-        pathNodeNeeds).distinct
+        pathNodeNeeds ++ itemPatAggAnchors).distinct
     val edgeByName = pg.edges.flatMap(e => e.name.map(_ -> e)).toMap
     // expression items read (binding, prop) pairs — node refs join like
     // item properties, edge refs like residual edge refs; bare refs (prop
@@ -1098,9 +1132,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     def patAnchors(pp: cypher.Ast.PatPred): Seq[String] =
       (pp.path.first.name.toSeq ++ pp.path.hops.flatMap(_._2.name))
         .distinct.filter(pg.bindings)
-    val resBindings = (resNodeRefs.map(_._1) ++
+    // __paggN refs resolve to columns JOINED below, never to match
+    // bindings; their sub-patterns' anchor bindings must be carried instead
+    val resBindings = (resNodeRefs.map(_._1).filterNot(patAggCol.valuesIterator.toSet) ++
       edgeRefNames.map(edgeByName).flatMap(e => Seq(e.src, e.dst)) ++
-      patPreds.flatMap(patAnchors)).distinct
+      patPreds.flatMap(patAnchors) ++
+      patAggList.flatMap(pa => patAnchors(pa.pat))).distinct
     val mainNeeded = (baseNeeded ++ resBindings).distinct
     val mainPg = pg.copy(items = mainNeeded.map(b => cypher.Ast.Ret(b)),
       optional = Seq.empty, distinct = false, orderBy = Seq.empty, limit = None,
@@ -1244,6 +1281,59 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       val (df, keys) = existsFrame(pp)
       acc.join(df.dropDuplicates().withColumn(patFlag(pp), lit(true)), keys, "left")
     }
+    // pattern-valued expressions: one grouped sub-match per distinct
+    // size(pattern) / pattern comprehension, joined 1:1 on its anchors.
+    // The sub-match compiles through the FULL pipeline recursively (its own
+    // stats-ordered plan, predicate pushdown, property join-backs for the
+    // projection), then one combinable groupBy per anchor set; an outer row
+    // with no matches reads the default (0 / typed empty array). Anonymous
+    // pattern nodes are auto-named first so every distinct intermediate
+    // assignment counts as a match (the set-semantics analogue of
+    // openCypher's per-path counting; parallel same-endpoint relationships
+    // still collapse — the engine-wide Boolean-matrix contract).
+    def patAggFrame(pa: cypher.Ast.EPatAgg, outCol: String): (DataFrame, Seq[String]) = {
+      import cypher.Ast
+      var n = 0
+      def named(np: Ast.NodePat): Ast.NodePat =
+        if (np.name.isDefined) np else { n += 1; np.copy(name = Some(s"__pae$n")) }
+      def seedL(np: Ast.NodePat): Ast.NodePat =
+        if (np.label.isEmpty) np.copy(label = np.name.flatMap(pg.labels.get).flatten)
+        else np
+      val p0 = pa.pat.path
+      val path = Ast.Path(seedL(named(p0.first)),
+        p0.hops.map { case (r, np) => (r, seedL(named(np))) })
+      val anchors = patAnchors(pa.pat)
+      val nodeBindings =
+        (path.first.name.toSeq ++ path.hops.flatMap(_._2.name)).distinct
+      val items = nodeBindings.map(b => Ast.Ret(b)) ++
+        pa.map.map(m => Ast.Ret("", expr = Some(m), alias = Some("__pv"))).toSeq
+      val sub = Ast.Query(Seq(path), Seq.empty, pa.pat.preds, items,
+        distinct = false, Seq.empty, None)
+      val frame = run(Pattern.fromQuery(sub))
+      val grouped = (pa.kind, anchors) match {
+        case ("count", Seq()) => frame.agg(count(lit(1)).as(outCol))
+        case ("count", as)    =>
+          frame.groupBy(as.map(col): _*).agg(count(lit(1)).as(outCol))
+        case (_, Seq())       =>
+          frame.agg(sort_array(collect_list(col("__pv"))).as(outCol))
+        case (_, as)          =>
+          frame.groupBy(as.map(col): _*)
+            .agg(sort_array(collect_list(col("__pv"))).as(outCol))
+      }
+      (grouped, anchors)
+    }
+    val withPatAggs = patAggList.foldLeft(withPatFlags) { (acc, pa) =>
+      val name = patAggCol(pa)
+      val (grouped, anchors) = patAggFrame(pa, name)
+      // anchor-less pattern: a global one-row aggregate, broadcast
+      val joined =
+        if (anchors.isEmpty) acc.crossJoin(broadcast(grouped))
+        else acc.join(grouped, anchors, "left")
+      val default =
+        if (pa.kind == "count") lit(0L)
+        else array().cast(grouped.schema(name).dataType)
+      joined.withColumn(name, coalesce(col(name), default))
+    }
     // residual WHERE: boolean structure / IS NULL over `binding_prop`
     // columns. When a predicate reads a binding that is NOT returned, the
     // match granularity was widened to carry it — restore the returned
@@ -1267,7 +1357,7 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
       if (pr.isEmpty) col(b)
       else if (pr == operators.Preds.KeysProp) keysArray(b)
       else col(s"${b}_$pr")
-    val filtered = restResidual.foldLeft(withPatFlags)((acc, p) =>
+    val filtered = restResidual.foldLeft(withPatAggs)((acc, p) =>
       acc.filter(operators.Preds.column(p, matchResolve,
         pp => coalesce(col(patFlag(pp)), lit(false)))))
     val withProps =

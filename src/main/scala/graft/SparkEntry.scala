@@ -38,6 +38,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Oracle-side mirror of [[graft.sources.Layout.zValue]]: the explicit
+    * bit-interleave expression over two integer SQL expressions. */
+  private def zOracleExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map(k =>
+      s"((($x >> $k) & 1) << ${2 * k}) | ((($y >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" | ")
+
   /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
     * as a shared CTE prelude (canonical a < b orientation). */
   private def cosupplyCte(frac: Double): String =
@@ -263,7 +270,9 @@ object SparkEntry {
     * hierarchy: per round, each vertex takes the most frequent neighbor
     * label (ties → smallest), exactly the argmax the Spark operator's
     * `max_by` computes. */
-  private def lpaOracle(stages: Int): String = {
+  /** The LPA fixed-point as a CTE prelude ending at `l<stages>` (id, lab) —
+    * shared by the lpa oracle and the modularity oracle. */
+  private def lpaCte(stages: Int): String = {
     val sb = new StringBuilder(
       "WITH e0 AS (" +
       "SELECT n_nationkey + 2000000000 AS a, n_regionkey + 1000000000 AS b FROM nation " +
@@ -278,9 +287,49 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn " +
         s"FROM c$i) WHERE rn = 1)")
     }
-    sb.append(s" SELECT id, lab AS community FROM l$stages")
     sb.toString
   }
+
+  private def lpaOracle(stages: Int): String =
+    lpaCte(stages) + s" SELECT id, lab AS community FROM l$stages"
+
+  /** SCD2 replay over the full event log — shared by `scd2_history` (the
+    * direct build) and `scd2_apply` (history from the first half of the
+    * log + the second half folded in: the merge invariant says both equal
+    * the full rebuild). Change rows survive when the lagged attr differs
+    * null-safely (row 1 always a change), then lead() closes each range;
+    * IS DISTINCT FROM + the rn=1 guard mirrors the Spark side's
+    * lag-over-struct <=> comparison exactly. */
+  private val scd2OracleSql: String =
+    "WITH g AS (SELECT user_id, ts, event_type, event_id, " +
+      "lag(event_type) OVER w AS prev, row_number() OVER w AS rn " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "c AS (SELECT user_id, event_type, epoch_ms(ts)::BIGINT AS valid_from_ms, " +
+      "event_id FROM g WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+      "v AS (SELECT user_id, event_type, valid_from_ms, " +
+      "lead(valid_from_ms) OVER w2 AS valid_to_ms, " +
+      "row_number() OVER w2 AS version FROM c " +
+      "WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_ms, event_id)) " +
+      "SELECT user_id, event_type, valid_from_ms, valid_to_ms, " +
+      "valid_to_ms IS NULL AS is_current, version::BIGINT AS version FROM v"
+
+  /** Modularity replay over the LPA partition: integer m / within-edge /
+    * Σvol² aggregates, ONE double expression at the end (same exactness
+    * device as the Spark side — Q is deterministic to the bit). */
+  private def modularityOracle(stages: Int): String =
+    lpaCte(stages) +
+      ", und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+      "FROM e0 WHERE a <> b), " +
+      "deg AS (SELECT id, count(*) AS k FROM (SELECT a AS id FROM und " +
+      "UNION ALL SELECT b AS id FROM und) GROUP BY 1), " +
+      "mm AS (SELECT count(*)::BIGINT AS m FROM und), " +
+      s"wc AS (SELECT count(*)::BIGINT AS within_edges FROM und " +
+      s"JOIN l$stages la ON und.a = la.id JOIN l$stages lb ON und.b = lb.id " +
+      "WHERE la.lab = lb.lab), " +
+      s"ss AS (SELECT sum(v * v)::BIGINT AS s FROM (SELECT l.lab, sum(k) AS v " +
+      s"FROM l$stages l JOIN deg USING (id) GROUP BY 1)) " +
+      "SELECT m, within_edges, round(within_edges::DOUBLE / m " +
+      "- s::DOUBLE / (4.0 * m * m), 6) AS q FROM mm, wc, ss"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -645,6 +694,19 @@ object SparkEntry {
         "MATCH (r:region) RETURN r AS id, join(keys(r), ',') AS ks " +
         "UNION ALL MATCH (c:customer) WHERE c.value > 9990 " +
         "RETURN c AS id, join(keys(c), ',') AS ks")),
+    // size(pattern): per-row distinct-match counts — degree expressions
+    // without fanning the match out (each compiles to one grouped sub-match
+    // joined back 1:1 on its anchor)
+    "cy_pat_size" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) RETURN n, size((c:customer)-[:IN_NATION]->(n)) AS n_cust, " +
+        "size((s:supplier)-[:IN_NATION]->(n)) AS n_supp")),
+    // pattern comprehension: the per-row value list of a sub-match,
+    // rendered deterministically (sorted) and stringified for the oracle
+    "cy_pat_comp" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (r:region) RETURN r, " +
+        "join([(n:nation)-[:IN_REGION]->(r) | n.name], ',') AS names")),
     // `=~` regex predicate: openCypher FULL-string match semantics (the
     // pattern is anchored — a partial match does not qualify)
     "cy_regex" -> ((s, dir) =>
@@ -1216,6 +1278,14 @@ object SparkEntry {
       val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       Algorithms.labelPropagation(vs, e, iters = 3)
     }),
+    // Newman modularity of the LPA partition — the community-quality score;
+    // exact integer aggregates, one double expression, one output row
+    "graph_modularity" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val e = g.edgesByType(Seq("IN_REGION", "IN_NATION")).select("src", "dst")
+      val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      Algorithms.modularity(Algorithms.labelPropagation(vs, e, iters = 3), e)
+    }),
     // strongly connected components over the part ORDER-SEQUENCE graph
     // (consecutive lineitems of an order → directed part→part hop). The
     // mod-5 induced subgraph keeps a mixed census (one core + singleton
@@ -1333,6 +1403,10 @@ object SparkEntry {
       graft.text.TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")),
     "corpus_stats" -> ((s, dir) =>
       graft.text.TextOps.corpusStats(t(s, dir, "documents"), "source", "doc_id", "text", "lang")),
+    // pairwise source vocabulary overlap: mixture-design / contamination
+    // triage at the source granularity; fan-out bounded by (sources choose 2)
+    "text_source_overlap" -> ((s, dir) =>
+      graft.text.TextOps.sourceOverlap(t(s, dir, "documents"), "source", "text")),
     "text_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("tf").desc, col("tok").asc).limit(100)),
@@ -1614,6 +1688,10 @@ object SparkEntry {
     // per-label centroids: one posexplode + one combinable (label, dim) agg
     "emb_centroids" -> ((s, dir) =>
       graft.ml.Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
+    // exact covariance matrix (PCA/whitening input): per-row upper-triangle
+    // products inside the scan stage, one combinable (i, j) aggregation
+    "emb_covariance" -> ((s, dir) =>
+      graft.ml.Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)),
     // symmetric int8 quantization digest: integer code sums pin every code
     // exactly; recon_cos is the quality gate a pipeline checks before
     // swapping its ANN index to int8
@@ -1642,6 +1720,30 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedCmsTable(
         graft.sources.Tables.events(s, dir), col("user_id"), lit(1L), d = 4, w = 256)
         .select(col("w_start").cast("date").as("day"), col("j"), col("bucket"), col("c"))),
+    // streaming quantile sketch: per-(day, event_type) bottom-k sample
+    // maintained as one streaming aggregate; quantile read-out read-side
+    "stream_quantiles" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedQuantiles(
+        graft.sources.Tables.events(s, dir), Seq("event_type"), col("event_id"),
+        col("value"), Seq(0.5, 0.9), k = 128)
+        .select(col("w_start").cast("date").as("day"), col("event_type"),
+          col("q"), col("est"))),
+    // streaming exact heavy hitters: the per-(day, key) count table is the
+    // streaming aggregate; the integer threshold filter reads the sunk table
+    "stream_topk" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedHeavyHitters(
+        graft.sources.Tables.events(s, dir), col("user_id"), s = 60,
+        outName = "user_id")
+        .select(col("w_start").cast("date").as("day"), col("user_id"), col("cnt"))),
+    // streaming SCD2 (CDC → dimension history): one open version per key in
+    // flatMapGroupsWithState state; batch path ≡ EventOps.scd2 (the oracle)
+    "stream_scd2" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      graft.streaming.StreamOps.scd2Stream(
+        graft.sources.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.GEvent]).toDF()
+    }),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(graft.sources.Tables.events(s, dir))
         .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
@@ -1745,6 +1847,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("l_id"),
           col("r_event_id").as("r_id"))
     }),
+    // SCD2 dimension build: each user's event_type change log collapsed to
+    // versioned validity ranges — one key shuffle, two window passes
+    "scd2_history" -> ((s, dir) =>
+      graft.events.EventOps.scd2(
+        graft.sources.Tables.events(s, dir)
+          .select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", Seq("event_type"), "event_id")),
+    // incremental SCD2: history built from the first half of the log, the
+    // second half folded in by scd2Apply — the oracle is the FULL rebuild
+    // (the merge invariant IS the correctness statement)
+    "scd2_apply" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+        .select("user_id", "ts", "event_type", "event_id")
+      val hist = graft.events.EventOps.scd2(
+        ev.filter(col("ts") < "2024-01-16"), "user_id", "ts",
+        Seq("event_type"), "event_id")
+      graft.events.EventOps.scd2Apply(hist,
+        ev.filter(col("ts") >= "2024-01-16"), "user_id", "ts",
+        Seq("event_type"), "event_id")
+    }),
     "ev_asof_join" -> ((s, dir) => {
       val ev = graft.sources.Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1803,6 +1925,18 @@ object SparkEntry {
         .groupBy("s_nationkey")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
+    // bloom-pruned join: lineitem shrinks to might-match rows via k
+    // broadcast semi joins on the urgent-orders bit set BEFORE the exact
+    // join — result ≡ the plain inner join (no false negatives)
+    "bloom_join" -> ((s, dir) =>
+      graft.operators.JoinPruning.bloomPrunedJoin(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_custkey"),
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "o_orderkey", "l_orderkey", k = 5, mBits = 8192)
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))),
     // partitioned-parquet sink round trip: write documents hive-partitioned
     // by (lang, source) sorted by doc_id, read the layout back and project —
     // exercising the full sink path (partition-dir encoding, one file per
@@ -1814,6 +1948,13 @@ object SparkEntry {
       graft.sources.Writer.readPartitioned(s, out)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // Z-order (Morton) clustering key: the multi-dim layout device — the
+    // write path range-partitions on this code (LayoutSpec proves the
+    // disjoint-file-range property); the query pins the code bit-for-bit
+    "zorder_layout" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.sources.Layout.zValue(col("o_custkey") % 1024,
+          col("o_orderkey") % 1024, 10).as("z"))),
     // ROLLUP hierarchy totals — one pass, partial-agg per grouping set
     "olap_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2190,6 +2331,16 @@ object SparkEntry {
       ("SELECT r_regionkey + 1000000000 AS id, 'name' AS ks FROM region " +
        "UNION ALL SELECT c_custkey + 3000000000, 'name,value' FROM customer " +
        "WHERE c_acctbal > 9990"),
+    "cy_pat_size" ->
+      ("SELECT n_nationkey + 2000000000 AS n, " +
+       "(SELECT count(DISTINCT c_custkey) FROM customer " +
+       "WHERE c_nationkey = n_nationkey) AS n_cust, " +
+       "(SELECT count(DISTINCT s_suppkey) FROM supplier " +
+       "WHERE s_nationkey = n_nationkey) AS n_supp FROM nation"),
+    "cy_pat_comp" ->
+      ("SELECT r_regionkey + 1000000000 AS r, " +
+       "string_agg(n_name, ',' ORDER BY n_name) AS names " +
+       "FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY 1"),
     "cy_regex" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer WHERE regexp_full_match(c_name, 'Customer#0+1[0-2]') ORDER BY c"),
@@ -2640,6 +2791,17 @@ object SparkEntry {
        "count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique, " +
        "round(1 - count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) * 1.0 / count(*), 6) AS dup_rate, " +
        "count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1"),
+    // pairwise source vocabulary Jaccard: distinct (source, token) set,
+    // token-keyed self-join (fan-out ≤ source pairs), sizes joined back
+    "text_source_overlap" ->
+      ("WITH v AS (SELECT DISTINCT source AS src, " +
+       "unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), " +
+       "s AS (SELECT src, count(*) AS n FROM v GROUP BY 1), " +
+       "i AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS inter " +
+       "FROM v a JOIN v b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2) " +
+       "SELECT src_a, src_b, inter, " +
+       "round(inter / (sa.n + sb.n - inter), 6) AS jaccard " +
+       "FROM i JOIN s sa ON i.src_a = sa.src JOIN s sb ON i.src_b = sb.src"),
     "dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
        "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
@@ -2996,6 +3158,7 @@ object SparkEntry {
     // kcoreOracle); k=3 converges in <= 2 rounds at every SF — 6 is margin
     "ktruss" -> ktrussOracle(k = 3, stages = 6),
     "lpa" -> lpaOracle(stages = 3),
+    "graph_modularity" -> modularityOracle(stages = 3),
     // SCC via transitive closure: scc(v) = min over {v} ∪ {w : v →* w ∧
     // w →* v} — O(V·E) reach-pair state, affordable only because the mod-10
     // induced graph is small at sf0.01; the Spark side runs the actual
@@ -3085,6 +3248,20 @@ object SparkEntry {
        "unnest(range(len(embedding))) AS dim FROM embeddings) " +
        "SELECT label, dim, round((sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) " +
        "/ count(*))::DOUBLE, 6) AS mean FROM x GROUP BY 1, 2"),
+    // covariance replay: zipped unnest → per-vec (i, x); upper-triangle
+    // pair sums + per-dim sums in DECIMAL(28,12) (exact, order-free), the
+    // double formula rounds last — same device as emb_centroids
+    "emb_covariance" ->
+      ("WITH e AS (SELECT vec_id, unnest(range(len(embedding)))::INT AS i, " +
+       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+       "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+       "p AS (SELECT a.i AS i, b.i AS j, " +
+       "sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy, count(*)::BIGINT AS n " +
+       "FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2), " +
+       "d AS (SELECT i, sum(CAST(x AS DECIMAL(28,12))) AS sx FROM e GROUP BY 1) " +
+       "SELECT p.i, p.j, p.n, round((CAST(sxy AS DOUBLE) - " +
+       "CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) / p.n) / p.n, 6) AS cov " +
+       "FROM p JOIN d di ON p.i = di.i JOIN d dj ON p.j = dj.i"),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->
@@ -3114,6 +3291,27 @@ object SparkEntry {
        "count(*)::BIGINT AS c FROM events CROSS JOIN " +
        "(SELECT unnest(range(4)) AS j) WHERE user_id IS NOT NULL " +
        "GROUP BY 1, 2, 3"),
+    // windowed bottom-k quantile replay: same md5 rank order as
+    // sketch_quantiles with the tumbling day window as an extra group key
+    "stream_quantiles" ->
+      ("WITH h AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, " +
+       "md5(CAST(event_id AS VARCHAR)) AS h, value::DOUBLE AS v FROM events " +
+       "WHERE event_id IS NOT NULL AND value IS NOT NULL), " +
+       "rk AS (SELECT day, event_type, h, v, row_number() OVER " +
+       "(PARTITION BY day, event_type ORDER BY h) AS rn FROM h), " +
+       "s AS (SELECT day, event_type, list_sort(list(v)) AS vs FROM rk " +
+       "WHERE rn <= 128 GROUP BY 1, 2) " +
+       "SELECT day, event_type, q, vs[CAST(ceil(q * len(vs)) AS INT)] AS est " +
+       "FROM s CROSS JOIN (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS q)"),
+    // windowed exact heavy hitters: plain per-day exact counting with an
+    // integer threshold against the day's total
+    "stream_topk" ->
+      ("WITH c AS (SELECT date_trunc('day', ts)::DATE AS day, " +
+       "CAST(user_id AS VARCHAR) AS user_id, count(*)::BIGINT AS cnt " +
+       "FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT day, sum(cnt) AS n FROM c GROUP BY 1) " +
+       "SELECT c.day, c.user_id, c.cnt FROM c JOIN t USING (day) " +
+       "WHERE c.cnt * 60 > t.n"),
     "stream_session_window" ->
       // Spark session_window: an event extends the session iff it lands
       // strictly inside [last_ts, last_ts + gap); window end = last_ts + gap
@@ -3192,6 +3390,11 @@ object SparkEntry {
       ("SELECT event_type, ts::date AS day, count(*) AS n, " +
        "round((sum(value::DECIMAL(18,2)) / count(*))::DOUBLE, 6) AS avg_value " +
        "FROM events GROUP BY 1, 2"),
+    "scd2_history" -> scd2OracleSql,
+    // the incremental apply MUST equal the full rebuild — same oracle
+    "scd2_apply" -> scd2OracleSql,
+    // the stateful streaming build's batch flush — same oracle again
+    "stream_scd2" -> scd2OracleSql,
     "ev_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
@@ -3226,8 +3429,18 @@ object SparkEntry {
     "skew_join" ->
       ("SELECT s_nationkey, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
        "count(*) AS n FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"),
+    // bloom pruning never changes the join result (no false negatives;
+    // the exact join removes false positives) — the oracle is the plain join
+    "bloom_join" ->
+      ("SELECT o_orderkey, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue " +
+       "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '1-URGENT' GROUP BY 1"),
     "sink_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // Morton-code replay: explicit bit interleave, pure integer arithmetic
+    "zorder_layout" ->
+      (s"SELECT o_orderkey, (${zOracleExpr("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)})::BIGINT AS z " +
+       "FROM orders"),
     "olap_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n " +

@@ -1330,4 +1330,44 @@ object Algorithms {
     vsAll.join(assigned.join(minId, "root").select(col("id"), col("scc")), Seq("id"), "left")
       .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
   }
+
+  /**
+   * Newman modularity Q of a vertex partition over an undirected simple
+   * graph: Q = W/m − S/(4m²) with m = |edges|, W = within-community edges,
+   * S = Σ_c (Σ_{i∈c} deg i)². The partition-quality score behind community
+   * detection ([[labelPropagation]] supplies the partition here).
+   *
+   * All three aggregates are INTEGER sums (exact, partition-order-free);
+   * the one double expression evaluates over three scalars — deterministic
+   * to the bit on any engine, which is what makes Q oracle-checkable. Scale
+   * shape: two broadcast-friendly label joins on the edge list + combinable
+   * groupBys; the three one-row aggregates broadcast into the final
+   * expression, nothing collects.
+   *
+   * @param labels (id, community)
+   * @param edges  directed edge rows; deduped to canonical a < b undirected
+   *               form, self-loops dropped
+   * @return one row (m, within_edges, q) — q rounded to 6
+   */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val la = labels.select(col("id").as("a"), col("community").as("__ca"))
+    val lb = labels.select(col("id").as("b"), col("community").as("__cb"))
+    val tagged = und.join(la, Seq("a")).join(lb, Seq("b"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val w = tagged.filter(col("__ca") === col("__cb"))
+      .agg(count(lit(1)).as("within_edges"))
+    val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__k"))
+    val s = labels.join(deg, Seq("id"))
+      .groupBy("community").agg(sum("__k").as("__vol"))
+      .agg(sum(col("__vol") * col("__vol")).as("__s"))
+    m.crossJoin(broadcast(w)).crossJoin(broadcast(s))
+      .select(col("m"), col("within_edges"),
+        round(col("within_edges").cast("double") / col("m")
+          - col("__s").cast("double") / (lit(4.0) * col("m") * col("m")), 6).as("q"))
+  }
 }

@@ -100,6 +100,15 @@ object Ast {
                            body: Expr) extends Expr
   /** Literal list in a value-expression position (`[1, 2, 3]`). */
   final case class EListLit(vs: Seq[Any]) extends Expr
+  /** Pattern-valued expression: `size((a)-[:T]->(b))` (kind "count") or a
+    * pattern comprehension `[(a)-[:T]->(b) WHERE p | e]` (kind "collect",
+    * `map` = the projection). Evaluated per outer row over the DISTINCT
+    * matches of the pattern (the engine-wide set semantics: named-binding
+    * assignments, no edge multiplicities); no matches → 0 / []. Anonymous
+    * pattern nodes are auto-named before the sub-match so each distinct
+    * intermediate assignment counts. MATCH-stage only (items + WHERE);
+    * rejected after WITH with a targeted error. */
+  final case class EPatAgg(kind: String, pat: PatPred, map: Option[Expr]) extends Expr
 
   object Expr {
     /** Every (binding, prop) pair the expression reads; bare refs carry
@@ -121,6 +130,27 @@ object Ast {
         refs(l) ++ (p.toSeq.flatMap(Pred.refs) ++ pr.toSeq.flatMap(refs)).filterNot(_._1 == v)
       case EReduce(a, init, v, l, body) =>
         refs(init) ++ refs(l) ++ refs(body).filterNot(r => r._1 == v || r._1 == a)
+      // sub-pattern scope: anchors surface via the match compiler's own
+      // carry (patAggs), never as outer property refs
+      case EPatAgg(_, _, _) => Seq.empty
+    }
+    /** Every pattern-valued expression ([[EPatAgg]]) at THIS scope level —
+      * nested occurrences inside an EPatAgg's own projection belong to the
+      * sub-match and are handled by its recursive compile. */
+    def patAggs(e: Expr): Seq[EPatAgg] = e match {
+      case pa: EPatAgg   => Seq(pa)
+      case EBin(_, l, r) => patAggs(l) ++ patAggs(r)
+      case ENeg(x)       => patAggs(x)
+      case EFn(_, args)  => args.flatMap(patAggs)
+      case ECase(ws, d)  =>
+        ws.flatMap { case (p, v) => Pred.patAggs(p) ++ patAggs(v) } ++
+          d.toSeq.flatMap(patAggs)
+      case EListPred(_, _, l, p)  => patAggs(l) ++ Pred.patAggs(p)
+      case EListComp(_, l, p, pr) =>
+        patAggs(l) ++ p.toSeq.flatMap(Pred.patAggs) ++ pr.toSeq.flatMap(patAggs)
+      case EReduce(_, init, _, l, body) =>
+        patAggs(init) ++ patAggs(l) ++ patAggs(body)
+      case _             => Seq.empty
     }
     /** Pattern predicates nested in CASE conditions (rejected in items —
       * the exists-flag machinery is residual-WHERE-only). */
@@ -208,6 +238,14 @@ object Ast {
       case Or(l, r)      => fns(l) ++ fns(r)
       case Not(x)        => fns(x)
       case CmpE(l, _, r) => Expr.fns(l) ++ Expr.fns(r)
+      case _             => Seq.empty
+    }
+    /** Every pattern-valued expression in the predicate's operands. */
+    def patAggs(p: Pred): Seq[EPatAgg] = p match {
+      case And(l, r)     => patAggs(l) ++ patAggs(r)
+      case Or(l, r)      => patAggs(l) ++ patAggs(r)
+      case Not(x)        => patAggs(x)
+      case CmpE(l, _, r) => Expr.patAggs(l) ++ Expr.patAggs(r)
       case _             => Seq.empty
     }
     /** Rewrite every expression operand in the predicate tree with
@@ -1462,6 +1500,14 @@ object CypherParser {
           eat(')')
           if (args.size < 2) err("coalesce() takes at least two arguments")
           EFn("coalesce", args.toSeq)
+        } else if (peek == '(' && nl == "size") {
+          // size((a)-[:T]->(b)) — pattern-count expression (distinct
+          // matches per outer row); falls back to size(list/string)
+          eat('(')
+          patternPred() match {
+            case Some(pp) => eat(')'); EPatAgg("count", pp, None)
+            case None     => val a = addE(bare); eat(')'); EFn(nl, Seq(a))
+          }
         } else if (peek == '(' && valueFnNames(nl)) {
           eat('('); val a = addE(bare); eat(')')
           EFn(nl, Seq(a))
@@ -1496,6 +1542,20 @@ object CypherParser {
       val save = i
       eat('[')
       ws()
+      if (peek == '(') {
+        // pattern comprehension `[(a)-[:T]->(b) [WHERE p] | e]` — the
+        // pattern parse restores the cursor on failure, falling through to
+        // a parenthesized-expression list element error path below
+        patternPred() match {
+          case Some(pp) =>
+            val wp = if (kw("WHERE")) Some(orExpr(bare)) else None
+            ws(); eat('|')
+            val proj = addE(bare)
+            eat(']')
+            return EPatAgg("collect", pp.copy(preds = pp.preds ++ wp.toSeq), Some(proj))
+          case None => // not a pattern: literal-list handling below
+        }
+      }
       if (peek.isLetter || peek == '_') {
         val v = ident()
         if (kw("IN")) {

@@ -183,4 +183,109 @@ object EventOps {
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")
   }
+
+  /**
+   * Slowly-changing-dimension type-2 build: collapse a change log
+   * (key, time, attrs…) into versioned validity ranges — one row per run of
+   * consecutive identical attribute values per key, with
+   * `valid_from_ms`/`valid_to_ms` (null = still current), `is_current`, and
+   * a 1-based `version` ordinal. The lakehouse dimension-history primitive:
+   * replaying the full change log through this yields the same table an
+   * incremental MERGE-based SCD2 pipeline maintains.
+   *
+   * Change detection is NULL-SAFE (`<=>` over the attr struct) and
+   * deterministic under duplicate timestamps via the caller-named
+   * `tieBreak` column (a unique change id).
+   *
+   * Scale shape: ONE shuffle on `key`, then two window passes over the
+   * key-sorted rows (detect runs; number the survivors) — the same cost
+   * class as sessionize/as-of, skew-safe under AQE. No self-join, no
+   * driver-side state.
+   *
+   * @return (key, attrs…, valid_from_ms, valid_to_ms, is_current, version)
+   */
+  def scd2(changes: DataFrame, key: String, time: String, attrs: Seq[String],
+           tieBreak: String): DataFrame = {
+    require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    val byKey = Window.partitionBy(key).orderBy(col(time), col(tieBreak))
+    val attrStruct = struct(attrs.map(col): _*)
+    val runs = changes
+      .withColumn("__prev", lag(attrStruct, 1).over(byKey))
+      // first row per key: lag = NULL, <=> = false → a new run. NULL attr
+      // values compare equal to themselves (a null→null "change" is no
+      // change), which is what the struct <=> gives for free.
+      .filter(!(col("__prev") <=> attrStruct))
+    val byFrom = Window.partitionBy(key).orderBy(col(time), col(tieBreak))
+    runs
+      .withColumn("valid_from_ms", unix_millis(col(time)))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(byFrom))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .withColumn("version", row_number().over(byFrom).cast("long"))
+      .select(col(key) +: attrs.map(col) :+ col("valid_from_ms")
+        :+ col("valid_to_ms") :+ col("is_current") :+ col("version"): _*)
+  }
+
+  /**
+   * Incremental SCD2 merge: fold a NEW batch of change rows into an
+   * existing history (the output of [[scd2]] or a previous apply) without
+   * rebuilding from the full log. The maintained invariant (property-tested
+   * in EventOpsSpec and oracle-checked as `scd2_apply`):
+   * `scd2Apply(scd2(log ≤ T), key…)(log > T) == scd2(whole log)` —
+   * bit-for-bit, versions included.
+   *
+   * Contract: every change is STRICTLY later than its key's current
+   * `valid_from_ms`. Violations raise at execution (the check is folded
+   * into a load-bearing column so Catalyst cannot prune it) — out-of-order
+   * arrivals need a rebuild of the affected keys, silently mis-ordering
+   * them would corrupt the history.
+   *
+   * Scale shape: [[scd2]] runs over the DELTA only; the history
+   * contributes one filtered pass (closed rows ride through untouched —
+   * never shuffled) plus a key join of its current slice against the
+   * delta's first runs. At 100 TB this is the difference between touching
+   * a day's changes and re-sorting years of log.
+   */
+  def scd2Apply(history: DataFrame, changes: DataFrame, key: String, time: String,
+                attrs: Seq[String], tieBreak: String): DataFrame = {
+    val attrStruct = struct(attrs.map(col): _*)
+    val cur = history.filter(col("is_current"))
+    val curInfo = cur.select(col(key), attrStruct.as("__cur_attrs"),
+      col("valid_from_ms").as("__cur_from"), col("version").as("__cur_ver"))
+    val delta0 = scd2(changes, key, time, attrs, tieBreak)
+      .withColumnRenamed("version", "__dver")
+      .join(curInfo, Seq(key), "left")
+    // ordering contract: assert_true rides INSIDE valid_from_ms so the
+    // check executes whenever the result does
+    val delta = delta0.withColumn("valid_from_ms",
+      col("valid_from_ms") + coalesce(assert_true(
+        col("__cur_from").isNull || col("valid_from_ms") > col("__cur_from"),
+        concat(lit("scd2Apply: change at or before the current version for key "),
+          col(key).cast("string"))).cast("long"), lit(0L)))
+    // the delta's FIRST run absorbs into the open current row when the
+    // attrs are (null-safely) unchanged — no new version, and the current
+    // row closes only when a LATER delta run supersedes it
+    val absorbed = col("__dver") === lit(1L) && col("__cur_attrs").isNotNull &&
+      (attrStruct <=> col("__cur_attrs"))
+    val firstInfo = delta.filter(col("__dver") === 1)
+      .select(col(key), col("valid_from_ms").as("__f_from"),
+        col("valid_to_ms").as("__f_to"), absorbed.as("__abs"))
+    val curUpdated = cur.join(firstInfo, Seq(key), "left")
+      .withColumn("valid_to_ms",
+        when(col("__f_from").isNull, col("valid_to_ms")) // no delta for this key
+          .when(col("__abs"), col("__f_to"))  // absorbed: close at its successor (if any)
+          .otherwise(col("__f_from")))        // changed: close at the first new run
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .drop("__f_from", "__f_to", "__abs")
+    val deltaOut = delta
+      .withColumn("__absk", max(when(absorbed, 1).otherwise(0))
+        .over(Window.partitionBy(key)))
+      .filter(!absorbed)
+      .withColumn("version",
+        coalesce(col("__cur_ver"), lit(0L)) + col("__dver") - col("__absk"))
+      .select(col(key) +: attrs.map(col) :+ col("valid_from_ms")
+        :+ col("valid_to_ms") :+ col("is_current") :+ col("version"): _*)
+    history.filter(!col("is_current"))
+      .unionByName(curUpdated)
+      .unionByName(deltaOut)
+  }
 }

@@ -244,6 +244,54 @@ object Similarity {
         .as("mean"))
 
   /**
+   * Exact corpus covariance matrix of the embedding column — the input to
+   * PCA/whitening/Mahalanobis over the corpus distribution. Upper triangle
+   * (i ≤ j) of cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
+   *
+   * Scale shape: every row emits its dim·(dim+1)/2 upper-triangle products
+   * via ONE nested array transform inside the scan stage (no self-join, no
+   * second pass), and the only shuffle is the combinable groupBy on (i, j)
+   * — map-side partial sums mean ≤ dim² rows cross the wire per input
+   * partition, independent of corpus size. Per-dimension sums for the
+   * means ride the same device (dim rows, broadcast back). Both sums
+   * accumulate in DECIMAL(28,12) (exact, partition-order-insensitive —
+   * the family-wide determinism device), the final double formula is
+   * rounded to 6.
+   *
+   * @return (i INT, j INT, n BIGINT, cov DOUBLE) for 0 ≤ i ≤ j < dim
+   */
+  def covarianceMatrix(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"covarianceMatrix needs dim >= 1, got $dim")
+    val vecs = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // upper-triangle products per row: for each i, pair xᵢ with the tail
+    // slice x[i..dim): struct(i, j = i + offset, xᵢ·xⱼ)
+    val prods = flatten(transform(col(vecCol), (xi, i) =>
+      transform(slice(col(vecCol), i + lit(1), lit(dim) - i),
+        (xj, o) => struct(i.cast("int").as("i"), (i + o).cast("int").as("j"),
+          (xi.cast("double") * xj.cast("double")).as("p")))))
+    val sums = vecs.select(explode(prods).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(28,12)")).as("sxy"), count(lit(1)).as("n"))
+    // the dim-row mean table persists: it joins back TWICE (as i and as j)
+    // and without the cache each broadcast side would re-scan the corpus
+    // (the d→i / d→j renames sit below the exchanges, so ReuseExchange
+    // can't dedupe them) — measured as a third corpus pass in the plan audit
+    val dims = vecs.select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("d", "x")))
+      .groupBy("d").agg(sum(col("x").cast("decimal(28,12)")).as("sx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sums
+      .join(broadcast(dims.select(col("d").as("i"), col("sx").as("__sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"), col("sx").as("__sxj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("sxy").cast("double")
+          - col("__sxi").cast("double") * col("__sxj").cast("double") / col("n"))
+          / col("n"), 6).as("cov"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, dims)
+  }
+
+  /**
    * Spherical k-means (Lloyd's iterations, cosine assignment): the trained
    * coarse quantizer that [[ivfKnn]] / [[semanticNearDup]] take as given —
    * run offline over the corpus, swap the resulting centroids in.

@@ -129,6 +129,11 @@ object Preds {
     * bare stage column post-WITH). */
   def exprColumn(e: Ast.Expr, resolve: (String, String) => Column,
                  pat: Ast.PatPred => Column): Column = e match {
+    // pattern-valued expressions are rewritten to joined-column refs by the
+    // MATCH compiler before reaching here; any other position is unsupported
+    case Ast.EPatAgg(k, pp, _) => throw new graft.cypher.ParseException(
+      (if (k == "count") s"size(${pp.path})" else "a pattern comprehension") +
+        " is only supported over a MATCH (items or WHERE), not in this position")
     case Ast.ERef(b, p)  => resolve(b, p.getOrElse(""))
     case Ast.ELit(v)     => lit(v)
     case Ast.EListLit(vs) => array(vs.map(lit): _*)

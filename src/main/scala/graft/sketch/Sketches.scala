@@ -257,8 +257,10 @@ object Sketches {
 
   // ── Count-Min sketch (count table as a DataFrame) ─────────────────────
 
-  /** Salted 32-bit row hash for CMS/Bloom: md5 of "j:value". */
-  private def saltedH32(j: Int, value: Column): Column =
+  /** Salted 32-bit row hash for CMS/Bloom: md5 of "j:value". Shared with
+    * every other maintainer of the same bit/bucket contract (windowed CMS,
+    * bloom join pruning) so sketches built anywhere interoperate. */
+  private[graft] def saltedH32(j: Int, value: Column): Column =
     conv(substring(md5(concat(lit(j.toString), lit(":"),
       value.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 

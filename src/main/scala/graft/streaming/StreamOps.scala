@@ -16,6 +16,12 @@ final case class GSession(user_id: Long, session_start: java.sql.Timestamp,
 
 private final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
+/** SCD2 version row emitted by [[StreamOps.scd2Stream]]. */
+final case class GScd2(user_id: Long, event_type: String, valid_from_ms: Long,
+                       valid_to_ms: Option[Long], is_current: Boolean, version: Long)
+
+private final case class Scd2State(attr: String, fromMs: Long, tieBreak: Long, ver: Long)
+
 /**
  * Structured Streaming operators (SURVEY §2.7 notes the reference has no
  * streaming surface; its closest analogue is the fs2 paged scan + insert-time
@@ -117,6 +123,92 @@ object StreamOps {
       .groupBy(col("win"), col("j"), col("bucket"))
       .agg(sum(col("__w")).as("c"))
       .select(col("win.start").as("w_start"), col("j"), col("bucket"), col("c"))
+  }
+
+  /**
+   * Windowed streaming bottom-k sample: maintains ≤ k (md5-hash, value)
+   * pairs per (tumbling window, groupCols) as ONE streaming aggregate —
+   * the bottom-k insert/merge is a pure function of the SET of rows seen
+   * (the shared hash coordinates partial samples), so the result is
+   * deterministic under any partitioning and micro-batch split, and state
+   * is bounded at ≤ live-windows × groups × k rows no matter how many rows
+   * stream past. The sample table IS the durable quantile sketch: sink it
+   * per window and read quantiles out with
+   * [[graft.sketch.Sketches.sampleQuantiles]] (or merge windows with
+   * [[graft.sketch.Sketches.sampleMerge]]). Identical on batch input.
+   * NULL ids/values are ignored (the sketch family's NULL contract).
+   */
+  def windowedBottomKSample(events: DataFrame, groupCols: Seq[String], id: Column,
+                            value: Column, k: Int, windowDur: String = "1 day",
+                            wm: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val agg = udaf(new graft.sketch.Sketches.BottomKAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+    watermarked(events, "ts", wm)
+      .filter(id.isNotNull && value.isNotNull)
+      .select(window(col("ts"), windowDur).as("w") +: groupCols.map(col)
+        :+ md5(id.cast("string").cast("binary")).as("__h")
+        :+ value.cast("double").as("__v"): _*)
+      .groupBy(col("w") +: groupCols.map(col): _*)
+      .agg(agg(col("__h"), col("__v")).as("__s"))
+      .select(col("w.start").as("w_start") +: groupCols.map(col)
+        :+ explode(col("__s")).as("e"): _*)
+      .select(col("w_start") +: groupCols.map(col)
+        :+ col("e._1").as("h") :+ col("e._2").as("v"): _*)
+  }
+
+  /** Per-(window, groupCols) quantile estimates from
+    * [[windowedBottomKSample]]. The quantile read-out is a SECOND
+    * aggregation, so on a stream run it at read time over the sunk sample
+    * table (one stateful operator per streaming query); on batch input the
+    * whole chain is one plan (the oracle path). */
+  def windowedQuantiles(events: DataFrame, groupCols: Seq[String], id: Column,
+                        value: Column, qs: Seq[Double], k: Int,
+                        windowDur: String = "1 day", wm: String = "1 hour"): DataFrame =
+    graft.sketch.Sketches.sampleQuantiles(
+      windowedBottomKSample(events, groupCols, id, value, k, windowDur, wm),
+      "w_start" +: groupCols, qs)
+
+  /**
+   * Windowed per-key counts: the (window, key) → exact count table as one
+   * streaming aggregate. State is O(distinct keys in LIVE windows) —
+   * watermark-bounded, independent of total history; when even the
+   * live-window key set exceeds memory (e.g. raw URLs at 100 TB/day),
+   * use [[windowedCmsTable]] instead and accept the overcount bound.
+   * NULL keys are ignored. Identical on batch input.
+   */
+  def windowedKeyCounts(events: DataFrame, key: Column, windowDur: String = "1 day",
+                        wm: String = "1 hour"): DataFrame =
+    watermarked(events, "ts", wm)
+      .filter(key.isNotNull)
+      .groupBy(window(col("ts"), windowDur).as("w"), key.cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("k"), col("cnt"))
+
+  /**
+   * Windowed EXACT φ-heavy hitters, φ = 1/s: per tumbling window, every
+   * key whose count strictly exceeds N_window/s, with its exact count —
+   * the streaming sibling of [[graft.sketch.Sketches.heavyHitters]]. The
+   * count table ([[windowedKeyCounts]]) is THE streaming aggregate; the
+   * per-window total + integer threshold (`cnt · s > N`) is a read-time
+   * filter over the sunk table (a second aggregation — one stateful
+   * operator per streaming query). The one-row-per-window totals side
+   * broadcasts. Exact, deterministic, partitioning-independent — which is
+   * what makes it oracle-checkable. On batch input the whole chain is one
+   * plan.
+   *
+   * @return (w_start, outName = key as string, cnt), only rows with
+   *         cnt · s > N_window
+   */
+  def windowedHeavyHitters(events: DataFrame, key: Column, s: Int,
+                           windowDur: String = "1 day", wm: String = "1 hour",
+                           outName: String = "key"): DataFrame = {
+    require(s >= 1, s"heavy hitters needs s >= 1, got $s")
+    val counts = windowedKeyCounts(events, key, windowDur, wm)
+    val totals = counts.groupBy("w_start").agg(sum("cnt").as("__n"))
+    counts.join(broadcast(totals), "w_start")
+      .filter(col("cnt") * s > col("__n"))
+      .select(col("w_start"), col("k").as(outName), col("cnt"))
   }
 
   /**
@@ -320,6 +412,63 @@ object StreamOps {
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /**
+   * Streaming SCD2 (CDC → dimension history): maintain each key's OPEN
+   * version in `flatMapGroupsWithState` state and emit a version row the
+   * moment a change CLOSES it — the incremental sibling of
+   * [[graft.events.EventOps.scd2]], with the same run-collapse, tie-break,
+   * and version-numbering semantics.
+   *
+   * Emission contract: a stream (append mode) emits CLOSED versions only —
+   * the open row lives in state until its successor arrives (current rows
+   * are a state snapshot, not sink rows). In BATCH mode the end-of-group
+   * flush emits the open row too, so the batch output is exactly
+   * `EventOps.scd2` (the oracle path; equality property-tested).
+   *
+   * Ordering contract (same as [[graft.events.EventOps.scd2Apply]]): events
+   * are sorted within each micro-batch, but across batches each key's
+   * changes must arrive in (ts, event_id) order — the per-key ordering a
+   * CDC log gives. A change at or before the open version raises rather
+   * than silently mis-ordering history. State is ONE row per key —
+   * bounded by key cardinality, not history length.
+   */
+  def scd2Stream(events: Dataset[GEvent]): Dataset[GScd2] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val fn: (Long, Iterator[GEvent], GroupState[Scd2State]) => Iterator[GScd2] =
+      (uid, it, state) => {
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val out = Seq.newBuilder[GScd2]
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t < s.fromMs || (t == s.fromMs && e.event_id <= s.tieBreak) =>
+              throw new IllegalStateException(
+                s"scd2Stream: out-of-order change for key $uid at $t (open version from ${s.fromMs})")
+            case Some(s) if s.attr == e.event_type => // same run: absorb
+            case Some(s) =>
+              out += GScd2(uid, s.attr, s.fromMs, Some(t), is_current = false, s.ver)
+              cur = Some(Scd2State(e.event_type, t, e.event_id, s.ver + 1))
+            case None =>
+              cur = Some(Scd2State(e.event_type, t, e.event_id, 1L))
+          }
+        }
+        cur.foreach(state.update)
+        if (streaming) out.result().iterator
+        else {
+          // batch flush: the open version renders as the current row
+          val tail = cur.map(s =>
+            GScd2(uid, s.attr, s.fromMs, None, is_current = true, s.ver)).iterator
+          state.remove()
+          out.result().iterator ++ tail
+        }
+      }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
   /**

@@ -189,6 +189,34 @@ object TextOps {
         countDistinct(col(langCol)).as("n_langs"))
 
   /**
+   * Pairwise vocabulary overlap between corpus sources: |Va ∩ Vb| and the
+   * Jaccard index over the sources' distinct-token vocabularies — the
+   * corpus-composition diagnostic behind mixture design ("how redundant are
+   * these two crawls?") and contamination triage at the source granularity.
+   *
+   * Scale shape: one distinct (source, token) projection (map-side-combined
+   * groupBy), then a token-keyed self-join whose fan-out per token is at
+   * most (#sources choose 2) — the OUTPUT size, not a data-squared blow-up
+   * — and the per-source sizes broadcast back. At 100 TB the only large
+   * shuffle is the distinct on (source, token).
+   *
+   * @return (src_a, src_b, inter, jaccard) for src_a < src_b
+   */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val vocab = df.select(col(srcCol).as("src"),
+      explode(tokens(col(textCol))).as("w")).distinct()
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("n"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("__na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("__nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("__na") + col("__nb") - col("inter")), 6).as("jaccard"))
+  }
+
+  /**
    * Corpus vocabulary: global term frequency + document frequency per token
    * — the "build the vocab / IDF table" step of a training-data pipeline.
    * One explode + one token-keyed groupBy with map-side-combinable

@@ -641,4 +641,26 @@ class AlgorithmsSpec extends SparkSpec {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     assert(Algorithms.degreeAssortativity(star).collect()(0).isNullAt(0))
   }
+
+  test("modularity: two triangles + bridge, hand-computed Q") {
+    // communities {0,1,2} and {3,4,5}, one bridge 2–3:
+    // m = 7, within = 6, degrees all 2 except 2,3 (deg 3) → vol_c = 7 each
+    // Q = 6/7 − 2·(7/14)² = 6/7 − 1/2
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val labels = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L))
+      .toDF("id", "community")
+    val r = Algorithms.modularity(labels, es).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 6L)
+    assert(math.abs(r.getDouble(2) - (6.0 / 7 - 0.5)) < 1e-6)
+    // one community holding everything → Q = 1 − Σ(vol/2m)² = 0 exactly
+    val one = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val oneLab = Seq((0L, 1L), (1L, 1L), (2L, 1L)).toDF("id", "community")
+    assert(Algorithms.modularity(oneLab, one).collect()(0).getDouble(2) == 0.0)
+    // duplicate orientations and self-loops collapse/drop before counting
+    val dup = Seq((0L, 1L), (1L, 0L), (0L, 0L)).toDF("src", "dst")
+    val dl = Seq((0L, 1L), (1L, 2L)).toDF("id", "community")
+    val d = Algorithms.modularity(dl, dup).collect()(0)
+    assert(d.getLong(0) == 1L && d.getLong(1) == 0L)
+  }
 }

@@ -2318,4 +2318,64 @@ class CypherSpec extends SparkSpec {
       }
     }
   }
+
+  test("size(pattern): per-row distinct-match counts, zero default, incoming anchor") {
+    val db = new GraphDB(diamond)
+    val deg = db.query("MATCH (a:A) RETURN a, size((a)-[:X]->(b:B)) AS deg")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(deg.toSeq == Seq((1L, 2L)))
+    // no matches → 0, not null
+    val none = db.query("MATCH (c:C) RETURN c, size((c)-[:X]->()) AS deg")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(none.toSeq == Seq((4L, 0L)))
+    // the anchor may sit anywhere in the sub-pattern
+    val indeg = db.query("MATCH (b:B) RETURN b, size((a:A)-[:X]->(b)) AS indeg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(indeg.toSeq == Seq((2L, 1L), (3L, 1L)))
+    // anonymous middles are auto-named: each distinct assignment counts
+    val twoHop = db.query("MATCH (a:A) RETURN a, size((a)-[:X]->()-[:Y]->(c:C)) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twoHop.toSeq == Seq((1L, 2L)))
+  }
+
+  test("size(pattern): anchor-less pattern is a global count; WHERE position filters") {
+    val db = new GraphDB(diamond)
+    val tot = db.query("MATCH (c:C) RETURN c, size((x:B)-[:Y]->(y:C)) AS total")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tot.toSeq == Seq((4L, 2L)))
+    val filtered = db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE size((b)-[:Y]->(z:C)) = 1 RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(filtered.toSeq == Seq(2L, 3L))
+    assert(db.query(
+      "MATCH (a:A)-[:X]->(b:B) WHERE size((b)-[:Y]->(z:C)) > 1 RETURN b").isEmpty)
+  }
+
+  test("pattern comprehension: sorted value list per row, empty default, WHERE filter") {
+    val db = new GraphDB(diamond)
+    val ls = db.query("MATCH (a:A) RETURN a, [(a)-[:X]->(b:B) | b] AS bs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(ls.toSeq == Seq((1L, List(2L, 3L))))
+    // no matches → [], not null
+    val empty = db.query("MATCH (c:C) RETURN c, [(c)-[:X]->(b) | b] AS bs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(empty.toSeq == Seq((4L, Nil)))
+    // one value per distinct match: both 2-hop assignments render their c
+    val paths = db.query("MATCH (a:A) RETURN a, [(a)-[:X]->(b:B)-[:Y]->(c) | c] AS cs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(paths.toSeq == Seq((1L, List(4L, 4L))))
+    // pattern expressions compose with arithmetic like any value expression
+    val arith = db.query(
+      "MATCH (a:A) RETURN a, size((a)-[:X]->(b:B)) - 1 AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(arith.toSeq == Seq((1L, 1L)))
+  }
+
+  test("pattern expressions are rejected after WITH with a targeted error") {
+    val db = new GraphDB(diamond)
+    val e = intercept[graft.cypher.ParseException] {
+      db.query("MATCH (a:A) WITH a AS x, a AS y RETURN x, size((x)-[:X]->()) AS d")
+    }
+    assert(e.getMessage.contains("MATCH-stage only"))
+  }
 }

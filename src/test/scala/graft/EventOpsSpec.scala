@@ -24,6 +24,90 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map("t1" -> Some(100.0), "t2" -> Some(101.0), "t3" -> None))
   }
 
+  test("scd2: runs collapse, ranges chain, nulls and duplicate timestamps handled") {
+    val log = Seq(
+      // user 1: A A B A — runs A, B, A
+      (1L, ts("2024-01-01 10:00:00"), Some("A"), 1L),
+      (1L, ts("2024-01-01 11:00:00"), Some("A"), 2L),
+      (1L, ts("2024-01-01 12:00:00"), Some("B"), 3L),
+      (1L, ts("2024-01-01 13:00:00"), Some("A"), 4L),
+      // user 2: null null C — a null→null step is NOT a change
+      (2L, ts("2024-01-01 10:00:00"), None, 5L),
+      (2L, ts("2024-01-01 11:00:00"), None, 6L),
+      (2L, ts("2024-01-01 12:00:00"), Some("C"), 7L),
+      // user 3: duplicate timestamp — tie-break on the change id
+      (3L, ts("2024-01-01 10:00:00"), Some("X"), 9L),
+      (3L, ts("2024-01-01 10:00:00"), Some("Y"), 8L)
+    ).toDF("key", "ts", "attr", "cid")
+    val got = EventOps.scd2(log, "key", "ts", Seq("attr"), "cid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4), r.getLong(5)))
+      .toSet
+    def ms(s: String) = ts(s).getTime
+    assert(got == Set(
+      (1L, Some("A"), ms("2024-01-01 10:00:00"), Some(ms("2024-01-01 12:00:00")), false, 1L),
+      (1L, Some("B"), ms("2024-01-01 12:00:00"), Some(ms("2024-01-01 13:00:00")), false, 2L),
+      (1L, Some("A"), ms("2024-01-01 13:00:00"), None, true, 3L),
+      (2L, None, ms("2024-01-01 10:00:00"), Some(ms("2024-01-01 12:00:00")), false, 1L),
+      (2L, Some("C"), ms("2024-01-01 12:00:00"), None, true, 2L),
+      // cid 8 (Y) sorts before cid 9 (X) at the same timestamp
+      (3L, Some("Y"), ms("2024-01-01 10:00:00"), Some(ms("2024-01-01 10:00:00")), false, 1L),
+      (3L, Some("X"), ms("2024-01-01 10:00:00"), None, true, 2L)))
+    // exactly one current row per key
+    assert(got.count(_._5) == 3)
+  }
+
+  test("scd2Apply: incremental merge equals full rebuild (randomized splits)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      // random change log: few keys, few attr values, duplicate timestamps
+      val log = (1 to 60).map { cid =>
+        val key = 1L + rnd.nextInt(4)
+        val t = ts(f"2024-02-${1 + rnd.nextInt(20)}%02d 10:00:00")
+        val attr = if (rnd.nextInt(6) == 0) None else Some(s"v${rnd.nextInt(3)}")
+        (key, t, attr, cid.toLong)
+      }
+      val df = log.toDF("key", "ts", "attr", "cid")
+      val cut = ts(f"2024-02-${8 + rnd.nextInt(6)}%02d 00:00:00")
+      val hist = EventOps.scd2(df.filter($"ts" < cut), "key", "ts", Seq("attr"), "cid")
+      val merged = EventOps.scd2Apply(hist, df.filter($"ts" >= cut),
+        "key", "ts", Seq("attr"), "cid")
+      val full = EventOps.scd2(df, "key", "ts", Seq("attr"), "cid")
+      val m = merged.collect().map(_.toSeq).toSet
+      val f = full.collect().map(_.toSeq).toSet
+      assert(m == f, s"trial $trial (cut $cut)")
+    }
+  }
+
+  test("scd2Apply: out-of-order change raises; delta-only keys start at version 1") {
+    val hist = EventOps.scd2(
+      Seq((1L, ts("2024-01-01 10:00:00"), "A", 1L)).toDF("key", "ts", "attr", "cid"),
+      "key", "ts", Seq("attr"), "cid")
+    // change at/before the current valid_from → load-bearing assert fires
+    intercept[Exception] {
+      EventOps.scd2Apply(hist,
+        Seq((1L, ts("2024-01-01 10:00:00"), "B", 2L)).toDF("key", "ts", "attr", "cid"),
+        "key", "ts", Seq("attr"), "cid").collect()
+    }
+    // a key unseen by history versions from 1
+    val merged = EventOps.scd2Apply(hist,
+      Seq((2L, ts("2024-01-02 10:00:00"), "C", 3L)).toDF("key", "ts", "attr", "cid"),
+      "key", "ts", Seq("attr"), "cid")
+    val v = merged.filter($"key" === 2L).select("version").collect().map(_.getLong(0))
+    assert(v.toSeq == Seq(1L))
+  }
+
+  test("scd2: multi-attribute change detection is per-struct, not per-column") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p", 1, 1L),
+      (1L, ts("2024-01-01 11:00:00"), "p", 2, 2L), // second attr changes → new version
+      (1L, ts("2024-01-01 12:00:00"), "p", 2, 3L)  // no change → absorbed
+    ).toDF("key", "ts", "a1", "a2", "cid")
+    val got = EventOps.scd2(log, "key", "ts", Seq("a1", "a2"), "cid")
+    assert(got.count() == 2)
+    assert(got.filter(col("is_current")).select("a2").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("asof join: simultaneous right row is visible") {
     val l = Seq((1L, ts("2024-01-01 10:00:10"), "x")).toDF("key", "ts", "v")
     val r = Seq((1L, ts("2024-01-01 10:00:10"), 7.0)).toDF("key", "ts", "px")

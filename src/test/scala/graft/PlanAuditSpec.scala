@@ -287,4 +287,29 @@ class PlanAuditSpec extends SparkSpec {
         || p.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec]),
       "shard_assign: no global take/limit belongs in the shard window plan")
   }
+
+  test("round-11c plan shapes: covariance single-shuffle, bloom probe unshuffled, " +
+       "scd2 one key exchange, pattern-size joins back broadcast-sized") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // emb_covariance: the dim² pair stream aggregates map-side; the plan
+    // carries the (i,j) agg exchange + the dim-sum agg exchange and the two
+    // dim-sized join-backs as BROADCASTS — a shuffled join of the pair
+    // stream against the means would be a data-sized detour
+    val cov = plans("emb_covariance")
+    assert(cov.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2,
+      "emb_covariance: expected only the (i,j) and per-dim agg exchanges")
+    assert(cov.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "emb_covariance: the dim-sized mean tables must join back as broadcasts")
+    // scd2_history: ONE hash exchange on the key feeds both window passes
+    // (same partitioning, no re-shuffle between detect and number)
+    val scd = plans("scd2_history")
+    assert(scd.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "scd2_history: both window passes must ride one key exchange")
+    // stream_topk batch path: count table agg + the one-row-per-window
+    // totals agg; the threshold join comes back as a broadcast
+    val st = plans("stream_topk")
+    assert(st.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1,
+      "stream_topk: the per-window totals must broadcast, not shuffle-join")
+  }
 }

@@ -198,4 +198,36 @@ class SimilaritySpec extends SparkSpec {
     assert(trainMarkers >= 2, s"expected cached codebook reads, got:\n$plan")
     assert(!plan.contains("md5"), "training subtree duplicated past the cache")
   }
+
+  test("covarianceMatrix equals the brute-force covariance on a small corpus") {
+    val vecs = (0 until 7).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 3 + j * 5) % 11).toFloat / 11f)))
+    val got = Similarity.covarianceMatrix(vecs.toDF("vec_id", "embedding"), "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 10) // 4*5/2 upper-triangle cells
+    val n = vecs.size
+    val xs = vecs.map(_._2.map(_.toDouble))
+    for (i <- 0 until 4; j <- i until 4) {
+      val sxy = xs.map(v => v(i) * v(j)).sum
+      val sxi = xs.map(_(i)).sum
+      val sxj = xs.map(_(j)).sum
+      val cov = (sxy - sxi * sxj / n) / n
+      val (gn, gc) = got((i, j))
+      assert(gn == n && math.abs(gc - cov) < 1e-6, s"cell ($i,$j): $gc vs $cov")
+    }
+  }
+
+  test("covarianceMatrix: diagonal is variance (non-negative), malformed rows drop") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f)), (2L, Array(3f, 5f)),
+      (3L, Array(1f)),               // wrong dim → dropped
+      (4L, null.asInstanceOf[Array[Float]])) // null → dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(vecs, "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 1)))
+    assert(got.values.forall(_._1 == 2L)) // only the two well-formed rows count
+    assert(got((0, 0))._2 >= 0 && got((1, 1))._2 >= 0)
+    assert(math.abs(got((0, 0))._2 - 1.0) < 1e-9) // var of {1,3} = 1 (population)
+  }
 }

@@ -348,4 +348,132 @@ class StreamingSpec extends SparkSpec {
       truth.foreach { case (u, t) => assert(est(u) >= t, s"user $u: ${est(u)} < $t") }
     } finally q.stop()
   }
+
+  test("scd2Stream: batch flush equals EventOps.scd2; stream emits the closed subset") {
+    import org.apache.spark.sql.functions.col
+    val evs = Seq(
+      GEvent(1L, ts("2024-05-01 10:00:00"), 1L, "A", 0.0),
+      GEvent(2L, ts("2024-05-01 11:00:00"), 1L, "A", 0.0), // absorbed
+      GEvent(3L, ts("2024-05-01 12:00:00"), 1L, "B", 0.0),
+      GEvent(4L, ts("2024-05-01 13:00:00"), 1L, "A", 0.0),
+      GEvent(5L, ts("2024-05-01 10:30:00"), 2L, "C", 0.0)
+    )
+    // batch path ≡ the relational build
+    val batch = StreamOps.scd2Stream(evs.toDS()).toDF()
+      .collect().map(_.toSeq).toSet
+    val relational = graft.events.EventOps.scd2(
+        evs.toDF().select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", Seq("event_type"), "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(batch == relational)
+    // stream: closed versions emit as successors arrive; open rows stay in state
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      in.addData(evs.take(3): _*)
+      drain(q)
+      in.addData(evs.drop(3): _*)
+      drain(q)
+      val streamed = spark.table("scd2s").collect().map(_.toSeq).toSet
+      val closedOnly = batch.filter(r => r(4) == false)
+      assert(streamed == closedOnly)
+    } finally q.stop()
+    // out-of-order cross-batch arrival raises instead of corrupting history
+    val in2 = MemoryStream[GEvent]
+    val q2 = StreamOps.scd2Stream(in2.toDS())
+      .writeStream.format("memory").queryName("scd2bad").outputMode("append").start()
+    try {
+      in2.addData(GEvent(9L, ts("2024-05-02 10:00:00"), 7L, "X", 0.0))
+      drain(q2)
+      in2.addData(GEvent(10L, ts("2024-05-02 09:00:00"), 7L, "Y", 0.0))
+      val ex = intercept[Exception] { drain(q2); q2.processAllAvailable() }
+      assert(String.valueOf(ex.getMessage).contains("out-of-order") ||
+        ex.getCause != null)
+    } finally q2.stop()
+  }
+
+  test("windowedBottomKSample streaming ≡ batch; read-side quantiles match") {
+    // the bottom-k sample is a pure function of the row SET (shared md5
+    // hash), so any micro-batch split converges to the same sample table
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedBottomKSample(
+        in.toDF(), Seq("event_type"), $"event_id", $"value", k = 16,
+        windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("bksamp").outputMode("complete").start()
+    try {
+      val evs = (1 to 150).map(i => GEvent(i.toLong,
+        ts(f"2024-03-0${1 + i % 2}%d 11:00:00"), (i % 29).toLong, "click", i * 0.5))
+      in.addData(evs.take(70): _*)
+      drain(q)
+      in.addData(evs.drop(70): _*)
+      drain(q)
+      val stream = spark.table("bksamp")
+        .select($"w_start".cast("string"), $"event_type", $"h", $"v")
+        .as[(String, String, String, Double)].collect().toSet
+      val batch = StreamOps.windowedBottomKSample(
+          evs.toDF(), Seq("event_type"), $"event_id", $"value", k = 16)
+        .select($"w_start".cast("string"), $"event_type", $"h", $"v")
+        .as[(String, String, String, Double)].collect().toSet
+      assert(stream == batch)
+      assert(stream.groupBy(t => (t._1, t._2)).forall(_._2.size == 16)) // k per window
+      // read-side quantiles over the sunk sample == one-shot batch chain
+      val est = graft.sketch.Sketches.sampleQuantiles(
+          spark.table("bksamp"), Seq("w_start", "event_type"), Seq(0.5, 0.9))
+        .select($"w_start".cast("string"), $"event_type", $"q", $"est")
+        .as[(String, String, Double, Double)].collect().toSet
+      val batchEst = StreamOps.windowedQuantiles(
+          evs.toDF(), Seq("event_type"), $"event_id", $"value", Seq(0.5, 0.9), k = 16)
+        .select($"w_start".cast("string"), $"event_type", $"q", $"est")
+        .as[(String, String, Double, Double)].collect().toSet
+      assert(est == batchEst)
+    } finally q.stop()
+  }
+
+  test("windowedKeyCounts streaming ≡ batch; read-side heavy hitters exact") {
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedKeyCounts(in.toDF(), col("user_id"),
+        windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("keycnt").outputMode("complete").start()
+    try {
+      // skew one user per day so the φ = 1/4 threshold has survivors
+      val evs = (1 to 160).map { i =>
+        val day = 1 + i % 2
+        val uid = if (i % 3 == 0) day.toLong else (10 + i % 11).toLong
+        GEvent(i.toLong, ts(f"2024-04-0$day%d 08:00:00"), uid, "click", 1.0)
+      }
+      in.addData(evs.take(80): _*)
+      drain(q)
+      in.addData(evs.drop(80): _*)
+      drain(q)
+      val stream = spark.table("keycnt")
+        .select($"w_start".cast("string"), $"k", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      val batch = StreamOps.windowedKeyCounts(evs.toDF(), col("user_id"))
+        .select($"w_start".cast("string"), $"k", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      assert(stream == batch)
+      // read-side threshold over the sunk counts == batch heavy hitters.
+      // (re-materialize the sink rows: self-joining the same memory VIEW
+      // twice trips conflicting-attribute analysis — a real reader joins
+      // two scans of the sunk files, which is what this simulates)
+      val sunk = spark.table("keycnt").collect().toSeq
+      val counts = spark.createDataFrame(
+        spark.sparkContext.parallelize(sunk), spark.table("keycnt").schema)
+      val totals = counts.groupBy("w_start")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("__n"))
+      val hh = counts.join(totals, "w_start").filter($"cnt" * 4 > $"__n")
+        .select($"w_start".cast("string"), $"k", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      val batchHh = StreamOps.windowedHeavyHitters(evs.toDF(), col("user_id"), s = 4)
+        .select($"w_start".cast("string"), $"key", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      assert(hh == batchHh && hh.nonEmpty)
+      // exactness: every reported count is the true count
+      val truth = evs.groupBy(e => (e.ts.toString.take(10), e.user_id.toString))
+        .view.mapValues(_.size.toLong).toMap
+      hh.foreach { case (w, k, c) => assert(truth((w.take(10), k)) == c) }
+    } finally q.stop()
+  }
 }

@@ -490,4 +490,19 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == expect)
   }
+
+  test("sourceOverlap: pairwise vocabulary intersection and Jaccard") {
+    val d = Seq(
+      (1L, "s1", "a b c"),
+      (2L, "s1", "c d"),        // s1 vocab {a,b,c,d}
+      (3L, "s2", "c d e"),      // s2 vocab {c,d,e}
+      (4L, "s3", "x y")         // s3 vocab {x,y} — disjoint from both
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.sourceOverlap(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // disjoint pairs produce NO row (inner join on shared tokens)
+    assert(got.keySet == Set(("s1", "s2")))
+    assert(got(("s1", "s2")) == ((2L, 0.4))) // |{c,d}| / |{a,b,c,d,e}|
+  }
 }
