@@ -645,6 +645,18 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     val vr = varlenHops.head
     val relName = vr.name.get
     val (lo, hi) = vr.hops.get
+    // allShortestPaths(p): the expansion additionally carries the declared
+    // path's endpoint bindings + the branch length, and keeps per (src,
+    // dst) pair only the minimum-length branches — every minimal path
+    val ownerPv = q.namedPaths.find(_._2._2.contains(relName)).map(_._1)
+    val isAllShortest = ownerPv.exists(q.allShortest)
+    val (aspSrc, aspDst) = ownerPv.map { pv =>
+      val ns = q.namedPaths(pv)._1; (ns.head, ns.last)
+    }.getOrElse(("", ""))
+    val extraItems =
+      if (!isAllShortest) Seq.empty
+      else Seq(Ast.Ret(aspSrc, alias = Some("__asp_src")),
+        Ast.Ret(aspDst, alias = Some("__asp_dst")))
     val branches = (lo to hi).map { len =>
       val midName = (k: Int) => s"__vp_${relName}_${len}_$k"
       val relNameAt = (k: Int) => s"__vr_${relName}_${len}_$k"
@@ -666,13 +678,28 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
           ns.take(ri + 1) ++ (1 until len).map(midName) ++ ns.drop(ri + 1),
           rs.take(ri) ++ (1 to len).map(relNameAt) ++ rs.drop(ri + 1)))
       }
-      q.copy(paths = newPaths, namedPaths = np,
-        orderBy = Seq.empty, limit = None, skip = None)
+      (q.copy(paths = newPaths, namedPaths = np, returns = q.returns ++ extraItems,
+        orderBy = Seq.empty, limit = None, skip = None), len)
     }
-    val dfs = branches.map(runQuery)
+    val dfs = branches.map { case (bq, len) =>
+      val df = runQuery(bq)
+      if (isAllShortest) df.withColumn("__asp_len", lit(len)) else df
+    }
     // distinct paths across branches can never collide (their lengths
     // differ), but endpoint-only projections can — set semantics dedups
-    val u = dfs.reduce(_.unionByName(_)).dropDuplicates()
+    val u0 = dfs.reduce(_.unionByName(_)).dropDuplicates()
+    val u =
+      if (!isAllShortest) u0
+      else {
+        // per-pair minimum over the union: one endpoint-keyed window —
+        // state O(pairs × branch count), no join back
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__asp_src", "__asp_dst")
+        u0.withColumn("__asp_min", min(col("__asp_len")).over(w))
+          .filter(col("__asp_len") === col("__asp_min"))
+          .drop("__asp_len", "__asp_min", "__asp_src", "__asp_dst")
+          .dropDuplicates()
+      }
     val sortKeyToOut = Ast.Ret.sortKeyMap(q.returns)
     val unknownSort = q.orderBy.map(_.binding).filterNot(sortKeyToOut.contains)
     if (unknownSort.nonEmpty) throw new cypher.ParseException(

@@ -45,6 +45,42 @@ object SparkEntry {
       s"((($x >> $k) & 1) << ${2 * k}) | ((($y >> $k) & 1) << ${2 * k + 1})")
       .mkString(" | ")
 
+  /** Covariance-matrix CTE prelude ending at `cv(i, j, n, cov)` — shared
+    * by the emb_covariance oracle and the PCA power-iteration oracle. */
+  private def covCte(dim: Int): String =
+    "WITH e AS (SELECT vec_id, unnest(range(len(embedding)))::INT AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+      s"WHERE embedding IS NOT NULL AND len(embedding) = $dim), " +
+      "p AS (SELECT a.i AS i, b.i AS j, " +
+      "sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy, count(*)::BIGINT AS n " +
+      "FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2), " +
+      "d AS (SELECT i, sum(CAST(x AS DECIMAL(28,12))) AS sx FROM e GROUP BY 1), " +
+      "cv AS (SELECT p.i, p.j, p.n, round((CAST(sxy AS DOUBLE) - " +
+      "CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) / p.n) / p.n, 6) AS cov " +
+      "FROM p JOIN d di ON p.i = di.i JOIN d dj ON p.j = dj.i)"
+
+  /** Power-iteration replay: mirror cv to the full matrix, then `iters`
+    * unrolled rounds of decimal matrix-vector sums + per-round 9-place
+    * rounding — the Spark side's exactness device, so every component
+    * matches bit-for-bit. */
+  private def pcaOracle(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(covCte(dim) +
+      ", f AS (SELECT i, j, cov AS c FROM cv " +
+      "UNION ALL SELECT j, i, cov FROM cv WHERE i <> j), " +
+      s"v0 AS (SELECT unnest(range($dim))::INT AS d, " +
+      s"round(1.0/sqrt($dim.0), 9) AS x)")
+    for (t <- 1 to iters) {
+      sb.append(s", a$t AS (SELECT f.i AS d, " +
+        "(sum((f.c * v.x)::DECIMAL(38,12)))::DOUBLE AS y " +
+        s"FROM f JOIN v${t - 1} v ON f.j = v.d GROUP BY 1)")
+      sb.append(s", n$t AS (SELECT sqrt((sum((y*y)::DECIMAL(38,12)))::DOUBLE) " +
+        s"AS nm FROM a$t)")
+      sb.append(s", v$t AS (SELECT d, round(y / nm, 9) AS x FROM a$t, n$t)")
+    }
+    sb.append(s" SELECT d, round(x, 6) AS comp FROM v$iters")
+    sb.toString
+  }
+
   /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
     * as a shared CTE prelude (canonical a < b orientation). */
   private def cosupplyCte(frac: Double): String =
@@ -694,6 +730,13 @@ object SparkEntry {
         "MATCH (r:region) RETURN r AS id, join(keys(r), ',') AS ks " +
         "UNION ALL MATCH (c:customer) WHERE c.value > 9990 " +
         "RETURN c AS id, join(keys(c), ',') AS ks")),
+    // allShortestPaths: EVERY minimal path per endpoint pair over the
+    // bounded varlen union — the per-pair min-length window drops the
+    // c–n–c'–n backtrack walks whose pair already matched at length 1
+    "cy_allshortest" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH p = allShortestPaths((c:customer)-[:IN_NATION*1..3]-(x)) " +
+        "RETURN c, x, length(p) AS len")),
     // size(pattern): per-row distinct-match counts — degree expressions
     // without fanning the match out (each compiles to one grouped sub-match
     // joined back 1:1 on its anchor)
@@ -1692,6 +1735,12 @@ object SparkEntry {
     // products inside the scan stage, one combinable (i, j) aggregation
     "emb_covariance" -> ((s, dir) =>
       graft.ml.Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)),
+    // first PCA component: 6 power-iteration rounds over the covariance —
+    // distributed matrix-vector algebra with per-round decimal exactness
+    "emb_pca" -> ((s, dir) =>
+      graft.ml.Similarity.powerIteration(
+        graft.ml.Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64),
+        dim = 64, iters = 6)),
     // symmetric int8 quantization digest: integer code sums pin every code
     // exactly; recon_cos is the quality gate a pipeline checks before
     // swapping its ANN index to int8
@@ -1735,6 +1784,12 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir), col("user_id"), s = 60,
         outName = "user_id")
         .select(col("w_start").cast("date").as("day"), col("user_id"), col("cnt"))),
+    // streaming counting Bloom: the per-day (position, count) bit table as
+    // one summing streaming aggregate; window slices probe read-side
+    "stream_bloom" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedBloomBits(
+        graft.sources.Tables.events(s, dir), col("user_id"), k = 5, mBits = 2048)
+        .select(col("w_start").cast("date").as("day"), col("pos"), col("n"))),
     // streaming SCD2 (CDC → dimension history): one open version per key in
     // flatMapGroupsWithState state; batch path ≡ EventOps.scd2 (the oracle)
     "stream_scd2" -> ((s, dir) => {
@@ -2331,6 +2386,22 @@ object SparkEntry {
       ("SELECT r_regionkey + 1000000000 AS id, 'name' AS ks FROM region " +
        "UNION ALL SELECT c_custkey + 3000000000, 'name,value' FROM customer " +
        "WHERE c_acctbal > 9990"),
+    "cy_allshortest" ->
+      ("WITH cn AS (SELECT c_custkey + 3000000000 AS c, " +
+       "c_nationkey + 2000000000 AS n FROM customer), " +
+       "sn AS (SELECT s_suppkey + 4000000000 AS s, " +
+       "s_nationkey + 2000000000 AS n FROM supplier), " +
+       "e0 AS (SELECT c AS a, n AS b FROM cn UNION SELECT s, n FROM sn), " +
+       "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+       "w1 AS (SELECT cn2.c, e.b AS x, 1 AS len FROM " +
+       "(SELECT DISTINCT c FROM cn) cn2 JOIN e ON e.a = cn2.c), " +
+       "w2 AS (SELECT w1.c, e.b AS x, 2 AS len FROM w1 JOIN e ON e.a = w1.x), " +
+       "w3 AS (SELECT w2.c, e.b AS x, 3 AS len FROM w2 JOIN e ON e.a = w2.x), " +
+       "allw AS (SELECT DISTINCT c, x, len FROM (SELECT * FROM w1 " +
+       "UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)), " +
+       "mn AS (SELECT c, x, min(len) AS ml FROM allw GROUP BY 1, 2) " +
+       "SELECT a.c AS c, a.x AS x, a.len::BIGINT AS len FROM allw a " +
+       "JOIN mn ON a.c = mn.c AND a.x = mn.x AND a.len = mn.ml"),
     "cy_pat_size" ->
       ("SELECT n_nationkey + 2000000000 AS n, " +
        "(SELECT count(DISTINCT c_custkey) FROM customer " +
@@ -3251,17 +3322,10 @@ object SparkEntry {
     // covariance replay: zipped unnest → per-vec (i, x); upper-triangle
     // pair sums + per-dim sums in DECIMAL(28,12) (exact, order-free), the
     // double formula rounds last — same device as emb_centroids
-    "emb_covariance" ->
-      ("WITH e AS (SELECT vec_id, unnest(range(len(embedding)))::INT AS i, " +
-       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
-       "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
-       "p AS (SELECT a.i AS i, b.i AS j, " +
-       "sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy, count(*)::BIGINT AS n " +
-       "FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2), " +
-       "d AS (SELECT i, sum(CAST(x AS DECIMAL(28,12))) AS sx FROM e GROUP BY 1) " +
-       "SELECT p.i, p.j, p.n, round((CAST(sxy AS DOUBLE) - " +
-       "CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) / p.n) / p.n, 6) AS cov " +
-       "FROM p JOIN d di ON p.i = di.i JOIN d dj ON p.j = dj.i"),
+    "emb_covariance" -> (covCte(64) + " SELECT i, j, n, cov FROM cv"),
+    // power-iteration replay: the same fixed rounds unrolled as CTEs —
+    // decimal matrix-vector sums, per-round 9-place component rounding
+    "emb_pca" -> pcaOracle(dim = 64, iters = 6),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->
@@ -3395,6 +3459,14 @@ object SparkEntry {
     "scd2_apply" -> scd2OracleSql,
     // the stateful streaming build's batch flush — same oracle again
     "stream_scd2" -> scd2OracleSql,
+    // windowed counting-Bloom replay: same salted-hash position contract
+    // as sketch_bloom with the tumbling day window as an extra group key
+    "stream_bloom" ->
+      ("SELECT date_trunc('day', ts)::DATE AS day, " +
+       "('0x'||substr(md5(j::VARCHAR||':'||user_id::VARCHAR),1,8))::BIGINT % 2048 AS pos, " +
+       "count(*)::BIGINT AS n FROM events CROSS JOIN " +
+       "(SELECT unnest(range(5)) AS j) WHERE user_id IS NOT NULL " +
+       "GROUP BY 1, 2"),
     "ev_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +

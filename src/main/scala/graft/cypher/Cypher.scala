@@ -390,7 +390,13 @@ object Ast {
         * length (union of enumerable paths); as parsed, this map holds ONE
         * rel entry for the varlen hop, which the expansion rewrites per
         * branch. shortestPath() remains the unbounded/minimal path form. */
-      namedPaths: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      namedPaths: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      /** Path variables declared `p = allShortestPaths((a)-[:T*lo..hi]->(b))`:
+        * the varlen expansion keeps, per (src, dst) pair, only the branches
+        * of MINIMUM length — every minimal path, not one. Bounded form only
+        * (the enumeration is the varlen union); the unbounded minimal-LENGTH
+        * query remains shortestPath(). */
+      allShortest: Set[String] = Set.empty)
 
   /** Write surface (reference mutation API §2.5, insertVertex /
     * insertEdge, ConcurrentDirectedGraph.scala:109-153; delete/update are
@@ -767,6 +773,7 @@ object CypherParser {
       val paths = scala.collection.mutable.ArrayBuffer[Path]()
       // general fixed-length path variables of this query slice
       var namedPaths = Map.empty[String, (Seq[String], Seq[String])]
+      var allShortestVars = Set.empty[String]
       // WHERE conjuncts attached to individual MATCH clauses (sequential
       // MATCH form); merged with the pattern-level WHERE below
       val earlyPreds = scala.collection.mutable.ArrayBuffer[Pred]()
@@ -788,6 +795,33 @@ object CypherParser {
           if (peek == ',') err("shortestPath cannot be combined with other patterns")
           if (mapPreds.size > mapPredsAtStart)
             err("property maps are not supported with shortestPath (WHERE is not either)")
+        } else if (kw("allShortestPaths")) {
+          // bounded enumeration of EVERY minimal path per endpoint pair:
+          // parses like a general named path (the inner varlen hop must be
+          // bounded — the expansion is the branch union), flagged so the
+          // expansion applies the per-pair minimum-length filter
+          eat('(')
+          var k = 0
+          def nodeNamedA(n: NodePat): NodePat =
+            if (n.name.isDefined) n
+            else { k += 1; n.copy(name = Some(s"__pn_${pv}_$k")) }
+          def relNamedA(r: RelPat): RelPat =
+            if (r.name.isDefined) r
+            else { k += 1; r.copy(name = Some(s"__pr_${pv}_$k")) }
+          val p0 = path()
+          eat(')')
+          val named = Path(nodeNamedA(p0.first),
+            p0.hops.map { case (r, n) => (relNamedA(r), nodeNamedA(n)) })
+          namedPaths += pv -> ((named.first.name.get +: named.hops.map(_._2.name.get),
+            named.hops.map(_._1.name.get)))
+          allShortestVars += pv
+          paths += named
+          var more = true
+          while (more) {
+            if (kw("WHERE")) earlyPreds ++= Pred.conjuncts(orExpr())
+            if (kw("MATCH")) { paths += path(); while (tryEat(',')) paths += path() }
+            else more = false
+          }
         } else {
           // general (fixed-length) named path: anonymous elements are
           // auto-named so nodes(p)/relationships(p) can render them; a
@@ -1139,7 +1173,7 @@ object CypherParser {
       // already rejects them.
       Query(paths.toSeq, optional.toSeq, preds.toSeq, rets.toSeq, distinct, order.toSeq,
         limit, skip, shortest, withClauses.toSeq, unwindLit, unwindRange, optionalWhere.toSeq,
-        namedPaths)
+        namedPaths, allShortestVars)
     }
 
     private def path(): Path = {

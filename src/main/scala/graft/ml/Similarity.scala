@@ -292,6 +292,50 @@ object Similarity {
   }
 
   /**
+   * Power iteration for the covariance matrix's top eigenvector (the first
+   * PCA component): v ← normalize(C·v), `iters` fixed rounds from the
+   * deterministic uniform start v₀ = 1/√dim. The whole loop is DataFrame
+   * algebra — each round is one broadcast join of the (≤ dim²)-row matrix
+   * against the dim-row vector, one combinable group-sum, one norm
+   * aggregate — so it runs unchanged whether C is 64² or 10⁶ rows sharded
+   * across a cluster.
+   *
+   * Engine-exact determinism (the family device, applied per round):
+   * products evaluate in double over ROUNDED inputs, sums accumulate in
+   * DECIMAL (exact, partition-order-free), and each new vector component
+   * rounds to 9 places before the next round — so a SQL oracle unrolling
+   * the same `iters` rounds reproduces every component bit-for-bit. The
+   * sign is pinned by the deterministic start.
+   *
+   * @param cov upper-triangle covariance (i, j, cov) from
+   *            [[covarianceMatrix]] (mirrored internally)
+   * @return (d, comp) — the unit top eigenvector, comp rounded to 6
+   */
+  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"powerIteration: dim=$dim iters=$iters")
+    val spark = cov.sparkSession
+    val full = cov.select(col("i"), col("j"), col("cov"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v0 = spark.range(dim).select(col("id").cast("int").as("d"),
+      round(lit(1.0) / sqrt(lit(dim.toDouble)), 9).as("x"))
+    val vFinal = (1 to iters).foldLeft(v0) { (v, _) =>
+      val av = full.join(broadcast(v), full("j") === v("d"))
+        .groupBy(col("i").as("__d"))
+        .agg(sum((col("cov") * col("x")).cast("decimal(38,12)")).as("__y"))
+        .select(col("__d"), col("__y").cast("double").as("__y"))
+      val norm = av.agg(
+        sqrt(sum((col("__y") * col("__y")).cast("decimal(38,12)")).cast("double"))
+          .as("__n"))
+      av.crossJoin(broadcast(norm))
+        .select(col("__d").as("d"), round(col("__y") / col("__n"), 9).as("x"))
+    }
+    val out = vFinal.select(col("d"), round(col("x"), 6).as("comp"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, full)
+  }
+
+  /**
    * Spherical k-means (Lloyd's iterations, cosine assignment): the trained
    * coarse quantizer that [[ivfKnn]] / [[semanticNearDup]] take as given —
    * run offline over the corpus, swap the resulting centroids in.

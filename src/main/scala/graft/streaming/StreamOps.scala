@@ -126,6 +126,30 @@ object StreamOps {
   }
 
   /**
+   * Windowed streaming COUNTING Bloom filter: the (window, bit position) →
+   * occurrence-count table as one summing streaming aggregate. The bit SET
+   * is the group keys themselves (state ≤ live-windows × mBits rows no
+   * matter how many values stream past); the counts upgrade it to a
+   * counting Bloom for free (read-side deletions = decrement). Probe a
+   * window's slice with [[graft.sketch.Sketches.bloomMightContain]] —
+   * false negatives impossible within the window, same hash contract as
+   * the batch filter so sketches built anywhere interoperate. NULL values
+   * are ignored. Identical on batch input (the oracle path).
+   */
+  def windowedBloomBits(events: DataFrame, value: Column, k: Int, mBits: Int,
+                        windowDur: String = "1 day", wm: String = "1 hour"): DataFrame = {
+    require(k >= 1 && mBits >= 2, s"Bloom needs k >= 1, mBits >= 2, got k=$k mBits=$mBits")
+    watermarked(events, "ts", wm)
+      .filter(value.isNotNull)
+      .select(window(col("ts"), windowDur).as("w"),
+        explode(array((0 until k).map(j =>
+          graft.sketch.Sketches.saltedH32(j, value) % mBits): _*)).as("pos"))
+      .groupBy(col("w"), col("pos"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("pos"), col("n"))
+  }
+
+  /**
    * Windowed streaming bottom-k sample: maintains ≤ k (md5-hash, value)
    * pairs per (tumbling window, groupCols) as ONE streaming aggregate —
    * the bottom-k insert/merge is a pure function of the SET of rows seen

@@ -2371,6 +2371,31 @@ class CypherSpec extends SparkSpec {
     assert(arith.toSeq == Seq((1L, 1L)))
   }
 
+  test("allShortestPaths: per-pair minimum keeps EVERY minimal path, drops longer") {
+    // diamond + a direct shortcut a-X->c: (a,c) reachable at len 1 AND 2
+    val g = PropertyGraph.fromTuples(spark,
+      nodes = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "C")),
+      edges = Seq((1L, 2L, "X"), (2L, 4L, "Y"), (1L, 3L, "X"), (3L, 4L, "Y"),
+        (1L, 4L, "X")))
+    val db = new GraphDB(g)
+    val direct = db.query(
+      "MATCH p = allShortestPaths((a:A)-[:X|Y*1..3]->(c:C)) RETURN a, c, nodes(p) AS ns")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    // only the len-1 shortcut survives for (1, 4)
+    assert(direct == Set((1L, 4L, List(1L, 4L))))
+    // without the shortcut BOTH len-2 paths are minimal — all kept
+    val db2 = new GraphDB(diamond)
+    val both = db2.query(
+      "MATCH p = allShortestPaths((a:A)-[:X|Y*1..3]->(c:C)) RETURN a, c, nodes(p) AS ns")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    assert(both == Set((1L, 4L, List(1L, 2L, 4L)), (1L, 4L, List(1L, 3L, 4L))))
+    // pairs minimize independently: b1→c len 1 coexists with a→c len 2
+    val mixed = db2.query(
+      "MATCH p = allShortestPaths((x)-[:Y*1..2]->(c:C)) RETURN x, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == Set((2L, 1L), (3L, 1L)))
+  }
+
   test("pattern expressions are rejected after WITH with a targeted error") {
     val db = new GraphDB(diamond)
     val e = intercept[graft.cypher.ParseException] {

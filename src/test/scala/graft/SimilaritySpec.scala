@@ -217,6 +217,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("powerIteration converges to the dominant eigenvector") {
+    // diag(2, 1): top eigenvector is e0; uniform start pins the + sign
+    val cov = Seq((0, 0, 2.0), (0, 1, 0.0), (1, 1, 1.0)).toDF("i", "j", "cov")
+    val v = Similarity.powerIteration(cov, dim = 2, iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(v(0) > 0.99 && v(1) >= 0.0 && v(1) < 0.15, v.toString)
+    assert(math.abs(v(0) * v(0) + v(1) * v(1) - 1.0) < 1e-3) // unit norm
+    // off-diagonal coupling: C = [[1, 1], [1, 1]] → eigvec (1, 1)/√2
+    val cov2 = Seq((0, 0, 1.0), (0, 1, 1.0), (1, 1, 1.0)).toDF("i", "j", "cov")
+    val v2 = Similarity.powerIteration(cov2, dim = 2, iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(v2(0) - math.sqrt(0.5)) < 1e-6 &&
+      math.abs(v2(1) - math.sqrt(0.5)) < 1e-6)
+  }
+
   test("covarianceMatrix: diagonal is variance (non-negative), malformed rows drop") {
     val vecs = Seq(
       (1L, Array(1f, 2f)), (2L, Array(3f, 5f)),

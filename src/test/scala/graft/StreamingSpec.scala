@@ -349,6 +349,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedBloomBits streaming ≡ batch; window probes never false-negative") {
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedBloomBits(in.toDF(), col("user_id"), k = 3, mBits = 64,
+        windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("bloomwin").outputMode("complete").start()
+    try {
+      val evs = (1 to 120).map(i => GEvent(i.toLong,
+        ts(f"2024-06-0${1 + i % 2}%d 09:00:00"), (i % 19).toLong, "click", 1.0))
+      in.addData(evs.take(50): _*)
+      drain(q)
+      in.addData(evs.drop(50): _*)
+      drain(q)
+      val stream = spark.table("bloomwin")
+        .select($"w_start".cast("string"), $"pos", $"n")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = StreamOps.windowedBloomBits(evs.toDF(), col("user_id"), k = 3, mBits = 64,
+          windowDur = "1 day")
+        .select($"w_start".cast("string"), $"pos", $"n")
+        .as[(String, Long, Long)].collect().toSet
+      assert(stream == batch)
+      // every key seen on day 1 must probe positive against day 1's slice
+      val day1 = spark.table("bloomwin")
+        .filter($"w_start".cast("string").startsWith("2024-06-01")).select("pos")
+      val probes = evs.filter(_.ts.toString.startsWith("2024-06-01"))
+        .map(_.user_id).distinct.map(Tuple1(_)).toDF("user_id")
+      val might = graft.sketch.Sketches.bloomMightContain(day1, probes, "user_id",
+          k = 3, mBits = 64)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(might.values.forall(identity), s"false negative in $might")
+    } finally q.stop()
+  }
+
   test("scd2Stream: batch flush equals EventOps.scd2; stream emits the closed subset") {
     import org.apache.spark.sql.functions.col
     val evs = Seq(
