@@ -750,6 +750,11 @@ object SparkEntry {
       db(s, dir).query(
         "MATCH (r:region) RETURN r, " +
         "join([(n:nation)-[:IN_REGION]->(r) | n.name], ',') AS names")),
+    // modern COUNT { } subquery syntax — desugars to the same pattern-count
+    "cy_count_sub" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) RETURN n, " +
+        "COUNT { MATCH (c:customer)-[:IN_NATION]->(n) } AS n_cust")),
     // `=~` regex predicate: openCypher FULL-string match semantics (the
     // pattern is anchored — a partial match does not qualify)
     "cy_regex" -> ((s, dir) =>
@@ -1902,6 +1907,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("l_id"),
           col("r_event_id").as("r_id"))
     }),
+    // exact least-squares drift: slope/intercept of value over event day
+    // from decimal-exact classical sums — one combinable aggregation
+    "ev_trend" -> ((s, dir) =>
+      graft.events.EventOps.trend(
+        graft.sources.Tables.events(s, dir), Seq("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
     // SCD2 dimension build: each user's event_type change log collapsed to
     // versioned validity ranges — one key shuffle, two window passes
     "scd2_history" -> ((s, dir) =>
@@ -2002,6 +2013,14 @@ object SparkEntry {
         t(s, dir, "documents"), out, Seq("lang", "source"), sortCols = Seq("doc_id"))
       graft.sources.Writer.readPartitioned(s, out)
         .select("doc_id", "lang", "source", "n_chars")
+    }),
+    // JSONL round trip: the LLM-pipeline interchange format through the
+    // bounded-file-count sink and the explicit-schema reader
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      graft.sources.Writer.writeJsonl(docs, out, numFiles = 4)
+      graft.sources.Writer.readJsonl(s, out, docs.schema)
     }),
     // Z-order (Morton) clustering key: the multi-dim layout device — the
     // write path range-partitions on this code (LayoutSpec proves the
@@ -2412,6 +2431,10 @@ object SparkEntry {
       ("SELECT r_regionkey + 1000000000 AS r, " +
        "string_agg(n_name, ',' ORDER BY n_name) AS names " +
        "FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY 1"),
+    "cy_count_sub" ->
+      ("SELECT n_nationkey + 2000000000 AS n, " +
+       "(SELECT count(DISTINCT c_custkey) FROM customer " +
+       "WHERE c_nationkey = n_nationkey) AS n_cust FROM nation"),
     "cy_regex" ->
       ("SELECT c_custkey + 3000000000 AS c, c_nationkey + 2000000000 AS n " +
        "FROM customer WHERE regexp_full_match(c_name, 'Customer#0+1[0-2]') ORDER BY c"),
@@ -3454,6 +3477,20 @@ object SparkEntry {
       ("SELECT event_type, ts::date AS day, count(*) AS n, " +
        "round((sum(value::DECIMAL(18,2)) / count(*))::DOUBLE, 6) AS avg_value " +
        "FROM events GROUP BY 1, 2"),
+    // trend replay: identical decimal sums, identical one-shot double
+    // formula — NULLIF guards the all-same-x degenerate group
+    "ev_trend" ->
+      ("WITH b AS (SELECT event_type, (ts::DATE - DATE '2024-01-01')::BIGINT AS x, " +
+       "value AS y FROM events WHERE value IS NOT NULL), " +
+       "a AS (SELECT event_type, count(*)::BIGINT AS n, sum(x::DECIMAL(38,0)) AS sx, " +
+       "sum(y::DECIMAL(28,10)) AS sy, sum((x * y)::DECIMAL(38,10)) AS sxy, " +
+       "sum((x * x)::DECIMAL(38,0)) AS sxx FROM b GROUP BY 1), " +
+       "s2 AS (SELECT event_type, n, " +
+       "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS sl, " +
+       "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
+       "SELECT event_type, n, round(sl, 6) AS slope, " +
+       "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
     "scd2_history" -> scd2OracleSql,
     // the incremental apply MUST equal the full rebuild — same oracle
     "scd2_apply" -> scd2OracleSql,
@@ -3508,6 +3545,10 @@ object SparkEntry {
        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
        "WHERE o_orderpriority = '1-URGENT' GROUP BY 1"),
     "sink_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    // JSONL carries the values losslessly under the explicit schema —
+    // identity oracle, same as the parquet sink
+    "jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
     // Morton-code replay: explicit bit interleave, pure integer arithmetic
     "zorder_layout" ->

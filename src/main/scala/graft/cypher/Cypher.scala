@@ -1304,16 +1304,34 @@ object CypherParser {
       ws()
       if (kw("NOT")) Not(unaryPred(bareAtoms))
       else if (kw("EXISTS")) {
-        // `EXISTS((a)-[:T]->(b))` — explicit pattern form; or openCypher's
-        // property-existence `exists(a.prop)` ≡ `a.prop IS NOT NULL`
-        eat('(')
-        patternPred() match {
-          case Some(pp) => eat(')'); pp
-          case None =>
-            val b = ident()
-            val p = if (bareAtoms) "" else { eat('.'); ident() }
-            eat(')')
-            IsNull(b, p, negated = true)
+        // `EXISTS((a)-[:T]->(b))` — explicit pattern form; openCypher's
+        // property-existence `exists(a.prop)` ≡ `a.prop IS NOT NULL`; or
+        // the modern subquery form `EXISTS { [MATCH] (a)-[:T]->(b)
+        // [WHERE p] }` — same existential semantics as the pattern form
+        ws()
+        if (peek == '{') {
+          eat('{')
+          kw("MATCH") // optional
+          val mapsAt = mapPreds.size
+          val p = path()
+          if (p.hops.isEmpty) err("EXISTS { … } needs a relationship pattern")
+          // property maps inside the subquery constrain the EXISTENTIAL
+          // match — slice them out of the outer query's buffer
+          val sliced = mapPreds.drop(mapsAt).toSeq
+          if (mapPreds.size > mapsAt) mapPreds.remove(mapsAt, mapPreds.size - mapsAt)
+          val wp = if (kw("WHERE")) Pred.conjuncts(orExpr(bareAtoms)) else Seq.empty
+          ws(); eat('}')
+          PatPred(p, sliced ++ wp)
+        } else {
+          eat('(')
+          patternPred() match {
+            case Some(pp) => eat(')'); pp
+            case None =>
+              val b = ident()
+              val p = if (bareAtoms) "" else { eat('.'); ident() }
+              eat(')')
+              IsNull(b, p, negated = true)
+          }
         }
       } else if (peek == '(') {
         // ambiguous: `(a)-[:T]->(b)` pattern predicate vs parenthesized
@@ -1503,7 +1521,20 @@ object CypherParser {
         val name = ident()
         ws()
         val nl = name.toLowerCase
-        if (peek == '(' && listPredNames(nl)) {
+        if (peek == '{' && nl == "count") {
+          // modern subquery form `COUNT { [MATCH] (a)-[:T]->(b) [WHERE p] }`
+          // ≡ size((a)-[:T]->(b)) — the pattern-count expression
+          eat('{')
+          kw("MATCH") // optional
+          val mapsAt = mapPreds.size
+          val p = path()
+          if (p.hops.isEmpty) err("COUNT { … } needs a relationship pattern")
+          val sliced = mapPreds.drop(mapsAt).toSeq
+          if (mapPreds.size > mapsAt) mapPreds.remove(mapsAt, mapPreds.size - mapsAt)
+          val wp = if (kw("WHERE")) Pred.conjuncts(orExpr(bare)) else Seq.empty
+          ws(); eat('}')
+          EPatAgg("count", PatPred(p, sliced ++ wp), None)
+        } else if (peek == '(' && listPredNames(nl)) {
           // any|all|none|single(x IN list WHERE p) — x scopes the predicate
           eat('(')
           val v = ident()

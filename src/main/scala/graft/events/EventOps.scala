@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,40 @@ object EventOps {
       .withColumn("version", row_number().over(byFrom).cast("long"))
       .select(col(key) +: attrs.map(col) :+ col("valid_from_ms")
         :+ col("valid_to_ms") :+ col("is_current") :+ col("version"): _*)
+  }
+
+  /**
+   * Exact per-group least-squares trend: slope/intercept of y over x from
+   * the five classical sums — n, Σx, Σy, Σxy, Σx² — accumulated in DECIMAL
+   * (exact, partition-order-free), with ONE double expression at the end.
+   * The drift-detection primitive ("is quality decaying over time?") as a
+   * single combinable aggregation: map-side partials, one shuffle of
+   * 5-number summaries per group, deterministic to the bit — which makes
+   * it oracle-checkable where a float-summing regression would drift.
+   * Degenerate groups (all x equal) yield NULL slope/intercept. NULL x/y
+   * rows are ignored.
+   *
+   * @param x integer-valued column (e.g. days since an epoch — keep its
+   *          magnitude small; the determinism contract is exact Σx² in
+   *          DECIMAL(38,0))
+   * @return (groupCols…, n, slope, intercept) — rounded to 6
+   */
+  def trend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    val xl = x.cast("long")
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xl.cast("decimal(38,0)")).as("__sx"),
+        sum(y.cast("decimal(28,10)")).as("__sy"),
+        sum((xl * y).cast("decimal(38,10)")).as("__sxy"),
+        sum((xl * xl).cast("decimal(38,0)")).as("__sxx"))
+    val sxd = col("__sx").cast("double")
+    val syd = col("__sy").cast("double")
+    val den = col("n") * col("__sxx").cast("double") - sxd * sxd
+    val sl = when(den =!= 0, (col("n") * col("__sxy").cast("double") - sxd * syd) / den)
+    agg.select(groupCols.map(col) :+ col("n")
+      :+ round(sl, 6).as("slope")
+      :+ round((syd - sl * sxd) / col("n"), 6).as("intercept"): _*)
   }
 
   /**

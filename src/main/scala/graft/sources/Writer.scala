@@ -57,4 +57,24 @@ object Writer {
     * values come back as columns (pruned when filtered on). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSONL (newline-delimited JSON) sink — the interchange format LLM data
+    * pipelines actually exchange. Same file-count discipline as the parquet
+    * sink: repartition to `numFiles` before writing so the directory holds
+    * a bounded file set, gzip optional (JSONL's usual wire form). */
+  def writeJsonl(df: DataFrame, path: String, numFiles: Int = 1,
+                 gzip: Boolean = false): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val w = df.repartition(numFiles).write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** Read a JSONL directory with an EXPLICIT schema — schema inference over
+    * 100 TB of JSONL is a full extra pass plus silent type drift (a column
+    * that happens to look integral in the sampled files), so the reader
+    * requires the contract up front. Column order follows the schema, not
+    * the JSON key order. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

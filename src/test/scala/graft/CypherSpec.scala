@@ -2396,6 +2396,25 @@ class CypherSpec extends SparkSpec {
     assert(mixed == Set((2L, 1L), (3L, 1L)))
   }
 
+  test("COUNT { } and EXISTS { } subquery forms desugar to pattern expressions") {
+    val db = new GraphDB(diamond)
+    val cnt = db.query("MATCH (a:A) RETURN a, COUNT { (a)-[:X]->(b:B) } AS deg")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cnt.toSeq == Seq((1L, 2L)))
+    // with the optional MATCH keyword and a WHERE
+    val cntW = db.query(
+      "MATCH (a:A) RETURN a, COUNT { MATCH (a)-[:X]->(b:B)-[:Y]->(c:C) } AS n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cntW.toSeq == Seq((1L, 2L)))
+    // existential endpoints follow the pattern-predicate contract: new
+    // variables stay anonymous (same rule as the EXISTS(…) paren form)
+    val ex = db.query("MATCH (b:B) WHERE EXISTS { (b)-[:Y]->(:C) } RETURN b")
+      .collect().map(_.getLong(0)).sorted
+    assert(ex.toSeq == Seq(2L, 3L))
+    val exM = db.query("MATCH (c:C) WHERE EXISTS { MATCH (c)-[:Y]->() } RETURN c")
+    assert(exM.isEmpty) // sink of the graph: no outgoing Y
+  }
+
   test("pattern expressions are rejected after WITH with a targeted error") {
     val db = new GraphDB(diamond)
     val e = intercept[graft.cypher.ParseException] {

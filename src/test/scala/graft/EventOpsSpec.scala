@@ -57,6 +57,18 @@ class EventOpsSpec extends SparkSpec {
     assert(got.count(_._5) == 3)
   }
 
+  test("trend: hand-computed slope/intercept, degenerate group yields nulls") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0),     // y = 2x + 1 exactly
+      ("b", 5L, 7.0), ("b", 5L, 9.0)                       // all x equal → null
+    ).toDF("g", "x", "y")
+    val got = EventOps.trend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("a") == ((3L, Some(2.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None)))
+  }
+
   test("scd2Apply: incremental merge equals full rebuild (randomized splits)") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 5) {

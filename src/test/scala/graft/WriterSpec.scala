@@ -75,6 +75,19 @@ class WriterSpec extends SparkSpec {
     assert(one.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("jsonl: bounded file count, lossless round trip under the explicit schema") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val root = Files.createTempDirectory("graft-jsonl").toString
+    Writer.writeJsonl(docs, root, numFiles = 3)
+    val files = new java.io.File(root).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length == 3, files.map(_.getName).mkString(","))
+    val back = Writer.readJsonl(spark, root, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("profiler: nulls, distincts, stringified min/max, one row per column") {
     import spark.implicits._
     val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
