@@ -59,11 +59,11 @@ object SparkEntry {
       "CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) / p.n) / p.n, 6) AS cov " +
       "FROM p JOIN d di ON p.i = di.i JOIN d dj ON p.j = dj.i)"
 
-  /** Power-iteration replay: mirror cv to the full matrix, then `iters`
-    * unrolled rounds of decimal matrix-vector sums + per-round 9-place
-    * rounding — the Spark side's exactness device, so every component
-    * matches bit-for-bit. */
-  private def pcaOracle(dim: Int, iters: Int): String = {
+  /** Power-iteration CTE prelude ending at `v<iters>(d, x)`: mirror cv to
+    * the full matrix, then `iters` unrolled rounds of decimal
+    * matrix-vector sums + per-round 9-place rounding — the Spark side's
+    * exactness device, so every component matches bit-for-bit. */
+  private def pcaCte(dim: Int, iters: Int): String = {
     val sb = new StringBuilder(covCte(dim) +
       ", f AS (SELECT i, j, cov AS c FROM cv " +
       "UNION ALL SELECT j, i, cov FROM cv WHERE i <> j), " +
@@ -77,9 +77,11 @@ object SparkEntry {
         s"AS nm FROM a$t)")
       sb.append(s", v$t AS (SELECT d, round(y / nm, 9) AS x FROM a$t, n$t)")
     }
-    sb.append(s" SELECT d, round(x, 6) AS comp FROM v$iters")
     sb.toString
   }
+
+  private def pcaOracle(dim: Int, iters: Int): String =
+    pcaCte(dim, iters) + s" SELECT d, round(x, 6) AS comp FROM v$iters"
 
   /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
     * as a shared CTE prelude (canonical a < b orientation). */
@@ -736,7 +738,7 @@ object SparkEntry {
     "cy_allshortest" -> ((s, dir) =>
       db(s, dir).query(
         "MATCH p = allShortestPaths((c:customer)-[:IN_NATION*1..3]-(x)) " +
-        "RETURN c, x, length(p) AS len")),
+        "WHERE c.value > 9900 RETURN c, x, length(p) AS len")),
     // size(pattern): per-row distinct-match counts — degree expressions
     // without fanning the match out (each compiles to one grouped sub-match
     // joined back 1:1 on its anchor)
@@ -1551,6 +1553,14 @@ object SparkEntry {
       graft.sketch.Sketches.quantileSketch(t(s, dir, "events"),
         Seq("event_type"), col("event_id"), col("value"),
         Seq(0.5, 0.9, 0.99), k = 256)),
+    // KMV set-operation estimates: click-users ∩ purchase-users via
+    // coordinated bottom-k samples — the theta-sketch workflow
+    "sketch_intersect" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.sketch.Sketches.kmvIntersect(
+        ev.filter(col("event_type") === "click"), col("user_id"),
+        ev.filter(col("event_type") === "purchase"), col("user_id"), k = 64)
+    }),
     // Wide-frame (48-bit rank) HLL on a synthetic 4M-distinct column — the
     // GLOBAL-corpus-count variant whose rank frame doesn't saturate near
     // 2^32 like the 32-bit one; distributed range source, no driver list
@@ -1668,6 +1678,11 @@ object SparkEntry {
       graft.text.TextOps.epochMix(t(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.0)
         .select("doc_id", "source", "epoch")),
+    // deterministic train/val/test assignment: pure per-row projection,
+    // stable across reruns/layouts — a doc never migrates between splits
+    "sample_split" -> ((s, dir) =>
+      graft.text.TextOps.assignSplits(t(s, dir, "documents"), "doc_id", "sp",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     "sample_quota" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = docs.select(col("doc_id"), col("source"))
@@ -1746,6 +1761,15 @@ object SparkEntry {
       graft.ml.Similarity.powerIteration(
         graft.ml.Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64),
         dim = 64, iters = 6)),
+    // PCA projection: every vector's score along the trained component —
+    // the dimensionality-reduction step (scan-stage explode + broadcast
+    // component + combinable per-vector decimal sum)
+    "emb_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val comp = graft.ml.Similarity.powerIteration(
+        graft.ml.Similarity.covarianceMatrix(emb, "embedding", 64), dim = 64, iters = 6)
+      graft.ml.Similarity.projectComponent(emb, "embedding", comp, 64)
+    }),
     // symmetric int8 quantization digest: integer code sums pin every code
     // exactly; recon_cos is the quality gate a pipeline checks before
     // swapping its ANN index to int8
@@ -2413,7 +2437,8 @@ object SparkEntry {
        "e0 AS (SELECT c AS a, n AS b FROM cn UNION SELECT s, n FROM sn), " +
        "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
        "w1 AS (SELECT cn2.c, e.b AS x, 1 AS len FROM " +
-       "(SELECT DISTINCT c FROM cn) cn2 JOIN e ON e.a = cn2.c), " +
+       "(SELECT DISTINCT c_custkey + 3000000000 AS c FROM customer " +
+       "WHERE c_acctbal > 9900) cn2 JOIN e ON e.a = cn2.c), " +
        "w2 AS (SELECT w1.c, e.b AS x, 2 AS len FROM w1 JOIN e ON e.a = w1.x), " +
        "w3 AS (SELECT w2.c, e.b AS x, 3 AS len FROM w2 JOIN e ON e.a = w2.x), " +
        "allw AS (SELECT DISTINCT c, x, len FROM (SELECT * FROM w1 " +
@@ -3173,6 +3198,15 @@ object SparkEntry {
        "WHERE epoch < CAST(floor(ep) AS BIGINT) OR " +
        "substring(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(epoch AS VARCHAR))), 1, 8) < " +
        "(CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '80000000' ELSE '' END)"),
+    // split replay: the cumulative boundaries interpolate from the SAME
+    // Scala doubles the Spark side folds, so 0.8 + 0.1's last-bit identity
+    // is shared rather than re-derived
+    "sample_split" ->
+      ("SELECT doc_id, CASE " +
+       s"WHEN u < ${0.8} THEN 'train' " +
+       s"WHEN u < ${0.8 + 0.1} THEN 'val' ELSE 'test' END AS split " +
+       "FROM (SELECT doc_id, ('0x' || substring(md5('sp:' || doc_id::VARCHAR), 1, 8))::BIGINT " +
+       "/ 4294967296.0 AS u FROM documents)"),
     "sample_quota" ->
       ("WITH x AS (SELECT doc_id, source, len(text)::DOUBLE AS nc, " +
        "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +
@@ -3349,6 +3383,30 @@ object SparkEntry {
     // power-iteration replay: the same fixed rounds unrolled as CTEs —
     // decimal matrix-vector sums, per-round 9-place component rounding
     "emb_pca" -> pcaOracle(dim = 64, iters = 6),
+    // projection replay: per-vec decimal dot product against the ROUNDED
+    // published component (6 places — exactly what the Spark side joins)
+    "emb_pca_project" ->
+      (pcaCte(dim = 64, iters = 6) +
+       " SELECT e.vec_id, round((sum((e.x * round(v.x, 6))::DECIMAL(38,10)))::DOUBLE, 6) " +
+       "AS score FROM e JOIN v6 v ON e.i = v.d GROUP BY 1"),
+    // KMV set-op replay: coordinated bottom-64 md5 samples, same k-th-hash
+    // estimator as sketch_distinct, matching-fraction intersection
+    "sketch_intersect" ->
+      ("WITH sa AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events " +
+       "WHERE event_type = 'click' AND user_id IS NOT NULL ORDER BY h LIMIT 64), " +
+       "sb AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events " +
+       "WHERE event_type = 'purchase' AND user_id IS NOT NULL ORDER BY h LIMIT 64), " +
+       "su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb) " +
+       "ORDER BY h LIMIT 64), " +
+       "st AS (SELECT count(*)::BIGINT AS n_sample, " +
+       "max(('0x' || substring(h, 1, 15))::BIGINT) AS kth FROM su), " +
+       "cm AS (SELECT count(*)::BIGINT AS n_common FROM su " +
+       "WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)), " +
+       "x AS (SELECT n_sample, n_common, CASE WHEN n_sample < 64 THEN n_sample::DOUBLE " +
+       "ELSE 63.0 * 1152921504606846976.0 / kth END AS eu FROM st, cm) " +
+       "SELECT n_sample, n_common, round(eu, 6) AS est_union, " +
+       "round(CASE WHEN n_sample < 64 THEN n_common::DOUBLE " +
+       "ELSE n_common / n_sample::DOUBLE * eu END, 6) AS est_intersect FROM x"),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
 
     "stream_window_agg" ->

@@ -328,12 +328,37 @@ object Similarity {
       val norm = av.agg(
         sqrt(sum((col("__y") * col("__y")).cast("decimal(38,12)")).cast("double"))
           .as("__n"))
+      // eager per-round checkpoint: the dim-row vector materializes NOW and
+      // the next round's plan reads it instead of re-deriving every earlier
+      // round inside its broadcast subtrees (measured: the nested lineage
+      // re-executed the covariance input once per round — O(iters²) work)
       av.crossJoin(broadcast(norm))
         .select(col("__d").as("d"), round(col("__y") / col("__n"), 9).as("x"))
+        .localCheckpoint()
     }
     val out = vFinal.select(col("d"), round(col("x"), 6).as("comp"))
     graft.util.CacheLifecycle.releaseOnFirstAction(out, full)
   }
+
+  /**
+   * Project every corpus vector onto a component (e.g. [[powerIteration]]'s
+   * top eigenvector): score = Σ xᵈ·compᵈ — the dimensionality-reduction /
+   * concept-score step after PCA training. One posexplode inside the scan
+   * stage, a broadcast join against the dim-row component, one combinable
+   * per-vector sum in DECIMAL (exact, order-free) → deterministic scores.
+   *
+   * @param comp (d, comp) — one row per dimension
+   * @return (vec_id, score) rounded to 6
+   */
+  def projectComponent(corpus: DataFrame, vecCol: String, comp: DataFrame,
+                       dim: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col("vec_id"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("d", "x")))
+      .join(broadcast(comp), Seq("d"))
+      .groupBy("vec_id")
+      .agg(round(sum((col("x") * col("comp")).cast("decimal(38,10)")).cast("double"), 6)
+        .as("score"))
 
   /**
    * Spherical k-means (Lloyd's iterations, cosine assignment): the trained

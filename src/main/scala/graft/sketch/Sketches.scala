@@ -90,6 +90,45 @@ object Sketches {
           6).as("est"))
   }
 
+  /**
+   * KMV set-operation estimates over two value sets (the theta-sketch
+   * workflow): bottom-k md5 samples of each side, bottom-k of their union,
+   * and the classic estimators — est_union from the union sample's k-th
+   * hash, est_intersect = (matching fraction of the union sample) ×
+   * est_union. The shared deterministic hash coordinates the samples
+   * (bottom-k(A∪B) ∩ A ⊆ bottom-k(A), so sample membership IS set
+   * membership), which also makes every estimate replay exactly in an
+   * external engine. Under-full samples (union < k distinct) degrade to
+   * EXACT counts. Each side is one distinct + top-k (TakeOrderedAndProject
+   * — per-partition top-k, driver merge of k rows, never a global sort).
+   *
+   * @return one row (n_sample, n_common, est_union, est_intersect)
+   */
+  def kmvIntersect(a: DataFrame, aVal: Column, b: DataFrame, bVal: Column,
+                   k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def sample(df: DataFrame, v: Column): DataFrame =
+      df.filter(v.isNotNull)
+        .select(md5(v.cast("string").cast("binary")).as("h"))
+        .distinct().orderBy("h").limit(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ha = sample(a, aVal)
+    val hb = sample(b, bVal)
+    val hu = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    val common = hu.join(ha, Seq("h"), "left_semi").join(hb, Seq("h"), "left_semi")
+    val stats = hu.agg(count(lit(1)).as("n_sample"),
+        max(conv(substring(col("h"), 1, 15), 16, 10).cast("long")).as("__kth"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+    val estU = when(col("n_sample") < k, col("n_sample").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("__kth").cast("double"))
+    val out = stats.select(col("n_sample"), col("n_common"),
+      round(estU, 6).as("est_union"),
+      round(when(col("n_sample") < k, col("n_common").cast("double"))
+        .otherwise(col("n_common") / col("n_sample").cast("double") * estU), 6)
+        .as("est_intersect"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, ha, hb)
+  }
+
   // ── HyperLogLog (registers-as-DataFrame) ──────────────────────────────
 
   /** First 8 md5 hex chars as a 32-bit value (register index source) and

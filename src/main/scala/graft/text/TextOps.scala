@@ -189,6 +189,33 @@ object TextOps {
         countDistinct(col(langCol)).as("n_langs"))
 
   /**
+   * Deterministic train/val/test split assignment: md5(seed:id) mapped to
+   * [0, 1) picks each row's split by cumulative fraction boundaries. A pure
+   * per-row projection (zero shuffle, runs inside the scan stage), stable
+   * across reruns/layouts/engines — the property a training pipeline needs
+   * so a document NEVER migrates between splits when the corpus is
+   * re-processed. Fractions must sum to ≤ 1; the last named split absorbs
+   * the remainder.
+   *
+   * @param fracs (splitName, fraction) in declaration order
+   * @return input id column + `split`
+   */
+  def assignSplits(df: DataFrame, idCol: String, seed: String,
+                   fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0) && fracs.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must be positive and sum to <= 1, got $fracs")
+    // 32-bit hash / 2^32 ∈ [0, 1) — same uniform device as sampleStratified
+    val u = conv(substring(md5(concat_ws(":", lit(seed), col(idCol)).cast("binary")), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    val split = fracs.zip(cum).dropRight(1)
+      .foldRight(lit(fracs.last._1): Column) { case (((name, _), hi), acc) =>
+        when(u < hi, name).otherwise(acc)
+      }
+    df.select(col(idCol), split.as("split"))
+  }
+
+  /**
    * Pairwise vocabulary overlap between corpus sources: |Va ∩ Vb| and the
    * Jaccard index over the sources' distinct-token vocabularies — the
    * corpus-composition diagnostic behind mixture design ("how redundant are

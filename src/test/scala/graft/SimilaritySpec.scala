@@ -232,6 +232,16 @@ class SimilaritySpec extends SparkSpec {
       math.abs(v2(1) - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("projectComponent: hand-computed dot products against a component") {
+    val comp = Seq((0, 1.0), (1, 0.5)).toDF("d", "comp")
+    val vecs = Seq((1L, Array(2f, 4f)), (2L, Array(0f, 2f)),
+      (3L, Array(1f))) // wrong dim → dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.projectComponent(vecs, "embedding", comp, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 4.0, 2L -> 1.0))
+  }
+
   test("covarianceMatrix: diagonal is variance (non-negative), malformed rows drop") {
     val vecs = Seq(
       (1L, Array(1f, 2f)), (2L, Array(3f, 5f)),

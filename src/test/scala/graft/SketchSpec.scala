@@ -285,4 +285,26 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 9L)) // N = 11 non-null; 9*2 > 11, 2*2 < 11
   }
+
+  test("kmvIntersect: under-full samples are exact; estimator tracks truth") {
+    import org.apache.spark.sql.functions.col
+    // |A| = 6, |B| = 5, |A∩B| = 3 — all under k → exact everything
+    val a = (1 to 6).map(Tuple1(_)).toDF("v")
+    val b = (4 to 8).map(Tuple1(_)).toDF("v")
+    val r = Sketches.kmvIntersect(a, col("v"), b, col("v"), k = 32).collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L)       // union, common
+    assert(r.getDouble(2) == 8.0 && r.getDouble(3) == 3.0) // exact path
+    // overflowing samples: 600 ∪ 600 with 200 common → estimates near truth
+    val big1 = (1 to 600).map(Tuple1(_)).toDF("v")
+    val big2 = (401 to 1000).map(Tuple1(_)).toDF("v")
+    val e = Sketches.kmvIntersect(big1, col("v"), big2, col("v"), k = 128).collect()(0)
+    assert(e.getLong(0) == 128L)
+    val (eu, ei) = (e.getDouble(2), e.getDouble(3))
+    assert(eu > 700 && eu < 1350, s"union est $eu vs 1000")
+    assert(ei > 80 && ei < 350, s"intersect est $ei vs 200")
+    // disjoint sets → zero intersection, exactly
+    val c = (2000 to 2600).map(Tuple1(_)).toDF("v")
+    val z = Sketches.kmvIntersect(big1, col("v"), c, col("v"), k = 128).collect()(0)
+    assert(z.getLong(1) == 0L && z.getDouble(3) == 0.0)
+  }
 }

@@ -491,6 +491,27 @@ class TextSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("assignSplits: stable, partition-independent, fractions roughly honored") {
+    val d = (1L to 2000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = TextOps.assignSplits(d, "doc_id", "sp", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // layout independence: different partitioning, same assignment
+    val s2 = TextOps.assignSplits(d.repartition(13), "doc_id", "sp", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    val byS = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS("train") > 1500 && byS("train") < 1700)
+    assert(byS("val") > 130 && byS("val") < 280 && byS("test") > 130 && byS("test") < 280)
+    // a different seed reshuffles; the same seed replays
+    val s3 = TextOps.assignSplits(d, "doc_id", "other", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s3 != s1)
+    intercept[IllegalArgumentException] {
+      TextOps.assignSplits(d, "doc_id", "sp", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
   test("sourceOverlap: pairwise vocabulary intersection and Jaccard") {
     val d = Seq(
       (1L, "s1", "a b c"),
