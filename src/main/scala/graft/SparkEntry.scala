@@ -38,6 +38,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Conductance replay over the LPA partition: per-community cut/vol
+    * integer aggregates, one double division per row. */
+  private def conductanceOracle(stages: Int): String =
+    lpaCte(stages) +
+      ", und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+      "FROM e0 WHERE a <> b), " +
+      "deg AS (SELECT id, count(*) AS k FROM (SELECT a AS id FROM und " +
+      "UNION ALL SELECT b AS id FROM und) GROUP BY 1), " +
+      s"tg AS (SELECT la.lab AS ca, lb.lab AS cb FROM und " +
+      s"JOIN l$stages la ON und.a = la.id JOIN l$stages lb ON und.b = lb.id), " +
+      "ct AS (SELECT community, count(*)::BIGINT AS cut FROM " +
+      "(SELECT ca AS community FROM tg WHERE ca <> cb " +
+      "UNION ALL SELECT cb FROM tg WHERE ca <> cb) GROUP BY 1), " +
+      s"vl AS (SELECT l.lab AS community, sum(k)::BIGINT AS vol " +
+      s"FROM l$stages l JOIN deg USING (id) GROUP BY 1), " +
+      "mm AS (SELECT count(*)::BIGINT AS m FROM und) " +
+      "SELECT vl.community, vl.vol, coalesce(ct.cut, 0)::BIGINT AS cut, " +
+      "round(CASE WHEN least(vl.vol, 2 * mm.m - vl.vol) > 0 " +
+      "THEN coalesce(ct.cut, 0) / least(vl.vol, 2 * mm.m - vl.vol)::DOUBLE END, 6) AS phi " +
+      "FROM vl LEFT JOIN ct ON vl.community = ct.community, mm"
+
   /** Oracle-side mirror of [[graft.sources.Layout.zValue]]: the explicit
     * bit-interleave expression over two integer SQL expressions. */
   private def zOracleExpr(x: String, y: String, bits: Int): String =
@@ -712,6 +733,13 @@ object SparkEntry {
         "RETURN size([y IN xs WHERE y % 3 = 0 | y * y]) AS n, " +
         "reduce(s = 0, y IN xs | s + y) AS total, " +
         "join([y IN xs WHERE y > 9], ',') AS big")),
+    // per-row reduce over a DATA-DEPENDENT range (list differs per row —
+    // the fold runs inside the row expression, no explode)
+    "cy_reduce_row" -> ((s, dir) =>
+      db(s, dir).query(
+        "MATCH (n:nation) " +
+        "RETURN n, reduce(acc = 0, x IN range(1, size(n.name) % 5 + 1) | acc + x * x) AS ss " +
+        "ORDER BY n")),
     // a bare list predicate standing alone as a WITH-stage WHERE conjunct
     "cy_list_where" -> ((s, dir) =>
       db(s, dir).query(
@@ -1336,6 +1364,13 @@ object SparkEntry {
       val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       Algorithms.modularity(Algorithms.labelPropagation(vs, e, iters = 3), e)
     }),
+    // per-community conductance — the breakdown modularity aggregates away
+    "graph_conductance" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val e = g.edgesByType(Seq("IN_REGION", "IN_NATION")).select("src", "dst")
+      val vs = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      Algorithms.conductance(Algorithms.labelPropagation(vs, e, iters = 3), e)
+    }),
     // strongly connected components over the part ORDER-SEQUENCE graph
     // (consecutive lineitems of an order → directed part→part hop). The
     // mod-5 induced subgraph keeps a mixed census (one core + singleton
@@ -1709,6 +1744,14 @@ object SparkEntry {
       graft.ml.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 5,
         numCells = 16, nprobe = 4)
     }),
+    // IVF + PQ composed (the FAISS IVFADC shape): coarse cells prune the
+    // candidate set, ADC scores only the probed cells' codes — raw vectors
+    // never join at query time
+    "knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dim = 64, numCells = 16, nprobe = 4)
+    }),
     // radius query: everything within cosine >= 0.3 of each query vector
     "knn_range" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1786,6 +1829,11 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedAgg(graft.sources.Tables.events(s, dir))
         .select(col("w_start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))),
+    // SLIDING windows (1 day every 6 h): each event replicated into its 4
+    // overlapping epoch-aligned windows before one combinable aggregate
+    "stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamOps.slidingWindowAgg(
+        graft.sources.Tables.events(s, dir))),
     // streaming distinct-count sketch: per-(day, event_type) HLL register
     // maintenance as one streaming aggregate; estimate read-side
     "stream_hll" -> ((s, dir) =>
@@ -1819,6 +1867,14 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedBloomBits(
         graft.sources.Tables.events(s, dir), col("user_id"), k = 5, mBits = 2048)
         .select(col("w_start").cast("date").as("day"), col("pos"), col("n"))),
+    // streaming regression state: per-(day, type) five-sum table as one
+    // streaming aggregate; slope/intercept is a stateless read-out
+    "stream_trend" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedTrend(
+        graft.sources.Tables.events(s, dir), Seq("event_type"),
+        hour(col("ts")), col("value"))
+        .select(col("w_start").cast("date").as("day"), col("event_type"),
+          col("n"), col("slope"), col("intercept"))),
     // streaming SCD2 (CDC → dimension history): one open version per key in
     // flatMapGroupsWithState state; batch path ≡ EventOps.scd2 (the oracle)
     "stream_scd2" -> ((s, dir) => {
@@ -2419,6 +2475,11 @@ object SparkEntry {
        "SELECT len(list_filter(l, y -> y % 3 = 0))::BIGINT AS n, " +
        "list_aggregate(l, 'sum')::BIGINT AS total, " +
        "array_to_string(list_filter(l, y -> y > 9), ',') AS big FROM xs"),
+    // per-row reduce replay: Σ x² for x in 1..k via the closed form
+    "cy_reduce_row" ->
+      ("SELECT n, CAST(k * (k + 1) * (2 * k + 1) / 6 AS BIGINT) AS ss " +
+       "FROM (SELECT n_nationkey + 2000000000 AS n, " +
+       "len(n_name) % 5 + 1 AS k FROM nation) ORDER BY n"),
     "cy_list_where" ->
       ("SELECT n FROM (SELECT c_nationkey + 2000000000 AS n, " +
        "bool_or(c_acctbal > 9995) AS f FROM customer GROUP BY 1) WHERE f ORDER BY n"),
@@ -3271,6 +3332,27 @@ object SparkEntry {
       "r AS (SELECT q_id, vec_id, d2_micros, row_number() OVER " +
       "(PARTITION BY q_id ORDER BY d2_micros ASC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, d2_micros, rank FROM r WHERE rank <= 5"),
+    // IVFADC replay: the pq_knn ADC restricted to candidates from the
+    // nprobe-nearest coarse cells (same cent/asg CTEs as knn_ivf)
+    "knn_ivfpq" -> (pqPrelude() +
+      ", " + ivfCentAsgSql(16) +
+      ", probe AS (SELECT q_id, cell FROM (SELECT q.vec_id AS q_id, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.cell ASC) AS rk " +
+      "FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rk <= 4), " +
+      "qsv AS (SELECT vec_id AS q_id, sub, v FROM sv WHERE vec_id < 10), " +
+      "dt AS (SELECT q.q_id, q.sub, c.cell AS code, " +
+      "round((list_inner_product(q.v, q.v) + list_inner_product(c.c, c.c) " +
+      "- 2 * list_inner_product(q.v, c.c)) * 1e6)::BIGINT AS dm " +
+      "FROM qsv q JOIN c2 c ON q.sub = c.sub), " +
+      "cand AS (SELECT p.q_id, a.vec_id FROM probe p " +
+      "JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id), " +
+      "sc AS (SELECT cd.q_id, cd.vec_id, sum(dm)::BIGINT AS d2_micros " +
+      "FROM cand cd JOIN codes k ON k.vec_id = cd.vec_id " +
+      "JOIN dt ON dt.q_id = cd.q_id AND dt.sub = k.sub AND dt.code = k.code " +
+      "GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, vec_id, d2_micros, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY d2_micros ASC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, d2_micros, rank FROM r WHERE rank <= 5"),
     "emb_quantize" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
        "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v), " +
@@ -3287,6 +3369,7 @@ object SparkEntry {
     "ktruss" -> ktrussOracle(k = 3, stages = 6),
     "lpa" -> lpaOracle(stages = 3),
     "graph_modularity" -> modularityOracle(stages = 3),
+    "graph_conductance" -> conductanceOracle(stages = 3),
     // SCC via transitive closure: scc(v) = min over {v} ∪ {w : v →* w ∧
     // w →* v} — O(V·E) reach-pair state, affordable only because the mod-10
     // induced graph is small at sf0.01; the Spark side runs the actual
@@ -3412,6 +3495,14 @@ object SparkEntry {
     "stream_window_agg" ->
       ("SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n, " +
        "sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2"),
+    // sliding-window replay: each event joins its 4 overlapping
+    // epoch-aligned (1 day / 6 h) window starts via integer epoch math
+    "stream_sliding" ->
+      ("WITH o AS (SELECT unnest(generate_series(0, 3)) AS o), " +
+       "b AS (SELECT (epoch(ts)::BIGINT // 21600 - o.o) * 21600 AS w_start, " +
+       "event_type, value FROM events, o) " +
+       "SELECT w_start, event_type, count(*) AS n, " +
+       "sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM b GROUP BY 1, 2"),
     // windowed HLL replay: same register/rank contract as sketch_hll with
     // the tumbling day window as an extra group key
     "stream_hll" ->
@@ -3554,6 +3645,21 @@ object SparkEntry {
     "scd2_apply" -> scd2OracleSql,
     // the stateful streaming build's batch flush — same oracle again
     "stream_scd2" -> scd2OracleSql,
+    // windowed trend replay: same five decimal sums with the day window as
+    // an extra group key; x = hour-of-day within the window
+    "stream_trend" ->
+      ("WITH b AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, " +
+       "hour(ts)::BIGINT AS x, value AS y FROM events WHERE value IS NOT NULL), " +
+       "a AS (SELECT day, event_type, count(*)::BIGINT AS n, " +
+       "sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(28,10)) AS sy, " +
+       "sum((x * y)::DECIMAL(38,10)) AS sxy, sum((x * x)::DECIMAL(38,0)) AS sxx " +
+       "FROM b GROUP BY 1, 2), " +
+       "s2 AS (SELECT day, event_type, n, " +
+       "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS sl, " +
+       "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
+       "SELECT day, event_type, n, round(sl, 6) AS slope, " +
+       "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
     // windowed counting-Bloom replay: same salted-hash position contract
     // as sketch_bloom with the tumbling day window as an extra group key
     "stream_bloom" ->

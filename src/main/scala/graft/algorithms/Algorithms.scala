@@ -1370,4 +1370,42 @@ object Algorithms {
         round(col("within_edges").cast("double") / col("m")
           - col("__s").cast("double") / (lit(4.0) * col("m") * col("m")), 6).as("q"))
   }
+
+  /**
+   * Per-community conductance φ(c) = cut(c) / min(vol(c), 2m − vol(c)) over
+   * an undirected simple graph — the community-level quality breakdown
+   * [[modularity]] aggregates away (a community can hide inside a good
+   * global Q). cut = edges with exactly one endpoint in c, vol = Σ degree.
+   * Integer aggregates; one double expression per output row; the
+   * whole-graph community (vol = 2m) reads NULL (no outside to cut to).
+   *
+   * Scale shape mirrors modularity: two label joins on the edge list,
+   * combinable groupBys, a broadcast m singleton.
+   *
+   * @return (community, vol, cut, phi) — phi rounded to 6
+   */
+  def conductance(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val la = labels.select(col("id").as("a"), col("community").as("__ca"))
+    val lb = labels.select(col("id").as("b"), col("community").as("__cb"))
+    val tagged = und.join(la, Seq("a")).join(lb, Seq("b"))
+    val cut = tagged.filter(col("__ca") =!= col("__cb"))
+      .select(explode(array(col("__ca"), col("__cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("cut"))
+    val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__k"))
+    val vol = labels.join(deg, Seq("id"))
+      .groupBy("community").agg(sum("__k").as("vol"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    val denom = least(col("vol"), lit(2) * col("__m") - col("vol"))
+    vol.join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        round(when(denom > 0,
+          coalesce(col("cut"), lit(0L)).cast("double") / denom), 6).as("phi"))
+  }
 }

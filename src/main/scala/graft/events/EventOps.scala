@@ -241,20 +241,33 @@ object EventOps {
    *          DECIMAL(38,0))
    * @return (groupCols…, n, slope, intercept) — rounded to 6
    */
-  def trend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+  def trend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame =
+    trendReadout(
+      df.filter(x.isNotNull && y.isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(trendSumAggs(x, y).head, trendSumAggs(x, y).tail: _*),
+      groupCols)
+
+  /** The five classical-sum aggregate columns (n, Σx, Σy, Σxy, Σx² — all
+    * DECIMAL-exact, combinable) — shared with the streaming windowed trend
+    * so sums built anywhere read out identically. */
+  private[graft] def trendSumAggs(x: Column, y: Column): Seq[Column] = {
     val xl = x.cast("long")
-    val agg = df.filter(x.isNotNull && y.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(xl.cast("decimal(38,0)")).as("__sx"),
-        sum(y.cast("decimal(28,10)")).as("__sy"),
-        sum((xl * y).cast("decimal(38,10)")).as("__sxy"),
-        sum((xl * xl).cast("decimal(38,0)")).as("__sxx"))
+    Seq(count(lit(1)).as("n"),
+      sum(xl.cast("decimal(38,0)")).as("__sx"),
+      sum(y.cast("decimal(28,10)")).as("__sy"),
+      sum((xl * y).cast("decimal(38,10)")).as("__sxy"),
+      sum((xl * xl).cast("decimal(38,0)")).as("__sxx"))
+  }
+
+  /** slope/intercept read-out over a trend-sums table (the ONE double
+    * expression; NULL on degenerate groups). */
+  private[graft] def trendReadout(sums: DataFrame, keyCols: Seq[String]): DataFrame = {
     val sxd = col("__sx").cast("double")
     val syd = col("__sy").cast("double")
     val den = col("n") * col("__sxx").cast("double") - sxd * sxd
     val sl = when(den =!= 0, (col("n") * col("__sxy").cast("double") - sxd * syd) / den)
-    agg.select(groupCols.map(col) :+ col("n")
+    sums.select(keyCols.map(col) :+ col("n")
       :+ round(sl, 6).as("slope")
       :+ round((syd - sl * sxd) / col("n"), 6).as("intercept"): _*)
   }

@@ -567,4 +567,57 @@ object Similarity {
     graft.util.CacheLifecycle.releaseOnFirstAction(result, cent)
     result
   }
+
+  /**
+   * IVF + PQ (the FAISS IVFADC index shape): a coarse quantizer routes
+   * every corpus vector into one of `numCells` inverted lists
+   * ([[ivfAssign]]); the fine index stores only the m-byte PQ codes
+   * ([[pqEncodeWith]]); a query probes its `nprobe` nearest coarse cells
+   * and ADC-scores ONLY the codes in those cells — the two scale levers
+   * composed: candidate count drops by ~nprobe/numCells AND the candidate
+   * scan touches codes, never raw vectors. Same integer-micros ADC
+   * arithmetic as [[pqKnn]], so with nprobe = numCells the result is
+   * exactly pqKnn (the property the spec pins).
+   *
+   * Scale shape: the probe table (|queries|·nprobe) and the distance table
+   * (|queries|·m·ksub) are broadcast (bounded-query contract shared with
+   * [[bruteForceKnn]]); the code table is scanned once, pre-filtered by the
+   * broadcast probe join before any per-query work — no shuffle of the
+   * corpus, no raw-vector join. PQ codebooks are non-residual (trained on
+   * the full vectors, not cell residuals) so training stays ONE shared
+   * subtree and the oracle stays expressible; residual PQ buys recall at
+   * small nprobe but costs numCells× training — documented trade, not a gap.
+   *
+   * @return (q_id, vec_id, d2_micros, rank ≤ k within probed cells)
+   */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+               numCells: Int = 16, nprobe: Int = 4,
+               m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    val cent = pqTrain(corpus, dim, m, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = ivfAssign(corpus, numCells)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val codes = pqEncodeWith(corpus, cent, dim, m).join(coarse, Seq("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qw = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("ivf_cell").asc)
+    val probed = q.crossJoin(broadcast(ivfCentroids(corpus, numCells)))
+      .select(col("q_id"), col("cell").as("ivf_cell"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("c_sim"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= nprobe)
+      .select("q_id", "ivf_cell")
+    val qsv = subVectors(queries.select(col("vec_id"), col("embedding")), m, dim / m)
+      .select(col("vec_id").as("q_id"), col("sub"), col("v"))
+    val distTable = qsv.join(broadcast(cent), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell").as("code"),
+        round(l2sq(col("v"), col("c_sub")) * 1e6).cast("long").as("dm"))
+    val scored = codes.join(broadcast(probed), Seq("ivf_cell"))
+      .join(broadcast(distTable), Seq("q_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("d2_micros"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2_micros").asc, col("vec_id").asc)
+    val result = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.util.CacheLifecycle.releaseOnFirstAction(result, cent)
+    result
+  }
 }

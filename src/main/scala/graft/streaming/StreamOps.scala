@@ -65,6 +65,27 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
   /**
+   * SLIDING-window aggregate per event type: each event lands in
+   * windowDur/slide overlapping epoch-aligned windows (Spark's `window`
+   * with a slide replicates the row per window before the aggregate — the
+   * blow-up factor is the overlap count, bounded and explicit). State on a
+   * stream is live-windows × groups; the watermark closes windows whose END
+   * passed, so overlap widens the live set by the same bounded factor.
+   * `windowDur` must be a multiple of `slide` (epoch-aligned grid — the
+   * alignment the oracle replays with integer epoch arithmetic).
+   *
+   * @return (w_start BIGINT epoch seconds, event_type, n, sum_value)
+   */
+  def slidingWindowAgg(events: DataFrame, windowDur: String = "1 day",
+                       slide: String = "6 hours", wm: String = "1 hour"): DataFrame =
+    watermarked(events, "ts", wm)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /**
    * Windowed streaming HyperLogLog: maintains the HLL REGISTER table per
    * (tumbling window, groupCols) as ONE streaming aggregate — max(rank) is
    * monotone and commutative, so each micro-batch folds in with map-side
@@ -148,6 +169,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("pos"), col("n"))
   }
+
+  /**
+   * Windowed streaming trend sums: the five classical least-squares sums
+   * per (tumbling window, groupCols) as ONE streaming aggregate (all
+   * DECIMAL-exact and combinable — [[graft.events.EventOps.trendSumAggs]],
+   * so sums from any engine/pipeline merge identically). The sums table IS
+   * the durable regression state: sink it per window and read
+   * slope/intercept out with [[windowedTrend]]'s second aggregation-free
+   * projection at query time. NULL x/y rows are ignored.
+   */
+  def windowedTrendSums(events: DataFrame, groupCols: Seq[String], x: Column,
+                        y: Column, windowDur: String = "1 day",
+                        wm: String = "1 hour"): DataFrame = {
+    val aggs = graft.events.EventOps.trendSumAggs(x, y)
+    watermarked(events, "ts", wm)
+      .filter(x.isNotNull && y.isNotNull)
+      .groupBy(window(col("ts"), windowDur).as("w") +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("w_start") +: groupCols.map(col)
+        :+ col("n") :+ col("__sx") :+ col("__sy") :+ col("__sxy") :+ col("__sxx"): _*)
+  }
+
+  /** Per-(window, groupCols) slope/intercept from [[windowedTrendSums]].
+    * The read-out is a stateless projection (not an aggregation), so the
+    * whole chain is ONE stateful operator even on a stream. */
+  def windowedTrend(events: DataFrame, groupCols: Seq[String], x: Column,
+                    y: Column, windowDur: String = "1 day",
+                    wm: String = "1 hour"): DataFrame =
+    graft.events.EventOps.trendReadout(
+      windowedTrendSums(events, groupCols, x, y, windowDur, wm),
+      "w_start" +: groupCols)
 
   /**
    * Windowed streaming bottom-k sample: maintains ≤ k (md5-hash, value)

@@ -663,4 +663,23 @@ class AlgorithmsSpec extends SparkSpec {
     val d = Algorithms.modularity(dl, dup).collect()(0)
     assert(d.getLong(0) == 1L && d.getLong(1) == 0L)
   }
+
+  test("conductance: two triangles + bridge, whole-graph community reads NULL") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val labels = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L))
+      .toDF("id", "community")
+    // each side: vol = 7 (deg 2,2,3), cut = 1 (the bridge) → φ = 1/7
+    val got = Algorithms.conductance(labels, es)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(10L, 20L))
+    got.values.foreach { case (vol, cut, phi) =>
+      assert(vol == 7L && cut == 1L && math.abs(phi - 1.0 / 7) < 1e-6)
+    }
+    // one community holding the whole graph: no outside → NULL φ, cut 0
+    val oneLab = (0L to 5L).map(i => (i, 1L)).toDF("id", "community")
+    val whole = Algorithms.conductance(oneLab, es).collect()(0)
+    assert(whole.getLong(1) == 14L && whole.getLong(2) == 0L && whole.isNullAt(3))
+  }
 }

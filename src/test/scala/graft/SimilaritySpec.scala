@@ -199,6 +199,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("md5"), "training subtree duplicated past the cache")
   }
 
+  test("ivfPqKnn: nprobe = numCells equals pqKnn exactly; pruning only drops rows") {
+    val corpus = (0L until 40L).map { id =>
+      (id, Array.tabulate(16)(j => (((id * 23 + j * 13) % 101).toFloat / 101f)))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val full = rows(Similarity.pqKnn(corpus, qs, k = 4, dim = 16))
+    // probing every coarse cell = no pruning: identical (q, vec, d2, rank)
+    val all = rows(Similarity.ivfPqKnn(corpus, qs, k = 4, dim = 16,
+      numCells = 4, nprobe = 4))
+    assert(all == full)
+    // real pruning: every surviving pair's ADC distance matches pqKnn's
+    // score for that pair (pruning changes the candidate SET, never the
+    // arithmetic), and nothing beyond k survives per query
+    val pruned = Similarity.ivfPqKnn(corpus, qs, k = 4, dim = 16,
+      numCells = 4, nprobe = 2).collect()
+    val fullD = Similarity.pqKnn(corpus, qs, k = 40, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pruned.foreach { r =>
+      assert(fullD((r.getLong(0), r.getLong(1))) == r.getLong(2))
+      assert(r.getInt(3) <= 4)
+    }
+    assert(pruned.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+  }
+
   test("covarianceMatrix equals the brute-force covariance on a small corpus") {
     val vecs = (0 until 7).map(i =>
       (i.toLong, Array.tabulate(4)(j => ((i * 3 + j * 5) % 11).toFloat / 11f)))

@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSpec {
 
   private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
 
+  test("slidingWindowAgg: 4 overlapping windows per event; streaming ≡ batch") {
+    import org.apache.spark.sql.functions.col
+    // batch: one event falls in exactly windowDur/slide = 4 windows, all
+    // epoch-aligned to the 6-hour grid at/below its timestamp
+    val one = Seq(GEvent(1, ts("2024-01-01 13:30:00"), 1, "click", 2.0)).toDF()
+    val got = StreamOps.slidingWindowAgg(one)
+      .select($"w_start", $"event_type", $"n", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val bucket = ts("2024-01-01 13:30:00").getTime / 1000 / 21600 * 21600
+    assert(got == (0 to 3).map(o => (bucket - o * 21600L, "click", 1L, 2.0)).toSet)
+    // streaming (complete mode) over two batches equals the batch run
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.slidingWindowAgg(in.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try {
+      in.addData(batchEvents.take(2): _*)
+      drain(q)
+      in.addData(batchEvents.drop(2): _*)
+      drain(q)
+      val stream = spark.table("slide")
+        .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = StreamOps.slidingWindowAgg(batchEvents.toDF())
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("windowedAgg streaming: append emission after watermark passes window end") {
     val in = MemoryStream[GEvent]
     val q = StreamOps.windowedAgg(in.toDF(), windowDur = "1 hour", wm = "10 minutes")
@@ -346,6 +374,43 @@ class StreamingSpec extends SparkSpec {
       val truth = evs.filter(_.ts.toString.startsWith("2024-02-01"))
         .groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
       truth.foreach { case (u, t) => assert(est(u) >= t, s"user $u: ${est(u)} < $t") }
+    } finally q.stop()
+  }
+
+  test("windowedTrendSums streaming ≡ batch; read-out equals direct trend") {
+    import org.apache.spark.sql.functions.{col, hour}
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.windowedTrendSums(in.toDF(), Seq("event_type"),
+        hour(col("ts")), col("value"), windowDur = "1 day", wm = "1 hour")
+      .writeStream.format("memory").queryName("trendw").outputMode("complete").start()
+    try {
+      // y = 2·hour + type-dependent offset, split across two days/batches
+      val evs = (1 to 96).map { i =>
+        val h = i % 24
+        GEvent(i.toLong, ts(f"2024-07-0${1 + i % 2}%d $h%02d:30:00"),
+          1L, if (i % 3 == 0) "a" else "b", 2.0 * h + (if (i % 3 == 0) 5.0 else 1.0))
+      }
+      in.addData(evs.take(40): _*)
+      drain(q)
+      in.addData(evs.drop(40): _*)
+      drain(q)
+      val stream = spark.table("trendw")
+        .select($"w_start".cast("string"), $"event_type", $"n",
+          $"__sx".cast("string"), $"__sxy".cast("string"))
+        .as[(String, String, Long, String, String)].collect().toSet
+      val batch = StreamOps.windowedTrendSums(evs.toDF(), Seq("event_type"),
+          hour(col("ts")), col("value"))
+        .select($"w_start".cast("string"), $"event_type", $"n",
+          $"__sx".cast("string"), $"__sxy".cast("string"))
+        .as[(String, String, Long, String, String)].collect().toSet
+      assert(stream == batch)
+      // read-out recovers the exact planted line per (window, type)
+      val lines = StreamOps.windowedTrend(evs.toDF(), Seq("event_type"),
+          hour(col("ts")), col("value"))
+        .collect().map(r => (r.getString(1), r.getDouble(3), r.getDouble(4)))
+      lines.foreach { case (t, slope, icept) =>
+        assert(slope == 2.0 && icept == (if (t == "a") 5.0 else 1.0), s"($t, $slope, $icept)")
+      }
     } finally q.stop()
   }
 
