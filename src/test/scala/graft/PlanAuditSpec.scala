@@ -312,4 +312,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(st.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1,
       "stream_topk: the per-window totals must broadcast, not shuffle-join")
   }
+
+  test("round-11d plan shapes: IVFADC prunes via broadcasts, sliding window one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // knn_ivfpq: the query path touches the code table once, pre-filtered
+    // by a BROADCAST probe join and scored through a BROADCAST distance
+    // table — a shuffled join against either would move the corpus for a
+    // bounded-query lookup
+    val ivf = plans("knn_ivfpq")
+    assert(ivf.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "knn_ivfpq: probe set and ADC distance table must join as broadcasts")
+    // stream_sliding: window replication is a projection (explode of the 4
+    // window structs), so the whole query is ONE agg exchange
+    val sl = plans("stream_sliding")
+    assert(sl.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "stream_sliding: expected exactly the one aggregate exchange")
+  }
 }
