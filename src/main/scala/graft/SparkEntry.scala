@@ -1993,6 +1993,13 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // bounded-lookback EWMA per user: 8 lag terms with exact 2^-k weights
+    // inside one window pass — the smoothing signal a monitor reads
+    "ev_ewma" -> ((s, dir) =>
+      graft.events.EventOps.ewma(
+        graft.sources.Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), col("value"))
+        .select(col("event_id"), col("user_id"), col("ewma"))),
     // SCD2 dimension build: each user's event_type change log collapsed to
     // versioned validity ranges — one key shuffle, two window passes
     "scd2_history" -> ((s, dir) =>
@@ -2101,6 +2108,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
       graft.sources.Writer.writeJsonl(docs, out, numFiles = 4)
       graft.sources.Writer.readJsonl(s, out, docs.schema)
+    }),
+    // CSV round trip: header + quoting through the same bounded-file-count
+    // sink and explicit-schema reader (inference retypes at scale)
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      graft.sources.Writer.writeCsv(docs, out, numFiles = 4)
+      graft.sources.Writer.readCsv(s, out, docs.schema)
     }),
     // Z-order (Morton) clustering key: the multi-dim layout device — the
     // write path range-partitions on this code (LayoutSpec proves the
@@ -3640,6 +3655,19 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // EWMA replay: the SAME 8 lag terms summed in the same left-to-right
+    // order with exact 2^-k weight literals — bit-identical before round(6)
+    "ev_ewma" -> {
+      val lags = (0 until 8).map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")
+      val num = (0 until 8).map(k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} * l$k ELSE 0 END").mkString(" + ")
+      val den = (0 until 8).map(k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0 END").mkString(" + ")
+      s"WITH l AS (SELECT event_id, user_id, $lags FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      s"SELECT event_id, user_id, round(CASE WHEN den > 0 THEN num / den END, 6) AS ewma " +
+      s"FROM (SELECT event_id, user_id, $num AS num, $den AS den FROM l)"
+    },
     "scd2_history" -> scd2OracleSql,
     // the incremental apply MUST equal the full rebuild — same oracle
     "scd2_apply" -> scd2OracleSql,
@@ -3714,6 +3742,9 @@ object SparkEntry {
     // identity oracle, same as the parquet sink
     "jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // CSV quoting must carry the raw text column losslessly — identity
+    "csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
     // Morton-code replay: explicit bit interleave, pure integer arithmetic
     "zorder_layout" ->
       (s"SELECT o_orderkey, (${zOracleExpr("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)})::BIGINT AS z " +

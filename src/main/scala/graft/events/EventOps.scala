@@ -335,4 +335,38 @@ object EventOps {
       .unionByName(curUpdated)
       .unionByName(deltaOut)
   }
+
+  /**
+   * Bounded-lookback exponential moving average: per key, in `orderCols`
+   * order, `ewma_i = Σ_{k<L} (1-α)^k · v_{i-k} / Σ_{k<L} (1-α)^k` over the
+   * rows that exist (missing lags and NULL values drop out of BOTH sums) —
+   * the FIR truncation of the classic recursive EWMA. The infinite-horizon
+   * recurrence is a sequential scan Spark has no native operator for (and
+   * its (1-α)^{-i} prefix-sum rewrite overflows doubles); truncating at L
+   * makes it L lag expressions inside ONE window pass — at (1-α)=½, L=8
+   * the dropped tail weighs < 0.4%, and the weights 2^-k are exact binary
+   * fractions so the fixed left-to-right sum is bit-reproducible across
+   * engines.
+   *
+   * Scale shape: one window shuffle on the key; L lags evaluate in the
+   * same frame pass (no per-lag window, no collected lists).
+   *
+   * @return input columns + `ewma` (rounded to 6; NULL when no value in
+   *         the lookback window)
+   */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+           value: Column, alpha: Double = 0.5, lookback: Int = 8): DataFrame = {
+    require(lookback >= 1 && alpha > 0 && alpha <= 1,
+      s"need lookback >= 1 and alpha in (0, 1], got $lookback, $alpha")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val terms = (0 until lookback).map { k =>
+      val lv = lag(value, k).over(w)
+      val wk = lit(math.pow(1 - alpha, k))
+      (when(lv.isNotNull, wk * lv).otherwise(lit(0.0)),
+        when(lv.isNotNull, wk).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", round(when(den > 0, num / den), 6))
+  }
 }

@@ -77,4 +77,33 @@ object Writer {
   def readJsonl(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** CSV sink (header, RFC-4180 quoting) — the lowest-common-denominator
+    * interchange format. Same bounded-file-count discipline as the JSONL
+    * sink. Embedded delimiters/quotes/newlines round-trip via quoting; use
+    * parquet for binary or deeply nested columns. */
+  def writeCsv(df: DataFrame, path: String, numFiles: Int = 1,
+               gzip: Boolean = false): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val w = df.repartition(numFiles).write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      // Spark's CSV writer TRIMS cell whitespace by default — lossy; off
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** Read a CSV directory with an EXPLICIT schema — inference over CSV at
+    * scale is an extra pass AND lossy (leading zeros, big integers, date
+    * look-alikes silently retype), so the reader requires the contract up
+    * front, same as [[readJsonl]]. An empty cell reads back NULL (CSV has
+    * no empty-vs-NULL distinction). `multiLine` enables quoted embedded
+    * newlines at the cost of file splittability (each file becomes one
+    * task) — keep it off unless the data needs it; at scale prefer JSONL
+    * or parquet for multi-line text. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", multiLine.toString).csv(path)
 }

@@ -222,6 +222,23 @@ class EventOpsSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (5.0, 9.0, 1.0, 7.0))
   }
 
+  test("ewma: hand-computed weights, NULL drop-out, lookback truncation, key isolation") {
+    val df = Seq(
+      (1L, 1L, 1, Some(1.0)), (2L, 1L, 2, Some(2.0)), (3L, 1L, 3, Some(4.0)),
+      (4L, 2L, 1, Some(1.0)), (5L, 2L, 2, None), (6L, 2L, 3, Some(4.0)))
+      .toDF("event_id", "user_id", "seq", "value")
+    def run(lookback: Int) = EventOps.ewma(df, Seq("user_id"),
+        Seq(col("seq").asc, col("event_id").asc), col("value"), lookback = lookback)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val got = run(8)
+    // user 1: 1; (2 + .5·1)/1.5; (4 + .5·2 + .25·1)/1.75
+    assert(got(1L) == 1.0 && got(2L) == 1.666667 && got(3L) == 3.0)
+    // user 2 (key-isolated from user 1): NULL value drops from BOTH sums
+    assert(got(4L) == 1.0 && got(5L) == 1.0 && got(6L) == 3.4)
+    // lookback = 2 truncates the k = 2 term
+    assert(run(2)(3L) == 3.333333)
+  }
+
   test("sessionize splits on gaps over threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

@@ -88,6 +88,31 @@ class WriterSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("csv: adversarial strings (commas, quotes, newlines, empty) round-trip via quoting") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line\nbreak"),
+      (5L, ""),
+      (6L, "trailing space "),
+      (7L, "unicode — ü 中"))
+      .toDF("id", "s")
+    val root = Files.createTempDirectory("graft-csv").toString
+    Writer.writeCsv(rows, root, numFiles = 2)
+    val files = new java.io.File(root).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 2, files.map(_.getName).mkString(","))
+    val back = Writer.readCsv(spark, root, rows.schema, multiLine = true)
+    // file sources surface every column nullable; compare names/types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      rows.schema.map(f => (f.name, f.dataType)))
+    // CSV has no empty-vs-NULL distinction without an explicit marker; the
+    // empty string reads back as NULL — assert the documented contract
+    val expected = rows.withColumn("s", when(col("s") === "", lit(null)).otherwise(col("s")))
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+  }
+
   test("profiler: nulls, distincts, stringified min/max, one row per column") {
     import spark.implicits._
     val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
