@@ -40,6 +40,22 @@ object SparkEntry {
 
   /** Conductance replay over the LPA partition: per-community cut/vol
     * integer aggregates, one double division per row. */
+  /** Shared by ev_ewma (window expression) and stream_ewma (stateful fold):
+    * both engines sum the same 8 lag terms in the same left-to-right order
+    * with exact 2^-k weight literals, so values are bit-identical before
+    * the final round(6). */
+  private val ewmaOracleSql: String = {
+    val lags = (0 until 8).map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")
+    val num = (0 until 8).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} * l$k ELSE 0 END").mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0 END").mkString(" + ")
+    s"WITH l AS (SELECT event_id, user_id, $lags FROM events " +
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+    "SELECT event_id, user_id, round(CASE WHEN den > 0 THEN num / den END, 6) AS ewma " +
+    s"FROM (SELECT event_id, user_id, $num AS num, $den AS den FROM l)"
+  }
+
   private def conductanceOracle(stages: Int): String =
     lpaCte(stages) +
       ", und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
@@ -1884,6 +1900,15 @@ object SparkEntry {
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.GEvent]).toDF()
     }),
+    // stateful streaming EWMA: per-event smoothing with O(lookback) state
+    // per key; batch path ≡ EventOps.ewma (same oracle)
+    "stream_ewma" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      graft.streaming.StreamOps.ewmaStateful(
+        graft.sources.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.GEvent]).toDF()
+    }),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(graft.sources.Tables.events(s, dir))
         .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
@@ -3657,17 +3682,9 @@ object SparkEntry {
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
     // EWMA replay: the SAME 8 lag terms summed in the same left-to-right
     // order with exact 2^-k weight literals — bit-identical before round(6)
-    "ev_ewma" -> {
-      val lags = (0 until 8).map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")
-      val num = (0 until 8).map(k =>
-        s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} * l$k ELSE 0 END").mkString(" + ")
-      val den = (0 until 8).map(k =>
-        s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0 END").mkString(" + ")
-      s"WITH l AS (SELECT event_id, user_id, $lags FROM events " +
-      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
-      s"SELECT event_id, user_id, round(CASE WHEN den > 0 THEN num / den END, 6) AS ewma " +
-      s"FROM (SELECT event_id, user_id, $num AS num, $den AS den FROM l)"
-    },
+    "ev_ewma" -> ewmaOracleSql,
+    // the stateful streaming build's batch flush — same numbers, same oracle
+    "stream_ewma" -> ewmaOracleSql,
     "scd2_history" -> scd2OracleSql,
     // the incremental apply MUST equal the full rebuild — same oracle
     "scd2_apply" -> scd2OracleSql,

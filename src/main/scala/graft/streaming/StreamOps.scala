@@ -22,6 +22,12 @@ final case class GScd2(user_id: Long, event_type: String, valid_from_ms: Long,
 
 private final case class Scd2State(attr: String, fromMs: Long, tieBreak: Long, ver: Long)
 
+/** Per-event EWMA row emitted by [[StreamOps.ewmaStateful]]. */
+final case class GEwma(event_id: Long, user_id: Long, ewma: Double)
+
+/** Last `lookback - 1` values per key, NEWEST FIRST — the whole EWMA state. */
+private final case class EwmaState(recent: Seq[Double])
+
 /**
  * Structured Streaming operators (SURVEY §2.7 notes the reference has no
  * streaming surface; its closest analogue is the fs2 paged scan + insert-time
@@ -604,5 +610,65 @@ object StreamOps {
       val inc = spark.read.parquet(lakePath).drop("batch_id")
       new graft.GraphDB(base.addEdges(inc))
     }
+  }
+
+  /**
+   * Streaming bounded-lookback EWMA: one smoothed value PER EVENT, with the
+   * last `lookback − 1` values per key as the whole state — the incremental
+   * sibling of [[graft.events.EventOps.ewma]], emitting identical numbers
+   * on the same in-order input (the fold runs in the same fixed order with
+   * the same exact 2^-k weights, then the same HALF_UP round-to-6).
+   *
+   * Contracts: per-key EVENT-TIME ORDER across micro-batches (the same
+   * in-order-arrival contract as [[sessionizeStateful]]'s cross-batch
+   * sessions; within a batch rows sort by (ts, event_id)); state is
+   * O(keys × lookback) and idle keys purge `idleMs` past the watermark —
+   * a purge merely truncates that key's smoothing history, it cannot
+   * corrupt it (the next event restarts the window, exactly like a key's
+   * first event).
+   */
+  def ewmaStateful(events: Dataset[GEvent], alpha: Double = 0.5,
+                   lookback: Int = 8, wm: String = "1 hour",
+                   idleMs: Long = 86400000L): Dataset[GEwma] = {
+    require(lookback >= 1 && alpha > 0 && alpha <= 1,
+      s"need lookback >= 1 and alpha in (0, 1], got $lookback, $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val weights = Array.tabulate(lookback)(k => math.pow(1 - alpha, k))
+    val fn: (Long, Iterator[GEvent], GroupState[EwmaState]) => Iterator[GEwma] =
+      (uid, it, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = evs.map { e =>
+            // vals(k) = k-th previous value, k = 0 the event itself —
+            // folded 0..lookback-1 with 0.0 for missing lags, the exact
+            // term order of the batch expression
+            val vals = e.value +: recent
+            var num = 0.0; var den = 0.0
+            var k = 0
+            while (k < lookback) {
+              if (k < vals.length) { num += weights(k) * vals(k); den += weights(k) }
+              else { num += 0.0; den += 0.0 }
+              k += 1
+            }
+            val ewma = BigDecimal(num / den)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            recent = (e.value +: recent).take(lookback - 1)
+            GEwma(e.event_id, uid, ewma)
+          }
+          if (streaming) {
+            state.update(EwmaState(recent))
+            state.setTimeoutTimestamp(math.max(
+              evs.last.ts.getTime + idleMs, state.getCurrentWatermarkMs() + 1))
+          } else state.remove()
+          out.iterator
+        }
+      }
+    val src = if (streaming) events.withWatermark("ts", wm) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 }

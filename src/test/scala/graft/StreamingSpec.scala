@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
 
   private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
 
+  test("ewmaStateful: streaming across batches ≡ batch ≡ EventOps.ewma") {
+    import org.apache.spark.sql.functions.col
+    // in-order per key (the cross-batch contract); interleaved keys
+    val evs = (1 to 30).map { i =>
+      GEvent(i.toLong, ts(f"2024-01-01 ${8 + i / 10}%02d:${(i % 10) * 5}%02d:00"),
+        (i % 3).toLong, "t", (i * 7 % 11).toDouble)
+    }
+    val batch = StreamOps.ewmaStateful(evs.toDS()).collect()
+      .map(g => g.event_id -> g.ewma).toMap
+    // equality with the window-expression form, bit-for-bit after round(6)
+    val viaExpr = graft.events.EventOps.ewma(
+        evs.toDF(), Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(batch == viaExpr)
+    // streaming over three micro-batches (split preserves per-key ts order)
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.ewmaStateful(in.toDS())
+      .writeStream.format("memory").queryName("ewmas").outputMode("append").start()
+    try {
+      in.addData(evs.take(10): _*); drain(q)
+      in.addData(evs.slice(10, 20): _*); drain(q)
+      in.addData(evs.drop(20): _*); drain(q)
+      val stream = spark.table("ewmas")
+        .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("slidingWindowAgg: 4 overlapping windows per event; streaming ≡ batch") {
     import org.apache.spark.sql.functions.col
     // batch: one event falls in exactly windowDur/slide = 4 windows, all
