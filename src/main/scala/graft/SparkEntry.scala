@@ -2134,6 +2134,18 @@ object SparkEntry {
       graft.sources.Writer.writeJsonl(docs, out, numFiles = 4)
       graft.sources.Writer.readJsonl(s, out, docs.schema)
     }),
+    // small-file compaction: a 64-file spray rewritten to a pruned
+    // lang-partitioned layout in place (swap-based), data untouched
+    "compact_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-compact")
+      java.nio.file.Files.delete(out)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.repartition(64).write.parquet(out.toString)
+      graft.sources.Writer.compact(s, out.toString, partitionCols = Seq("lang"),
+        sortCols = Seq("doc_id"))
+      graft.sources.Writer.readPartitioned(s, out.toString)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // CSV round trip: header + quoting through the same bounded-file-count
     // sink and explicit-schema reader (inference retypes at scale)
     "csv_roundtrip" -> ((s, dir) => {
@@ -2240,6 +2252,16 @@ object SparkEntry {
         .withColumn("q", ntile(4).over(w))
         .groupBy("event_type", "q").agg(count(lit(1)).as("n"),
           round(max(col("value")), 6).as("q_max"))
+    }),
+    // percent_rank / cume_dist — the remaining rank-family windows (ties
+    // share a value by definition, so the value ordering alone is enough)
+    "window_pct" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"))
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
     }),
     // per-type z-score outliers — the data-quality gate a training
     // pipeline runs over numeric telemetry: flag |z| > 2 against the
@@ -3762,6 +3784,9 @@ object SparkEntry {
     // CSV quoting must carry the raw text column losslessly — identity
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",
+    // compaction moves bytes, never rows — identity
+    "compact_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     // Morton-code replay: explicit bit interleave, pure integer arithmetic
     "zorder_layout" ->
       (s"SELECT o_orderkey, (${zOracleExpr("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)})::BIGINT AS z " +
@@ -3845,6 +3870,11 @@ object SparkEntry {
        "(PARTITION BY event_type ORDER BY value, event_id) AS q FROM events) " +
        "SELECT event_type, q, count(*)::BIGINT AS n, round(max(value), 6) AS q_max " +
        "FROM q GROUP BY 1, 2"),
+    "window_pct" ->
+      ("SELECT event_id, event_type, " +
+       "round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pr, " +
+       "round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cd " +
+       "FROM events"),
     "ev_anomaly" ->
       ("WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd " +
        "FROM events GROUP BY 1) " +

@@ -106,4 +106,40 @@ object Writer {
               multiLine: Boolean = false): DataFrame =
     spark.read.schema(schema).option("header", "true")
       .option("multiLine", multiLine.toString).csv(path)
+
+  /**
+   * Compact a parquet directory's small files in place: rewrite the data
+   * through the same layout discipline as [[writePartitioned]] (or a flat
+   * `numFiles`-file layout when `partitionCols` is empty), then atomically
+   * swap directories. Small-file buildup is the steady-state failure of any
+   * streaming/incremental sink (one file per micro-batch per partition):
+   * at 100 TB the NameNode/listing cost and per-file open overhead dominate
+   * scan time long before the data does — compaction is the maintenance
+   * pass that keeps reads scan-bound.
+   *
+   * The swap is rename-based: readers that listed files BEFORE the swap
+   * keep reading the old inodes (POSIX) or fail-and-retry (object stores);
+   * writers must be quiesced — this is a maintenance op, not a concurrent
+   * merge (a table format's transaction log is the concurrent answer).
+   */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String] = Nil,
+              filesPerPartition: Int = 1, sortCols: Seq[String] = Nil): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".__compacting"
+    if (partitionCols.isEmpty) {
+      val flat = if (sortCols.nonEmpty)
+        df.repartition(filesPerPartition).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(filesPerPartition)
+      flat.write.mode(SaveMode.Overwrite).parquet(tmp)
+    } else writePartitioned(df, tmp, partitionCols, filesPerPartition, sortCols)
+    val old = Paths.get(path.stripSuffix("/") + ".__old")
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.delete(p)
+    }
+    rm(old)
+  }
 }

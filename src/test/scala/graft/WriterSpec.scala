@@ -113,6 +113,32 @@ class WriterSpec extends SparkSpec {
     assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
+  test("compact: 40-file spray → one file per partition, rows identical, old dir gone") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val root = Files.createTempDirectory("graft-compact")
+    Files.delete(root)
+    docs.repartition(40).write.parquet(root.toString)
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    assert(parquetFiles(new java.io.File(root.toString)).size == 40)
+    Writer.compact(spark, root.toString, partitionCols = Seq("lang"),
+      sortCols = Seq("doc_id"))
+    val files = parquetFiles(new java.io.File(root.toString))
+    val nLangs = docs.select("lang").distinct().count()
+    assert(files.size == nLangs, s"expected $nLangs files, got ${files.size}")
+    val back = Writer.readPartitioned(spark, root.toString)
+      .select("doc_id", "lang", "source", "n_chars")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // no leftover work dirs
+    val siblings = new java.io.File(root.toString).getParentFile.listFiles()
+      .map(_.getName).filter(_.startsWith(root.getFileName.toString + "."))
+    assert(siblings.isEmpty, siblings.mkString(","))
+  }
+
   test("profiler: nulls, distincts, stringified min/max, one row per column") {
     import spark.implicits._
     val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
