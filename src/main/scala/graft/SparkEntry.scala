@@ -2018,6 +2018,22 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // incremental aggregate maintenance: history state ⊎ delta state must
+    // equal the full rebuild — the nightly-refresh primitive (the delta
+    // never row-joins the history)
+    "ev_agg_apply" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val early = graft.events.EventOps.aggState(
+        ev.filter(col("ts") < cut), Seq("event_type"), col("value"))
+      val late = graft.events.EventOps.aggState(
+        ev.filter(col("ts") >= cut), Seq("event_type"), col("value"))
+      graft.events.EventOps.aggApply(early, late, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("sum_v").cast("double"), 6).as("sum_v"),
+          round(col("min_v"), 6).as("min_v"), round(col("max_v"), 6).as("max_v"),
+          round(col("sum_v").cast("double") / col("n"), 6).as("avg_v"))
+    }),
     // bounded-lookback EWMA per user: 8 lag terms with exact 2^-k weights
     // inside one window pass — the smoothing signal a monitor reads
     "ev_ewma" -> ((s, dir) =>
@@ -3702,6 +3718,13 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // the merged state must equal the full rebuild — one direct groupBy
+    "ev_agg_apply" ->
+      ("SELECT event_type, count(*) AS n, " +
+       "round(CAST(sum(value::DECIMAL(28,6)) AS DOUBLE), 6) AS sum_v, " +
+       "round(min(value), 6) AS min_v, round(max(value), 6) AS max_v, " +
+       "round(CAST(sum(value::DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avg_v " +
+       "FROM events WHERE value IS NOT NULL GROUP BY 1"),
     // EWMA replay: the SAME 8 lag terms summed in the same left-to-right
     // order with exact 2^-k weight literals — bit-identical before round(6)
     "ev_ewma" -> ewmaOracleSql,

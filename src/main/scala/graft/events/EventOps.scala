@@ -354,6 +354,35 @@ object EventOps {
    * @return input columns + `ewma` (rounded to 6; NULL when no value in
    *         the lookback window)
    */
+  /**
+   * Combinable per-key aggregate STATE — (n, DECIMAL-exact sum, min, max).
+   * The state, not the read-out, is what an incremental pipeline persists:
+   * every field merges associatively, so tomorrow's refresh aggregates the
+   * DELTA only and folds it in with [[aggApply]] instead of rescanning the
+   * 100 TB history. NULL values drop (COUNT/SUM/MIN/MAX semantics).
+   */
+  def aggState(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("decimal(28,6)")).as("sum_v"),
+        min(value).as("min_v"), max(value).as("max_v"))
+
+  /**
+   * Incremental aggregate maintenance: fold a delta's state into an
+   * existing state. Invariant (property-tested and oracle-checked as
+   * `ev_agg_apply`): `aggApply(aggState(early), aggState(late)) ==
+   * aggState(all)` — exactly, because every field is associative and the
+   * sum is DECIMAL. Derived read-outs (avg = sum/n) come off the merged
+   * state. One union + one combinable groupBy — the delta never joins the
+   * history row-wise.
+   */
+  def aggApply(state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
            value: Column, alpha: Double = 0.5, lookback: Int = 8): DataFrame = {
     require(lookback >= 1 && alpha > 0 && alpha <= 1,

@@ -222,6 +222,30 @@ class EventOpsSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (5.0, 9.0, 1.0, 7.0))
   }
 
+  test("aggApply: any split point folds to the full rebuild, bit-for-bit") {
+    val rows = (1 to 200).map(i =>
+      ((i % 7).toString, i, if (i % 13 == 0) None else Some(i * 0.37 - 20)))
+      .toDF("k", "seq", "value")
+    val full = EventOps.aggState(rows, Seq("k"), col("value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4)))).toMap
+    Seq(1, 50, 199).foreach { cut =>
+      val merged = EventOps.aggApply(
+        EventOps.aggState(rows.filter(col("seq") <= cut), Seq("k"), col("value")),
+        EventOps.aggState(rows.filter(col("seq") > cut), Seq("k"), col("value")),
+        Seq("k"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(merged == full, s"cut=$cut")
+    }
+    // a key absent from one side survives the merge untouched
+    val only = EventOps.aggApply(
+      EventOps.aggState(rows.filter(col("k") === "1"), Seq("k"), col("value")),
+      EventOps.aggState(rows.filter(col("k") === "2"), Seq("k"), col("value")),
+      Seq("k")).collect().map(_.getString(0)).toSet
+    assert(only == Set("1", "2"))
+  }
+
   test("ewma: hand-computed weights, NULL drop-out, lookback truncation, key isolation") {
     val df = Seq(
       (1L, 1L, 1, Some(1.0)), (2L, 1L, 2, Some(2.0)), (3L, 1L, 3, Some(4.0)),
