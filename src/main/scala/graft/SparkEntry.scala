@@ -1755,6 +1755,14 @@ object SparkEntry {
       graft.ml.Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 5,
         dim = 64, numBits = 4, tables = 16)
     }),
+    // corpus-vs-corpus ALL-kNN join — the one ANN shape with NO bounded-
+    // query broadcast contract: both sides bucket (shuffle join on
+    // (table, bucket)), per-query top-k window. The "link every doc to its
+    // neighbors" primitive at corpus scale.
+    "knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.lshKnn(emb, emb, 3, dim = 64, numBits = 6, tables = 4)
+    }),
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ml.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 5,
@@ -3569,6 +3577,7 @@ object SparkEntry {
        "round(CASE WHEN n_sample < 64 THEN n_common::DOUBLE " +
        "ELSE n_common / n_sample::DOUBLE * eu END, 6) AS est_intersect FROM x"),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
+    "knn_join" -> lshOracle(dim = 64, numBits = 6, tables = 4, k = 3, qFilter = "TRUE"),
 
     "stream_window_agg" ->
       ("SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n, " +
@@ -4081,7 +4090,8 @@ object SparkEntry {
     * the very arrays the Spark plan ships as literals) are embedded as SQL
     * array literals, so DuckDB reproduces bucket membership exactly; then
     * bucket-join candidates + exact cosine rank, as Similarity.lshKnn. */
-  private def lshOracle(dim: Int, numBits: Int, tables: Int, k: Int): String = {
+  private def lshOracle(dim: Int, numBits: Int, tables: Int, k: Int,
+                        qFilter: String = "vec_id < 10"): String = {
     def bucketExpr(seed: Int): String =
       graft.ml.Similarity.hyperplanes(dim, numBits, seed).zipWithIndex.map { case (hp, b) =>
         val lits = hp.mkString("[", ", ", "]")
@@ -4091,7 +4101,7 @@ object SparkEntry {
       s"SELECT vec_id, embedding, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings"
     }.mkString(" UNION ALL ")
     s"WITH cb AS ($branches), " +
-    "qb AS (SELECT * FROM cb WHERE vec_id < 10), " +
+    s"qb AS (SELECT * FROM cb WHERE $qFilter), " +
     "cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id FROM qb " +
     "JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id), " +
     s"s AS (SELECT c.q_id, c.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim " +
