@@ -428,19 +428,28 @@ object Similarity {
    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              dim: Int, numBits: Int = 12, tables: Int = 4): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+    def withBuckets(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col("embedding"), dim, numBits, seed = t)): _*))
           .as(Seq("table", "bucket")))
-    // table offset folded into the bucket: join key is (table, bucket)
-    val cb = withBuckets(corpus, "vec_id", "emb")
-    val qb = withBuckets(queries, "q_id", "q_emb")
+    // table offset folded into the bucket: join key is (table, bucket).
+    // The bucket join and the distinct move IDS ONLY — carrying the two
+    // embedding arrays through them multiplies the shuffle by the vector
+    // width (measured 3x wall on the corpus-vs-corpus join); the vectors
+    // join back by id exactly once each for the scoring pass, the same
+    // render-late discipline as the pattern engine's MatrixTuples.
+    val cb = withBuckets(corpus, "vec_id")
+    val qb = withBuckets(queries, "q_id")
     val cands = qb.join(cb, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "vec_id", "emb").distinct()
-    val scored = cands.select(col("q_id"), col("vec_id"),
-      round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+      .select("q_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb")), Seq("vec_id"))
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
