@@ -2103,6 +2103,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
         .select("user_id", "stage")
     }),
+    // funnel with a CONVERSION WINDOW: each stage within 6 h of the
+    // previous (first-occurrence-chain semantics, documented)
+    "ev_funnel_window" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.events.EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapMs = 6L * 3600 * 1000)
+        .select("user_id", "stage")
+    }),
     // cohort retention: first-activity-day cohorts, fraction active k days on
     "ev_retention" -> ((s, dir) =>
       graft.events.EventOps.retention(graft.sources.Tables.events(s, dir), "user_id", "ts")),
@@ -3848,6 +3856,20 @@ object SparkEntry {
        "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
        "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
        "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) " +
+       "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+       "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
+       "FROM (SELECT DISTINCT user_id FROM events) u " +
+       "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    // the same chain with the 6 h gap bound on each hop (epoch-ms compare)
+    "ev_funnel_window" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+       "WHERE event_type = 'view' GROUP BY 1), " +
+       "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+       "WHERE event_type = 'click' AND ts > t1 " +
+       "AND epoch_ms(ts) - epoch_ms(t1) <= 21600000 GROUP BY 1), " +
+       "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+       "WHERE event_type = 'purchase' AND ts > t2 " +
+       "AND epoch_ms(ts) - epoch_ms(t2) <= 21600000 GROUP BY 1) " +
        "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
        "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
        "FROM (SELECT DISTINCT user_id FROM events) u " +

@@ -110,11 +110,19 @@ object EventOps {
    * key — no window over the whole event history, no per-key sort. Keys
    * that never reached step 1 report stage 0.
    *
+   * `maxGapMs` adds the CONVERSION-WINDOW constraint: stage i must occur
+   * within that many ms of the time stage i−1 was reached. Semantics stay
+   * first-occurrence-chain (each stage = the EARLIEST qualifying hit); a
+   * later stage-1 hit that would have enabled a within-gap stage 2 does
+   * not resurrect the funnel — deterministic and one-pass, the documented
+   * trade against ClickHouse-style any-chain windowFunnel.
+   *
    * @return (key, stage INT, step_1_ts .. step_k_ts TIMESTAMP nullable)
    */
   def funnel(events: DataFrame, key: String, time: String, typeCol: String,
-             steps: Seq[String]): DataFrame = {
+             steps: Seq[String], maxGapMs: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapMs > 0, s"maxGapMs must be positive, got $maxGapMs")
     val keys = events.select(col(key)).distinct()
     // fold: stage times accumulate as columns __t1..__tk
     val staged = steps.zipWithIndex.foldLeft(keys) { case (acc, (step, i)) =>
@@ -124,9 +132,12 @@ object EventOps {
           events.filter(col(typeCol) === step)
             .groupBy(col(key)).agg(min(col(time)).as(s"__t${i + 1}"))
         case Some(pcol) =>
+          val within =
+            if (maxGapMs == Long.MaxValue) lit(true)
+            else unix_millis(col(time)) - unix_millis(col(pcol)) <= maxGapMs
           events.filter(col(typeCol) === step)
             .join(acc.select(col(key), col(pcol)), Seq(key))
-            .filter(col(time) > col(pcol))
+            .filter(col(time) > col(pcol) && within)
             .groupBy(col(key)).agg(min(col(time)).as(s"__t${i + 1}"))
       }
       acc.join(hits, Seq(key), "left")

@@ -222,6 +222,33 @@ class EventOpsSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (5.0, 9.0, 1.0, 7.0))
   }
 
+  test("funnel conversion window: out-of-gap stage stops the chain; no resurrection") {
+    val ev = Seq(
+      // user 1: view 10:00 → click 10:30 (in gap) → purchase 11:00 (in gap) = 3
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 2: click lands 2h after view — outside the 1h gap = stage 1
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "click"),
+      // user 3: first-occurrence chain pins t1 = 09:00; the 11:30 click is
+      // within gap of the LATER 11:00 view but not of t1 — documented
+      // no-resurrection semantics → stage 1
+      (3L, ts("2024-01-01 09:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "view"),
+      (3L, ts("2024-01-01 11:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapMs = 3600 * 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    // unconstrained default unchanged: user 2 converts to stage 2
+    val free = EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(free == Map(1L -> 3, 2L -> 2, 3L -> 2))
+  }
+
   test("aggApply: any split point folds to the full rebuild, bit-for-bit") {
     val rows = (1 to 200).map(i =>
       ((i % 7).toString, i, if (i % 13 == 0) None else Some(i * 0.37 - 20)))

@@ -329,4 +329,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(sl.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
       "stream_sliding: expected exactly the one aggregate exchange")
   }
+
+  test("round-11e plan shapes: all-kNN bucket join moves ids only; ewma one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // knn_join (corpus-vs-corpus): the candidate-pair exchanges (bucket
+    // join + distinct) must NOT carry embedding arrays — only the two
+    // ~corpus-sized scoring join-backs may shuffle a vector column. More
+    // array-carrying exchanges = the pre-fix shape (3-8x wall, measured).
+    val kj = plans("knn_join")
+    val arrayExchanges = kj.collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(arrayExchanges.size <= 2,
+      s"knn_join: candidate pairs must shuffle ids only, got ${arrayExchanges.size} " +
+        "array-carrying exchanges")
+    // ev_ewma: 8 lags in ONE window pass = one exchange
+    val ew = plans("ev_ewma")
+    assert(ew.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "ev_ewma: all lag terms must evaluate in a single window exchange")
+  }
 }
