@@ -2056,6 +2056,15 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir)
           .select("user_id", "ts", "event_type", "event_id"),
         "user_id", "ts", Seq("event_type"), "event_id")),
+    // point-in-time read over the history: one covering version per key
+    // at 2024-01-16T00:00Z — a pure partition-prunable filter
+    "scd2_asof" -> ((s, dir) =>
+      graft.events.EventOps.scd2AsOf(
+        graft.events.EventOps.scd2(
+          graft.sources.Tables.events(s, dir)
+            .select("user_id", "ts", "event_type", "event_id"),
+          "user_id", "ts", Seq("event_type"), "event_id"),
+        atMs = 1705363200000L)),
     // incremental SCD2: history built from the first half of the log, the
     // second half folded in by scd2Apply — the oracle is the FULL rebuild
     // (the merge invariant IS the correctness statement)
@@ -3748,6 +3757,10 @@ object SparkEntry {
     // the stateful streaming build's batch flush — same numbers, same oracle
     "stream_ewma" -> ewmaOracleSql,
     "scd2_history" -> scd2OracleSql,
+    // the covering version per key at the instant
+    "scd2_asof" ->
+      (s"SELECT * FROM ($scd2OracleSql) h WHERE valid_from_ms <= 1705363200000 " +
+       "AND (valid_to_ms IS NULL OR 1705363200000 < valid_to_ms)"),
     // the incremental apply MUST equal the full rebuild — same oracle
     "scd2_apply" -> scd2OracleSql,
     // the stateful streaming build's batch flush — same oracle again

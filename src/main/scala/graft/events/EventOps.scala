@@ -366,6 +366,18 @@ object EventOps {
    *         the lookback window)
    */
   /**
+   * Point-in-time snapshot over an SCD2 history ([[scd2]]/[[scd2Apply]]
+   * output): the one version per key whose validity interval covers `atMs`
+   * — the "what did the dimension look like on date X" read every
+   * reproducible-training and audit query needs. A pure partition-prunable
+   * filter: no join, no window; on a `valid_from_ms`-partitioned lake the
+   * scan touches only files overlapping the instant.
+   */
+  def scd2AsOf(history: DataFrame, atMs: Long): DataFrame =
+    history.filter(col("valid_from_ms") <= atMs &&
+      (col("valid_to_ms").isNull || lit(atMs) < col("valid_to_ms")))
+
+  /**
    * Combinable per-key aggregate STATE — (n, DECIMAL-exact sum, min, max).
    * The state, not the read-out, is what an incremental pipeline persists:
    * every field merges associatively, so tomorrow's refresh aggregates the
