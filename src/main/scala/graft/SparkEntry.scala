@@ -1715,6 +1715,15 @@ object SparkEntry {
     // own unigram distribution
     "text_unigram_lm" -> ((s, dir) =>
       graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // cross-corpus LM score (CCNet setup): LM trained on the src0-3
+    // reference slice, every doc scored against it; n_oov separates
+    // out-of-domain vocabulary from in-domain rarity
+    "text_lm_xscore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.lmCrossScore(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3")),
+        docs, "doc_id", "text")
+    }),
     // bigram LM: transition-probability quality filter (word salad scores
     // low even when its unigrams are common)
     "text_bigram_lm" -> ((s, dir) =>
@@ -3327,6 +3336,20 @@ object SparkEntry {
        "n AS (SELECT count(*) AS nt FROM tk) " +
        "SELECT doc_id, count(*)::BIGINT AS n_tok, round(avg(ln(c * 1.0 / nt)), 6) AS logprob " +
        "FROM tk JOIN freq USING (tok) CROSS JOIN n GROUP BY 1"),
+    // add-one-smoothed cross-corpus replay: same freq join, same OOV floor
+    "text_lm_xscore" ->
+      ("WITH rt AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')), " +
+       "rk AS (SELECT tok FROM rt WHERE tok <> ''), " +
+       "freq AS (SELECT tok, count(*) AS c FROM rk GROUP BY 1), " +
+       "s AS (SELECT (SELECT count(*) FROM rk) AS n, (SELECT count(*) FROM freq) AS v), " +
+       "dt AS (SELECT doc_id, tok FROM (SELECT doc_id, " +
+       "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) " +
+       "WHERE tok <> '') " +
+       "SELECT doc_id, count(*)::BIGINT AS n_tok, " +
+       "round(avg(ln((coalesce(c, 0) + 1) * 1.0 / (n + v))), 6) AS logprob, " +
+       "sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov " +
+       "FROM dt LEFT JOIN freq USING (tok) CROSS JOIN s GROUP BY 1"),
     "text_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
        "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +

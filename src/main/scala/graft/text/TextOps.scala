@@ -810,6 +810,44 @@ object TextOps {
   }
 
   /**
+   * Cross-corpus LM quality scoring — the CCNet setup: a unigram LM trained
+   * on a REFERENCE corpus (the "good text" sample), every candidate doc
+   * scored by mean ln P of its tokens under that model with add-one
+   * smoothing over the reference vocabulary (OOV floor = 1/(N+V)). Unlike
+   * [[unigramLogProb]] (self-trained — "is this doc typical of ITSELF"),
+   * this scores against a quality DISTRIBUTION: docs that read like the
+   * reference score high, boilerplate/word-salad scores low, and `n_oov`
+   * separates out-of-domain vocabulary from in-domain rarity.
+   *
+   * Shape: reference token stream aggregated once (freq + two singleton
+   * stats riding the plan as broadcasts); candidates score through ONE
+   * left join keyed on the token — inverted-index shape, no all-pairs,
+   * reference and candidate corpora never cross-join.
+   *
+   * @return (idCol, n_tok BIGINT, logprob DOUBLE mean ln P rounded 6,
+   *         n_oov BIGINT)
+   */
+  def lmCrossScore(ref: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val refToks = ref.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val rc = refToks.persist()
+    val freq = rc.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val stats = rc.agg(count(lit(1)).as("__n"))
+      .crossJoin(freq.agg(count(lit(1)).as("__v")))
+    val dToks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val out = dToks.join(freq, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log((coalesce(col("__c"), lit(0L)) + 1)
+          / (col("__n") + col("__v")))), 6).as("logprob"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_oov"))
+    releaseOnFirstAction(out, rc)
+  }
+
+  /**
    * Token-id encoding against a corpus-derived vocabulary — the step between
    * tokenization and [[packSequences]] in a training pipeline. The
    * vocabulary is the `vocabSize` most frequent tokens (count desc, token

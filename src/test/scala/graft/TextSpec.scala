@@ -15,6 +15,23 @@ class TextSpec extends SparkSpec {
     (5L, "short text")                                      // < 5 words: no shingles
   ).toDF("doc_id", "text")
 
+  test("lmCrossScore: hand-computed smoothing, OOV floor, in-domain ranks higher") {
+    import org.apache.spark.sql.functions.col
+    // reference: 4 tokens, vocab {a: 2, b: 1, c: 1} → N=4, V=3
+    val ref = Seq((100L, "a a b c")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a b"),      // ln(3/7), ln(2/7)
+      (2L, "z z"))      // OOV floor: ln(1/7) twice
+      .toDF("doc_id", "text")
+    val got = TextOps.lmCrossScore(ref, cand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, r6((math.log(3.0 / 7) + math.log(2.0 / 7)) / 2), 0L)))
+    assert(got(2L) == ((2L, r6(math.log(1.0 / 7)), 2L)))
+    assert(got(1L)._2 > got(2L)._2, "in-domain text must outscore OOV salad")
+  }
+
   test("shingles: n-grams, distinct, short docs dropped") {
     val sh = TextOps.shingles(docs, "doc_id", "text", 5)
     val byDoc = sh.groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
