@@ -1707,6 +1707,13 @@ object SparkEntry {
       val pairs = graft.text.TextOps.minhashDedup(docs, "doc_id", "text").select("a", "b")
       graft.text.TextOps.dedupClusters(docs, "doc_id", pairs)
     }),
+    // keep policy: best copy per cluster (longest text, tie lowest id) —
+    // same clusters, production keep semantics
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.TextOps.minhashDedup(docs, "doc_id", "text").select("a", "b")
+      graft.text.TextOps.dedupClustersBy(docs, "doc_id", pairs, col("n_chars"))
+    }),
     // verbatim 8-grams shared across docs + per-doc boilerplate fraction
     "text_boilerplate" -> ((s, dir) =>
       graft.text.TextOps.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
@@ -3320,6 +3327,23 @@ object SparkEntry {
        "UNION SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u) " +
        "SELECT u AS doc_id, min(lbl)::BIGINT AS canonical, u = min(lbl) AS keep " +
        "FROM reach GROUP BY 1"),
+    // same components, keep = argmax(n_chars, tie lowest id) per cluster
+    "dedup_keep_best" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
+       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+       "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
+       "JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+       "jp AS (SELECT a, b FROM (SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard " +
+       "FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id) WHERE jaccard >= 0.5), " +
+       "edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp), " +
+       "reach AS (SELECT doc_id AS u, doc_id AS lbl FROM documents " +
+       "UNION SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u), " +
+       "comp AS (SELECT u AS doc_id, min(lbl)::BIGINT AS canonical FROM reach GROUP BY 1) " +
+       "SELECT comp.doc_id, canonical, row_number() OVER " +
+       "(PARTITION BY canonical ORDER BY d.n_chars DESC, comp.doc_id ASC) = 1 AS keep " +
+       "FROM comp JOIN documents d ON comp.doc_id = d.doc_id"),
     "text_boilerplate" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || " +

@@ -751,6 +751,26 @@ object TextOps {
   }
 
   /**
+   * [[dedupClusters]] with an explicit KEEP POLICY: within each duplicate
+   * cluster, keep the row MAXIMIZING `quality` (ties → lowest id) instead
+   * of the lowest id — production recipes keep the best copy (longest /
+   * highest-quality / canonical-source), not the numerically-first one.
+   * `canonical` stays the component id (stable cluster identity across
+   * policy changes); only `keep` moves. One extra quality join + one
+   * window partitioned by cluster — cluster-sized partitions, bounded by
+   * the largest duplicate clique.
+   */
+  def dedupClustersBy(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      quality: Column): DataFrame = {
+    val base = dedupClusters(docs, idCol, pairs)
+    val q = docs.select(col(idCol), quality.as("__q"))
+    val w = Window.partitionBy("canonical").orderBy(col("__q").desc, col(idCol).asc)
+    base.join(q, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("canonical"), col("keep"))
+  }
+
+  /**
    * Unigram language-model score: each document's mean log-probability of
    * its tokens under the corpus's own unigram distribution — the
    * perplexity-style quality filter (docs full of corpus-rare tokens score
