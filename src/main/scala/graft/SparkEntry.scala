@@ -40,6 +40,20 @@ object SparkEntry {
 
   /** Conductance replay over the LPA partition: per-community cut/vol
     * integer aggregates, one double division per row. */
+  /** Shared by ev_funnel (per-stage min-agg fold) and stream_funnel
+    * (stateful sequential scan): both compute the first-occurrence chain. */
+  private val funnelOracleSql: String =
+    "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+    "WHERE event_type = 'view' GROUP BY 1), " +
+    "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+    "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
+    "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+    "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) " +
+    "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+    "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
+    "FROM (SELECT DISTINCT user_id FROM events) u " +
+    "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+
   /** Shared by ev_ewma (window expression) and stream_ewma (stateful fold):
     * both engines sum the same 8 lag terms in the same left-to-right order
     * with exact 2^-k weight literals, so values are bit-identical before
@@ -1923,6 +1937,16 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.GEvent]).toDF()
+    }),
+    // stateful streaming funnel: two ints of state per key; batch path ≡
+    // EventOps.funnel's first-occurrence chain (same oracle)
+    "stream_funnel" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      graft.streaming.StreamOps.funnelStateful(
+        graft.sources.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.GEvent],
+        Seq("view", "click", "purchase")).toDF()
     }),
     // stateful streaming EWMA: per-event smoothing with O(lookback) state
     // per key; batch path ≡ EventOps.ewma (same oracle)
@@ -3909,17 +3933,9 @@ object SparkEntry {
       ("SELECT event_type, round(quantile_cont(value, 0.25), 6) AS p25, " +
        "round(quantile_cont(value, 0.5), 6) AS p50, " +
        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1"),
-    "ev_funnel" ->
-      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
-       "WHERE event_type = 'view' GROUP BY 1), " +
-       "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
-       "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
-       "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
-       "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) " +
-       "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
-       "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage " +
-       "FROM (SELECT DISTINCT user_id FROM events) u " +
-       "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "ev_funnel" -> funnelOracleSql,
+    // the stateful streaming funnel's batch flush — same chain, same oracle
+    "stream_funnel" -> funnelOracleSql,
     // the same chain with the 6 h gap bound on each hop (epoch-ms compare)
     "ev_funnel_window" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +

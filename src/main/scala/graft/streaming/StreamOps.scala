@@ -28,6 +28,12 @@ final case class GEwma(event_id: Long, user_id: Long, ewma: Double)
 /** Last `lookback - 1` values per key, NEWEST FIRST — the whole EWMA state. */
 private final case class EwmaState(recent: Seq[Double])
 
+/** Funnel stage row emitted by [[StreamOps.funnelStateful]] — on a stream,
+  * one row per stage ADVANCE; in batch, one final row per key. */
+final case class GFunnelStage(user_id: Long, stage: Int)
+
+private final case class FunnelState(stage: Int, lastMs: Long)
+
 /**
  * Structured Streaming operators (SURVEY §2.7 notes the reference has no
  * streaming surface; its closest analogue is the fs2 paged scan + insert-time
@@ -665,6 +671,61 @@ object StreamOps {
               evs.last.ts.getTime + idleMs, state.getCurrentWatermarkMs() + 1))
           } else state.remove()
           out.iterator
+        }
+      }
+    val src = if (streaming) events.withWatermark("ts", wm) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /**
+   * Streaming ordered funnel: each key's furthest stage through `steps`,
+   * maintained as TWO ints of state (stage reached, time it was reached) —
+   * the incremental sibling of [[graft.events.EventOps.funnel]] with
+   * identical first-occurrence-chain semantics (stage i advances on the
+   * first step-i event STRICTLY after stage i−1's time, optionally within
+   * `maxGapMs`); a sequential in-order scan reaches exactly the min-time
+   * chain the batch fold computes, so the batch paths agree row-for-row.
+   *
+   * Emission: a stream (append) emits one (key, stage) row per ADVANCE —
+   * the funnel dashboard's increment feed; batch emits one FINAL row per
+   * key (stage 0 included, matching the batch funnel's contract). Same
+   * in-order-arrival and idle-purge contracts as [[ewmaStateful]].
+   */
+  def funnelStateful(events: Dataset[GEvent], steps: Seq[String],
+                     maxGapMs: Long = Long.MaxValue, wm: String = "1 hour",
+                     idleMs: Long = 86400000L): Dataset[GFunnelStage] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val fn: (Long, Iterator[GEvent], GroupState[FunnelState]) => Iterator[GFunnelStage] =
+      (uid, it, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val advances = Seq.newBuilder[GFunnelStage]
+          evs.foreach { e =>
+            if (st.stage < steps.length && e.event_type == steps(st.stage)) {
+              val t = e.ts.getTime
+              val ok = st.stage == 0 ||
+                (t > st.lastMs && (maxGapMs == Long.MaxValue || t - st.lastMs <= maxGapMs))
+              if (ok) {
+                st = FunnelState(st.stage + 1, t)
+                advances += GFunnelStage(uid, st.stage)
+              }
+            }
+          }
+          if (streaming) {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              evs.last.ts.getTime + idleMs, state.getCurrentWatermarkMs() + 1))
+            advances.result().iterator
+          } else {
+            state.remove()
+            Iterator.single(GFunnelStage(uid, st.stage))
+          }
         }
       }
     val src = if (streaming) events.withWatermark("ts", wm) else events

@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
 
   private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
 
+  test("funnelStateful: batch ≡ EventOps.funnel; streaming advances across batches") {
+    import org.apache.spark.sql.functions.col
+    val evs = Seq(
+      GEvent(1, ts("2024-01-01 10:00:00"), 1, "view", 0),
+      GEvent(2, ts("2024-01-01 10:05:00"), 1, "click", 0),
+      GEvent(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0), // user 1 → 3
+      GEvent(4, ts("2024-01-01 10:00:00"), 2, "click", 0),    // click before view
+      GEvent(5, ts("2024-01-01 10:05:00"), 2, "view", 0),     // user 2 → 1
+      GEvent(6, ts("2024-01-01 10:00:00"), 3, "other", 0))    // user 3 → 0
+    val batch = StreamOps.funnelStateful(evs.toDS(), Seq("view", "click", "purchase"))
+      .collect().map(f => f.user_id -> f.stage).toMap
+    assert(batch == Map(1L -> 3, 2L -> 1, 3L -> 0))
+    val viaFold = graft.events.EventOps.funnel(evs.toDF(), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch == viaFold)
+    // streaming: stage advances span micro-batches (view in batch 1,
+    // click+purchase in batch 2) — three advance rows for user 1
+    val in = MemoryStream[GEvent]
+    val q = StreamOps.funnelStateful(in.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funl").outputMode("append").start()
+    try {
+      in.addData(evs.take(1): _*); drain(q)
+      in.addData(evs.drop(1): _*); drain(q)
+      val adv = spark.table("funl").select(col("user_id"), col("stage"))
+        .as[(Long, Int)].collect().toSeq.sorted
+      assert(adv == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
   test("ewmaStateful: streaming across batches ≡ batch ≡ EventOps.ewma") {
     import org.apache.spark.sql.functions.col
     // in-order per key (the cross-batch contract); interleaved keys
