@@ -1785,6 +1785,13 @@ object SparkEntry {
       graft.ml.Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 5,
         dim = 64, numBits = 4, tables = 16)
     }),
+    // multi-probe LSH: original bucket + all single-bit flips per table —
+    // recall without index growth (half the tables of knn_lsh)
+    "knn_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Similarity.lshMultiProbeKnn(emb, emb.filter(col("vec_id") < 10), 5,
+        dim = 64, numBits = 8, tables = 2)
+    }),
     // corpus-vs-corpus ALL-kNN join — the one ANN shape with NO bounded-
     // query broadcast contract: both sides bucket (shuffle join on
     // (table, bucket)), per-query top-k window. The "link every doc to its
@@ -3666,6 +3673,7 @@ object SparkEntry {
        "ELSE n_common / n_sample::DOUBLE * eu END, 6) AS est_intersect FROM x"),
     "knn_lsh" -> lshOracle(dim = 64, numBits = 4, tables = 16, k = 5),
     "knn_join" -> lshOracle(dim = 64, numBits = 6, tables = 4, k = 3, qFilter = "TRUE"),
+    "knn_multiprobe" -> multiProbeOracle(dim = 64, numBits = 8, tables = 2, k = 5),
 
     "stream_window_agg" ->
       ("SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n, " +
@@ -4200,6 +4208,32 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     s"WITH cb AS ($branches), " +
     s"qb AS (SELECT * FROM cb WHERE $qFilter), " +
+    "cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id FROM qb " +
+    "JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id), " +
+    s"s AS (SELECT c.q_id, c.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim " +
+    "FROM cand c JOIN embeddings q ON q.vec_id = c.q_id JOIN embeddings e ON e.vec_id = c.vec_id), " +
+    "r AS (SELECT q_id, vec_id, sim, row_number() OVER " +
+    "(PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) " +
+    s"SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= $k"
+  }
+
+  /** Multi-probe LSH oracle: the same seeded hyperplane literals as
+    * lshOracle; the query side unnests the original bucket plus every
+    * single-bit xor flip (= Similarity.lshMultiProbeKnn's probe set). */
+  private def multiProbeOracle(dim: Int, numBits: Int, tables: Int, k: Int): String = {
+    def bucketExpr(seed: Int): String =
+      graft.ml.Similarity.hyperplanes(dim, numBits, seed).zipWithIndex.map { case (hp, b) =>
+        val lits = hp.mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lits) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    val branches = (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+    val probes = ("bucket" +: (0 until numBits).map(b => s"xor(bucket, ${1L << b})"))
+      .mkString("list_value(", ", ", ")")
+    s"WITH cb AS ($branches), " +
+    "qb0 AS (SELECT vec_id, tbl, bucket FROM cb WHERE vec_id < 10), " +
+    s"qb AS (SELECT vec_id, tbl, unnest($probes) AS bucket FROM qb0), " +
     "cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id FROM qb " +
     "JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id), " +
     s"s AS (SELECT c.q_id, c.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim " +

@@ -454,6 +454,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Multi-probe LSH top-k: each query probes its own bucket PLUS the
+   * `numBits` single-bit-flip neighbors in every table — the recall lever
+   * that costs ZERO index growth (more tables multiply the stored index;
+   * more probes only multiply the query side's bucket keys). Bit-flip
+   * probing is the deterministic variant of query-directed multi-probe
+   * (flipping the lowest-margin bits first); flipping ALL single bits
+   * dominates any margin ordering of the same depth, at numBits+1 probes
+   * per table. Candidates move as IDS ONLY (the [[lshKnn]] render-late
+   * shape); the corpus side stays one bucket row per (vector, table).
+   *
+   * @return (q_id, vec_id, sim, rank ≤ k)
+   */
+  def lshMultiProbeKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                       dim: Int, numBits: Int = 12, tables: Int = 4): DataFrame = {
+    val cb = corpus.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), dim, numBits, seed = t)): _*))
+        .as(Seq("table", "bucket")))
+    val qb = queries.select(col("vec_id").as("q_id"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("embedding"), dim, numBits, seed = t)): _*))
+          .as(Seq("table", "__b0")))
+      .select(col("q_id"), col("table"),
+        explode(array(col("__b0") +: (0 until numBits).map(b =>
+          col("__b0").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb")), Seq("vec_id"))
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // --- product quantization (PQ): the embedding MEMORY story at 100 TB ---
   // A 768-dim float32 vector is 3 KB; its m PQ codes are m bytes. Encoding
   // turns the corpus scan of an ANN query into code-table lookups against a

@@ -199,6 +199,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("md5"), "training subtree duplicated past the cache")
   }
 
+  test("multi-probe LSH: candidate superset of single-probe — top-1 never worse") {
+    val corpus = (0L until 60L).map { id =>
+      (id, Array.tabulate(16)(j => (((id * 29 + j * 17) % 103).toFloat / 103f)))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" < 5L)
+    def top1(df: org.apache.spark.sql.DataFrame) = df.filter($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = top1(Similarity.lshKnn(corpus, qs, 3, dim = 16, numBits = 6, tables = 2))
+    val multi = top1(Similarity.lshMultiProbeKnn(corpus, qs, 3, dim = 16, numBits = 6, tables = 2))
+    // bit-flip probes strictly widen the candidate set per query
+    single.foreach { case (q, sim) =>
+      assert(multi.contains(q) && multi(q) >= sim, s"query $q: $sim -> ${multi.get(q)}")
+    }
+  }
+
   test("ivfPqKnn: nprobe = numCells equals pqKnn exactly; pruning only drops rows") {
     val corpus = (0L until 40L).map { id =>
       (id, Array.tabulate(16)(j => (((id * 23 + j * 13) % 101).toFloat / 101f)))
