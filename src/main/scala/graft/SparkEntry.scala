@@ -134,6 +134,32 @@ object SparkEntry {
   private def pcaOracle(dim: Int, iters: Int): String =
     pcaCte(dim, iters) + s" SELECT d, round(x, 6) AS comp FROM v$iters"
 
+  /** Deflated second-component replay: λ₁ and the per-round projection are
+    * computed against the PUBLISHED round-6 v₁ with the same DECIMAL sums
+    * and the same `y − (λ·v)·dp` expression order as the Spark side. */
+  private def pca2Oracle(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(pcaCte(dim, iters))
+    sb.append(s", p1 AS MATERIALIZED (SELECT d, round(x, 6) AS x FROM v$iters)")
+    sb.append(", fm AS MATERIALIZED (SELECT i, j, c FROM f)")
+    sb.append(", av1 AS (SELECT f.i AS d, (sum((f.c * v.x)::DECIMAL(38,12)))::DOUBLE AS y " +
+      "FROM fm f JOIN p1 v ON f.j = v.d GROUP BY 1)")
+    sb.append(", lam AS MATERIALIZED (SELECT (sum((v.x * a.y)::DECIMAL(38,12)))::DOUBLE AS l " +
+      "FROM p1 v JOIN av1 a ON v.d = a.d)")
+    sb.append(s", w0 AS (SELECT unnest(range($dim))::INT AS d, " +
+      s"round(1.0/sqrt($dim.0), 9) AS x)")
+    for (t <- 1 to iters) {
+      sb.append(s", aw$t AS (SELECT f.i AS d, (sum((f.c * w.x)::DECIMAL(38,12)))::DOUBLE AS y " +
+        s"FROM fm f JOIN w${t - 1} w ON f.j = w.d GROUP BY 1)")
+      sb.append(s", dp$t AS (SELECT (sum((v.x * w.x)::DECIMAL(38,12)))::DOUBLE AS dp " +
+        s"FROM p1 v JOIN w${t - 1} w ON v.d = w.d)")
+      sb.append(s", b$t AS (SELECT a.d, a.y - lam.l * v.x * dp$t.dp AS y " +
+        s"FROM aw$t a JOIN p1 v ON a.d = v.d, lam, dp$t)")
+      sb.append(s", m$t AS (SELECT sqrt((sum((y*y)::DECIMAL(38,12)))::DOUBLE) AS nm FROM b$t)")
+      sb.append(s", w$t AS (SELECT d, round(y / nm, 9) AS x FROM b$t, m$t)")
+    }
+    sb.toString + s" SELECT d, round(x, 6) AS comp FROM w$iters"
+  }
+
   /** Oracle-side mirror of [[cosupplyEdges]]: the strong co-supply edge set
     * as a shared CTE prelude (canonical a < b orientation). */
   private def cosupplyCte(frac: Double): String =
@@ -1865,6 +1891,14 @@ object SparkEntry {
       graft.ml.Similarity.powerIteration(
         graft.ml.Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64),
         dim = 64, iters = 6)),
+    // second PCA component via implicit deflation (A − λ₁v₁v₁ᵀ applied,
+    // never materialized) — the top-k-components extension
+    "emb_pca2" -> ((s, dir) => {
+      val cov = graft.ml.Similarity.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding", 64)
+      val c1 = graft.ml.Similarity.powerIteration(cov, dim = 64, iters = 6)
+      graft.ml.Similarity.powerIterationDeflated(cov, c1, dim = 64, iters = 6)
+    }),
     // PCA projection: every vector's score along the trained component —
     // the dimensionality-reduction step (scan-stage explode + broadcast
     // component + combinable per-vector decimal sum)
@@ -3647,6 +3681,7 @@ object SparkEntry {
     // power-iteration replay: the same fixed rounds unrolled as CTEs —
     // decimal matrix-vector sums, per-round 9-place component rounding
     "emb_pca" -> pcaOracle(dim = 64, iters = 6),
+    "emb_pca2" -> pca2Oracle(dim = 64, iters = 6),
     // projection replay: per-vec decimal dot product against the ROUNDED
     // published component (6 places — exactly what the Spark side joins)
     "emb_pca_project" ->

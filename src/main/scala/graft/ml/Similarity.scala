@@ -341,6 +341,61 @@ object Similarity {
   }
 
   /**
+   * Second principal component via DEFLATION: power iteration on the
+   * implicitly-deflated operator `A − λ₁v₁v₁ᵀ` — the matrix is never
+   * materialized; each round applies `y = A·x − λ₁·v₁·(v₁ᵀx)`, i.e. the
+   * same sparse mat-vec as [[powerIteration]] plus one broadcast dot
+   * product and a dim-row projection. Extending to component k repeats
+   * the device with k−1 deflation terms (k stays small — this is the
+   * top-few-components story, not full SVD).
+   *
+   * `comp1` is the PUBLISHED round-6 component — deflation runs against
+   * the same numbers any external engine holds, so the recurrence is
+   * engine-reproducible (the in-flight round-9 vector would be exacter
+   * but private). Same DECIMAL-sum/round-9/checkpoint devices per round.
+   *
+   * @return (d, comp) — the second eigenvector, rounded to 6
+   */
+  def powerIterationDeflated(cov: DataFrame, comp1: DataFrame, dim: Int,
+                             iters: Int): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"powerIterationDeflated: dim=$dim iters=$iters")
+    val spark = cov.sparkSession
+    val full = cov.select(col("i"), col("j"), col("cov"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v1 = comp1.select(col("d"), col("comp"))
+    def matvec(v: DataFrame): DataFrame =
+      full.join(broadcast(v), full("j") === v("d"))
+        .groupBy(col("i").as("d"))
+        .agg(sum((col("cov") * col("x")).cast("decimal(38,12)"))
+          .cast("double").as("__ay"))
+    val lam = matvec(v1.select(col("d"), col("comp").as("x")))
+      .join(broadcast(v1), Seq("d"))
+      .agg(sum((col("comp") * col("__ay")).cast("decimal(38,12)"))
+        .cast("double").as("__l"))
+    val v0 = spark.range(dim).select(col("id").cast("int").as("d"),
+      round(lit(1.0) / sqrt(lit(dim.toDouble)), 9).as("x"))
+    val vFinal = (1 to iters).foldLeft(v0) { (v, _) =>
+      val ax = matvec(v)
+      val dp = v.join(broadcast(v1), Seq("d"))
+        .agg(sum((col("comp") * col("x")).cast("decimal(38,12)"))
+          .cast("double").as("__dp"))
+      val y = ax.join(broadcast(v1), Seq("d"))
+        .crossJoin(broadcast(lam)).crossJoin(broadcast(dp))
+        .select(col("d"), (col("__ay") - col("__l") * col("comp") * col("__dp")).as("__y"))
+      val norm = y.agg(
+        sqrt(sum((col("__y") * col("__y")).cast("decimal(38,12)")).cast("double"))
+          .as("__n"))
+      y.crossJoin(broadcast(norm))
+        .select(col("d"), round(col("__y") / col("__n"), 9).as("x"))
+        .localCheckpoint()
+    }
+    val out = vFinal.select(col("d"), round(col("x"), 6).as("comp"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, full)
+  }
+
+  /**
    * Project every corpus vector onto a component (e.g. [[powerIteration]]'s
    * top eigenvector): score = Σ xᵈ·compᵈ — the dimensionality-reduction /
    * concept-score step after PCA training. One posexplode inside the scan

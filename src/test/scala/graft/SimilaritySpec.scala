@@ -273,6 +273,25 @@ class SimilaritySpec extends SparkSpec {
       math.abs(v2(1) - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("powerIterationDeflated: second component unit-norm, orthogonal, distinct eigenvalue") {
+    // anisotropic synthetic corpus: variance concentrated on two axes
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        (if (j == 0) i * 1.0f else if (j == 1) (i % 7) * 0.5f else 0.01f * ((i + j) % 3))))
+    }.toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceMatrix(vecs, "embedding", 6)
+    val c1 = Similarity.powerIteration(cov, dim = 6, iters = 8)
+    val c2 = Similarity.powerIterationDeflated(cov, c1, dim = 6, iters = 8)
+    val v1 = c1.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val v2 = c2.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dot = (0 until 6).map(d => v1(d) * v2(d)).sum
+    val n2 = math.sqrt((0 until 6).map(d => v2(d) * v2(d)).sum)
+    assert(math.abs(dot) < 1e-3, s"components must be orthogonal, dot=$dot")
+    assert(math.abs(n2 - 1.0) < 1e-4, s"second component must be unit, |v2|=$n2")
+    // dominant axis of v2 is the second-variance direction (dim 1), not dim 0
+    assert(math.abs(v2(1)) > 0.9 && math.abs(v2(0)) < 0.3, v2.toString)
+  }
+
   test("projectComponent: hand-computed dot products against a component") {
     val comp = Seq((0, 1.0), (1, 0.5)).toDF("d", "comp")
     val vecs = Seq((1L, Array(2f, 4f)), (2L, Array(0f, 2f)),
