@@ -2107,6 +2107,13 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // one-pass Poisson bootstrap: 8 deterministic md5-Poisson(1) replicate
+    // weights per row → per-replicate means; the spread IS the sampling
+    // error, with zero data reshuffling
+    "ev_bootstrap" -> ((s, dir) =>
+      graft.events.EventOps.bootstrapMeans(
+        graft.sources.Tables.events(s, dir), "event_id", col("value"),
+        replicates = 8, Seq("event_type"))),
     // incremental aggregate maintenance: history state ⊎ delta state must
     // equal the full rebuild — the nightly-refresh primitive (the delta
     // never row-joins the history)
@@ -3858,6 +3865,22 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // Poisson-bootstrap replay: same md5(id:r) uniforms, same embedded
+    // CDF-threshold literals, same DECIMAL weighted sums
+    "ev_bootstrap" -> {
+      val cs = graft.events.EventOps.poissonCdf1
+      val branch = cs.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      "WITH x AS (SELECT event_type, event_id, value, " +
+      "unnest(generate_series(0, 7)) AS rep FROM events WHERE value IS NOT NULL), " +
+      "h AS (SELECT event_type, rep, value, " +
+      "('0x'||substr(md5(event_id::VARCHAR || ':' || rep::VARCHAR), 1, 8))::BIGINT " +
+      "/ 4294967296.0 AS u FROM x), " +
+      s"w AS (SELECT event_type, rep, value, CASE $branch ELSE 5 END AS w FROM h) " +
+      "SELECT event_type, rep, sum(w)::BIGINT AS n_eff, " +
+      "round(CAST(sum((w * value)::DECIMAL(38,10)) AS DOUBLE) / sum(w), 6) AS mean " +
+      "FROM w GROUP BY 1, 2"
+    },
     // the merged state must equal the full rebuild — one direct groupBy
     "ev_agg_apply" ->
       ("SELECT event_type, count(*) AS n, " +

@@ -365,6 +365,48 @@ object EventOps {
    * @return input columns + `ewma` (rounded to 6; NULL when no value in
    *         the lookback window)
    */
+  /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — computed once
+    * and embedded as double literals on BOTH engines so the inverse-CDF
+    * branch is bit-identical. Weights cap at 5 (P(X > 5) ≈ 6e-4 at λ=1 —
+    * a bootstrap-fidelity footnote, not a correctness issue: both engines
+    * apply the same cap). */
+  private[graft] val poissonCdf1: Seq[Double] = {
+    val e = math.exp(-1)
+    Seq(e, 2 * e, 2.5 * e, 2.5 * e + e / 6, 2.5 * e + e / 6 + e / 24)
+  }
+
+  /**
+   * One-pass Poisson bootstrap (the resampling scheme that works when the
+   * data can't be held, let alone resampled R times): each row enters
+   * replicate r with weight ~ Poisson(1), drawn DETERMINISTICALLY from
+   * md5(id:r) — so the R "resamples" are one exploded scan with integer
+   * weights, and the spread of the per-replicate means estimates the
+   * sampling error of the mean. No shuffling of the data beyond one
+   * combinable (groupCols, rep) aggregation; R multiplies the scan, never
+   * the state.
+   *
+   * @return (groupCols…, rep INT, n_eff BIGINT = Σw, mean DOUBLE rounded 6)
+   */
+  def bootstrapMeans(df: DataFrame, idCol: String, value: Column,
+                     replicates: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(replicates >= 2, s"need at least 2 replicates, got $replicates")
+    val exploded = df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ col(idCol) :+ value.as("__v"): _*)
+      .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
+    val u = conv(substring(md5(
+        concat(col(idCol).cast("string"), lit(":"), col("rep").cast("string"))),
+        1, 8), 16, 10).cast("long") / lit(4294967296.0)
+    // inverse CDF: first k with u < P(X ≤ k); cap at 5
+    val w = poissonCdf1.zipWithIndex.foldRight(lit(5): Column) {
+      case ((cdf, k), els) => when(col("__u") < lit(cdf), lit(k)).otherwise(els)
+    }
+    exploded.withColumn("__u", u).withColumn("__w", w)
+      .groupBy((groupCols :+ "rep").map(col): _*)
+      .agg(sum(col("__w").cast("long")).as("n_eff"),
+        round(sum((col("__w") * col("__v")).cast("decimal(38,10)")).cast("double")
+          / sum(col("__w").cast("long")), 6).as("mean"))
+  }
+
   /**
    * Point-in-time snapshot over an SCD2 history ([[scd2]]/[[scd2Apply]]
    * output): the one version per key whose validity interval covers `atMs`

@@ -249,6 +249,29 @@ class EventOpsSpec extends SparkSpec {
     assert(free == Map(1L -> 3, 2L -> 2, 3L -> 2))
   }
 
+  test("bootstrapMeans: R rows per group, unit mean weight, deterministic replay") {
+    val rows = (1 to 400).map(i => (i.toLong, "g" + (i % 2), i * 0.5))
+      .toDF("id", "g", "v")
+    val out = EventOps.bootstrapMeans(rows, "id", col("v"), replicates = 8, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+    assert(out.length == 16) // 2 groups x 8 replicates
+    // Poisson(1) weights: total effective n within 10% of the real n
+    val totalW = out.map(_._2._1).sum
+    assert(math.abs(totalW / (8.0 * 400) - 1.0) < 0.1, s"mean weight ${totalW / 3200.0}")
+    // replicates genuinely differ (independent md5 draws per (id, rep))
+    assert(out.map(_._2._2).distinct.length > 8)
+    // per-replicate means hover around the true mean of each group
+    val trueMeans = Map("g0" -> (2 to 400 by 2).map(_ * 0.5).sum / 200,
+      "g1" -> (1 until 400 by 2).map(_ * 0.5).sum / 200)
+    out.foreach { case ((g, _), (_, m)) =>
+      assert(math.abs(m - trueMeans(g)) < trueMeans(g) * 0.15, s"$g: $m vs ${trueMeans(g)}")
+    }
+    // bit-for-bit deterministic
+    val again = EventOps.bootstrapMeans(rows, "id", col("v"), replicates = 8, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+    assert(again.toMap == out.toMap)
+  }
+
   test("aggApply: any split point folds to the full rebuild, bit-for-bit") {
     val rows = (1 to 200).map(i =>
       ((i % 7).toString, i, if (i % 13 == 0) None else Some(i * 0.37 - 20)))
