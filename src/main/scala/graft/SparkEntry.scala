@@ -1585,6 +1585,11 @@ object SparkEntry {
     "profile_docs" -> ((s, dir) =>
       graft.sources.Profiler.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // the 100 TB profiler: HLL NDV per column (state = cols × 2^p, not
+    // cardinality) + exact cheap stats — no multi-count-distinct Expand
+    "profile_sketch" -> ((s, dir) =>
+      graft.sources.Profiler.profileSketch(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"), p = 12)),
     // entity resolution: blocked candidate pairs + levenshtein verify.
     // The corpus plants one typo variant ('Custoner', one substitution,
     // digits preserved) per custkey % 7 == 0 — the same deterministic
@@ -3221,6 +3226,34 @@ object SparkEntry {
       s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
       s"min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value FROM documents")
       .mkString(" UNION ALL "),
+    // HLL-NDV profiler replay: stacked (column, value) stream through the
+    // p=12 register/estimate pipeline + the exact cheap stats, joined
+    "profile_sketch" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val m = 4096
+      val alphaM2 = (0.7213 / (1.0 + 1.079 / m)) * m.toDouble * m
+      val stackedSql = cols.map(c =>
+        s"SELECT '$c' AS \"column\", CAST($c AS VARCHAR) AS v FROM documents")
+        .mkString(" UNION ALL ")
+      val statsSql = cols.map(c =>
+        s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +
+        s"count(*) - count($c) AS n_nulls, " +
+        s"min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value FROM documents")
+        .mkString(" UNION ALL ")
+      s"WITH s AS ($stackedSql), " +
+      s"h AS (SELECT \"column\", ('0x'||substr(md5(v),1,8))::BIGINT % $m AS idx, " +
+      "CASE WHEN ('0x'||substr(md5(v),9,8))::BIGINT = 0 THEN 33 " +
+      "ELSE 33 - len(bin(('0x'||substr(md5(v),9,8))::BIGINT)) END AS r " +
+      "FROM s WHERE v IS NOT NULL), " +
+      "regs AS (SELECT \"column\", idx, max(r) AS r FROM h GROUP BY 1, 2), " +
+      "agg AS (SELECT \"column\", count(*) AS nz, sum(power(2.0, -r)) AS hs FROM regs GROUP BY 1), " +
+      s"e AS (SELECT \"column\", round(CASE WHEN raw <= ${2.5 * m} AND zeros > 0 " +
+      s"THEN $m.0 * ln($m.0 / zeros) ELSE raw END, 4) AS ndv_est FROM " +
+      s"(SELECT \"column\", $alphaM2 / (($m.0 - nz) + hs) AS raw, $m.0 - nz AS zeros FROM agg)), " +
+      s"st AS ($statsSql) " +
+      "SELECT st.\"column\" AS \"column\", n_rows, n_nulls, ndv_est, min_value, max_value " +
+      "FROM st JOIN e ON st.\"column\" = e.\"column\""
+    },
     "er_pairs" ->
       ("WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer), " +
        "dirty AS (SELECT c_custkey + 10000000 AS id, " +
