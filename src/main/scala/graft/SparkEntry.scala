@@ -2112,6 +2112,11 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // user-journey transition matrix: per-user ordered type pairs →
+    // counts + conditional probabilities (types² broadcast join-back)
+    "ev_transitions" -> ((s, dir) =>
+      graft.events.EventOps.transitionMatrix(
+        graft.sources.Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")),
     // one-pass Poisson bootstrap: 8 deterministic md5-Poisson(1) replicate
     // weights per row → per-replicate means; the spread IS the sampling
     // error, with zero data reshuffling
@@ -3898,6 +3903,16 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // lag-pair replay with the same (ts, event_id) order
+    "ev_transitions" ->
+      ("WITH g AS (SELECT user_id, event_type, " +
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+       "FROM events), " +
+       "c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n " +
+       "FROM g WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+       "t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) " +
+       "SELECT c.from_type, c.to_type, c.n::BIGINT AS n, " +
+       "round(c.n * 1.0 / t.tot, 6) AS p FROM c JOIN t USING (from_type)"),
     // Poisson-bootstrap replay: same md5(id:r) uniforms, same embedded
     // CDF-threshold literals, same DECIMAL weighted sums
     "ev_bootstrap" -> {

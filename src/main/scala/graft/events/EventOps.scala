@@ -365,6 +365,28 @@ object EventOps {
    * @return input columns + `ewma` (rounded to 6; NULL when no value in
    *         the lookback window)
    */
+  /**
+   * First-order transition matrix over per-key ordered event types — the
+   * user-journey summary (Markov transition counts + conditional
+   * probabilities). One window pass for the lag pairs, one combinable
+   * (from, to) count, and the per-`from` totals join back as a broadcast
+   * (the matrix is types², bounded) — event volume never shuffles twice.
+   *
+   * @return (from_type, to_type, n BIGINT, p DOUBLE rounded 6)
+   */
+  def transitionMatrix(df: DataFrame, key: String, time: String,
+                       typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time), col(tieBreak))
+    val pairs = df.withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — computed once
     * and embedded as double literals on BOTH engines so the inverse-CDF
     * branch is bit-identical. Weights cap at 5 (P(X > 5) ≈ 6e-4 at λ=1 —
