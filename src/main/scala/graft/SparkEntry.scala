@@ -1642,6 +1642,12 @@ object SparkEntry {
         .withColumnRenamed("est", "est_events")
       users.join(ids, "event_type")
     }),
+    // sliding-window distinct users from per-6h HLL registers: sketch the
+    // stream once per slide, answer every 24 h window by register merge
+    "sketch_hll_sliding" -> ((s, dir) =>
+      graft.sketch.Sketches.hllSlidingDistinct(
+        t(s, dir, "events"), col("ts"), col("user_id"),
+        slideSec = 21600L, slides = 4, p = 9)),
     // deterministic bottom-k quantile sketch: per event type, the k=256
     // smallest-md5(event_id) rows are a uniform sample; quantiles are the
     // ceil(q*n)-th smallest sampled values — mergeable, O(k) state
@@ -3303,6 +3309,22 @@ object SparkEntry {
       "SELECT u.event_type, u.est AS est_users, i.est AS est_events FROM " +
         est("user_id") + " u JOIN " + est("event_id") + " i USING (event_type)"
     },
+    // sliding-HLL replay: per-6h registers, 4-offset window explode,
+    // max-merge, the exact same estimate expression as sketch_hll
+    "sketch_hll_sliding" ->
+      ("WITH h AS (SELECT (epoch(ts)::BIGINT // 21600) AS b, " +
+       "('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 512 AS idx, " +
+       "CASE WHEN ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT = 0 THEN 33 " +
+       "ELSE 33 - len(bin(('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT)) END AS r " +
+       "FROM events WHERE user_id IS NOT NULL), " +
+       "regs AS (SELECT b, idx, max(r) AS r FROM h GROUP BY 1, 2), " +
+       "w AS (SELECT (b - o.o) * 21600 AS w_start, idx, max(r) AS r FROM regs, " +
+       "(SELECT unnest(generate_series(0, 3)) AS o) o GROUP BY 1, 2), " +
+       "agg AS (SELECT w_start, count(*) AS nz, sum(power(2.0, -r)) AS hs FROM w GROUP BY 1) " +
+       "SELECT w_start, round(CASE WHEN raw <= 1280.0 AND zeros > 0 " +
+       "THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 4) AS est FROM " +
+       "(SELECT w_start, (0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
+       "512.0 - nz AS zeros FROM agg)"),
     // bottom-k sample replay: rank rows by md5(event_id) per type, keep
     // 256, quantile = the ceil(q*n)-th smallest sampled value (1-indexed
     // arrays on both engines; no interpolation, so the estimate is a data

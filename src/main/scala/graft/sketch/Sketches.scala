@@ -223,6 +223,33 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p)
 
+  /**
+   * SLIDING-window distinct counts from per-slide registers — the merge
+   * algebra doing its real job: the raw stream sketches ONCE per
+   * epoch-aligned slide (state = slides × 2^p rows), and every
+   * `slides`-wide window's estimate is a max-merge of its member slides'
+   * registers — no second pass over raw data, and ANY window size that is
+   * a multiple of the slide can be answered later from the same stored
+   * register table. Window semantics match [[graft.streaming.StreamOps
+   * .slidingWindowAgg]] (each slide belongs to `slides` overlapping
+   * windows, epoch-aligned grid).
+   *
+   * @return (w_start BIGINT epoch seconds, est DOUBLE)
+   */
+  def hllSlidingDistinct(df: DataFrame, time: Column, value: Column,
+                         slideSec: Long, slides: Int, p: Int): DataFrame = {
+    require(slideSec > 0 && slides >= 1, s"bad slide spec: $slideSec x $slides")
+    // NTZ timestamps don't cast to long directly; the session runs UTC so
+    // the TIMESTAMP hop is identity
+    val bucket = floor(time.cast("timestamp").cast("long") / slideSec).cast("long")
+    val regs = hllRegisters(df.withColumn("__b", bucket), Seq("__b"), value, p)
+    val merged = regs.withColumn("__o", explode(sequence(lit(0), lit(slides - 1))))
+      .select(((col("__b") - col("__o")) * slideSec).as("w_start"),
+        col("idx"), col("r"))
+      .groupBy("w_start", "idx").agg(max(col("r")).as("r"))
+    hllEstimate(merged, Seq("w_start"), p)
+  }
+
   // ── Wide-frame HyperLogLog (48-bit rank frame) ────────────────────────
   //
   // The 32-bit rank frame above caps register ranks at 33 — fine for
