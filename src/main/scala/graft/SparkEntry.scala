@@ -1563,6 +1563,11 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, dir) =>
       graft.text.TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+    // sparse TF-IDF cosine pairs through the inverted index (df-capped) —
+    // the sparse sibling of emb_neardup
+    "text_tfidf_sim" -> ((s, dir) =>
+      graft.text.TextOps.tfIdfSimilarPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, maxDf = 100L)),
     "sample_stratified" -> ((s, dir) =>
       graft.text.TextOps.sampleStratified(t(s, dir, "documents"), "doc_id", "source",
         SampleRates, SampleDefaultRate).select("doc_id", "source")),
@@ -3208,6 +3213,25 @@ object SparkEntry {
        "r AS (SELECT doc_id, tok, tfidf, row_number() OVER " +
        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
        "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
+    // sparse cosine replay: df-capped weights, DECIMAL dot/norm sums
+    "text_tfidf_sim" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+       "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1 " +
+       "HAVING count(DISTINCT doc_id) <= 100), " +
+       "nv AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+       "w AS (SELECT tf.doc_id, tf.tok, " +
+       "tf.tf * ln(((SELECT n FROM nv) + 1) / (dfreq.df + 1)) AS w " +
+       "FROM tf JOIN dfreq USING (tok)), " +
+       "nm AS (SELECT doc_id, sqrt(CAST(sum((w * w)::DECIMAL(38,12)) AS DOUBLE)) AS nm " +
+       "FROM w GROUP BY 1), " +
+       "dots AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
+       "CAST(sum((x.w * y.w)::DECIMAL(38,12)) AS DOUBLE) AS dot " +
+       "FROM w x JOIN w y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+       "SELECT a, b, sim FROM (SELECT a, b, round(dot / (na.nm * nb.nm), 6) AS sim " +
+       "FROM dots JOIN nm na ON a = na.doc_id JOIN nm nb ON b = nb.doc_id) " +
+       "WHERE sim >= 0.5"),
     "sample_stratified" -> stratifiedOracle,
     // the same per-row md5-threshold draw, replayed in SQL: printf('%015x')
     // renders the weight threshold in the hash-prefix space

@@ -279,6 +279,49 @@ object TextOps {
   }
 
   /**
+   * Sparse TF-IDF cosine similarity join — the SPARSE sibling of the dense
+   * embedding near-dup: document pairs whose TF-IDF vectors' cosine meets
+   * `threshold`, found through the inverted index (pairs share ≥ 1
+   * surviving term; docs never cross-join). Terms with df > `maxDf` drop
+   * before the self-join — simultaneously the scale cap (a boilerplate
+   * term's posting list would fan out quadratically) and standard IR
+   * practice (stop-words carry no signal; idf already ranks them last).
+   *
+   * Determinism: pair dots and norms accumulate in DECIMAL(38,12) (exact,
+   * order-free), one double division + round(6) at the end — the oracle
+   * replays bit-for-bit.
+   *
+   * @return (a, b, sim DOUBLE rounded 6) with a < b, sim ≥ threshold
+   */
+  def tfIdfSimilarPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, maxDf: Long = 1000L): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val wts = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"),
+        (col("tf") * log((col("__n") + 1) / (col("df") + 1))).as("w"))
+    val norms = wts.groupBy(col(idCol))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,12)")).cast("double"))
+        .as("__nm"))
+    val a = wts.select(col(idCol).as("a"), col("tok"), col("w").as("__wa"))
+    val b = wts.select(col(idCol).as("b"), col("tok"), col("w").as("__wb"))
+    val dots = a.join(b, Seq("tok")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum((col("__wa") * col("__wb")).cast("decimal(38,12)"))
+        .cast("double").as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("a"), col("__nm").as("__na")), Seq("a"))
+      .join(norms.select(col(idCol).as("b"), col("__nm").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
    * Deterministic stratified sampling: keep a row iff the first 8 hex chars
    * of md5(id) fall below the stratum's rate threshold. Engine-portable by
    * construction (md5 agrees byte-for-byte across Spark/DuckDB; the
