@@ -54,6 +54,24 @@ object SparkEntry {
     "FROM (SELECT DISTINCT user_id FROM events) u " +
     "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
 
+  /** Shared by sketch_hll_sliding (batch per-slide register merge) and
+    * stream_hll_sliding (one sliding streaming aggregate): identical
+    * registers, identical estimate expression. */
+  private val hllSlidingOracleSql: String =
+    "WITH h AS (SELECT (epoch(ts)::BIGINT // 21600) AS b, " +
+       "('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 512 AS idx, " +
+       "CASE WHEN ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT = 0 THEN 33 " +
+       "ELSE 33 - len(bin(('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT)) END AS r " +
+       "FROM events WHERE user_id IS NOT NULL), " +
+       "regs AS (SELECT b, idx, max(r) AS r FROM h GROUP BY 1, 2), " +
+       "w AS (SELECT (b - o.o) * 21600 AS w_start, idx, max(r) AS r FROM regs, " +
+       "(SELECT unnest(generate_series(0, 3)) AS o) o GROUP BY 1, 2), " +
+       "agg AS (SELECT w_start, count(*) AS nz, sum(power(2.0, -r)) AS hs FROM w GROUP BY 1) " +
+       "SELECT w_start, round(CASE WHEN raw <= 1280.0 AND zeros > 0 " +
+       "THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 4) AS est FROM " +
+       "(SELECT w_start, (0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
+       "512.0 - nz AS zeros FROM agg)"
+
   /** Shared by ev_ewma (window expression) and stream_ewma (stateful fold):
     * both engines sum the same 8 lag terms in the same left-to-right order
     * with exact 2^-k weight literals, so values are bit-identical before
@@ -1951,6 +1969,13 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedHllDistinct(
         graft.sources.Tables.events(s, dir), Seq("event_type"), col("user_id"), p = 9)
         .select(col("w_start").cast("date").as("day"), col("event_type"), col("est"))),
+    // SLIDING streaming HLL (1 day / 6 h): still ONE streaming aggregate;
+    // agrees with the batch per-slide register merge (same oracle)
+    "stream_hll_sliding" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedHllDistinct(
+        graft.sources.Tables.events(s, dir), Nil, col("user_id"), p = 9,
+        slide = Some("6 hours"))
+        .select(col("w_start").cast("long").as("w_start"), col("est"))),
     // streaming frequency sketch: per-day CMS count table maintained as
     // one summing streaming aggregate; point/heavy-hitter lookups read-side
     "stream_cms" -> ((s, dir) =>
@@ -3335,20 +3360,10 @@ object SparkEntry {
     },
     // sliding-HLL replay: per-6h registers, 4-offset window explode,
     // max-merge, the exact same estimate expression as sketch_hll
-    "sketch_hll_sliding" ->
-      ("WITH h AS (SELECT (epoch(ts)::BIGINT // 21600) AS b, " +
-       "('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 512 AS idx, " +
-       "CASE WHEN ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT = 0 THEN 33 " +
-       "ELSE 33 - len(bin(('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT)) END AS r " +
-       "FROM events WHERE user_id IS NOT NULL), " +
-       "regs AS (SELECT b, idx, max(r) AS r FROM h GROUP BY 1, 2), " +
-       "w AS (SELECT (b - o.o) * 21600 AS w_start, idx, max(r) AS r FROM regs, " +
-       "(SELECT unnest(generate_series(0, 3)) AS o) o GROUP BY 1, 2), " +
-       "agg AS (SELECT w_start, count(*) AS nz, sum(power(2.0, -r)) AS hs FROM w GROUP BY 1) " +
-       "SELECT w_start, round(CASE WHEN raw <= 1280.0 AND zeros > 0 " +
-       "THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 4) AS est FROM " +
-       "(SELECT w_start, (0.7213/(1.0+1.079/512.0))*512.0*512.0/((512.0-nz)+hs) AS raw, " +
-       "512.0 - nz AS zeros FROM agg)"),
+    "sketch_hll_sliding" -> hllSlidingOracleSql,
+    // the streaming sliding variant maintains the same registers as ONE
+    // streaming aggregate - identical numbers, same oracle
+    "stream_hll_sliding" -> hllSlidingOracleSql,
     // bottom-k sample replay: rank rows by md5(event_id) per type, keep
     // 256, quantile = the ceil(q*n)-th smallest sampled value (1-indexed
     // arrays on both engines; no interpolation, so the estimate is a data

@@ -112,12 +112,17 @@ object StreamOps {
    */
   def windowedHllRegisters(events: DataFrame, groupCols: Seq[String], value: Column,
                            p: Int, windowDur: String = "1 day",
-                           wm: String = "1 hour"): DataFrame = {
+                           wm: String = "1 hour",
+                           slide: Option[String] = None): DataFrame = {
     val (idx, rank) = graft.sketch.Sketches.hllRegisterCols(value, p)
+    // a slide replicates each event into its windowDur/slide overlapping
+    // windows before the max — state widens by the overlap factor, the
+    // operator count does not (still ONE streaming aggregate)
+    val w = slide.fold(window(col("ts"), windowDur))(s =>
+      window(col("ts"), windowDur, s))
     watermarked(events, "ts", wm)
       .filter(value.isNotNull)
-      .groupBy(window(col("ts"), windowDur).as("w") +: groupCols.map(col)
-        :+ idx.as("idx"): _*)
+      .groupBy(w.as("w") +: groupCols.map(col) :+ idx.as("idx"): _*)
       .agg(max(rank).as("r"))
       .select(col("w.start").as("w_start") +: groupCols.map(col)
         :+ col("idx") :+ col("r"): _*)
@@ -129,9 +134,10 @@ object StreamOps {
     * query); on batch input the whole chain is one plan. */
   def windowedHllDistinct(events: DataFrame, groupCols: Seq[String], value: Column,
                           p: Int, windowDur: String = "1 day",
-                          wm: String = "1 hour"): DataFrame =
+                          wm: String = "1 hour",
+                          slide: Option[String] = None): DataFrame =
     graft.sketch.Sketches.hllEstimate(
-      windowedHllRegisters(events, groupCols, value, p, windowDur, wm),
+      windowedHllRegisters(events, groupCols, value, p, windowDur, wm, slide),
       "w_start" +: groupCols, p)
 
   /**
