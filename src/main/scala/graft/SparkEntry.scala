@@ -2148,6 +2148,25 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // staircase-decayed "trending" counts: exact binary-fraction weights,
+    // one combinable aggregate, reference instant broadcast
+    "ev_trending" -> ((s, dir) =>
+      graft.events.EventOps.decayedCounts(
+        graft.sources.Tables.events(s, dir), Seq("event_type"), "ts",
+        halfLifeSec = 86400L)),
+    // CMS inner product = join-size estimate: two d·w tables meet, the
+    // raw relations never do (the planner cardinality primitive)
+    "sketch_join_size" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val orr = t(s, dir, "orders")
+      val est = graft.sketch.Sketches.cmsInnerProduct(
+        graft.sketch.Sketches.cmsTable(ev, col("user_id"), lit(1L), d = 4, w = 256),
+        graft.sketch.Sketches.cmsTable(orr, col("o_custkey"), lit(1L), d = 4, w = 256))
+      val exact = ev.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("__n1"))
+        .join(orr.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("__n2")), Seq("k"))
+        .agg(coalesce(sum(col("__n1") * col("__n2")), lit(0L)).as("exact"))
+      exact.crossJoin(est)
+    }),
     // user-journey transition matrix: per-user ordered type pairs →
     // counts + conditional probabilities (types² broadcast join-back)
     "ev_transitions" -> ((s, dir) =>
@@ -3964,6 +3983,30 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // staircase-decay replay: integer half-life buckets (// = the same
+    // truncation as the Spark cast), exact 2^-k weights
+    "ev_trending" ->
+      ("WITH r AS (SELECT max(epoch(ts)::BIGINT) AS ref FROM events) " +
+       "SELECT event_type, count(*) AS n, " +
+       "round(sum(power(2.0, -((r.ref - epoch(ts)::BIGINT) // 86400))), 6) AS decayed " +
+       "FROM events, r WHERE ts IS NOT NULL GROUP BY event_type, r.ref"),
+    // CMS inner-product replay: both tables from the same salted hashes,
+    // row-wise products, min over rows; exact side is the frequency join
+    "sketch_join_size" ->
+      ("WITH js AS (SELECT unnest(range(4)) AS j), " +
+       "ca AS (SELECT j, bucket, count(*)::BIGINT AS c FROM (" +
+       "SELECT j, ('0x'||substr(md5(j::VARCHAR||':'||user_id::VARCHAR),1,8))::BIGINT % 256 AS bucket " +
+       "FROM events CROSS JOIN js WHERE user_id IS NOT NULL) GROUP BY 1, 2), " +
+       "cb AS (SELECT j, bucket, count(*)::BIGINT AS c FROM (" +
+       "SELECT j, ('0x'||substr(md5(j::VARCHAR||':'||o_custkey::VARCHAR),1,8))::BIGINT % 256 AS bucket " +
+       "FROM orders CROSS JOIN js WHERE o_custkey IS NOT NULL) GROUP BY 1, 2), " +
+       "ip AS (SELECT ca.j, sum(ca.c * cb.c) AS ip FROM ca " +
+       "JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1), " +
+       "es AS (SELECT min(ip)::BIGINT AS est FROM ip), " +
+       "ex AS (SELECT coalesce(sum(n1 * n2), 0)::BIGINT AS exact FROM " +
+       "(SELECT user_id AS k, count(*) AS n1 FROM events GROUP BY 1) a JOIN " +
+       "(SELECT o_custkey AS k, count(*) AS n2 FROM orders GROUP BY 1) b USING (k)) " +
+       "SELECT exact, est FROM ex, es"),
     // lag-pair replay with the same (ts, event_id) order
     "ev_transitions" ->
       ("WITH g AS (SELECT user_id, event_type, " +

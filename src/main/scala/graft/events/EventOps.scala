@@ -366,6 +366,31 @@ object EventOps {
    *         the lookback window)
    */
   /**
+   * Staircase-exponential decayed counts — the "trending now" aggregate:
+   * each event contributes 2^(−⌊age/halfLife⌋) at the reference instant
+   * (the corpus max timestamp, riding the plan as a broadcast singleton).
+   * The STAIRCASE (integer exponents) is deliberate: every weight is an
+   * exact binary fraction, so the per-group double sum is EXACT for any
+   * addition order as long as Σterms < 2^(53−maxExponent) — deterministic
+   * across engines and partitionings, where a smooth 2^(−age/h) sum would
+   * hash-flake on libm pow and float order. One combinable aggregate.
+   *
+   * @return (groupCols…, n BIGINT, decayed DOUBLE rounded 6)
+   */
+  def decayedCounts(df: DataFrame, groupCols: Seq[String], time: String,
+                    halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec must be positive, got $halfLifeSec")
+    val ref = df.agg(max(col(time).cast("timestamp").cast("long")).as("__ref"))
+    df.filter(col(time).isNotNull)
+      .crossJoin(broadcast(ref))
+      .withColumn("__w", pow(lit(2.0),
+        -((col("__ref") - col(time).cast("timestamp").cast("long"))
+          / lit(halfLifeSec)).cast("long")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), round(sum(col("__w")), 6).as("decayed"))
+  }
+
+  /**
    * First-order transition matrix over per-key ordered event types — the
    * user-journey summary (Markov transition counts + conditional
    * probabilities). One window pass for the lag pairs, one combinable

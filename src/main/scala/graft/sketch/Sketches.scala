@@ -360,6 +360,22 @@ object Sketches {
     a.unionByName(b).groupBy("j", "bucket").agg(sum(col("c")).as("c"))
 
   /**
+   * AMS-style inner product of two CMS tables (same (d, w), same salts):
+   * upper-biased estimate of the JOIN SIZE Σ_k f_a(k)·f_b(k), min over the
+   * d rows — the planner-side cardinality estimate at 100 TB: two d·w-row
+   * tables meet; the raw relations never do. Exact when no two distinct
+   * keys collide in some row (the min picks the collision-free row).
+   *
+   * @return one row (est BIGINT)
+   */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("bucket"), col("c").as("__ca"))
+      .join(b.select(col("j"), col("bucket"), col("c").as("__cb")),
+        Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).cast("long").as("est"))
+
+  /**
    * Point-query a CMS for each distinct key in `keys`: the estimate is the
    * MIN over the d rows' buckets (a key missing a bucket row reads 0). The
    * sketch side is ≤ d·w rows — a broadcast join against any probe set, so
