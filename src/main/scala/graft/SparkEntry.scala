@@ -2148,6 +2148,14 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // robust anomalies: median/MAD flags (outliers can't corrupt their own
+    // detector the way they inflate a stddev)
+    "ev_anomaly_robust" -> ((s, dir) =>
+      graft.events.EventOps.robustAnomalies(
+        graft.sources.Tables.events(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value")
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("robust_z"))),
     // staircase-decayed "trending" counts: exact binary-fraction weights,
     // one combinable aggregate, reference instant broadcast
     "ev_trending" -> ((s, dir) =>
@@ -3983,6 +3991,18 @@ object SparkEntry {
        "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
        "SELECT event_type, n, round(sl, 6) AS slope, " +
        "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
+    // median/MAD replay with the same interpolating exact percentile
+    "ev_anomaly_robust" ->
+      ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+       "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+       "d AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad " +
+       "FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL GROUP BY 1), " +
+       "s AS (SELECT m.event_type, med, mad FROM m JOIN d USING (event_type)) " +
+       "SELECT event_id, e.event_type, " +
+       "round(CASE WHEN mad > 0 THEN abs(e.value - med) / (1.4826 * mad) END, 6) AS robust_z " +
+       "FROM events e JOIN s ON e.event_type = s.event_type " +
+       "WHERE CASE WHEN mad > 0 THEN abs(e.value - med) / (1.4826 * mad) > 3.5 " +
+       "ELSE abs(e.value - med) > 0 END"),
     // staircase-decay replay: integer half-life buckets (// = the same
     // truncation as the Spark cast), exact 2^-k weights
     "ev_trending" ->

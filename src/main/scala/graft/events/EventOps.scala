@@ -366,6 +366,36 @@ object EventOps {
    *         the lookback window)
    */
   /**
+   * Robust anomaly flags — the median/MAD upgrade of the mean/stddev
+   * z-score (which an anomaly itself corrupts: one 10⁶ outlier inflates σ
+   * until nothing else flags). Two exact-percentile passes (median, then
+   * median of |v − med|) and a broadcast join back — per-group stats are
+   * group-count-sized, the fact side never shuffles twice. Score =
+   * |v − med| / (1.4826·MAD), flag at > `k`; MAD = 0 groups (constant
+   * values) flag any deviation.
+   *
+   * @return (input columns…, robust_z DOUBLE rounded 6, is_anomaly)
+   */
+  def robustAnomalies(df: DataFrame, groupCols: Seq[String], value: String,
+                      k: Double = 3.5): DataFrame = {
+    val v = col(value).cast("double")
+    val med = df.filter(v.isNotNull).groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($value, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($value - __med), 0.5)").as("__mad"))
+    val stats = med.join(dev, groupCols)
+    val z = abs(v - col("__med")) / (lit(1.4826) * col("__mad"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("robust_z",
+        round(when(col("__mad") > 0, z), 6))
+      .withColumn("is_anomaly",
+        when(col("__mad") > 0, z > k).otherwise(abs(v - col("__med")) > 0))
+      .drop("__med", "__mad")
+  }
+
+  /**
    * Staircase-exponential decayed counts — the "trending now" aggregate:
    * each event contributes 2^(−⌊age/halfLife⌋) at the reference instant
    * (the corpus max timestamp, riding the plan as a broadcast singleton).
