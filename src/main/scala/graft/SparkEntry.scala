@@ -1915,6 +1915,11 @@ object SparkEntry {
     // per-label centroids: one posexplode + one combinable (label, dim) agg
     "emb_centroids" -> ((s, dir) =>
       graft.ml.Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
+    // distribution drift monitor: L2 + cosine between two slices' published
+    // centroid vectors (reproducible from the stored centroid table alone)
+    "emb_drift" -> ((s, dir) =>
+      graft.ml.Similarity.centroidDrift(t(s, dir, "embeddings"), "label", "embedding",
+        labelA = 0, labelB = 1)),
     // exact covariance matrix (PCA/whitening input): per-row upper-triangle
     // products inside the scan stage, one combinable (i, j) aggregation
     "emb_covariance" -> ((s, dir) =>
@@ -3807,6 +3812,21 @@ object SparkEntry {
        "unnest(range(len(embedding))) AS dim FROM embeddings) " +
        "SELECT label, dim, round((sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) " +
        "/ count(*))::DOUBLE, 6) AS mean FROM x GROUP BY 1, 2"),
+    // drift replay over the same rounded centroid table, DECIMAL sums
+    "emb_drift" ->
+      ("WITH x AS (SELECT label, unnest(embedding) AS v, " +
+       "unnest(range(len(embedding))) AS dim FROM embeddings WHERE label IN (0, 1)), " +
+       "c AS (SELECT label, dim, round((sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) " +
+       "/ count(*))::DOUBLE, 6) AS mean FROM x GROUP BY 1, 2), " +
+       "p AS (SELECT a.dim, a.mean AS ma, b.mean AS mb FROM " +
+       "(SELECT dim, mean FROM c WHERE label = 0) a JOIN " +
+       "(SELECT dim, mean FROM c WHERE label = 1) b USING (dim)), " +
+       "s AS (SELECT CAST(sum(((ma - mb) * (ma - mb))::DECIMAL(38,12)) AS DOUBLE) AS d2, " +
+       "CAST(sum((ma * mb)::DECIMAL(38,12)) AS DOUBLE) AS ab, " +
+       "CAST(sum((ma * ma)::DECIMAL(38,12)) AS DOUBLE) AS aa, " +
+       "CAST(sum((mb * mb)::DECIMAL(38,12)) AS DOUBLE) AS bb FROM p) " +
+       "SELECT round(sqrt(d2), 6) AS l2, " +
+       "round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos FROM s"),
     // covariance replay: zipped unnest → per-vec (i, x); upper-triangle
     // pair sums + per-dim sums in DECIMAL(28,12) (exact, order-free), the
     // double formula rounds last — same device as emb_centroids

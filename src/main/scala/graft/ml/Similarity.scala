@@ -244,6 +244,34 @@ object Similarity {
         .as("mean"))
 
   /**
+   * Embedding distribution drift between two label slices — the monitor a
+   * pipeline runs when a new corpus batch or model version lands: L2 and
+   * cosine between the slices' ROUNDED mean vectors ([[labelCentroids]]'s
+   * published round-6 values, so the drift numbers are reproducible from
+   * the stored centroid table alone). Two combinable per-(label, dim)
+   * aggregations → a dim-row join → one scalar row; the corpora never
+   * pairwise-join.
+   *
+   * @return one row (l2 DOUBLE, cos DOUBLE — both rounded 6)
+   */
+  def centroidDrift(corpus: DataFrame, labelCol: String, vecCol: String,
+                    labelA: Int, labelB: Int): DataFrame = {
+    val cents = labelCentroids(
+      corpus.filter(col(labelCol).isin(labelA, labelB)), labelCol, vecCol)
+    val a = cents.filter(col("label") === labelA).select(col("dim"), col("mean").as("ma"))
+    val b = cents.filter(col("label") === labelB).select(col("dim"), col("mean").as("mb"))
+    a.join(b, Seq("dim"))
+      .agg(
+        sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast("decimal(38,12)"))
+          .cast("double").as("__d2"),
+        sum((col("ma") * col("mb")).cast("decimal(38,12)")).cast("double").as("__ab"),
+        sum((col("ma") * col("ma")).cast("decimal(38,12)")).cast("double").as("__aa"),
+        sum((col("mb") * col("mb")).cast("decimal(38,12)")).cast("double").as("__bb"))
+      .select(round(sqrt(col("__d2")), 6).as("l2"),
+        round(col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6).as("cos"))
+  }
+
+  /**
    * Exact corpus covariance matrix of the embedding column — the input to
    * PCA/whitening/Mahalanobis over the corpus distribution. Upper triangle
    * (i ≤ j) of cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
