@@ -1452,6 +1452,9 @@ object SparkEntry {
     // bounds the trim/color/sweep round counts — stays low (~4 trim
     // passes, ecc ≈ 14 at sf0.1; the sparser mod-10 slice ran a 16-layer
     // periphery and 29-hop eccentricity: 3x the rounds on half the data).
+    // mutual-vs-hierarchical scalar over the cyclic order-sequence graph
+    "graph_reciprocity" -> ((s, dir) =>
+      Algorithms.reciprocity(partSeqEdges(s, dir, mod = 2))),
     "scc" -> ((s, dir) => {
       // persist the sequence graph ONCE: the vertex derivation and the
       // algorithm otherwise each rebuild the 600k-row lineitem self-join
@@ -1920,6 +1923,11 @@ object SparkEntry {
     "emb_drift" -> ((s, dir) =>
       graft.ml.Similarity.centroidDrift(t(s, dir, "embeddings"), "label", "embedding",
         labelA = 0, labelB = 1)),
+    // embedding-quality gate: diagonal-Mahalanobis top-20 outliers against
+    // the corpus distribution (published round-6 μ/σ² stats)
+    "emb_outliers" -> ((s, dir) =>
+      graft.ml.Similarity.mahalanobisOutliers(t(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 20)),
     // exact covariance matrix (PCA/whitening input): per-row upper-triangle
     // products inside the scan stage, one combinable (i, j) aggregation
     "emb_covariance" -> ((s, dir) =>
@@ -3727,6 +3735,14 @@ object SparkEntry {
     // w →* v} — O(V·E) reach-pair state, affordable only because the mod-10
     // induced graph is small at sf0.01; the Spark side runs the actual
     // trim+color+sweep algorithm
+    // reciprocity replay over the same distinct non-loop sequence edges
+    "graph_reciprocity" ->
+      ("WITH " + partSeqCte(2) +
+       ", r AS (SELECT count(*)::BIGINT AS reciprocal FROM e a " +
+       "WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)), " +
+       "m AS (SELECT count(*)::BIGINT AS edges FROM e) " +
+       "SELECT edges, reciprocal, round(reciprocal * 1.0 / edges, 6) AS reciprocity " +
+       "FROM m, r"),
     "scc" ->
       ("WITH RECURSIVE " + partSeqCte(5) +
        // explicit DISTINCT-over-UNION-ALL: see graph_sigma's note on this
@@ -3827,6 +3843,19 @@ object SparkEntry {
        "CAST(sum((mb * mb)::DECIMAL(38,12)) AS DOUBLE) AS bb FROM p) " +
        "SELECT round(sqrt(d2), 6) AS l2, " +
        "round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos FROM s"),
+    // diagonal-Mahalanobis replay: published round-6 per-dim stats,
+    // DECIMAL per-vector sum, top-20 by (score desc, id)
+    "emb_outliers" ->
+      ("WITH x AS (SELECT vec_id, unnest(range(len(embedding))) AS d, " +
+       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE len(embedding) = 64), " +
+       "st AS (SELECT d, round((sum(CAST(x AS DECIMAL(28,12))) / count(*))::DOUBLE, 6) AS mu, " +
+       "round((sum(CAST(x * x AS DECIMAL(28,12))) / count(*))::DOUBLE, 6) AS ex2 " +
+       "FROM x GROUP BY 1), " +
+       "sv AS (SELECT d, mu, round(ex2 - mu * mu, 6) AS var FROM st WHERE round(ex2 - mu * mu, 6) > 0), " +
+       "sc AS (SELECT vec_id, round(CAST(sum(CAST(((x - mu) * (x - mu)) / var AS DECIMAL(38,10))) AS DOUBLE), 6) AS score " +
+       "FROM x JOIN sv USING (d) GROUP BY 1), " +
+       "r AS (SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+       "SELECT vec_id, score, rank FROM r WHERE rank <= 20"),
     // covariance replay: zipped unnest → per-vec (i, x); upper-triangle
     // pair sums + per-dim sums in DECIMAL(28,12) (exact, order-free), the
     // double formula rounds last — same device as emb_centroids

@@ -1384,6 +1384,27 @@ object Algorithms {
    *
    * @return (community, vol, cut, phi) — phi rounded to 6
    */
+  /**
+   * Directed-graph reciprocity: the fraction of (deduplicated, non-loop)
+   * edges whose reverse edge also exists — the one-number answer to "is
+   * this graph mutual or hierarchical" (follows vs citations). One
+   * distinct + one self-semi-join on the reversed keys; scalar output.
+   *
+   * @return one row (edges BIGINT, reciprocal BIGINT, reciprocity rounded 6)
+   */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rec = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val out = e.agg(count(lit(1)).as("edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("reciprocal")))
+      .select(col("edges"), col("reciprocal"),
+        round(col("reciprocal").cast("double") / col("edges"), 6).as("reciprocity"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, e)
+  }
+
   def conductance(labels: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),

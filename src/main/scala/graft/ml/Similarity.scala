@@ -272,6 +272,44 @@ object Similarity {
   }
 
   /**
+   * Per-vector outlier score against the corpus distribution: the DIAGONAL
+   * Mahalanobis distance Σ_d ((x_d − μ_d)/σ_d)² — the embedding-quality
+   * gate that flags corrupt/degenerate vectors before they enter an ANN
+   * index (full-covariance Mahalanobis needs a dim×dim inverse; the
+   * diagonal form is the standard scalable surrogate and composes with
+   * [[powerIteration]] whitening when correlations matter). μ, σ² are one
+   * combinable per-dim aggregation broadcast back; each vector scores in
+   * one scan pass with a DECIMAL-exact sum. σ = 0 dimensions drop (no
+   * information). Scores use the PUBLISHED round-6 μ/σ² so the gate is
+   * reproducible from stored stats.
+   *
+   * @return (vec_id, score DOUBLE rounded 6, rank) — top `k` by score desc
+   */
+  def mahalanobisOutliers(corpus: DataFrame, vecCol: String, dim: Int,
+                          k: Int): DataFrame = {
+    val x = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col("vec_id"),
+        posexplode(transform(col(vecCol), v => v.cast("double"))).as(Seq("d", "x")))
+    val stats = x.groupBy("d")
+      .agg(
+        round(sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("mu"),
+        round(sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("ex2"))
+      .select(col("d"), col("mu"),
+        round(col("ex2") - col("mu") * col("mu"), 6).as("var"))
+      .filter(col("var") > 0)
+    val scored = x.join(broadcast(stats), Seq("d"))
+      .groupBy("vec_id")
+      .agg(round(sum((((col("x") - col("mu")) * (col("x") - col("mu"))) / col("var"))
+        .cast("decimal(38,10)")).cast("double"), 6).as("score"))
+    // distributed TakeOrdered first; the rank window runs over k rows only
+    val top = scored.orderBy(col("score").desc, col("vec_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)))
+  }
+
+  /**
    * Exact corpus covariance matrix of the embedding column — the input to
    * PCA/whitening/Mahalanobis over the corpus distribution. Upper triangle
    * (i ≤ j) of cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
