@@ -1747,6 +1747,14 @@ object SparkEntry {
     }),
     "dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")),
+    // formatting-variant duplicates under the canonical form — still a
+    // pure hash groupBy
+    "dedup_normalized" -> ((s, dir) =>
+      graft.text.TextOps.dedupNormalized(t(s, dir, "documents"), "doc_id", "text")),
+    // DAU + trailing-7-day active users: distinct FIRST, then window fan-out
+    "ev_active_users" -> ((s, dir) =>
+      graft.events.EventOps.activeUsers(
+        graft.sources.Tables.events(s, dir), "user_id", "ts", windowDays = 7)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.text.TextOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.5)),
     // span-level exact-substring dedup (Lee et al. 2022): maximal token
@@ -3262,6 +3270,20 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
        "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
+    // canonical-form fingerprint: punctuation → space, collapse, trim
+    "dedup_normalized" ->
+      ("SELECT md5(trim(regexp_replace(regexp_replace(lower(text), " +
+       "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp, " +
+       "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
+    // exact DAU/WAU replay: distinct user-days, 7-offset window fan-out
+    "ev_active_users" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events " +
+       "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+       "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1), " +
+       "w AS (SELECT day + o.o::INTEGER AS day, user_id FROM ud, " +
+       "(SELECT unnest(generate_series(0, 6)) AS o) o), " +
+       "wau AS (SELECT day, count(DISTINCT user_id) AS windowed FROM w GROUP BY 1) " +
+       "SELECT day, dau, windowed FROM dau JOIN wau USING (day)"),
     "text_vocab" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
        "FROM documents) " +

@@ -366,6 +366,30 @@ object EventOps {
    *         the lookback window)
    */
   /**
+   * Trailing-window active users (DAU/WAU-style): per observed day, the
+   * exact distinct-user count for that day and for the trailing `windowDays`
+   * window. The per-(user, day) distinct happens FIRST (event volume
+   * collapses to user-days), then each user-day fans out to the windows it
+   * feeds — the replicate-then-distinct shape that keeps the expensive
+   * distinct on the small relation. Swap the exact distinct for the
+   * per-day HLL register merge ([[graft.sketch.Sketches.hllSlidingDistinct]])
+   * when user-days stop fitting.
+   *
+   * @return (day DATE, dau BIGINT, windowed BIGINT) for observed days only
+   */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+                  windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).cast("date").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
+    val wau = ud.withColumn("__o", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(date_add(col("day"), col("__o")).as("day"), col("__u"))
+      .groupBy("day").agg(countDistinct(col("__u")).as("windowed"))
+    dau.join(wau, Seq("day"))
+  }
+
+  /**
    * Robust anomaly flags — the median/MAD upgrade of the mean/stddev
    * z-score (which an anomaly itself corrupts: one 10⁶ outlier inflates σ
    * until nothing else flags). Two exact-percentile passes (median, then

@@ -595,6 +595,24 @@ object TextOps {
       .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * Normalization-robust exact dedup: duplicates under the CANONICAL form
+   * (lowercase, punctuation → space, whitespace collapsed and trimmed) —
+   * catches the formatting-variant duplicates a raw-byte hash misses
+   * (html-unescaped rewraps, smart-quote swaps, trailing-space churn)
+   * while staying a pure hash groupBy (no pairs, no index). The regex
+   * subset is Java/RE2-common so the oracle replays the canon exactly.
+   *
+   * @return (fp, rep_id = min id, dup_count) — same contract as
+   *         [[dedupExact]]
+   */
+  def dedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    df.select(col(idCol), md5(canon).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /**
    * PII redaction patterns, ordered (emails redact before IPs so an
    * address-like domain never half-redacts). Kept to the regex subset
    * where Java and RE2 agree (char classes, bounded reps, `\b`) so the
