@@ -2169,6 +2169,19 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // equi-width value histogram per type (group min/max broadcast back)
+    "ev_histogram" -> ((s, dir) =>
+      graft.events.EventOps.histogram(
+        graft.sources.Tables.events(s, dir), Seq("event_type"), col("value"),
+        buckets = 10)),
+    // degree distribution of the co-supply graph — the first thing anyone
+    // plots about a graph
+    "graph_degree_hist" -> ((s, dir) => {
+      val e = cosupplyEdges(s, dir)
+      e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
     // robust anomalies: median/MAD flags (outliers can't corrupt their own
     // detector the way they inflate a stddev)
     "ev_anomaly_robust" -> ((s, dir) =>
@@ -3837,6 +3850,23 @@ object SparkEntry {
        "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2) " +
        "SELECT max(d) AS diameter, round(quantile_cont(d, 0.9), 6) AS p90 FROM sp"),
     "graph_walks" -> walksOracle(steps = 6, seeds = 16),
+    // equi-width histogram replay: group min/max, same bucket expression
+    "ev_histogram" ->
+      ("WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx " +
+       "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+       "b AS (SELECT e.event_type, CASE WHEN mx = mn THEN 0 " +
+       "ELSE least(floor((value - mn) / ((mx - mn) / 10))::INT, 9) END AS bucket, mn, mx " +
+       "FROM events e JOIN s USING (event_type) WHERE value IS NOT NULL) " +
+       "SELECT event_type, bucket, " +
+       "round(mn + bucket * ((mx - mn) / 10), 6) AS lo, " +
+       "round(mn + (bucket + 1) * ((mx - mn) / 10), 6) AS hi, " +
+       "count(*) AS n FROM b GROUP BY event_type, bucket, mn, mx"),
+    // degree histogram over the same co-supply edge set
+    "graph_degree_hist" ->
+      (cosupplyCte(0.6) +
+       ", deg AS (SELECT id, count(*) AS degree FROM " +
+       "(SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1) " +
+       "SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1"),
     "graph_assortativity" ->
       ("WITH " + partSeqCte(1) +
        ", od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src), " +

@@ -366,6 +366,34 @@ object EventOps {
    *         the lookback window)
    */
   /**
+   * Equi-width histogram per group: bucket = ⌊(v − min)/width⌋ against the
+   * GROUP's own min/max (a per-group aggregate broadcast back — the
+   * histogram the profiler/monitor draws). The max lands in the last
+   * bucket (clamped), so exactly `buckets` buckets span [min, max]. One
+   * stats aggregate + one counting aggregate; no sort.
+   *
+   * @return (groupCols…, bucket INT, lo DOUBLE, hi DOUBLE, n BIGINT)
+   */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val v = value.cast("double")
+    val stats = df.filter(v.isNotNull).groupBy(groupCols.map(col): _*)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / buckets
+    val raw = floor((v - col("__lo")) / width).cast("int")
+    val b = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(raw, lit(buckets - 1)))
+    df.filter(v.isNotNull).join(broadcast(stats), groupCols)
+      .withColumn("bucket", b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__lo") + col("bucket") * width), 6).as("lo"),
+        round(first(col("__lo") + (col("bucket") + 1) * width), 6).as("hi"))
+      .select((groupCols :+ "bucket").map(col) :+ col("lo") :+ col("hi") :+ col("n"): _*)
+  }
+
+  /**
    * Trailing-window active users (DAU/WAU-style): per observed day, the
    * exact distinct-user count for that day and for the trailing `windowDays`
    * window. The per-(user, day) distinct happens FIRST (event volume
