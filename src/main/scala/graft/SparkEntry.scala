@@ -1584,6 +1584,11 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, dir) =>
       graft.text.TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+    // top PMI collocations: doc-level co-occurrence vs marginal df, the
+    // df band caps the per-doc quadratic fan-out
+    "text_pmi" -> ((s, dir) =>
+      graft.text.TextOps.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 5, maxDf = 100, k = 50)),
     // sparse TF-IDF cosine pairs through the inverted index (df-capped) —
     // the sparse sibling of emb_neardup
     "text_tfidf_sim" -> ((s, dir) =>
@@ -3313,6 +3318,23 @@ object SparkEntry {
        "r AS (SELECT doc_id, tok, tfidf, row_number() OVER " +
        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
        "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
+    // doc-level PMI replay: same df band, same rounded ranking
+    "text_pmi" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
+       "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) " +
+       "WHERE tok <> ''), " +
+       "dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1 " +
+       "HAVING count(*) >= 5 AND count(*) <= 100), " +
+       "kept AS (SELECT dt.doc_id, dt.tok, dfq.df FROM dt JOIN dfq USING (tok)), " +
+       "nv AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+       "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab, " +
+       "min(a.df) AS dfa, min(b.df) AS dfb FROM kept a " +
+       "JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2), " +
+       "sc AS (SELECT tok_a, tok_b, n_ab, " +
+       "round(ln(n_ab * (SELECT n FROM nv) / (dfa * dfb)), 6) AS pmi FROM p), " +
+       "r AS (SELECT tok_a, tok_b, n_ab::BIGINT AS n_ab, pmi, row_number() OVER " +
+       "(ORDER BY pmi DESC, tok_a ASC, tok_b ASC) AS rank FROM sc) " +
+       "SELECT tok_a, tok_b, n_ab, pmi, rank FROM r WHERE rank <= 50"),
     // sparse cosine replay: df-capped weights, DECIMAL dot/norm sums
     "text_tfidf_sim" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +

@@ -595,6 +595,42 @@ object TextOps {
       .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * Top-k PMI collocations at the DOCUMENT level: token pairs that
+   * co-occur in more documents than their marginals predict —
+   * pmi = ln(df(a,b)·N / (df(a)·df(b))). The df band [minDf, maxDf] is
+   * both the statistics guard (singleton tokens give degenerate PMI) and
+   * the scale cap (the per-doc pair fan-out is quadratic in KEPT tokens
+   * per doc, and hot tokens are excluded before the fan-out). Ranking is
+   * on the ROUNDED pmi with a lexical tie-break, so the top-k boundary is
+   * deterministic cross-engine.
+   *
+   * @return (tok_a, tok_b, n_ab BIGINT, pmi DOUBLE rounded 6, rank ≤ k)
+   */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               minDf: Long = 5, maxDf: Long = 1000, k: Int = 50): DataFrame = {
+    val dt = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
+    val kept = dt.join(dfreq, "tok")
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val pairs = kept.select(col(idCol), col("tok").as("tok_a"), col("__df").as("__dfa"))
+      .join(kept.select(col(idCol), col("tok").as("tok_b"), col("__df").as("__dfb")),
+        Seq(idCol))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"), first(col("__dfa")).as("__dfa"),
+        first(col("__dfb")).as("__dfb"))
+    val scored = pairs.crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(col("n_ab") * col("__n") / (col("__dfa") * col("__dfb"))), 6).as("pmi"))
+    val top = scored
+      .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc).limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(
+      col("pmi").desc, col("tok_a").asc, col("tok_b").asc)))
+  }
+
+  /**
    * Normalization-robust exact dedup: duplicates under the CANONICAL form
    * (lowercase, punctuation → space, whitespace collapsed and trimmed) —
    * catches the formatting-variant duplicates a raw-byte hash misses
