@@ -145,6 +145,29 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(at(1500L) == Seq("a") && at(2000L) == Seq("b") && at(999L).isEmpty)
   }
 
+  test("histogram: hand-computed buckets, max clamped, constant group collapses to one") {
+    val rows = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("a", 9.999),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val got = EventOps.histogram(rows, Seq("g"), col("v"), buckets = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(4)).toMap
+    // a: width 1 -> 0.0 in bucket 0, 5.0 in bucket 5, 9.999 and 10.0 (clamped) in 9
+    assert(got == Map(("a", 0) -> 1L, ("a", 5) -> 1L, ("a", 9) -> 2L, ("b", 0) -> 2L))
+  }
+
+  test("pmiPairs: always-together tokens outrank independent ones") {
+    // 'x y' co-occur in every doc they appear in; 'x z' only half the time
+    val docs = (1 to 12).map { i =>
+      val t = if (i <= 6) "x y z" else if (i <= 9) "z q" else "q r"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(docs, "doc_id", "text", minDf = 2, maxDf = 12, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // df(x)=df(y)=6, df(x,y)=6, N=12 -> pmi = ln(6*12/36) = ln 2
+    assert(math.abs(got(("x", "y")) - math.log(2)) < 1e-6)
+    // x-z co-occur 6, df(z)=9 -> pmi = ln(6*12/54) < ln 2
+    assert(got(("x", "y")) > got(("x", "z")))
+  }
+
   test("profileSketch: exact cheap stats match profile(); NDV estimate is sane") {
     val df = spark.read.parquet(s"$SF/documents.parquet")
     val cols = Seq("doc_id", "lang")
