@@ -1330,6 +1330,18 @@ object SparkEntry {
       val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
       Algorithms.connectedComponents(vs, g.edgesByType(Seq("IN_REGION")))
     }),
+    // incremental WCC: nation-components built from IN_NATION edges, the
+    // IN_REGION delta folded in — delta-sized work, must equal the full
+    // rebuild (min-id label composition)
+    "wcc_apply" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val eOld = g.edgesByType(Seq("IN_NATION")).select("src", "dst")
+      val vsOld = eOld.select(col("src").as("id"))
+        .unionByName(eOld.select(col("dst").as("id"))).distinct()
+      Algorithms.connectedComponentsApply(
+        Algorithms.connectedComponents(vsOld, eOld),
+        g.edgesByType(Seq("IN_REGION")).select("src", "dst"))
+    }),
     "pagerank" -> ((s, dir) => {
       val g = graph(s, dir)
       val vs = g.nodes.filter(col("label").isin("nation", "region")).select("id")
@@ -3103,6 +3115,15 @@ object SparkEntry {
        "UNION ALL SELECT o + 6000000000, d FROM dord"),
     "wcc" ->
       ("SELECT n_nationkey + 2000000000 AS id, n_regionkey + 1000000000 AS component FROM nation " +
+       "UNION ALL SELECT r_regionkey + 1000000000, r_regionkey + 1000000000 FROM region"),
+    // the incremental fold must equal the full rebuild: every entity lands
+    // in its region's component (min id = the region node)
+    "wcc_apply" ->
+      ("SELECT c_custkey + 3000000000 AS id, n_regionkey + 1000000000 AS component " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "UNION ALL SELECT s_suppkey + 4000000000, n_regionkey + 1000000000 " +
+       "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+       "UNION ALL SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation " +
        "UNION ALL SELECT r_regionkey + 1000000000, r_regionkey + 1000000000 FROM region"),
     // pagerank is a fixed 10-iteration computation → 10 chained CTE stages
     // replicating Algorithms.pageRank's exact recurrence (incl. dangling mass)

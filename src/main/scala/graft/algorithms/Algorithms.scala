@@ -1385,6 +1385,43 @@ object Algorithms {
    * @return (community, vol, cut, phi) — phi rounded to 6
    */
   /**
+   * Incremental connected components: fold NEW edges into an existing
+   * labeling without re-walking the old edge set — the graph sibling of
+   * [[graft.events.EventOps.aggApply]]. New edges contract through the old
+   * labels (endpoint → its component, absent endpoints stay themselves),
+   * WCC runs over the CONTRACTED graph (old components + delta edges —
+   * delta-sized work, the full edge history never re-joins), and the old
+   * labeling composes through the result. Exact invariant (spec-pinned
+   * and oracle-checked as `wcc_apply`):
+   * `ccApply(cc(E₁), E₂) == cc(E₁ ∪ E₂)` — because labels are component
+   * MINIMUM ids, and the min over a merged component equals the min over
+   * its constituent old components' labels.
+   *
+   * @param oldComp (id, component) from [[connectedComponents]]
+   * @return (id, component) over old ids ∪ new-edge endpoints
+   */
+  def connectedComponentsApply(oldComp: DataFrame, newEdges: DataFrame): DataFrame = {
+    val m = oldComp.select(col("id"), col("component"))
+    val contracted = newEdges.select(col("src"), col("dst"))
+      .join(m.select(col("id").as("src"), col("component").as("__cs")), Seq("src"), "left")
+      .join(m.select(col("id").as("dst"), col("component").as("__cd")), Seq("dst"), "left")
+      .select(coalesce(col("__cs"), col("src")).as("src"),
+        coalesce(col("__cd"), col("dst")).as("dst"))
+    val members = m.select(col("component").as("id"))
+      .unionByName(contracted.select(col("src").as("id")))
+      .unionByName(contracted.select(col("dst").as("id"))).distinct()
+    val comp2 = connectedComponents(members, contracted)
+    val newIds = newEdges.select(col("src").as("id"))
+      .unionByName(newEdges.select(col("dst").as("id"))).distinct()
+      .join(m, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    m.unionByName(newIds)
+      .join(comp2.select(col("id").as("component"), col("component").as("__c2")),
+        Seq("component"))
+      .select(col("id"), col("__c2").as("component"))
+  }
+
+  /**
    * Directed-graph reciprocity: the fraction of (deduplicated, non-loop)
    * edges whose reverse edge also exists — the one-number answer to "is
    * this graph mutual or hierarchical" (follows vs citations). One

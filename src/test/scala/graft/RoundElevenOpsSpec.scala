@@ -15,6 +15,24 @@ class RoundElevenOpsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("connectedComponentsApply: any edge split folds to the full rebuild") {
+    // seeded random graph; three different old/new splits must all compose
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+    val full = Algorithms.connectedComponents(vs, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0.2, 0.5, 0.8).foreach { fr =>
+      val (e1, e2) = edges.partition(e => (e._1 * 31 + e._2) % 10 < fr * 10)
+      val v1 = e1.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+      val old = Algorithms.connectedComponents(v1, e1.toDF("src", "dst"))
+      val got = Algorithms.connectedComponentsApply(old, e2.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full, s"split $fr: incremental != full rebuild")
+    }
+  }
+
   test("reciprocity: mutual pair among three edges; loops and dups ignored") {
     val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (4L, 4L)).toDF("src", "dst")
     val r = Algorithms.reciprocity(es).collect()(0)
