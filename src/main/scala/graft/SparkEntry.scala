@@ -1809,6 +1809,26 @@ object SparkEntry {
       val pairs = graft.text.TextOps.minhashDedup(docs, "doc_id", "text").select("a", "b")
       graft.text.TextOps.dedupClusters(docs, "doc_id", pairs)
     }),
+    // incremental dedup: yesterday's cluster labeling + today's delta
+    // pairs fold through connectedComponentsApply — must equal the full
+    // rebuild (LSH bands are per-doc, so restricting the corpus restricts
+    // the pair set exactly; labels are min-ids, so composition is exact)
+    "dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isOld = col("a") % 2 === 0 && col("b") % 2 === 0
+      val pairsAll = graft.text.TextOps.minhashDedup(docs, "doc_id", "text")
+        .select("a", "b").persist()
+      val oldClusters = graft.text.TextOps.dedupClusters(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", pairsAll.filter(isOld))
+      val merged = Algorithms.connectedComponentsApply(
+        oldClusters.select(col("doc_id").as("id"), col("canonical").as("component")),
+        pairsAll.filter(!isOld).select(col("a").as("src"), col("b").as("dst")))
+      val out = docs.select("doc_id")
+        .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical"))
+        .withColumn("keep", col("doc_id") === col("canonical"))
+      graft.util.CacheLifecycle.releaseOnFirstAction(out, pairsAll)
+    }),
     // keep policy: best copy per cluster (longest text, tie lowest id) —
     // same clusters, production keep semantics
     "dedup_keep_best" -> ((s, dir) => {
@@ -3603,6 +3623,22 @@ object SparkEntry {
     // clusters = transitive closure of the jaccard-0.5 pair graph (the
     // minhash verify contract); min label propagation in a recursive CTE
     "dedup_clusters" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
+       "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
+       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+       "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
+       "JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+       "jp AS (SELECT a, b FROM (SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard " +
+       "FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id) WHERE jaccard >= 0.5), " +
+       "edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp), " +
+       "reach AS (SELECT doc_id AS u, doc_id AS lbl FROM documents " +
+       "UNION SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u) " +
+       "SELECT u AS doc_id, min(lbl)::BIGINT AS canonical, u = min(lbl) AS keep " +
+       "FROM reach GROUP BY 1"),
+    // the incremental fold must equal the full rebuild — same oracle as
+    // dedup_clusters
+    "dedup_apply" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
