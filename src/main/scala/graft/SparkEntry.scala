@@ -1596,6 +1596,10 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, dir) =>
       graft.text.TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+    // Zipf slope over the top-1000 vocabulary — the one-number corpus
+    // health check (natural text ≈ −1)
+    "text_zipf" -> ((s, dir) =>
+      graft.text.TextOps.zipfFit(t(s, dir, "documents"), "text", vocabSize = 1000)),
     // top PMI collocations: doc-level co-occurrence vs marginal df, the
     // df band caps the per-doc quadratic fan-out
     "text_pmi" -> ((s, dir) =>
@@ -2206,6 +2210,20 @@ object SparkEntry {
       graft.events.EventOps.trend(
         graft.sources.Tables.events(s, dir), Seq("event_type"),
         datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))), col("value"))),
+    // local maxima in the per-type daily series (strictly above both
+    // neighbors; series edges excluded) — the alert a monitor raises
+    "ev_peaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          lag(col("n"), 1).over(w).as("__p"), lead(col("n"), 1).over(w).as("__x"))
+        .filter(col("__p").isNotNull && col("__x").isNotNull &&
+          col("n") > col("__p") && col("n") > col("__x"))
+        .select("event_type", "day", "n")
+    }),
     // equi-width value histogram per type (group min/max broadcast back)
     "ev_histogram" -> ((s, dir) =>
       graft.events.EventOps.histogram(
@@ -3359,6 +3377,24 @@ object SparkEntry {
        "r AS (SELECT doc_id, tok, tfidf, row_number() OVER " +
        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank FROM s) " +
        "SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3"),
+    // Zipf replay: micro-ln-rank integer x through the same DECIMAL
+    // regression sums, rescale before the final round
+    "text_zipf" ->
+      ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+       "FROM documents), " +
+       "freq AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' " +
+       "GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 1000), " +
+       "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank FROM freq), " +
+       "b AS (SELECT CAST(round(ln(rank * 1.0) * 1e6) AS BIGINT) AS x, ln(c * 1.0) AS y FROM r), " +
+       "a AS (SELECT count(*)::BIGINT AS n, sum(x::DECIMAL(38,0)) AS sx, " +
+       "sum(y::DECIMAL(28,10)) AS sy, sum((x * y)::DECIMAL(38,10)) AS sxy, " +
+       "sum((x * x)::DECIMAL(38,0)) AS sxx FROM b), " +
+       "s2 AS (SELECT n, " +
+       "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS sl, " +
+       "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM a) " +
+       "SELECT n, round(sl * 1e6, 6) AS slope, " +
+       "round((syd - sl * sxd) / n, 6) AS intercept FROM s2"),
     // doc-level PMI replay: same df band, same rounded ranking
     "text_pmi" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
@@ -3929,6 +3965,15 @@ object SparkEntry {
        "sp AS (SELECT src, dst, min(depth) AS d FROM reach GROUP BY 1, 2) " +
        "SELECT max(d) AS diameter, round(quantile_cont(d, 0.9), 6) AS p90 FROM sp"),
     "graph_walks" -> walksOracle(steps = 6, seeds = 16),
+    // strict local-maxima replay on the same daily series
+    "ev_peaks" ->
+      ("WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n " +
+       "FROM events GROUP BY 1, 2), " +
+       "s AS (SELECT event_type, day, n, " +
+       "lag(n) OVER w AS p, lead(n) OVER w AS x FROM d " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY day)) " +
+       "SELECT event_type, day, n FROM s " +
+       "WHERE p IS NOT NULL AND x IS NOT NULL AND n > p AND n > x"),
     // equi-width histogram replay: group min/max, same bucket expression
     "ev_histogram" ->
       ("WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx " +

@@ -595,6 +595,42 @@ object TextOps {
       .groupBy("fp").agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
   /**
+   * Zipf fit over the top-`vocabSize` vocabulary: the least-squares slope
+   * of ln(freq) against ln(rank) — natural corpora sit near −1; template
+   * spam and synthetic boilerplate bend it, so the slope is a one-number
+   * corpus-health check. x rides as INTEGER MICRO-ln-rank so the five
+   * regression sums stay in the DECIMAL-exact [[graft.events.EventOps
+   * .trendSumAggs]] machinery (slope rescales by 1e6 at read-out); the
+   * vocabulary is a distributed TakeOrdered, the regression runs over
+   * `vocabSize` bounded rows.
+   *
+   * @return one row (n BIGINT, slope DOUBLE, intercept DOUBLE — rounded 6;
+   *         slope per unit ln rank, intercept at rank 1)
+   */
+  def zipfFit(df: DataFrame, textCol: String, vocabSize: Int = 1000): DataFrame = {
+    val freq = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+    val aggs = graft.events.EventOps.trendSumAggs(
+      round(log(col("rank").cast("double")) * 1e6),
+      log(col("c").cast("double")))
+    val sums = ranked.groupBy().agg(aggs.head, aggs.tail: _*)
+    // inline read-out: the micro-x slope rescales by 1e6 BEFORE rounding
+    // (trendReadout would round the micro-slope to 6 first — resolution 1
+    // after the rescale)
+    val sxd = col("__sx").cast("double")
+    val syd = col("__sy").cast("double")
+    val den = col("n") * col("__sxx").cast("double") - sxd * sxd
+    val sl = (col("n") * col("__sxy").cast("double") - sxd * syd) / den
+    sums.select(col("n"),
+      round(sl * 1e6, 6).as("slope"),
+      round((syd - sl * sxd) / col("n"), 6).as("intercept"))
+  }
+
+  /**
    * Top-k PMI collocations at the DOCUMENT level: token pairs that
    * co-occur in more documents than their marginals predict —
    * pmi = ln(df(a,b)·N / (df(a)·df(b))). The df band [minDf, maxDf] is
