@@ -186,6 +186,32 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got(("x", "y")) > got(("x", "z")))
   }
 
+  test("zipfFit: an exact power-law corpus recovers slope -1, intercept ln(K)") {
+    // counts = 60/rank exactly: ln f = ln 60 - 1·ln rank
+    val words = Seq(("a", 60), ("b", 30), ("c", 20), ("d", 15), ("e", 12))
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val got = TextOps.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text",
+      vocabSize = 5).collect()(0)
+    assert(got.getLong(0) == 5L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 1e-4, s"slope ${got.getDouble(1)}")
+    assert(math.abs(got.getDouble(2) - math.log(60.0)) < 1e-4)
+  }
+
+  test("ev_peaks shape: strict local maxima only, plateaus and edges excluded") {
+    import org.apache.spark.sql.expressions.Window
+    // daily series: 1 3 2 5 5 4 -> only day2 (3) is a strict peak
+    val days = Seq(1 -> 1, 2 -> 3, 3 -> 2, 4 -> 5, 5 -> 5, 6 -> 4)
+    val d = days.map { case (day, n) => (f"2024-01-0$day%d", n.toLong) }
+      .toDF("day", "n").select(to_date(col("day")).as("day"), col("n"))
+    val w = Window.orderBy("day")
+    val peaks = d.select(col("day"), col("n"),
+        lag(col("n"), 1).over(w).as("p"), lead(col("n"), 1).over(w).as("x"))
+      .filter(col("p").isNotNull && col("x").isNotNull &&
+        col("n") > col("p") && col("n") > col("x"))
+      .collect().map(_.getDate(0).toString)
+    assert(peaks.toSeq == Seq("2024-01-02"))
+  }
+
   test("profileSketch: exact cheap stats match profile(); NDV estimate is sane") {
     val df = spark.read.parquet(s"$SF/documents.parquet")
     val cols = Seq("doc_id", "lang")
