@@ -212,6 +212,25 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(peaks.toSeq == Seq("2024-01-02"))
   }
 
+  test("argument contracts fail loudly, not silently") {
+    val df = Seq((1L, "a", 1.0)).toDF("id", "g", "v")
+    intercept[IllegalArgumentException](
+      EventOps.ewma(df, Seq("g"), Seq(col("id")), col("v"), lookback = 0))
+    intercept[IllegalArgumentException](
+      EventOps.bootstrapMeans(df, "id", col("v"), replicates = 1))
+    intercept[IllegalArgumentException](
+      EventOps.histogram(df, Seq("g"), col("v"), buckets = 0))
+    intercept[IllegalArgumentException](
+      EventOps.decayedCounts(df.withColumn("ts", current_timestamp()),
+        Seq("g"), "ts", halfLifeSec = 0))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqKnn(df.toDF("vec_id", "g", "v"), df.toDF("vec_id", "g", "v"),
+        k = 1, dim = 7, m = 4)) // dim must split into m subspaces
+    intercept[IllegalArgumentException](
+      graft.sketch.Sketches.hllSlidingDistinct(df.withColumn("ts", current_timestamp()),
+        col("ts"), col("id"), slideSec = 0, slides = 4, p = 9))
+  }
+
   test("profileSketch: exact cheap stats match profile(); NDV estimate is sane") {
     val df = spark.read.parquet(s"$SF/documents.parquet")
     val cols = Seq("doc_id", "lang")
