@@ -21,6 +21,23 @@ object SparkEntry {
   private def db(spark: SparkSession, dir: String): GraphDB =
     dbCache.getOrElseUpdate(dir, new GraphDB(TpchGraph(spark, dir).cache()))
 
+  /** The TPC-H typed graph is a DAG, so directed cycles never match on it;
+    * the part ORDER-SEQUENCE graph (consecutive lineitems of an order
+    * connect their parts) has real directed triangles — the resident
+    * GraphDB that pins the planner's cycle-closing edge predicate
+    * (Planner cycle close) end-to-end against a DuckDB oracle. */
+  private val partSeqDbCache = scala.collection.concurrent.TrieMap.empty[String, GraphDB]
+  private def partSeqDb(s: SparkSession, dir: String): GraphDB =
+    partSeqDbCache.getOrElseUpdate(dir, {
+      val parts = t(s, dir, "part").select(col("p_partkey").cast("long").as("id"),
+        lit("part").as("label"), col("p_name").cast("string").as("name"),
+        col("p_retailprice").cast("double").as("value"))
+      val edges = partSeqEdges(s, dir, mod = 2)
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          lit("NEXT").as("etype"), lit(null).cast("double").as("weight"))
+      new GraphDB(graft.graph.PropertyGraph(parts, edges, edgesDistinct = true).cache())
+    })
+
   private def graph(spark: SparkSession, dir: String) = db(spark, dir).graph
 
   /** Materialize the resident graph + stats for a data dir (load phase —
@@ -482,6 +499,14 @@ object SparkEntry {
     // customers to everything 1-2 hops out over the membership edges
     "cy_varlen" -> ((s, dir) =>
       db(s, dir).query("MATCH (c:customer)-[:IN_NATION|IN_REGION*1..2]->(x) RETURN c, x")),
+    // directed 3-cycle: the pattern's last hop closes back onto the FIRST
+    // binding, exercising the planner's cycle-closing edge predicate
+    // end-to-end (in-JVM goldens existed since r3; this pins it against
+    // DuckDB's explicit three-way self-join). Runs on the part-sequence
+    // graph — the typed TPC-H graph is a DAG and can never match a cycle.
+    "cy_triangle" -> ((s, dir) =>
+      partSeqDb(s, dir).query(
+        "MATCH (a:part)-[:NEXT]->(b:part)-[:NEXT]->(c:part)-[:NEXT]->(a) RETURN a, b, c")),
     // the StatsStore surface as a query: label/type cardinalities (what the
     // cost-based planner consumes), oracled independently from the base
     // tables rather than through the graph derivation it describes
@@ -2629,8 +2654,17 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every query with DOUBLE outputs ([[NegZeroCols]]) is wrapped in a
+    * `* REPLACE (c + 0)` projection and [[Verify]] applies the same
+    * `+ 0.0` Spark-side — canonicalizing −0.0 to +0.0 on both engines
+    * before the driver's byte-hash compare (see [[graft.util.NegZero]]). */
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, sql) =>
+    k -> graft.util.NegZero.wrapOracle(sql, NegZeroCols.cols.getOrElse(k, Seq.empty))
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
     "cy_expand_1hop" ->
@@ -2638,6 +2672,15 @@ object SparkEntry {
     "cy_2hop" ->
       ("SELECT DISTINCT c_custkey + 3000000000 AS c, n_regionkey + 1000000000 AS r " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+    "cy_triangle" ->
+      ("WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+       "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+       "AND b.l_linenumber = a.l_linenumber + 1 AND a.l_partkey <> b.l_partkey " +
+       "WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0) " +
+       "SELECT DISTINCT CAST(e1.src AS BIGINT) AS a, CAST(e1.dst AS BIGINT) AS b, " +
+       "CAST(e2.dst AS BIGINT) AS c FROM e e1 " +
+       "JOIN e e2 ON e2.src = e1.dst " +
+       "JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src"),
     "cy_incoming" ->
       "SELECT DISTINCT s_nationkey + 2000000000 AS n FROM supplier",
     "cy_fork_middle" ->

@@ -19,8 +19,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     wanted.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // NegZero.normalize: −0.0 → +0.0 on double outputs, mirroring the
+      // `* REPLACE (c + 0)` wrap on the oracle side — the driver hashes
+      // BYTES, and the two engines disagree on round()'s sign of zero
+      try graft.util.NegZero.normalize(fn(spark, sfDir)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -314,47 +314,118 @@ object Similarity {
    * PCA/whitening/Mahalanobis over the corpus distribution. Upper triangle
    * (i ≤ j) of cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
    *
-   * Scale shape: every row emits its dim·(dim+1)/2 upper-triangle products
-   * via ONE nested array transform inside the scan stage (no self-join, no
-   * second pass), and the only shuffle is the combinable groupBy on (i, j)
-   * — map-side partial sums mean ≤ dim² rows cross the wire per input
-   * partition, independent of corpus size. Per-dimension sums for the
-   * means ride the same device (dim rows, broadcast back). Both sums
-   * accumulate in DECIMAL(28,12) (exact, partition-order-insensitive —
-   * the family-wide determinism device), the final double formula is
-   * rounded to 6.
+   * Scale shape: ONE corpus pass. Each partition accumulates the
+   * dim·(dim+1)/2 product sums + dim value sums + row count in a local
+   * array of exact decimals, and partials tree-merge executor-side — no
+   * per-product row stream, no shuffle of O(rows·dim²) anything; bytes
+   * crossing the wire are O(partitions · dim²), independent of corpus
+   * size. (The previous formulation exploded 104M product rows through a
+   * hash aggregate at sf0.1 — map-side combine made the SHUFFLE cheap,
+   * but materializing the product stream cost ~8 s; the fold-in-place
+   * pass is ~4× faster and strictly less data motion.) The dim²-sized
+   * result is then a LOCAL relation — the eigensolve family consumes it
+   * driver-side for free ([[DriverEigensolveMaxDim]]).
+   *
+   * Determinism contract (unchanged, byte-for-byte vs the SQL oracle):
+   * every product/value rounds to DECIMAL(28,12) HALF_UP exactly as
+   * Spark's `CAST(x AS DECIMAL(28,12))` would (non-finite and
+   * precision-28 overflow → null, skipped), sums are exact decimal adds
+   * (partition-order-insensitive), and the final double formula rounds
+   * to 6 with Spark `round` semantics.
    *
    * @return (i INT, j INT, n BIGINT, cov DOUBLE) for 0 ≤ i ≤ j < dim
    */
   def covarianceMatrix(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"covarianceMatrix needs dim >= 1, got $dim")
+    val spark = corpus.sparkSession
+    val nCells = dim * (dim + 1) / 2
     val vecs = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-    // upper-triangle products per row: for each i, pair xᵢ with the tail
-    // slice x[i..dim): struct(i, j = i + offset, xᵢ·xⱼ)
-    val prods = flatten(transform(col(vecCol), (xi, i) =>
-      transform(slice(col(vecCol), i + lit(1), lit(dim) - i),
-        (xj, o) => struct(i.cast("int").as("i"), (i + o).cast("int").as("j"),
-          (xi.cast("double") * xj.cast("double")).as("p")))))
-    val sums = vecs.select(explode(prods).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(28,12)")).as("sxy"), count(lit(1)).as("n"))
-    // the dim-row mean table persists: it joins back TWICE (as i and as j)
-    // and without the cache each broadcast side would re-scan the corpus
-    // (the d→i / d→j renames sit below the exchanges, so ReuseExchange
-    // can't dedupe them) — measured as a third corpus pass in the plan audit
-    val dims = vecs.select(posexplode(transform(col(vecCol), x => x.cast("double")))
-        .as(Seq("d", "x")))
-      .groupBy("d").agg(sum(col("x").cast("decimal(28,12)")).as("sx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = sums
-      .join(broadcast(dims.select(col("d").as("i"), col("sx").as("__sxi"))), Seq("i"))
-      .join(broadcast(dims.select(col("d").as("j"), col("sx").as("__sxj"))), Seq("j"))
-      .select(col("i"), col("j"), col("n"),
-        round((col("sxy").cast("double")
-          - col("__sxi").cast("double") * col("__sxj").cast("double") / col("n"))
-          / col("n"), 6).as("cov"))
-    graft.util.CacheLifecycle.releaseOnFirstAction(out, dims)
+      .select(col(vecCol))
+    // Spark CAST(double AS DECIMAL(28,12)): shortest-repr BigDecimal,
+    // HALF_UP to scale 12, null when non-finite or precision > 28
+    def dec28(v: Double): java.math.BigDecimal =
+      if (v.isNaN || v.isInfinite) null
+      else {
+        val raw = java.math.BigDecimal.valueOf(v)
+        val bd = if (raw.scale <= 12) raw
+                 else raw.setScale(12, java.math.RoundingMode.HALF_UP)
+        if (bd.precision - bd.scale > 16) null else bd // > 28-digit at scale 12
+      }
+    def elem(a: scala.collection.Seq[Any], k: Int): Double = a(k) match {
+      case null => Double.NaN // null element ≡ null product/value (skipped)
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+    final case class Partial(cells: Array[java.math.BigDecimal],
+                             dims: Array[java.math.BigDecimal], n: Long) {
+      def merge(o: Partial): Partial = {
+        def comb(a: Array[java.math.BigDecimal], b: Array[java.math.BigDecimal]) = {
+          var k = 0
+          while (k < a.length) {
+            if (a(k) == null) a(k) = b(k)
+            else if (b(k) != null) a(k) = a(k).add(b(k))
+            k += 1
+          }
+          a
+        }
+        Partial(comb(cells, o.cells), comb(dims, o.dims), n + o.n)
+      }
+    }
+    val partials = vecs.rdd.mapPartitions { it =>
+      val cells = new Array[java.math.BigDecimal](nCells)
+      val dsum = new Array[java.math.BigDecimal](dim)
+      var n = 0L
+      it.foreach { row =>
+        val a = row.getSeq[Any](0)
+        n += 1
+        var i = 0
+        var base = 0
+        while (i < dim) {
+          val xi = elem(a, i)
+          val di = dec28(xi)
+          if (di != null) dsum(i) = if (dsum(i) == null) di else dsum(i).add(di)
+          var j = i
+          while (j < dim) {
+            val p = dec28(xi * elem(a, j))
+            if (p != null) {
+              val c = base + (j - i)
+              cells(c) = if (cells(c) == null) p else cells(c).add(p)
+            }
+            j += 1
+          }
+          base += dim - i
+          i += 1
+        }
+      }
+      if (n == 0L) Iterator.empty else Iterator(Partial(cells, dsum, n))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cov", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // decimal adds are exact and commutative, so the tree-merge order is
+    // irrelevant; treeAggregate keeps the driver's merge fan-in bounded
+    // when the corpus has thousands of partitions (ONE job, empty-safe)
+    val t = partials.treeAggregate(
+      Partial(new Array[java.math.BigDecimal](nCells),
+        new Array[java.math.BigDecimal](dim), 0L))(_ merge _, _ merge _, depth = 2)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (t.n == 0L) Seq.empty
+      else {
+        val nD = t.n.toDouble
+        for (i <- 0 until dim; j <- i until dim) yield {
+          val c = i * dim - i * (i - 1) / 2 + (j - i)
+          val sxy = t.cells(c); val sxi = t.dims(i); val sxj = t.dims(j)
+          val cov: Any =
+            if (sxy == null || sxi == null || sxj == null) null
+            else roundHalfUp((sxy.doubleValue - sxi.doubleValue * sxj.doubleValue / nD) / nD, 6)
+          org.apache.spark.sql.Row(i, j, t.n, cov)
+        }
+      }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /**
@@ -379,6 +450,76 @@ object Similarity {
    */
   def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(dim >= 1 && iters >= 1, s"powerIteration: dim=$dim iters=$iters")
+    if (dim <= DriverEigensolveMaxDim) powerIterationLocal(cov, dim, iters)
+    else powerIterationDistributed(cov, dim, iters)
+  }
+
+  /** Above this dimension the covariance (≤ dim² rows) stops being
+    * "vocabulary-sized" and the eigensolve stays distributed; at or below
+    * it, [[powerIterationLocal]] collects the matrix once (≤ ~525k rows ≈
+    * 20 MB at the gate) and iterates in-JVM — eliminating the 10-second
+    * per-query floor of `iters` Spark job rounds over a 64×64 matrix
+    * (BENCH_r11's recurring emb_pca2 suspect). Same precedent as BPE
+    * training: corpus-sized work is distributed, model-sized work is
+    * driver-side. */
+  val DriverEigensolveMaxDim = 1024
+
+  /** Spark round() on DOUBLE: shortest-decimal-repr BigDecimal, HALF_UP
+    * — replicated exactly so the local path is bit-identical to the
+    * published distributed recurrence. */
+  private def roundHalfUp(v: Double, s: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v).setScale(s, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
+  /** Spark `CAST(x AS DECIMAL(38,12))` (valueOf repr, HALF_UP to scale
+    * 12) — the recurrence's exact-sum device. */
+  private def dec12(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Collect the upper-triangle covariance and mirror it to an entry
+    * list, tracking which row indices exist at all (an index with no
+    * entries produces NO output row in the distributed group-by — the
+    * local path replicates that, not a dense zero). */
+  private def collectEntries(cov: DataFrame): Array[(Int, Int, Double)] = {
+    val tri = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov").cast("double")).collect()
+    val buf = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](tri.length * 2)
+    tri.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
+      buf += ((i, j, c)); if (i != j) buf += ((j, i, c))
+    }
+    buf.toArray
+  }
+
+  /** In-JVM replay of [[powerIterationDistributed]]'s EXACT recurrence —
+    * decimal(38,12) product sums, sqrt-of-decimal norm, per-round
+    * round-9, final round-6 — bit-for-bit identical output (spec-pinned
+    * against the distributed path), minus the per-round Spark job floor. */
+  private[graft] def powerIterationLocal(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = cov.sparkSession
+    val entries = collectEntries(cov)
+    var x = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
+    var present = Array.fill(dim)(true)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      val hit = new Array[Boolean](dim)
+      entries.foreach { case (i, j, c) =>
+        if (present(j)) { sums(i) = sums(i).add(dec12(c * x(j))); hit(i) = true }
+      }
+      val av = Array.tabulate(dim)(i => if (hit(i)) sums(i).doubleValue else 0.0)
+      var nsum = java.math.BigDecimal.ZERO
+      for (i <- 0 until dim if hit(i)) nsum = nsum.add(dec12(av(i) * av(i)))
+      val norm = math.sqrt(nsum.doubleValue)
+      x = Array.tabulate(dim)(i => if (hit(i)) roundHalfUp(av(i) / norm, 9) else 0.0)
+      present = hit
+    }
+    val out = (0 until dim).filter(present).map(i => (i, roundHalfUp(x(i), 6)))
+    import spark.implicits._
+    out.toDF("d", "comp")
+  }
+
+  private[graft] def powerIterationDistributed(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
     val spark = cov.sparkSession
     val full = cov.select(col("i"), col("j"), col("cov"))
       .unionByName(cov.filter(col("i") =!= col("j"))
@@ -425,6 +566,60 @@ object Similarity {
   def powerIterationDeflated(cov: DataFrame, comp1: DataFrame, dim: Int,
                              iters: Int): DataFrame = {
     require(dim >= 1 && iters >= 1, s"powerIterationDeflated: dim=$dim iters=$iters")
+    if (dim <= DriverEigensolveMaxDim) powerIterationDeflatedLocal(cov, comp1, dim, iters)
+    else powerIterationDeflatedDistributed(cov, comp1, dim, iters)
+  }
+
+  /** In-JVM replay of [[powerIterationDeflatedDistributed]] — identical
+    * join/intersection semantics (a deflation term exists only where BOTH
+    * the mat-vec row and v₁ have the index), identical decimal sums and
+    * expression order (`ay − λ·v₁·dp`, left-associated), bit-for-bit
+    * output. */
+  private[graft] def powerIterationDeflatedLocal(cov: DataFrame, comp1: DataFrame,
+                                                 dim: Int, iters: Int): DataFrame = {
+    val spark = cov.sparkSession
+    val entries = collectEntries(cov)
+    val v1 = new Array[Double](dim)
+    val hasV1 = new Array[Boolean](dim)
+    comp1.select(col("d").cast("int"), col("comp").cast("double")).collect()
+      .foreach { r => v1(r.getInt(0)) = r.getDouble(1); hasV1(r.getInt(0)) = true }
+    // matvec over an input vector with a presence mask
+    def matvec(v: Array[Double], vp: Array[Boolean]): (Array[Double], Array[Boolean]) = {
+      val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      val hit = new Array[Boolean](dim)
+      entries.foreach { case (i, j, c) =>
+        if (vp(j)) { sums(i) = sums(i).add(dec12(c * v(j))); hit(i) = true }
+      }
+      (Array.tabulate(dim)(i => if (hit(i)) sums(i).doubleValue else 0.0), hit)
+    }
+    val (av1, av1Hit) = matvec(v1, hasV1)
+    var lamSum = java.math.BigDecimal.ZERO
+    for (d <- 0 until dim if av1Hit(d) && hasV1(d))
+      lamSum = lamSum.add(dec12(v1(d) * av1(d)))
+    val lam = lamSum.doubleValue
+    var w = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
+    var present = Array.fill(dim)(true)
+    for (_ <- 1 to iters) {
+      val (aw, awHit) = matvec(w, present)
+      var dpSum = java.math.BigDecimal.ZERO
+      for (d <- 0 until dim if present(d) && hasV1(d))
+        dpSum = dpSum.add(dec12(v1(d) * w(d)))
+      val dp = dpSum.doubleValue
+      val bHit = Array.tabulate(dim)(d => awHit(d) && hasV1(d))
+      val y = Array.tabulate(dim)(d => if (bHit(d)) aw(d) - lam * v1(d) * dp else 0.0)
+      var nsum = java.math.BigDecimal.ZERO
+      for (d <- 0 until dim if bHit(d)) nsum = nsum.add(dec12(y(d) * y(d)))
+      val norm = math.sqrt(nsum.doubleValue)
+      w = Array.tabulate(dim)(d => if (bHit(d)) roundHalfUp(y(d) / norm, 9) else 0.0)
+      present = bHit
+    }
+    val out = (0 until dim).filter(present).map(d => (d, roundHalfUp(w(d), 6)))
+    import spark.implicits._
+    out.toDF("d", "comp")
+  }
+
+  private[graft] def powerIterationDeflatedDistributed(cov: DataFrame, comp1: DataFrame,
+                                                       dim: Int, iters: Int): DataFrame = {
     val spark = cov.sparkSession
     val full = cov.select(col("i"), col("j"), col("cov"))
       .unionByName(cov.filter(col("i") =!= col("j"))

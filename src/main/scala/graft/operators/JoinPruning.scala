@@ -51,7 +51,11 @@ object JoinPruning {
                       buildKey: String, probeKey: String,
                       k: Int = 5, mBits: Int = 1 << 20): DataFrame = {
     val bits = graft.sketch.Sketches.bloomBits(build, col(buildKey), k, mBits)
-    bloomPruneRows(probe, col(probeKey), bits, k, mBits)
-      .join(build, col(probeKey) === col(buildKey))
+    // alias both sides: with the common same-named key (probeKey ==
+    // buildKey) unqualified col(...) refs would be ambiguous (or resolve
+    // to one side), breaking the equi-join case this exists for
+    bloomPruneRows(probe, col(probeKey), bits, k, mBits).as("__bp_probe")
+      .join(build.as("__bp_build"),
+        col(s"__bp_probe.$probeKey") === col(s"__bp_build.$buildKey"))
   }
 }

@@ -125,21 +125,33 @@ object Writer {
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String] = Nil,
               filesPerPartition: Int = 1, sortCols: Seq[String] = Nil): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val df = spark.read.parquet(path)
+    import scala.jdk.CollectionConverters._
+    // depth-first delete; Files.list's stream must close (each open stream
+    // holds a directory fd — a wide tree would otherwise exhaust handles)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val children = try s.iterator().asScala.toList finally s.close()
+        children.foreach(rm)
+      }
+      Files.delete(p)
+    }
     val tmp = path.stripSuffix("/") + ".__compacting"
+    val oldP = Paths.get(path.stripSuffix("/") + ".__old")
+    // a previously crashed run may have left .__old / .__compacting behind;
+    // either would make the ATOMIC_MOVE swap below fail — clear them first
+    // (the live `path` is still the source of truth at this point)
+    if (Files.exists(oldP)) rm(oldP)
+    if (Files.exists(Paths.get(tmp))) rm(Paths.get(tmp))
+    val df = spark.read.parquet(path)
     if (partitionCols.isEmpty) {
       val flat = if (sortCols.nonEmpty)
         df.repartition(filesPerPartition).sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(filesPerPartition)
       flat.write.mode(SaveMode.Overwrite).parquet(tmp)
     } else writePartitioned(df, tmp, partitionCols, filesPerPartition, sortCols)
-    val old = Paths.get(path.stripSuffix("/") + ".__old")
-    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(path), oldP, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.delete(p)
-    }
-    rm(old)
+    rm(oldP)
   }
 }

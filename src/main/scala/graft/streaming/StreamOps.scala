@@ -89,13 +89,24 @@ object StreamOps {
    * @return (w_start BIGINT epoch seconds, event_type, n, sum_value)
    */
   def slidingWindowAgg(events: DataFrame, windowDur: String = "1 day",
-                       slide: String = "6 hours", wm: String = "1 hour"): DataFrame =
+                       slide: String = "6 hours", wm: String = "1 hour"): DataFrame = {
+    val winMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDur))
+    val slideMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(slide))
+    def us(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
+      i.days * 86400000000L + i.microseconds // no months in a sliding grid
+    require(winMs.months == 0 && slideMs.months == 0 && us(slideMs) > 0 &&
+      us(winMs) % us(slideMs) == 0,
+      s"windowDur ($windowDur) must be a positive month-free multiple of " +
+        s"slide ($slide) — the epoch-aligned grid the batch/oracle replay assumes")
     watermarked(events, "ts", wm)
       .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").cast("long").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+  }
 
   /**
    * Windowed streaming HyperLogLog: maintains the HLL REGISTER table per

@@ -10,9 +10,17 @@ import org.apache.spark.sql.SparkSession
  * determinism; a production index sizes numBits from the corpus count).
  *
  *   runMain graft.tools.AnnScale <dir> <numBits> [tables=4] [k=3]
+ *
+ * Recall mode — measures recall@k of each approximate index against
+ * [[graft.ml.Similarity.bruteForceKnn]] ground truth over a deterministic
+ * query sample, across a numBits sweep (the data that validates — or
+ * corrects — the log₂(n) sizing rule):
+ *
+ *   runMain graft.tools.AnnScale <dir> recall [k=10] [nq=200] [bits=8,10,12]
  */
 object AnnScale {
   def main(args: Array[String]): Unit = {
+    if (args.length > 1 && args(1) == "recall") return recallMain(args)
     val dir = args(0)
     val numBits = args(1).toInt
     val tables = if (args.length > 2) args(2).toInt else 4
@@ -40,6 +48,59 @@ object AnnScale {
       .map(r => s"${r.getLong(2)}").mkString(",")
     val pairs = occ.agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
     println(s"[annscale] top5 bucket sizes=$top candidatePairs=$pairs")
+    spark.stop()
+  }
+
+  private def recallMain(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ml.Similarity
+    val dir = args(0)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val nq = if (args.length > 3) args(3).toInt else 200
+    val bitsList = (if (args.length > 4) args(4) else "8,10,12").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    // ScaleUp duplicates vectors verbatim across copies — report how much of
+    // the corpus is exact-duplicate mass so the recall table reads honestly
+    // (duplicates collide in every hash table, inflating recall vs organic
+    // data; the SWEEP across numBits is still apples-to-apples)
+    val distinctVecs = emb.select(hash(col("embedding"))).distinct().count()
+    // deterministic spread sample: every ceil(n/nq)-th id
+    val stride = math.max(1L, n / nq)
+    val queries = emb.filter(pmod(col("vec_id"), lit(stride)) === 0).limit(nq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQ = queries.count()
+    println(s"[annrecall] dir=$dir n=$n distinctVecs=$distinctVecs k=$k queries=$nQ " +
+      s"log2(n)=${math.round(math.log(n.toDouble) / math.log(2) * 10) / 10.0}")
+    val exact = Similarity.bruteForceKnn(emb, queries, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count() // force ground truth before timing the sweep
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = Similarity.recallAtK(approx, exact, k)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      (r, (System.nanoTime() - t0) / 1000000L)
+    }
+    bitsList.foreach { bits =>
+      val (rl, tl) = meanRecall(Similarity.lshKnn(emb, queries, k, 64, bits, tables = 4))
+      println(f"[annrecall] algo=lsh        numBits=$bits%2d tables=4 recall@$k=$rl%.4f evalMs=$tl")
+      val (rm, tm) = meanRecall(Similarity.lshMultiProbeKnn(emb, queries, k, 64, bits, tables = 4))
+      println(f"[annrecall] algo=multiprobe numBits=$bits%2d tables=4 recall@$k=$rm%.4f evalMs=$tm")
+    }
+    // IVF-PQ scales by cell count, not bits — sweep cells at fixed nprobe share
+    Seq(16, 64, 256).foreach { cells =>
+      val nprobe = math.max(1, cells / 4)
+      val (r, t) = meanRecall(
+        Similarity.ivfPqKnn(emb, queries, k, 64, numCells = cells, nprobe = nprobe))
+      println(f"[annrecall] algo=ivfpq      cells=$cells%3d nprobe=$nprobe recall@$k=$r%.4f evalMs=$t")
+    }
     spark.stop()
   }
 }

@@ -2394,6 +2394,15 @@ class CypherSpec extends SparkSpec {
       "MATCH p = allShortestPaths((x)-[:Y*1..2]->(c:C)) RETURN x, length(p) AS l")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mixed == Set((2L, 1L), (3L, 1L)))
+    // aggregates REJECT, not mis-compute: the expansion appends endpoint
+    // carry columns and filters per-pair minima AFTER the per-branch
+    // projection — an aggregate there would fold at the wrong granularity
+    // and before the min-length filter, so it must be a ParseException
+    for (q <- Seq(
+      "MATCH p = allShortestPaths((a:A)-[:X|Y*1..3]->(c:C)) RETURN a, count(c) AS n",
+      "MATCH p = allShortestPaths((a:A)-[:X|Y*1..3]->(c:C)) RETURN count(*) AS n",
+      "MATCH p = allShortestPaths((a:A)-[:X|Y*1..3]->(c:C)) RETURN a, collect(nodes(p)) AS ps"))
+      assertThrows[graft.cypher.ParseException](db2.query(q).collect())
   }
 
   test("COUNT { } and EXISTS { } subquery forms desugar to pattern expressions") {

@@ -292,15 +292,13 @@ class PlanAuditSpec extends SparkSpec {
        "scd2 one key exchange, pattern-size joins back broadcast-sized") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    // emb_covariance: the dim² pair stream aggregates map-side; the plan
-    // carries the (i,j) agg exchange + the dim-sum agg exchange and the two
-    // dim-sized join-backs as BROADCASTS — a shuffled join of the pair
-    // stream against the means would be a data-sized detour
+    // emb_covariance: the corpus pass is a single fold-in-place
+    // mapPartitions job at construction (r12 rewrite — no product-row
+    // explode, no agg shuffle); the RESULT is a dim²-row local relation,
+    // so its plan must be exchange-free and local
     val cov = plans("emb_covariance")
-    assert(cov.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2,
-      "emb_covariance: expected only the (i,j) and per-dim agg exchanges")
-    assert(cov.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
-      "emb_covariance: the dim-sized mean tables must join back as broadcasts")
+    assert(cov.count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+      "emb_covariance: the dim²-row result must be a local relation, not a shuffled plan")
     // scd2_history: ONE hash exchange on the key feeds both window passes
     // (same partitioning, no re-shuffle between detect and number)
     val scd = plans("scd2_history")

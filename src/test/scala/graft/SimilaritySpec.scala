@@ -315,4 +315,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got((0, 0))._2 >= 0 && got((1, 1))._2 >= 0)
     assert(math.abs(got((0, 0))._2 - 1.0) < 1e-9) // var of {1,3} = 1 (population)
   }
+
+  test("driver-gated eigensolve is bit-identical to the distributed recurrence") {
+    // the size gate (DriverEigensolveMaxDim) swaps the published
+    // distributed decimal recurrence for an in-JVM replay; the oracle
+    // hash must not move, so compare raw double BITS on real embeddings
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val cov = Similarity.covarianceMatrix(emb, "embedding", 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cov.count()
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r =>
+        r.getInt(0) -> java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val localV1 = Similarity.powerIterationLocal(cov, 64, 6)
+    assert(bits(localV1) == bits(Similarity.powerIterationDistributed(cov, 64, 6)),
+      "powerIteration local/distributed bit divergence")
+    val local2 = Similarity.powerIterationDeflatedLocal(cov, localV1, 64, 3)
+    assert(bits(local2) ==
+      bits(Similarity.powerIterationDeflatedDistributed(cov, localV1, 64, 3)),
+      "powerIterationDeflated local/distributed bit divergence")
+    cov.unpersist()
+  }
+
+  test("eigensolve gate: sparse/absent rows replicate distributed join semantics") {
+    // index 2 has NO covariance entries: the distributed group-by emits no
+    // row for it — the local replay must drop it too, not emit a zero
+    val cov = Seq((0, 0, 2.0), (0, 1, 0.5), (1, 1, 1.0)).toDF("i", "j", "cov")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r =>
+        r.getInt(0) -> java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val loc = rows(Similarity.powerIterationLocal(cov, 3, 4))
+    val dist = rows(Similarity.powerIterationDistributed(cov, 3, 4))
+    assert(loc.keySet == Set(0, 1) && loc == dist)
+  }
 }

@@ -2,10 +2,17 @@
 """Dev-side replica of the driver's correctness gate: for each query dumped by
 graft.Verify, run the oracle SQL in DuckDB over the same parquet tables and
 compare rows/schema/values (columns sorted by name, rows sorted by all cols).
+
+The driver's gate hashes BYTES, not values — so this check ALWAYS also runs
+the byte-parity pass on float columns: exact equality plus sign-of-zero
+(numpy signbit) agreement. Round 11 shipped a red row (emb_covariance)
+precisely because this script compared values only: +0.0 == -0.0 passed
+here, but the driver's byte hash failed. Never weaken this back.
+
 Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, json, glob, os
-import duckdb, pandas as pd
+import duckdb, numpy as np, pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
@@ -17,7 +24,7 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-def canon(df):
+def canon(df, round_floats=True):
     df = df[sorted(df.columns)]
     # normalize: floats rounded, ints as int64 where possible
     for c in df.columns:
@@ -26,9 +33,31 @@ def canon(df):
             df[c] = df[c].astype(str).str.replace(" 00:00:00", "", regex=False)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
+        elif str(df[c].dtype).startswith("float") and round_floats:
             df[c] = df[c].round(6)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def byte_parity(spark_df, oracle_df):
+    """Exact float equality + sign-of-zero agreement on the UNROUNDED
+    frames (the driver hashes raw bytes — canon()'s round(6) would mask
+    both last-ulp drift and the -0.0 hazard)."""
+    a, b = canon(spark_df, round_floats=False), canon(oracle_df, round_floats=False)
+    for c in a.columns:
+        if not str(a[c].dtype).startswith("float"):
+            continue
+        av = np.asarray(a[c].to_numpy(), dtype="float64")
+        bv = np.asarray(b[c].to_numpy(), dtype="float64")
+        if not np.array_equal(av, bv, equal_nan=True):
+            i = int(np.argmax(~((av == bv) | (np.isnan(av) & np.isnan(bv)))))
+            raise AssertionError(
+                f"byte-parity: col {c} row {i}: {av[i]!r} vs {bv[i]!r}")
+        mism = (np.signbit(av) != np.signbit(bv)) & ~np.isnan(av)
+        if mism.any():
+            i = int(np.argmax(mism))
+            raise AssertionError(
+                f"byte-parity: col {c} row {i}: sign-of-zero "
+                f"{av[i]!r} vs {bv[i]!r} (driver hash WILL fail)")
 
 fails, passes, skips = [], [], []
 for name in sorted(os.listdir(out_dir)):
@@ -56,6 +85,7 @@ for name in sorted(os.listdir(out_dir)):
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=False, rtol=1e-5, atol=1e-6)
+            byte_parity(spark_df, oracle_df)
             passes.append(name)
         except AssertionError as e:
             fails.append((name, str(e).splitlines()[0] + " ..."))
