@@ -101,6 +101,14 @@ object AnnScale {
         Similarity.ivfPqKnn(emb, queries, k, 64, numCells = cells, nprobe = nprobe))
       println(f"[annrecall] algo=ivfpq      cells=$cells%3d nprobe=$nprobe recall@$k=$r%.4f evalMs=$t")
     }
+    // codebook-resolution lever: the oracle default (m=4, ksub=8 → 12
+    // bits/vector) is deliberately coarse for determinism; a production
+    // setting spends more code bits for recall
+    Seq((8, 16), (16, 32)).foreach { case (m, ksub) =>
+      val (r, t) = meanRecall(
+        Similarity.ivfPqKnn(emb, queries, k, 64, numCells = 16, nprobe = 8, m = m, ksub = ksub))
+      println(f"[annrecall] algo=ivfpq      cells= 16 nprobe=8 m=$m%2d ksub=$ksub%2d recall@$k=$r%.4f evalMs=$t")
+    }
     spark.stop()
   }
 }
