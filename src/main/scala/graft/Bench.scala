@@ -65,6 +65,34 @@ object Bench {
     // load phase: resident graph + stats (not attributed to any query)
     try SparkEntry.warm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
+    // Host calibration: the per-round records come from shared hosts whose
+    // effective speed drifts 1.3-1.7x between rounds (measured in r12 by
+    // rerunning the round-9 BUILD: it reproduced the "regressed" round-11
+    // numbers bit-for-bit-same code). Two fixed workloads — a JIT-warmed
+    // single-thread scalar loop and an all-cores Spark hash-aggregate —
+    // recorded in the JSON so cross-round ratios can be drift-normalized
+    // (tools/bench_diff.py divides by the calib ratio when both records
+    // carry one). Runs AFTER warm so the JVM/session state matches queries.
+    val (calibCpu, calibSpark) = {
+      def spin(iters: Int): Double = {
+        var s = 0.0; var i = 0
+        while (i < iters) { s += java.lang.Math.sin(i.toDouble); i += 1 }
+        s
+      }
+      val warmSink = spin(2000000) // JIT the loop before timing it
+      val t0 = System.nanoTime()
+      val sink = spin(20000000)
+      val cpu = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.functions.{col, hash, sum}
+      spark.range(1L << 24).select(sum(hash(col("id")).cast("long"))).collect()
+      val t1 = System.nanoTime()
+      spark.range(1L << 28).select(sum(hash(col("id")).cast("long"))).collect()
+      val sp = (System.nanoTime() - t1) / 1e9
+      // reference the sinks so the scalar loop cannot be eliminated
+      if (java.lang.Double.isNaN(warmSink + sink)) System.err.println("")
+      (cpu, sp)
+    }
+    System.err.println(f"[bench] calib cpu=$calibCpu%.3f s spark=$calibSpark%.3f s")
     // canonical cache state = whatever warm materialized; everything an
     // individual query persists on top (shingle caches, iteration state,
     // localCheckpoints) is scratch and gets dropped after the query — much
@@ -184,7 +212,8 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"retries":$retries,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir"}"""
+    val calib = s"""{"cpu":$calibCpu,"spark":$calibSpark}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"metrics":$metrics,"retries":$retries,"suspect":$suspectJson,"errors":$errs,"sf":"$sfDir"}"""
     // The full line (~20 KB at 190 queries) exceeds the driver's 2000-char
     // stdout capture window — every BENCH_r*.json through r8 recorded
     // parsed:null with a mid-line tail. Persist the complete record to a
@@ -201,7 +230,7 @@ object Bench {
     val slowest = finalResults.sortBy(-_._2).take(25)
       .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errCount = finalResults.count(_._4.isDefined)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"errors":$errCount,"retried":${retried.size},"suspect":$suspectJson,"queries":$slowest,"note":"queries = slowest 25 of ${finalResults.size}; full per-query record in $recordFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"errors":$errCount,"retried":${retried.size},"suspect":$suspectJson,"calib":{"cpu":${r3(calibCpu)},"spark":${r3(calibSpark)}},"queries":$slowest,"note":"queries = slowest 25 of ${finalResults.size}; full per-query record in $recordFile","sf":"$sfDir"}""")
     spark.stop()
     if (finalResults.exists(_._4.isDefined)) sys.exit(1)
   }

@@ -25,6 +25,17 @@ def main():
     so, sn = sum(oq[q] for q in shared), sum(nq[q] for q in shared)
     print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s "
           f"(ratio {sn / so:.3f})")
+    # drift normalization: when both records carry the fixed-workload host
+    # calibration (Bench runs it after warm), divide the query ratio by the
+    # calibration ratio — same-code reruns on a slower host-day then read
+    # ~1.0 instead of looking like a regression
+    oc, nc = old.get("calib"), new.get("calib")
+    if oc and nc:
+        drift = (nc["cpu"] + nc["spark"]) / (oc["cpu"] + oc["spark"])
+        print(f"host calib drift {drift:.3f} "
+              f"(cpu {oc['cpu']:.2f}->{nc['cpu']:.2f}s, "
+              f"spark {oc['spark']:.2f}->{nc['spark']:.2f}s); "
+              f"drift-normalized ratio {(sn / so) / drift:.3f}")
     deltas = sorted(((nq[q] - oq[q], q) for q in shared), reverse=True)
     print("largest regressions:")
     for d, q in deltas[:8]:
