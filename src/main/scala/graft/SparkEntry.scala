@@ -2673,10 +2673,7 @@ object SparkEntry {
       ("SELECT DISTINCT c_custkey + 3000000000 AS c, n_regionkey + 1000000000 AS r " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
     "cy_triangle" ->
-      ("WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
-       "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-       "AND b.l_linenumber = a.l_linenumber + 1 AND a.l_partkey <> b.l_partkey " +
-       "WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0) " +
+      ("WITH " + partSeqCte(2) + " " +
        "SELECT DISTINCT CAST(e1.src AS BIGINT) AS a, CAST(e1.dst AS BIGINT) AS b, " +
        "CAST(e2.dst AS BIGINT) AS c FROM e e1 " +
        "JOIN e e2 ON e2.src = e1.dst " +

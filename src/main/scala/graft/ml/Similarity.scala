@@ -314,6 +314,12 @@ object Similarity {
    * PCA/whitening/Mahalanobis over the corpus distribution. Upper triangle
    * (i ≤ j) of cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
    *
+   * EAGER: the corpus pass runs AT CONSTRUCTION (like BPE training — the
+   * result is model-sized state, not a lazy view), so callers that only
+   * need the schema still pay one corpus job, and upstream
+   * filter/limit must be applied to `corpus` BEFORE calling, not to the
+   * returned frame.
+   *
    * Scale shape: ONE corpus pass. Each partition accumulates the
    * dim·(dim+1)/2 product sums + dim value sums + row count in a local
    * array of exact decimals, and partials tree-merge executor-side — no
@@ -472,21 +478,36 @@ object Similarity {
     else java.math.BigDecimal.valueOf(v).setScale(s, java.math.RoundingMode.HALF_UP)
       .doubleValue
 
-  /** Spark `CAST(x AS DECIMAL(38,12))` (valueOf repr, HALF_UP to scale
-    * 12) — the recurrence's exact-sum device. */
+  /** Spark `CAST(x AS DECIMAL(38,12))` under this repo's ANSI session:
+    * NaN/Infinity cast to NULL (measured — ANSI does not error the
+    * non-finite case), a value too wide for precision 38 THROWS
+    * (ANSI NUMERIC_VALUE_OUT_OF_RANGE), finite in-range values take the
+    * valueOf repr HALF_UP to scale 12 — the recurrence's exact-sum
+    * device, null-faithful so degenerate inputs behave like the
+    * distributed recurrence instead of crashing in BigDecimal.valueOf. */
   private def dec12(v: Double): java.math.BigDecimal =
-    java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+    if (v.isNaN || v.isInfinite) null
+    else {
+      val bd = java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+      if (bd.precision - bd.scale > 26) throw new ArithmeticException(
+        s"powerIteration: $v cannot be represented as DECIMAL(38,12) — " +
+          "matches the distributed path's ANSI NUMERIC_VALUE_OUT_OF_RANGE")
+      bd
+    }
 
   /** Collect the upper-triangle covariance and mirror it to an entry
     * list, tracking which row indices exist at all (an index with no
     * entries produces NO output row in the distributed group-by — the
-    * local path replicates that, not a dense zero). */
-  private def collectEntries(cov: DataFrame): Array[(Int, Int, Double)] = {
+    * local path replicates that, not a dense zero). A null cov cell
+    * (non-finite input element, see [[covarianceMatrix]]) stays null —
+    * the SQL recurrence's sums skip it, so the local one must too. */
+  private def collectEntries(cov: DataFrame): Array[(Int, Int, java.lang.Double)] = {
     val tri = cov.select(col("i").cast("int"), col("j").cast("int"),
       col("cov").cast("double")).collect()
-    val buf = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](tri.length * 2)
+    val buf = new scala.collection.mutable.ArrayBuffer[(Int, Int, java.lang.Double)](tri.length * 2)
     tri.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c: java.lang.Double = if (r.isNullAt(2)) null else Double.box(r.getDouble(2))
       buf += ((i, j, c)); if (i != j) buf += ((j, i, c))
     }
     buf.toArray
@@ -495,26 +516,52 @@ object Similarity {
   /** In-JVM replay of [[powerIterationDistributed]]'s EXACT recurrence —
     * decimal(38,12) product sums, sqrt-of-decimal norm, per-round
     * round-9, final round-6 — bit-for-bit identical output (spec-pinned
-    * against the distributed path), minus the per-round Spark job floor. */
+    * against the distributed path), minus the per-round Spark job floor.
+    *
+    * Degenerate-input semantics mirror the SQL plan under ANSI: null cov
+    * cells / null vector elements propagate as SQL nulls (skipped by the
+    * decimal sums, nulling the quotient), and a ZERO norm throws — the
+    * distributed division `__y / 0.0` is an ANSI DIVIDE_BY_ZERO error,
+    * not a NaN. */
   private[graft] def powerIterationLocal(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
     val spark = cov.sparkSession
     val entries = collectEntries(cov)
-    var x = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
+    // x(i) = null ≡ SQL NULL; present(i) = "row i exists in the vector"
+    var x: Array[java.lang.Double] =
+      Array.fill(dim)(Double.box(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9)))
     var present = Array.fill(dim)(true)
     for (_ <- 1 to iters) {
-      val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      val sums = new Array[java.math.BigDecimal](dim) // null ≡ SQL null sum
       val hit = new Array[Boolean](dim)
       entries.foreach { case (i, j, c) =>
-        if (present(j)) { sums(i) = sums(i).add(dec12(c * x(j))); hit(i) = true }
+        if (present(j)) {
+          hit(i) = true // the join row exists even when the product is null
+          val xj = x(j)
+          if (c != null && xj != null) {
+            val p = dec12(c * xj)
+            if (p != null) sums(i) = if (sums(i) == null) p else sums(i).add(p)
+          }
+        }
       }
-      val av = Array.tabulate(dim)(i => if (hit(i)) sums(i).doubleValue else 0.0)
-      var nsum = java.math.BigDecimal.ZERO
-      for (i <- 0 until dim if hit(i)) nsum = nsum.add(dec12(av(i) * av(i)))
-      val norm = math.sqrt(nsum.doubleValue)
-      x = Array.tabulate(dim)(i => if (hit(i)) roundHalfUp(av(i) / norm, 9) else 0.0)
+      var nsum: java.math.BigDecimal = null
+      for (i <- 0 until dim if hit(i) && sums(i) != null) {
+        val y = sums(i).doubleValue
+        val p = dec12(y * y)
+        if (p != null) nsum = if (nsum == null) p else nsum.add(p)
+      }
+      val norm: java.lang.Double =
+        if (nsum == null) null else Double.box(math.sqrt(nsum.doubleValue))
+      if (norm != null && norm.doubleValue == 0.0) throw new ArithmeticException(
+        "powerIteration: zero norm (degenerate covariance spectrum) — " +
+          "matches the distributed path's ANSI DIVIDE_BY_ZERO")
+      x = Array.tabulate(dim) { i =>
+        if (!hit(i) || sums(i) == null || norm == null) null
+        else Double.box(roundHalfUp(sums(i).doubleValue / norm.doubleValue, 9))
+      }
       present = hit
     }
-    val out = (0 until dim).filter(present).map(i => (i, roundHalfUp(x(i), 6)))
+    val out = (0 until dim).filter(present)
+      .map(i => (i, Option(x(i)).map(v => roundHalfUp(v.doubleValue, 6))))
     import spark.implicits._
     out.toDF("d", "comp")
   }
@@ -579,41 +626,77 @@ object Similarity {
                                                  dim: Int, iters: Int): DataFrame = {
     val spark = cov.sparkSession
     val entries = collectEntries(cov)
-    val v1 = new Array[Double](dim)
+    // v1(d) = null ≡ SQL NULL comp; hasV1(d) = "comp1 has row d" — the
+    // same null-vs-absent split the SQL joins make
+    val v1 = new Array[java.lang.Double](dim)
     val hasV1 = new Array[Boolean](dim)
     comp1.select(col("d").cast("int"), col("comp").cast("double")).collect()
-      .foreach { r => v1(r.getInt(0)) = r.getDouble(1); hasV1(r.getInt(0)) = true }
-    // matvec over an input vector with a presence mask
-    def matvec(v: Array[Double], vp: Array[Boolean]): (Array[Double], Array[Boolean]) = {
-      val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      .foreach { r =>
+        val d = r.getInt(0); hasV1(d) = true
+        v1(d) = if (r.isNullAt(1)) null else Double.box(r.getDouble(1))
+      }
+    // matvec over an input vector with a presence mask; values null-faithful
+    def matvec(v: Array[java.lang.Double], vp: Array[Boolean])
+        : (Array[java.lang.Double], Array[Boolean]) = {
+      val sums = new Array[java.math.BigDecimal](dim)
       val hit = new Array[Boolean](dim)
       entries.foreach { case (i, j, c) =>
-        if (vp(j)) { sums(i) = sums(i).add(dec12(c * v(j))); hit(i) = true }
+        if (vp(j)) {
+          hit(i) = true
+          val xj = v(j)
+          if (c != null && xj != null) {
+            val p = dec12(c.doubleValue * xj.doubleValue)
+            if (p != null) sums(i) = if (sums(i) == null) p else sums(i).add(p)
+          }
+        }
       }
-      (Array.tabulate(dim)(i => if (hit(i)) sums(i).doubleValue else 0.0), hit)
+      (Array.tabulate(dim)(i =>
+        if (hit(i) && sums(i) != null) Double.box(sums(i).doubleValue) else null), hit)
+    }
+    // a null-skipping decimal dot product over indices where both sides
+    // have rows — SQL `sum((a*b)::decimal)`: null over no non-null terms
+    def dot(a: Array[java.lang.Double], b: Array[java.lang.Double],
+            idx: Int => Boolean): java.lang.Double = {
+      var s: java.math.BigDecimal = null
+      for (d <- 0 until dim if idx(d) && a(d) != null && b(d) != null) {
+        val p = dec12(a(d).doubleValue * b(d).doubleValue)
+        if (p != null) s = if (s == null) p else s.add(p)
+      }
+      if (s == null) null else Double.box(s.doubleValue)
     }
     val (av1, av1Hit) = matvec(v1, hasV1)
-    var lamSum = java.math.BigDecimal.ZERO
-    for (d <- 0 until dim if av1Hit(d) && hasV1(d))
-      lamSum = lamSum.add(dec12(v1(d) * av1(d)))
-    val lam = lamSum.doubleValue
-    var w = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
+    val lam = dot(v1, av1, d => av1Hit(d) && hasV1(d))
+    var w: Array[java.lang.Double] =
+      Array.fill(dim)(Double.box(roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9)))
     var present = Array.fill(dim)(true)
     for (_ <- 1 to iters) {
       val (aw, awHit) = matvec(w, present)
-      var dpSum = java.math.BigDecimal.ZERO
-      for (d <- 0 until dim if present(d) && hasV1(d))
-        dpSum = dpSum.add(dec12(v1(d) * w(d)))
-      val dp = dpSum.doubleValue
+      val dp = dot(v1, w, d => present(d) && hasV1(d))
       val bHit = Array.tabulate(dim)(d => awHit(d) && hasV1(d))
-      val y = Array.tabulate(dim)(d => if (bHit(d)) aw(d) - lam * v1(d) * dp else 0.0)
-      var nsum = java.math.BigDecimal.ZERO
-      for (d <- 0 until dim if bHit(d)) nsum = nsum.add(dec12(y(d) * y(d)))
-      val norm = math.sqrt(nsum.doubleValue)
-      w = Array.tabulate(dim)(d => if (bHit(d)) roundHalfUp(y(d) / norm, 9) else 0.0)
+      // y = __ay − __l·comp·__dp, null-propagating like the SQL expression
+      val y: Array[java.lang.Double] = Array.tabulate(dim) { d =>
+        if (!bHit(d) || aw(d) == null || lam == null || v1(d) == null || dp == null) null
+        else Double.box(
+          aw(d).doubleValue - lam.doubleValue * v1(d).doubleValue * dp.doubleValue)
+      }
+      var nsum: java.math.BigDecimal = null
+      for (d <- 0 until dim if bHit(d) && y(d) != null) {
+        val p = dec12(y(d).doubleValue * y(d).doubleValue)
+        if (p != null) nsum = if (nsum == null) p else nsum.add(p)
+      }
+      val norm: java.lang.Double =
+        if (nsum == null) null else Double.box(math.sqrt(nsum.doubleValue))
+      if (norm != null && norm.doubleValue == 0.0) throw new ArithmeticException(
+        "powerIterationDeflated: zero norm (degenerate deflated spectrum) — " +
+          "matches the distributed path's ANSI DIVIDE_BY_ZERO")
+      w = Array.tabulate(dim) { d =>
+        if (!bHit(d) || y(d) == null || norm == null) null
+        else Double.box(roundHalfUp(y(d).doubleValue / norm.doubleValue, 9))
+      }
       present = bHit
     }
-    val out = (0 until dim).filter(present).map(d => (d, roundHalfUp(w(d), 6)))
+    val out = (0 until dim).filter(present)
+      .map(d => (d, Option(w(d)).map(v => roundHalfUp(v.doubleValue, 6))))
     import spark.implicits._
     out.toDF("d", "comp")
   }

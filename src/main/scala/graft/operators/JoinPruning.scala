@@ -54,8 +54,11 @@ object JoinPruning {
     // alias both sides: with the common same-named key (probeKey ==
     // buildKey) unqualified col(...) refs would be ambiguous (or resolve
     // to one side), breaking the equi-join case this exists for
-    bloomPruneRows(probe, col(probeKey), bits, k, mBits).as("__bp_probe")
+    val joined = bloomPruneRows(probe, col(probeKey), bits, k, mBits).as("__bp_probe")
       .join(build.as("__bp_build"),
         col(s"__bp_probe.$probeKey") === col(s"__bp_build.$buildKey"))
+    // same-named keys: keep ONE key column (the probe's) so downstream
+    // by-name references resolve — equal by the join predicate anyway
+    if (probeKey == buildKey) joined.drop(col(s"__bp_build.$buildKey")) else joined
   }
 }

@@ -30,10 +30,6 @@ object NegZero {
     }.toIndexedSeq: _*)
   }
 
-  /** Spark side, single column — for call sites that want the
-    * canonicalization inside the query itself. */
-  def canon(c: Column): Column = c + lit(0.0)
-
   /** Oracle side: wrap the SQL so each named DOUBLE column passes
     * through `+ 0` (DuckDB `* REPLACE` keeps every other column
     * untouched, names and order included). Identity when the query has

@@ -44,6 +44,17 @@ class JoinPruningSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 2L)))
   }
 
+  test("same-named keys: joined output keeps ONE key column, usable by name downstream") {
+    // the common equi-join spelling — both sides call the key "k"; the
+    // result must expose a single "k" so groupBy/select by name resolve
+    val probe = Seq((1L, "a"), (2L, "b"), (2L, "c"), (9L, "x")).toDF("k", "pv")
+    val build = Seq((1L, 10), (2L, 20)).toDF("k", "bv")
+    val joined = JoinPruning.bloomPrunedJoin(build, probe, "k", "k", k = 3, mBits = 256)
+    assert(joined.columns.count(_ == "k") == 1, joined.columns.mkString(","))
+    val agg = joined.groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(agg == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("plan: pruning is k broadcast left-semi joins before the exact join") {
     val pruned = JoinPruning.bloomPruneRows(li, col("l_orderkey"),
       graft.sketch.Sketches.bloomBits(orders, col("o_orderkey"), 4, 1024), 4, 1024)

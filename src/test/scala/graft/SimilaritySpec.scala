@@ -348,4 +348,32 @@ class SimilaritySpec extends SparkSpec {
     val dist = rows(Similarity.powerIterationDistributed(cov, 3, 4))
     assert(loc.keySet == Set(0, 1) && loc == dist)
   }
+
+  test("eigensolve gate: null covariance cells propagate like the SQL recurrence") {
+    // a null cov cell (non-finite input element) is SKIPPED by the SQL
+    // decimal sums, not crashed on — the local replay must match both the
+    // row set and every bit, including any null comps
+    val cov = Seq((0, 0, Some(2.0)), (0, 1, None), (1, 1, Some(1.0)),
+      (2, 2, None)).toDF("i", "j", "cov")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Int, Option[Long]] =
+      df.collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None
+         else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(1))))).toMap
+    val loc = rows(Similarity.powerIterationLocal(cov, 3, 3))
+    val dist = rows(Similarity.powerIterationDistributed(cov, 3, 3))
+    assert(loc == dist, s"local $loc vs distributed $dist")
+    // deflation against a component carrying a null comp row: same contract
+    val v1loc = Similarity.powerIterationLocal(cov, 3, 1)
+    val loc2 = rows(Similarity.powerIterationDeflatedLocal(cov, v1loc, 3, 2))
+    val dist2 = rows(Similarity.powerIterationDeflatedDistributed(cov, v1loc, 3, 2))
+    assert(loc2 == dist2, s"deflated local $loc2 vs distributed $dist2")
+  }
+
+  test("eigensolve gate: an all-zero covariance errors on BOTH paths (ANSI divide-by-zero)") {
+    val cov = Seq((0, 0, 0.0), (0, 1, 0.0), (1, 1, 0.0)).toDF("i", "j", "cov")
+    assertThrows[ArithmeticException](
+      Similarity.powerIterationLocal(cov, 2, 3).collect())
+    assertThrows[ArithmeticException](
+      Similarity.powerIterationDistributed(cov, 2, 3).collect())
+  }
 }
