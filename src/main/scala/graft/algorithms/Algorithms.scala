@@ -274,7 +274,11 @@ object Algorithms {
     }
     if (!done) throw new BudgetExhausted("betweennessLandmark", maxIter)
     val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
-    val maxLevel = vis.agg(max(col("level"))).head().getInt(0)
+    // max over an EMPTY visited set (zero-vertex graph → no landmarks) is
+    // SQL null — treat as level 0 so the all-zeros path below returns the
+    // (empty) result instead of an NPE at getInt
+    val maxRow = vis.agg(max(col("level"))).head()
+    val maxLevel = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
     if (maxLevel == 0) { // no landmark reaches anything: all zeros
       val zero = vs.select(col("id"), lit(0.0).as("betweenness"))
       return releaseOnFirstAction(zero, (e +: vis +: cutF.leftovers): _*)

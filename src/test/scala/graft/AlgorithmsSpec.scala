@@ -333,6 +333,11 @@ class AlgorithmsSpec extends SparkSpec {
     val zeros = Algorithms.betweennessLandmark(vs, Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2)
       .collect().map(r => r.getDouble(1))
     assert(zeros.forall(_ == 0.0))
+    // a zero-vertex graph returns an empty frame (the max-level aggregate
+    // is SQL null there — must not NPE)
+    assert(Algorithms.betweennessLandmark(
+      Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2)
+      .collect().isEmpty)
   }
 
   test("scc: two cycles bridged, a tail, and an isolate") {
