@@ -3325,15 +3325,15 @@ object SparkEntry {
        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pairs.u AND e.b = pairs.v)"),
 
     "text_token_counts" ->
-      ("SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS ws_tokens, " +
+      ("SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))::BIGINT AS ws_tokens, " +
        "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens " +
        "FROM documents"),
     "text_quality" ->
-      ("WITH x AS (SELECT doc_id, text, len(text)::DOUBLE AS nc, " +
+      ("WITH x AS (SELECT doc_id, text, nullif(len(text), 0)::DOUBLE AS nc, " +
        "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +
        "len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct, " +
-       "len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS ntok, " +
-       "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+       "nullif(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')), 0)::DOUBLE AS ntok, " +
+       "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), " +
        "w -> w IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE AS stop, " +
        "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws FROM documents) " +
        "SELECT doc_id, round(alpha/nc, 6) AS alpha_ratio, round(punct/nc, 6) AS punct_ratio, " +
@@ -3341,13 +3341,13 @@ object SparkEntry {
        "round(least(1.0, greatest(0.0, alpha/nc*0.5 + least(stop/ntok*5.0, 1.0)*0.3 + " +
        "CASE WHEN nws/ntok BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)), 6) AS score FROM x"),
     "text_langid" ->
-      ("WITH x AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH x AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "sc AS (SELECT doc_id, " +
-       "len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE/len(ws) AS sde, " +
-       "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE/len(ws) AS sen, " +
-       "len(list_filter(ws, w -> w IN ('el','los','las','una','es','y','que','de')))::DOUBLE/len(ws) AS ses, " +
-       "len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','que')))::DOUBLE/len(ws) AS sfr, " +
-       "len(list_filter(ws, w -> w IN ('的','是','了','在','我','有','和','不')))::DOUBLE/len(ws) AS szh FROM x), " +
+       "len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE/nullif(len(ws), 0) AS sde, " +
+       "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE/nullif(len(ws), 0) AS sen, " +
+       "len(list_filter(ws, w -> w IN ('el','los','las','una','es','y','que','de')))::DOUBLE/nullif(len(ws), 0) AS ses, " +
+       "len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','que')))::DOUBLE/nullif(len(ws), 0) AS sfr, " +
+       "len(list_filter(ws, w -> w IN ('的','是','了','在','我','有','和','不')))::DOUBLE/nullif(len(ws), 0) AS szh FROM x), " +
        // left fold with strict >, mirroring the Scala reduce
        "f1 AS (SELECT doc_id, sde AS s, 'de' AS l, sen, ses, sfr, szh FROM sc), " +
        "f2 AS (SELECT doc_id, CASE WHEN sen > s THEN sen ELSE s END AS s, " +
@@ -3359,25 +3359,26 @@ object SparkEntry {
        "SELECT doc_id, CASE WHEN szh > s THEN 'zh' ELSE l END AS pred_lang, " +
        "round(CASE WHEN szh > s THEN szh ELSE s END, 6) AS lang_score FROM f4"),
     "text_fingerprint" ->
-      "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
     "text_repetition" -> repetitionOracle(
       "SELECT tf.doc_id AS doc_id, tf.top_token_frac, coalesce(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac " +
       "FROM tf LEFT JOIN bs ON tf.doc_id = bs.doc_id"),
     "text_gopher_filter" -> repetitionOracle(
-      "SELECT g.doc_id AS doc_id, (g.n_tok BETWEEN 10 AND 100000 AND g.mean_len BETWEEN 2.0 AND 10.0 " +
+      "SELECT g.doc_id AS doc_id, coalesce(g.n_tok BETWEEN 10 AND 100000 " +
+      "AND g.mean_len BETWEEN 2.0 AND 10.0 " +
       "AND g.stop_r >= 0.02 AND tf.top_token_frac < 0.20 " +
-      "AND coalesce(bs.dup_bigram_frac, 0.0) < 0.60) AS keep " +
-      "FROM gq g JOIN tf ON g.doc_id = tf.doc_id LEFT JOIN bs ON g.doc_id = bs.doc_id"),
+      "AND coalesce(bs.dup_bigram_frac, 0.0) < 0.60, false) AS keep " +
+      "FROM gq g LEFT JOIN tf ON g.doc_id = tf.doc_id LEFT JOIN bs ON g.doc_id = bs.doc_id"),
     "corpus_stats" ->
       ("SELECT source, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars, " +
-       "count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique, " +
-       "round(1 - count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) * 1.0 / count(*), 6) AS dup_rate, " +
+       "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique, " +
+       "round(1 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) * 1.0 / count(*), 6) AS dup_rate, " +
        "count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1"),
     // pairwise source vocabulary Jaccard: distinct (source, token) set,
     // token-keyed self-join (fan-out ≤ source pairs), sizes joined back
     "text_source_overlap" ->
       ("WITH v AS (SELECT DISTINCT source AS src, " +
-       "unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), " +
+       "unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w FROM documents), " +
        "s AS (SELECT src, count(*) AS n FROM v GROUP BY 1), " +
        "i AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS inter " +
        "FROM v a JOIN v b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2) " +
@@ -3385,7 +3386,7 @@ object SparkEntry {
        "round(inter / (sa.n + sb.n - inter), 6) AS jaccard " +
        "FROM i JOIN s sa ON i.src_a = sa.src JOIN s sb ON i.src_b = sb.src"),
     "dedup_exact" ->
-      ("SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, " +
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
        "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"),
     // canonical-form fingerprint: punctuation → space, collapse, trim
     "dedup_normalized" ->
@@ -3402,12 +3403,12 @@ object SparkEntry {
        "wau AS (SELECT day, count(DISTINCT user_id) AS windowed FROM w GROUP BY 1) " +
        "SELECT day, dau, windowed FROM dau JOIN wau USING (day)"),
     "text_vocab" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents) " +
        "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks " +
        "GROUP BY 1 ORDER BY tf DESC, tok ASC LIMIT 100"),
     "text_tfidf" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents), " +
        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
        "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
@@ -3420,7 +3421,7 @@ object SparkEntry {
     // Zipf replay: micro-ln-rank integer x through the same DECIMAL
     // regression sums, rescale before the final round
     "text_zipf" ->
-      ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents), " +
        "freq AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' " +
        "GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 1000), " +
@@ -3438,7 +3439,7 @@ object SparkEntry {
     // doc-level PMI replay: same df band, same rounded ranking
     "text_pmi" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
-       "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) " +
+       "unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok FROM documents) " +
        "WHERE tok <> ''), " +
        "dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1 " +
        "HAVING count(*) >= 5 AND count(*) <= 100), " +
@@ -3454,7 +3455,7 @@ object SparkEntry {
        "SELECT tok_a, tok_b, n_ab, pmi, rank FROM r WHERE rank <= 50"),
     // sparse cosine replay: df-capped weights, DECIMAL dot/norm sums
     "text_tfidf_sim" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents), " +
        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
        "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1 " +
@@ -3540,7 +3541,7 @@ object SparkEntry {
     // window rank; est = 63 · 2^60 / int(hex15(h_(64))) — double math on
     // both sides, '0x…'::BIGINT is DuckDB's hex parse (Spark uses conv)
     "sketch_distinct" ->
-      ("WITH toks AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents), " +
        "h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks), " +
        "rk AS (SELECT source, h, row_number() OVER " +
@@ -3621,7 +3622,7 @@ object SparkEntry {
     // over salted 32-bit hashes; a key's estimate is the min over its d
     // buckets — pure integer arithmetic, exact hash match
     "sketch_cms" ->
-      ("WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word " +
+      ("WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word " +
        "FROM documents), " +
        "js AS (SELECT unnest(range(4)) AS j), " +
        "cms AS (SELECT j, bucket, count(*)::BIGINT AS c FROM (" +
@@ -3648,7 +3649,7 @@ object SparkEntry {
        "SELECT c_custkey, count(b.pos) = 5 AS might " +
        "FROM pp LEFT JOIN bits b USING (pos) GROUP BY 1"),
     "pack_sequences" ->
-      ("WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tok " +
+      ("WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))::BIGINT AS n_tok " +
        "FROM documents), " +
        "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
@@ -3663,7 +3664,7 @@ object SparkEntry {
        "(PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT AS pos FROM a"),
     "shard_manifest" ->
       ("WITH a AS (SELECT ('0x' || substr(md5('s:' || doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard, " +
-       "len(string_split_regex(lower(text), '\\s+'))::BIGINT AS t, " +
+       "len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))::BIGINT AS t, " +
        "length(text)::BIGINT AS c FROM documents) " +
        "SELECT shard, count(*)::BIGINT AS docs, sum(t)::BIGINT AS tokens, " +
        "sum(c)::BIGINT AS chars FROM a GROUP BY 1"),
@@ -3672,7 +3673,7 @@ object SparkEntry {
        "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +
        "greatest((length(text) + 99) // 150, 1) - 1)) AS gs) t"),
     "decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws " +
+      ("WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws " +
        "FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t WHERE len(ws) >= 3), " +
@@ -3699,7 +3700,7 @@ object SparkEntry {
     // clusters = transitive closure of the jaccard-0.5 pair graph (the
     // minhash verify contract); min label propagation in a recursive CTE
     "dedup_clusters" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
@@ -3715,7 +3716,7 @@ object SparkEntry {
     // the incremental fold must equal the full rebuild — same oracle as
     // dedup_clusters
     "dedup_apply" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
@@ -3730,7 +3731,7 @@ object SparkEntry {
        "FROM reach GROUP BY 1"),
     // same components, keep = argmax(n_chars, tie lowest id) per cluster
     "dedup_keep_best" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
@@ -3746,7 +3747,7 @@ object SparkEntry {
        "(PARTITION BY canonical ORDER BY d.n_chars DESC, comp.doc_id ASC) = 1 AS keep " +
        "FROM comp JOIN documents d ON comp.doc_id = d.doc_id"),
     "text_boilerplate" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || " +
        "ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS shingle " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t WHERE len(ws) >= 8), " +
@@ -3755,7 +3756,7 @@ object SparkEntry {
        "round(count(b.shingle) * 1.0 / count(*), 6) AS boiler_frac " +
        "FROM sh LEFT JOIN b USING (shingle) GROUP BY 1"),
     "text_unigram_lm" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok FROM documents), " +
        "tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
        "freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1), " +
        "n AS (SELECT count(*) AS nt FROM tk) " +
@@ -3763,20 +3764,20 @@ object SparkEntry {
        "FROM tk JOIN freq USING (tok) CROSS JOIN n GROUP BY 1"),
     // add-one-smoothed cross-corpus replay: same freq join, same OOV floor
     "text_lm_xscore" ->
-      ("WITH rt AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      ("WITH rt AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok " +
        "FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')), " +
        "rk AS (SELECT tok FROM rt WHERE tok <> ''), " +
        "freq AS (SELECT tok, count(*) AS c FROM rk GROUP BY 1), " +
        "s AS (SELECT (SELECT count(*) FROM rk) AS n, (SELECT count(*) FROM freq) AS v), " +
        "dt AS (SELECT doc_id, tok FROM (SELECT doc_id, " +
-       "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) " +
+       "unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok FROM documents) " +
        "WHERE tok <> '') " +
        "SELECT doc_id, count(*)::BIGINT AS n_tok, " +
        "round(avg(ln((coalesce(c, 0) + 1) * 1.0 / (n + v))), 6) AS logprob, " +
        "sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov " +
        "FROM dt LEFT JOIN freq USING (tok) CROSS JOIN s GROUP BY 1"),
     "text_bigram_lm" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +
        "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x), " +
        "tk AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn " +
@@ -3789,7 +3790,7 @@ object SparkEntry {
        "round(avg(ln(c2 * 1.0 / c1)), 6) AS logprob " +
        "FROM big JOIN c2 USING (prev, tok) JOIN c1 USING (prev) GROUP BY 1"),
     "text_encode" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "raw AS (SELECT doc_id, i, ws[i] AS tok FROM t, " +
        "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x), " +
        "tk AS (SELECT doc_id, tok, (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::INT AS pos " +
@@ -3822,8 +3823,8 @@ object SparkEntry {
     "sample_quota" ->
       ("WITH x AS (SELECT doc_id, source, len(text)::DOUBLE AS nc, " +
        "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha, " +
-       "len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS ntok, " +
-       "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+       "nullif(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')), 0)::DOUBLE AS ntok, " +
+       "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), " +
        "w -> w IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE AS stop, " +
        "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws FROM documents), " +
        "sc AS (SELECT doc_id, source, round(least(1.0, greatest(0.0, alpha/nc*0.5 + " +
@@ -4181,13 +4182,13 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events",
     "stream_corpus_dedup" ->
       ("WITH fp AS (SELECT doc_id, source, " +
-       "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents) " +
+       "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents) " +
        "SELECT doc_id FROM fp a WHERE a.source = 'src0' AND NOT EXISTS " +
        "(SELECT 1 FROM fp b WHERE b.source <> 'src0' AND b.fp = a.fp)"),
     // replicates the md5-minhash banding exactly: 16 per-gram hash mins,
     // 4 string_agg'd band buckets, survivor = no band shared with history
     "stream_near_dedup" ->
-      ("WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
        "g AS (SELECT doc_id, source, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS gram " +
        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
        "sigs AS (SELECT doc_id, source, k, min(md5(k::VARCHAR || ':' || gram)) AS sig " +
@@ -4743,18 +4744,18 @@ object SparkEntry {
     * fraction), and the per-doc token/length/stopword signals (gq) the
     * Gopher filter combines. */
   private def repetitionOracle(select: String): String =
-    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS tok FROM documents), " +
     "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), " +
     "tf AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_frac FROM tc GROUP BY 1), " +
-    "ws AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents), " +
+    "ws AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w FROM documents), " +
     "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM ws, " +
     "LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t WHERE len(w) >= 2), " +
     "bs AS (SELECT doc_id, round(1 - count(DISTINCT b) * 1.0 / count(*), 6) AS dup_bigram_frac FROM bg GROUP BY 1), " +
-    "gq AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS n_tok, " +
-    "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(string_split_regex(lower(text), '\\s+')) AS mean_len, " +
-    "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+    "gq AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))::DOUBLE AS n_tok, " +
+    "len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / nullif(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')), 0) AS mean_len, " +
+    "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), " +
     "x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE " +
-    "/ len(string_split_regex(lower(text), '\\s+')) AS stop_r FROM documents) " +
+    "/ nullif(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')), 0) AS stop_r FROM documents) " +
     select
 
   /** Shared CTE prelude for the span-dedup oracles: positioned 8-grams,
@@ -4762,7 +4763,7 @@ object SparkEntry {
     * positions, and the gaps-and-islands merge (break when the gap
     * exceeds k = 8 — same rule as TextOps.duplicateSpans). */
   private val spanOraclePrelude: String =
-    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
     "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram " +
     "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t WHERE len(ws) >= 8), " +
     "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
@@ -4773,7 +4774,7 @@ object SparkEntry {
     "ROWS UNBOUNDED PRECEDING) AS island FROM b) "
 
   private def jaccardOracle(select: String): String =
-    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), " +
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
     "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle " +
     "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t WHERE len(ws) >= 5), " +
     "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +

@@ -18,8 +18,14 @@ import graft.util.CacheLifecycle.releaseOnFirstAction
  */
 object TextOps {
 
-  /** Whitespace tokens, lowercased; `ws` ARRAY<STRING> column. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Whitespace tokens, lowercased; `ws` ARRAY<STRING> column. Empty
+    * strings are dropped: Spark's `split` (limit −1) keeps the empty
+    * tokens that leading/trailing whitespace produces, and a phantom ""
+    * token corrupts every downstream shingle/count/ratio (a single
+    * leading space would halve a 5-gram Jaccard). Every oracle mirrors
+    * the filter (`list_filter(string_split_regex(…), w -> w <> '')`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** The document's word n-grams as ONE per-row array column (empty when
     * the doc is shorter than n words) — the streaming-safe building block:
@@ -73,11 +79,14 @@ object TextOps {
 
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t).cast("double")
+    // nullif: a zero denominator (empty text / zero tokens) must yield
+    // NULL ratios on BOTH engines — Spark's ANSI division by zero ERRORS
+    // while DuckDB's returns NULL, so the guard is load-bearing, not style
+    val nChars = nullif(length(t).cast("double"), lit(0.0))
     val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
     val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
     val ws = tokens(t)
-    val nTok = size(ws).cast("double")
+    val nTok = nullif(size(ws).cast("double"), lit(0.0))
     val stop = size(filter(ws, w => w.isin(StopwordsEn: _*))).cast("double")
     val meanLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok)
     df.select(col(idCol),
@@ -106,7 +115,8 @@ object TextOps {
     val ws = tokens(col(textCol))
     val scores = LangProfiles.map { case (lang, words) =>
       struct(
-        (size(filter(ws, w => w.isin(words: _*))).cast("double") / size(ws)).as("score"),
+        (size(filter(ws, w => w.isin(words: _*))).cast("double")
+          / nullif(size(ws).cast("double"), lit(0.0))).as("score"),
         lit(lang).as("lang"))
     }
     // argmax by (score, then reverse-alphabetical lang so ties pick first alphabetically)
@@ -128,12 +138,7 @@ object TextOps {
     val tf = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max("c") / sum("c"), 6).as("top_token_frac"))
-    val ws = tokens(col(textCol))
-    val bg = df.select(col(idCol), ws.as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), size(col("ws")) - 2),
-          k => concat_ws(" ", slice(col("ws"), k + 1, lit(2))))).as("b"))
+    val bg = df.select(col(idCol), explode(gramArray(col(textCol), 2)).as("b"))
     val bs = bg.groupBy(col(idCol))
       .agg(round(lit(1) - countDistinct("b") / count(lit(1)), 6).as("dup_bigram_frac"))
     tf.join(bs, Seq(idCol), "left")
@@ -158,16 +163,22 @@ object TextOps {
     val t = col(textCol)
     val ws = tokens(t)
     val nTok = size(ws).cast("double")
-    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / nTok
-    val stopR = size(filter(ws, w => w.isin(StopwordsEn: _*))).cast("double") / nTok
+    val den = nullif(nTok, lit(0.0)) // ANSI-safe: see qualityScore
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / den
+    val stopR = size(filter(ws, w => w.isin(StopwordsEn: _*))).cast("double") / den
     val base = df.select(col(idCol), nTok.as("n_tok"), meanLen.as("mean_len"), stopR.as("stop_r"))
-    base.join(rep, Seq(idCol))
+    // LEFT join + coalesce(false): a null-text / all-whitespace doc has no
+    // repetition stats row — it must be emitted with keep = false, not
+    // silently dropped (a filter whose output loses rows corrupts every
+    // keep-rate metric and anti-join downstream)
+    base.join(rep, Seq(idCol), "left")
       .select(col(idCol),
-        (col("n_tok").between(minTokens, maxTokens) &&
-         col("mean_len").between(minMeanWordLen, maxMeanWordLen) &&
-         col("stop_r") >= minStopwordRatio &&
-         col("top_token_frac") < maxTopTokenFrac &&
-         col("dup_bigram_frac") < maxDupBigramFrac).as("keep"))
+        coalesce(
+          col("n_tok").between(minTokens, maxTokens) &&
+          col("mean_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("stop_r") >= minStopwordRatio &&
+          col("top_token_frac") < maxTopTokenFrac &&
+          col("dup_bigram_frac") < maxDupBigramFrac, lit(false)).as("keep"))
   }
 
   /**
@@ -180,7 +191,7 @@ object TextOps {
                   langCol: String): DataFrame =
     df.select(col(sourceCol), col(idCol), col(langCol),
         length(col(textCol)).cast("long").as("nc"),
-        md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")).as("fp"))
+        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary")).as("fp"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum("nc").as("total_chars"),
@@ -263,15 +274,26 @@ object TextOps {
    * order (tfidf desc, token asc) so the top-k boundary is stable across
    * engines and partitionings.
    */
-  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  /** Shared TF/DF/idf-weight pipeline for the TF-IDF family: per-(doc,
+    * term) weight tf · ln((N+1)/(df+1)), with an optional df cap applied
+    * BEFORE weighting (posting-list scale cap). One definition so a
+    * smoothing change can never silently diverge the two consumers. */
+  private def tfIdfWeights(df: DataFrame, idCol: String, textCol: String,
+                           maxDf: Option[Long]): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+    val dfreq0 = toks.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+    val dfreq = maxDf.fold(dfreq0)(m => dfreq0.filter(col("df") <= m))
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    val scored = tf.join(dfreq, "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .select(col(idCol), col("tok"),
-        (col("tf") * log((col("__n") + 1) / (col("df") + 1))).as("tfidf"))
+        (col("tf") * log((col("__n") + 1) / (col("df") + 1))).as("w"))
+  }
+
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val scored = tfIdfWeights(df, idCol, textCol, maxDf = None)
+      .select(col(idCol), col("tok"), col("w").as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -295,15 +317,7 @@ object TextOps {
    */
   def tfIdfSimilarPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxDf: Long = 1000L): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") <= maxDf)
-    val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    val wts = tf.join(dfreq, "tok")
-      .crossJoin(broadcast(n))
-      .select(col(idCol), col("tok"),
-        (col("tf") * log((col("__n") + 1) / (col("df") + 1))).as("w"))
+    val wts = tfIdfWeights(df, idCol, textCol, Some(maxDf))
     val norms = wts.groupBy(col(idCol))
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,12)")).cast("double"))
         .as("__nm"))
@@ -459,7 +473,10 @@ object TextOps {
     val cs = shingles(corpus, idCol, textCol, n)
     val bs = shingles(benchmark, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("shingle"))
-    cs.join(bs, "shingle")
+    // explicit hint: the docstring's "benchmark side is small -> broadcast"
+    // must not depend on AQE stats — without it a stats-blind plan shuffles
+    // the full corpus shingle table on shingle hash
+    cs.join(broadcast(bs), "shingle")
       .groupBy(col(idCol), col("bench_id")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -483,6 +500,12 @@ object TextOps {
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Long, chunkSize: Long = 4096): DataFrame = {
+    // the chunk decomposition and the global order are NUMERIC on the id:
+    // a string id would cast to null (null chunk keys silently match
+    // nothing -> empty result) and sort lexically ("10" < "9")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric id column, got $idCol: " +
+        df.schema(idCol).dataType.simpleString)
     val w = org.apache.spark.sql.expressions.Window
     // floor-division in double is exact below 2^53 — ids and corpus token
     // counts both sit far under that (1e14 tokens ≈ 100 TB of text)
@@ -587,7 +610,7 @@ object TextOps {
     * (md5 agrees byte-for-byte with DuckDB's). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")).as("fp"))
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary")).as("fp"))
 
   /** Exact dedup: group by fingerprint, keep the minimum id as representative. */
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -804,6 +827,12 @@ object TextOps {
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, bandBits: Int = 8, maxHamming: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
+    // a non-divisor would leave the top 64 % bandBits signature bits in NO
+    // band — pairs differing only there are silently never candidates,
+    // voiding the pigeonhole recall bound (minhashDedup guards the same
+    // invariant with numHashes % bandRows)
+    require(bandBits >= 1 && bandBits <= 64 && 64 % bandBits == 0,
+      s"bandBits must divide 64, got $bandBits")
     val sh = shingles(df, idCol, textCol, n).cache()
     val h = xxhash64(col("shingle"))
     val votes = (0 until 64).map(b =>
@@ -827,23 +856,6 @@ object TextOps {
   }
 
 
-  /** Exact Jaccard verification restricted to candidate pairs (broadcast-able
-    * candidate set; at scale the shingle join partitions by shingle).
-    *
-    * The shingle table is REBUILT from the source (`shingles(df, …)`) rather
-    * than reusing the instance the candidates derive from: `candidates`
-    * carries the shingle scan in its lineage, and joining it back against
-    * the same plan object trips Spark's self-join attribute de-duplication,
-    * which silently mis-resolves the shared expression ids and drops pairs
-    * (measured in round 1: 12/28 pairs lost; regression covered by
-    * TextSpec). The rebuilt plan has fresh expression ids for the derived
-    * columns, and still hits the `sh.cache()` data — CacheManager matches
-    * cached plans by `sameResult`, which is exprId-insensitive — so nothing
-    * is recomputed and the whole verify stays one declarative codegen'd
-    * plan (round 1 used an RDD-boundary cut here, which disabled
-    * codegen/AQE across the boundary and recomputed the candidates per
-    * action).
-    */
   /**
    * End-to-end near-dup resolution: dup PAIRS → dup CLUSTERS → one kept
    * canonical doc per cluster — the step every web-scale dedup pipeline
@@ -1422,6 +1434,23 @@ object TextOps {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Exact Jaccard verification restricted to candidate pairs (broadcast-able
+    * candidate set; at scale the shingle join partitions by shingle).
+    *
+    * The shingle table is REBUILT from the source (`shingles(df, …)`) rather
+    * than reusing the instance the candidates derive from: `candidates`
+    * carries the shingle scan in its lineage, and joining it back against
+    * the same plan object trips Spark's self-join attribute de-duplication,
+    * which silently mis-resolves the shared expression ids and drops pairs
+    * (measured in round 1: 12/28 pairs lost; regression covered by
+    * TextSpec). The rebuilt plan has fresh expression ids for the derived
+    * columns, and still hits the `sh.cache()` data — CacheManager matches
+    * cached plans by `sameResult`, which is exprId-insensitive — so nothing
+    * is recomputed and the whole verify stays one declarative codegen'd
+    * plan (round 1 used an RDD-boundary cut here, which disabled
+    * codegen/AQE across the boundary and recomputed the candidates per
+    * action).
+    */
   private def verifyJaccard(candidates: DataFrame, df: DataFrame, n: Int,
                             idCol: String, textCol: String, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)

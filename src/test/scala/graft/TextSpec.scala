@@ -543,4 +543,50 @@ class TextSpec extends SparkSpec {
     assert(got.keySet == Set(("s1", "s2")))
     assert(got(("s1", "s2")) == ((2L, 0.4))) // |{c,d}| / |{a,b,c,d,e}|
   }
+
+  test("tokens: leading/trailing whitespace yields NO phantom empty tokens") {
+    // a single leading space must not change shingles, counts, or dedup:
+    // Spark's split (limit -1) keeps the "" tokens whitespace edges produce
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, " the quick brown fox jumps"),   // leading space
+      (3L, "the quick brown fox jumps\t")   // trailing tab
+    ).toDF("doc_id", "text")
+    val sh = TextOps.shingles(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // all three docs produce exactly the SAME single 5-gram
+    assert(sh.length == 3 && sh.map(_._2).distinct.length == 1)
+    val counts = TextOps.tokenCounts(d, "doc_id", "text")
+      .select($"doc_id", $"ws_tokens").as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L), counts.toString)
+    // exact dedup: whitespace-edge variants fingerprint identically (trim)
+    val fps = TextOps.fingerprint(d, "doc_id", "text")
+      .select("fp").distinct().count()
+    assert(fps == 1L, s"expected one fingerprint, got $fps")
+  }
+
+  test("gopherFilter: null-text and whitespace-only docs emit keep = false, not silence") {
+    val d = Seq((1L, Some("the quick brown fox jumps over the lazy dog today")),
+      (2L, None), (3L, Some("   "))).toDF("doc_id", "text")
+    val got = TextOps.gopherFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"filter output lost rows: $got")
+    assert(!got(2L) && !got(3L))
+    // ANSI landmine: zero-token ratios must be NULL, not a divide-by-zero
+    val q = TextOps.qualityScore(d, "doc_id", "text").collect()
+    assert(q.length == 3)
+    val lid = TextOps.langId(d, "doc_id", "text").collect()
+    assert(lid.length == 3)
+  }
+
+  test("simhashDedup/packSequences argument contracts") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.simhashDedup(d, "doc_id", "text", bandBits = 12) // 64 % 12 != 0
+    }
+    val sd = Seq(("doc_1", "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.packSequences(sd, "doc_id", "text", budget = 10) // string id
+    }
+  }
 }
