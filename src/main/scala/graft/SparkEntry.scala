@@ -3591,7 +3591,7 @@ object SparkEntry {
        "(PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
        "s AS (SELECT event_type, list_sort(list(v)) AS vs FROM rk " +
        "WHERE rn <= 256 GROUP BY 1) " +
-       "SELECT event_type, q, vs[CAST(ceil(q * len(vs)) AS INT)] AS est " +
+       "SELECT event_type, q, vs[CAST(greatest(ceil(q * len(vs) - 1e-9), 1) AS INT)] AS est " +
        "FROM s CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)"),
     // Wide-frame HLL replay: rank = 49 − bitlength of the 48-bit frame
     // (md5 chars 9-20); harmonic sum scaled by 2^49 so it is pure integer
@@ -4154,7 +4154,7 @@ object SparkEntry {
        "(PARTITION BY day, event_type ORDER BY h) AS rn FROM h), " +
        "s AS (SELECT day, event_type, list_sort(list(v)) AS vs FROM rk " +
        "WHERE rn <= 128 GROUP BY 1, 2) " +
-       "SELECT day, event_type, q, vs[CAST(ceil(q * len(vs)) AS INT)] AS est " +
+       "SELECT day, event_type, q, vs[CAST(greatest(ceil(q * len(vs) - 1e-9), 1) AS INT)] AS est " +
        "FROM s CROSS JOIN (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS q)"),
     // windowed exact heavy hitters: plain per-day exact counting with an
     // integer threshold against the day's total
@@ -4288,7 +4288,7 @@ object SparkEntry {
        "FROM orders CROSS JOIN js WHERE o_custkey IS NOT NULL) GROUP BY 1, 2), " +
        "ip AS (SELECT ca.j, sum(ca.c * cb.c) AS ip FROM ca " +
        "JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1), " +
-       "es AS (SELECT min(ip)::BIGINT AS est FROM ip), " +
+       "es AS (SELECT coalesce(min(coalesce(ip.ip, 0)), 0)::BIGINT AS est FROM js LEFT JOIN ip USING (j)), " +
        "ex AS (SELECT coalesce(sum(n1 * n2), 0)::BIGINT AS exact FROM " +
        "(SELECT user_id AS k, count(*) AS n1 FROM events GROUP BY 1) a JOIN " +
        "(SELECT o_custkey AS k, count(*) AS n2 FROM orders GROUP BY 1) b USING (k)) " +
@@ -4365,7 +4365,7 @@ object SparkEntry {
        "GROUP BY 1, 2"),
     "ev_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
-       "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
+       "OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_s " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
        "SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY 1"),
     "ev_range_join" ->
@@ -4455,8 +4455,10 @@ object SparkEntry {
        "FROM (SELECT DISTINCT user_id FROM events) u " +
        "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
     "ev_retention" ->
-      ("WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1), " +
-       "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS p FROM events), " +
+      ("WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events " +
+       "WHERE ts IS NOT NULL GROUP BY 1), " +
+       "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS p FROM events " +
+       "WHERE ts IS NOT NULL), " +
        "act AS (SELECT cohort, date_diff('day', cohort, p)::INT AS k, count(*)::BIGINT AS n_active " +
        "FROM a JOIN f USING (user_id) GROUP BY 1, 2), " +
        "sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1) " +

@@ -29,18 +29,25 @@ object EventOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                rightCols: Seq[String], forward: Boolean = false,
                toleranceMillis: Option[Long] = None): DataFrame = {
+    require(!rightCols.contains("__t"),
+      "asofJoin: the carried-struct field name __t is reserved")
     val lp = left.columns.filterNot(c => c == key || c == time)
-    val carryCols = rightCols :+ time // right timestamp rides along for the tolerance mask
+    // ONE struct carries the matched right ROW (its timestamp + every
+    // rightCol together). Carrying each column through its own
+    // last(ignoreNulls) would tear values across DIFFERENT right rows the
+    // moment any right column holds a null — pandas merge_asof (the
+    // documented contract) takes all columns, nulls included, from the
+    // single nearest row, and the tolerance mask must test THAT row's time.
+    val rowStruct = struct(
+      (col(time).as("__t") +: rightCols.map(c => col(c).as(c))): _*)
     val l = left.select(
-      Seq(col(key), col(time)) ++ lp.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
-        lit(null).cast(right.schema(time).dataType).as(s"__r_$time") :+
+      Seq(col(key), col(time)) ++ lp.map(col) :+
+        lit(null).cast(right.select(rowStruct).schema.head.dataType).as("__r_row") :+
         lit(1).as("__side"): _*)
     val r = right.select(
       Seq(col(key), col(time)) ++
-        lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) :+
-        col(time).as(s"__r_$time") :+
+        lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rowStruct.as("__r_row") :+
         lit(0).as("__side"): _*)
     // right rows sort before left rows at the same timestamp (side 0 < 1):
     // an exactly-simultaneous right row IS visible to the left row, in
@@ -48,17 +55,16 @@ object EventOps {
     val ord = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(key).orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__last", last(col("__r_row"), ignoreNulls = true).over(w))
     val withinTol = toleranceMillis match {
       case Some(tol) =>
-        abs(unix_millis(col(time)) - unix_millis(col(s"__last_$time"))) <= tol
+        abs(unix_millis(col(time)) - unix_millis(col("__last").getField("__t"))) <= tol
       case None => lit(true)
     }
     carried.filter(col("__side") === 1)
       .select(Seq(col(key), col(time)) ++ lp.map(col) ++
-        rightCols.map(c => when(withinTol, col(s"__last_$c")).as(s"asof_$c")): _*)
+        rightCols.map(c => when(withinTol, col("__last").getField(c)).as(s"asof_$c")): _*)
   }
 
   /**
@@ -164,8 +170,12 @@ object EventOps {
    */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = to_date(col(tsCol))
-    val first = events.groupBy(col(userCol)).agg(min(day).as("cohort"))
-    val activeDays = events.select(col(userCol), day.as("p")).distinct()
+    // a null timestamp is no activity: without the filter it survives the
+    // distinct as (user, p = null) and emits a nonsense (cohort, k = null)
+    // output row (min() already ignores nulls on the cohort side)
+    val evs = events.filter(col(tsCol).isNotNull)
+    val first = evs.groupBy(col(userCol)).agg(min(day).as("cohort"))
+    val activeDays = evs.select(col(userCol), day.as("p")).distinct()
     val act = activeDays.join(first, Seq(userCol))
       .select(col("cohort"), datediff(col("p"), col("cohort")).as("k"))
       .groupBy("cohort", "k").agg(count(lit(1)).as("n_active"))
@@ -188,8 +198,12 @@ object EventOps {
     val byKey = Window.partitionBy(key).orderBy(col(time))
     events
       .withColumn("__prev", lag(col(time), 1).over(byKey))
+      // unix_millis, not unix_timestamp: second truncation silently merged
+      // sessions whose true gap exceeded gapSeconds by under a second —
+      // the rest of the file works in milliseconds
       .withColumn("__new", when(col("__prev").isNull ||
-        unix_timestamp(col(time)) - unix_timestamp(col("__prev")) > gapSeconds, 1).otherwise(0))
+        unix_millis(col(time)) - unix_millis(col("__prev")) > gapSeconds * 1000L, 1)
+        .otherwise(0))
       .withColumn("session_id", sum(col("__new")).over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")
@@ -226,7 +240,7 @@ object EventOps {
       // values compare equal to themselves (a null→null "change" is no
       // change), which is what the struct <=> gives for free.
       .filter(!(col("__prev") <=> attrStruct))
-    val byFrom = Window.partitionBy(key).orderBy(col(time), col(tieBreak))
+    val byFrom = byKey // same (key, time, tieBreak) ordering as run detection
     runs
       .withColumn("valid_from_ms", unix_millis(col(time)))
       .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(byFrom))
@@ -252,12 +266,14 @@ object EventOps {
    *          DECIMAL(38,0))
    * @return (groupCols…, n, slope, intercept) — rounded to 6
    */
-  def trend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame =
+  def trend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    val aggs = trendSumAggs(x, y)
     trendReadout(
       df.filter(x.isNotNull && y.isNotNull)
         .groupBy(groupCols.map(col): _*)
-        .agg(trendSumAggs(x, y).head, trendSumAggs(x, y).tail: _*),
+        .agg(aggs.head, aggs.tail: _*),
       groupCols)
+  }
 
   /** The five classical-sum aggregate columns (n, Σx, Σy, Σxy, Σx² — all
     * DECIMAL-exact, combinable) — shared with the streaming windowed trend
@@ -348,24 +364,6 @@ object EventOps {
   }
 
   /**
-   * Bounded-lookback exponential moving average: per key, in `orderCols`
-   * order, `ewma_i = Σ_{k<L} (1-α)^k · v_{i-k} / Σ_{k<L} (1-α)^k` over the
-   * rows that exist (missing lags and NULL values drop out of BOTH sums) —
-   * the FIR truncation of the classic recursive EWMA. The infinite-horizon
-   * recurrence is a sequential scan Spark has no native operator for (and
-   * its (1-α)^{-i} prefix-sum rewrite overflows doubles); truncating at L
-   * makes it L lag expressions inside ONE window pass — at (1-α)=½, L=8
-   * the dropped tail weighs < 0.4%, and the weights 2^-k are exact binary
-   * fractions so the fixed left-to-right sum is bit-reproducible across
-   * engines.
-   *
-   * Scale shape: one window shuffle on the key; L lags evaluate in the
-   * same frame pass (no per-lag window, no collected lists).
-   *
-   * @return input columns + `ewma` (rounded to 6; NULL when no value in
-   *         the lookback window)
-   */
-  /**
    * Equi-width histogram per group: bucket = ⌊(v − min)/width⌋ against the
    * GROUP's own min/max (a per-group aggregate broadcast back — the
    * histogram the profiler/monitor draws). The max lands in the last
@@ -410,7 +408,9 @@ object EventOps {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), col(tsCol).cast("date").as("day")).distinct()
-    val dau = ud.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
+    // ud is already distinct on (__u, day): a plain count equals the
+    // distinct count without the second dedup pass
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud.withColumn("__o", explode(sequence(lit(0), lit(windowDays - 1))))
       .select(date_add(col("day"), col("__o")).as("day"), col("__u"))
       .groupBy("day").agg(countDistinct(col("__u")).as("windowed"))
@@ -432,14 +432,17 @@ object EventOps {
                       k: Double = 3.5): DataFrame = {
     val v = col(value).cast("double")
     val med = df.filter(v.isNotNull).groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($value, 0.5)").as("__med"))
+      .agg(expr(s"percentile(`$value`, 0.5)").as("__med"))
     val dev = df.join(broadcast(med), groupCols)
       .filter(v.isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs($value - __med), 0.5)").as("__mad"))
+      .agg(expr(s"percentile(abs(`$value` - __med), 0.5)").as("__mad"))
     val stats = med.join(dev, groupCols)
     val z = abs(v - col("__med")) / (lit(1.4826) * col("__mad"))
-    df.join(broadcast(stats), groupCols)
+    // LEFT join: a group with no stats (all-null values) or a null group
+    // key must come back with null flags, not silently vanish — "input
+    // columns + flags" means the row count is preserved
+    df.join(broadcast(stats), groupCols, "left")
       .withColumn("robust_z",
         round(when(col("__mad") > 0, z), 6))
       .withColumn("is_anomaly",
@@ -577,6 +580,24 @@ object EventOps {
       .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
         min("min_v").as("min_v"), max("max_v").as("max_v"))
 
+  /**
+   * Bounded-lookback exponential moving average: per key, in `orderCols`
+   * order, `ewma_i = Σ_{k<L} (1-α)^k · v_{i-k} / Σ_{k<L} (1-α)^k` over the
+   * rows that exist (missing lags and NULL values drop out of BOTH sums) —
+   * the FIR truncation of the classic recursive EWMA. The infinite-horizon
+   * recurrence is a sequential scan Spark has no native operator for (and
+   * its (1-α)^{-i} prefix-sum rewrite overflows doubles); truncating at L
+   * makes it L lag expressions inside ONE window pass — at (1-α)=½, L=8
+   * the dropped tail weighs < 0.4%, and the weights 2^-k are exact binary
+   * fractions so the fixed left-to-right sum is bit-reproducible across
+   * engines.
+   *
+   * Scale shape: one window shuffle on the key; L lags evaluate in the
+   * same frame pass (no per-lag window, no collected lists).
+   *
+   * @return input columns + `ewma` (rounded to 6; NULL when no value in
+   *         the lookback window)
+   */
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
            value: Column, alpha: Double = 0.5, lookback: Int = 8): DataFrame = {
     require(lookback >= 1 && alpha > 0 && alpha <= 1,

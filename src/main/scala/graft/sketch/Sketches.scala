@@ -173,9 +173,9 @@ object Sketches {
     // NULLs are ignored (COUNT DISTINCT semantics) — md5(NULL) is NULL and
     // would otherwise land a phantom null-idx register row, inflating the
     // nonzero count and shifting the linear-counting branch
+    val (idx, r) = hllRegisterCols(value, p)
     df.filter(value.isNotNull)
-      .select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
-        :+ rho32(h32(value, 9)).as("r"): _*)
+      .select(groupCols.map(col) :+ idx.as("idx") :+ r.as("r"): _*)
       .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max(col("r")).as("r"))
   }
@@ -273,6 +273,9 @@ object Sketches {
   def hllRegistersWide(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 13, s"wide-frame HLL precision must be in [4,13], got $p")
     val m = 1L << p
+    // idx must stay bit-identical to hllRegisterCols (same h32 % m); only
+    // the RANK is wide (48-bit) — wide and 32-bit tables never merge, but
+    // the register addressing contract is one
     df.filter(value.isNotNull)
       .select(groupCols.map(col) :+ (h32(value, 1) % m).as("idx")
         :+ rho48(h48(value, 9)).as("r"): _*)
@@ -350,7 +353,7 @@ object Sketches {
     // NULL keys are ignored (the shared sketch NULL contract, see kmvDistinct)
     df.filter(key.isNotNull)
       .select(weight.as("__w"),
-        posexplode(array((0 until d).map(j => saltedH32(j, key) % w): _*)))
+        posexplode(array((0 until d).map(j => cmsBucket(j, key, w)): _*)))
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
       .groupBy("j", "bucket").agg(sum(col("__w")).as("c"))
   }
@@ -368,12 +371,20 @@ object Sketches {
    *
    * @return one row (est BIGINT)
    */
-  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("j"), col("bucket"), col("c").as("__ca"))
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val ip = a.select(col("j"), col("bucket"), col("c").as("__ca"))
       .join(b.select(col("j"), col("bucket"), col("c").as("__cb")),
         Seq("j", "bucket"))
       .groupBy("j").agg(sum(col("__ca") * col("__cb")).as("__ip"))
-      .agg(min(col("__ip")).cast("long").as("est"))
+    // EVERY hash row votes: a row with no overlapping bucket has inner
+    // product 0 — exactly the collision-free row the min exists to find.
+    // The bare inner-join group-by dropped it, inflating the min (or
+    // returning NULL when NO row overlapped, where the truth is 0).
+    a.select(col("j")).distinct()
+      .join(ip, Seq("j"), "left")
+      .agg(coalesce(min(coalesce(col("__ip"), lit(0L))), lit(0L))
+        .cast("long").as("est"))
+  }
 
   /**
    * Point-query a CMS for each distinct key in `keys`: the estimate is the
@@ -384,9 +395,9 @@ object Sketches {
    * @return (keyName, est LONG)
    */
   def cmsLookup(cms: DataFrame, keys: DataFrame, keyName: String, d: Int, w: Int): DataFrame = {
-    val probes = keys.select(col(keyName)).distinct()
+    val probes = keys.select(col(keyName)).filter(col(keyName).isNotNull).distinct()
       .select(col(keyName),
-        posexplode(array((0 until d).map(j => saltedH32(j, col(keyName)) % w): _*)))
+        posexplode(array((0 until d).map(j => cmsBucket(j, col(keyName), w)): _*)))
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
     probes.join(broadcast(cms), Seq("j", "bucket"), "left")
       .groupBy(keyName)
@@ -432,7 +443,10 @@ object Sketches {
    */
   def bloomMightContain(bits: DataFrame, probe: DataFrame, keyName: String,
                         k: Int, mBits: Int): DataFrame = {
-    probe.select(col(keyName)).distinct()
+    // NULL probe keys are ignored (the shared sketch NULL contract) — all
+    // k salted positions of NULL are NULL, which would emit a spurious
+    // (NULL, might = false) row
+    probe.select(col(keyName)).filter(col(keyName).isNotNull).distinct()
       .select(col(keyName),
         explode(array((0 until k).map(j => saltedH32(j, col(keyName)) % mBits): _*)).as("pos"))
       .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
@@ -493,7 +507,7 @@ object Sketches {
                     value: Column, k: Int): DataFrame = {
     val agg = udaf(new BottomKAggregator(k),
       Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
-    df.filter(id.isNotNull && value.isNotNull)
+    df.filter(id.isNotNull && value.cast("double").isNotNull)
       .select(groupCols.map(col) :+ md5(id.cast("string").cast("binary")).as("__h")
         :+ value.cast("double").as("__v"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -531,9 +545,14 @@ object Sketches {
       .agg(sort_array(collect_list(col("v"))).as("__vs"))
       .select(groupCols.map(col)
         :+ explode(array(qs.map(lit): _*)).as("q") :+ col("__vs"): _*)
+      // ceil over an epsilon-backoff: the raw product rounds UP past exact
+      // integers in IEEE doubles (0.07*100 = 7.000000000000001 -> rank 8
+      // instead of the documented ceil(q*n) = 7); greatest(1) guards the
+      // q*n < epsilon corner. The oracle applies the identical backoff.
       .select(groupCols.map(col) :+ col("q")
         :+ element_at(col("__vs"),
-          ceil(col("q") * size(col("__vs"))).cast("int")).as("est"): _*)
+          greatest(ceil(col("q") * size(col("__vs")) - lit(1e-9)), lit(1L))
+            .cast("int")).as("est"): _*)
   }
 
   /** Sample + estimate in one call — the per-group approximate-quantiles
@@ -612,13 +631,17 @@ object Sketches {
                    outName: String = "key"): DataFrame = {
     val keyed = df.select(key.cast("string").as("__hh")).filter(col("__hh").isNotNull)
     val mg = udaf(new MisraGriesAggregator(s), Encoders.STRING)
-    val cand = keyed.agg(mg(col("__hh")).as("__ks"))
-      .select(explode(col("__ks")).as("__hh"))
-    val n = keyed.agg(count(lit(1)).as("__n"))
-    keyed.join(broadcast(cand), "__hh")
+    // candidates and N come out of ONE aggregate pass — a separate
+    // count(*) action re-scanned the unpersisted key stream a third time
+    val candAndN = keyed.agg(mg(col("__hh")).as("__ks"), count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candAndN.select(explode(col("__ks")).as("__hh"))
+    val n = candAndN.select(col("__n"))
+    val out = keyed.join(broadcast(cand), "__hh")
       .groupBy("__hh").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(n))
       .filter(col("cnt") * s > col("__n"))
       .select(col("__hh").as(outName), col("cnt"))
+    graft.util.CacheLifecycle.releaseOnFirstAction(out, candAndN)
   }
 }

@@ -313,6 +313,52 @@ class EventOpsSpec extends SparkSpec {
     assert(run(2)(3L) == 3.333333)
   }
 
+  test("asof join: null right values come from the NEAREST row, never an older one") {
+    // pandas merge_asof contract: ALL carried columns, nulls included, come
+    // from the single nearest right row — per-column last(ignoreNulls)
+    // would tear px=100 from t=00 while the tolerance checks t=04
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), "l1")).toDF("key", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 10:00:04"), None)
+    ).toDF("key", "ts", "px")
+    // tolerance 2s: nearest row (t=04, px=null) is within → asof_px NULL
+    val tol = EventOps.asofJoin(left, right, "key", "ts", Seq("px"),
+      toleranceMillis = Some(2000L))
+      .collect().map(r => Option(r.get(3))).toSeq
+    assert(tol == Seq(None), s"expected the nearest row's NULL px, got $tol")
+    // no tolerance: still the nearest row's null, not t=00's 100.0
+    val plain = EventOps.asofJoin(left, right, "key", "ts", Seq("px"))
+      .collect().map(r => Option(r.get(3))).toSeq
+    assert(plain == Seq(None))
+    // the right TIME column itself is carriable without ambiguity
+    val withTs = EventOps.asofJoin(left, right, "key", "ts", Seq("px", "ts"))
+      .collect().map(r => Option(r.get(4)).map(_.toString)).toSeq
+    assert(withTs == Seq(Some("2024-01-01 10:00:04.0")))
+  }
+
+  test("robustAnomalies: rows of stat-less groups survive with null flags") {
+    val d = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(1.1)), (3L, "a", Some(50.0)),
+      (4L, "b", None), (5L, "b", None) // group with NO stats (all-null values)
+    ).toDF("event_id", "event_type", "value")
+    val got = EventOps.robustAnomalies(d, Seq("event_type"), "value", k = 1.0)
+    assert(got.count() == 5L, "the filter must preserve the input row count")
+    val bRows = got.filter(col("event_type") === "b")
+      .select("robust_z").collect().map(r => r.isNullAt(0))
+    assert(bRows.length == 2 && bRows.forall(identity))
+  }
+
+  test("sessionize: millisecond gaps split exactly (no second truncation)") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.100")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30.900"))  // gap 30.8s
+    ).toDF("user_id", "ts")
+    val n = EventOps.sessionize(ev, "user_id", "ts", gapSeconds = 30)
+      .agg(max("session_id")).collect()(0).getLong(0)
+    assert(n == 2L, "a 30.8s gap must split a 30s-gap session")
+  }
+
   test("sessionize splits on gaps over threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

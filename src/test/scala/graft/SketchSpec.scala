@@ -1,6 +1,7 @@
 package graft
 
 import graft.sketch.Sketches
+import org.apache.spark.sql.functions.{col, lit}
 
 /** KMV distinct sketch: exact under k, estimator replay above k, merge
   * determinism across partition layouts. */
@@ -306,5 +307,41 @@ class SketchSpec extends SparkSpec {
     val c = (2000 to 2600).map(Tuple1(_)).toDF("v")
     val z = Sketches.kmvIntersect(big1, col("v"), c, col("v"), k = 128).collect()(0)
     assert(z.getLong(1) == 0L && z.getDouble(3) == 0.0)
+  }
+
+  test("cmsInnerProduct: a collision-free row drives the min to 0 (disjoint keys)") {
+    // two disjoint single-key streams: the true join size is 0; any hash
+    // row where the two keys land in different buckets proves it — a row
+    // with NO overlapping bucket must contribute 0 to the min, not vanish
+    val a = Sketches.cmsTable(Seq.fill(5)("x").toDF("k"), col("k"), lit(1L), d = 4, w = 64)
+    val b = Sketches.cmsTable(Seq.fill(3)("y").toDF("k"), col("k"), lit(1L), d = 4, w = 64)
+    val est = Sketches.cmsInnerProduct(a, b).collect()(0).getLong(0)
+    assert(est == 0L, s"disjoint keys must estimate join size 0, got $est")
+    // and a genuine overlap still estimates exactly at this load
+    val self = Sketches.cmsInnerProduct(a, a).collect()(0).getLong(0)
+    assert(self == 25L, s"self inner product of 5 x's is 25, got $self")
+  }
+
+  test("sampleQuantiles: exact-integer ranks don't round up (0.07 x 100 = rank 7)") {
+    // IEEE: 0.07 * 100 = 7.000000000000001 — a bare ceil reads the 8th
+    // order statistic; the documented contract is the 7th
+    val sample = (1 to 100).map(i => ("g", f"$i%03d", i.toDouble)).toDF("g", "h", "v")
+      .select(col("g"), col("h"), col("v"))
+    val got = Sketches.sampleQuantiles(
+        sample.select(col("g"), col("h"), col("v")), Seq("g"), Seq(0.07, 0.5))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got(0.07) == 7.0, s"rank must be ceil(0.07*100) = 7, got ${got(0.07)}")
+    assert(got(0.5) == 50.0)
+  }
+
+  test("null probe keys produce NO output row (cmsLookup + bloomMightContain)") {
+    val data = Seq("a", "b").toDF("k")
+    val cms = Sketches.cmsTable(data, col("k"), lit(1L), d = 2, w = 32)
+    val probes = Seq(Some("a"), None).toDF("k")
+    val lk = Sketches.cmsLookup(cms, probes, "k", d = 2, w = 32).collect()
+    assert(lk.length == 1 && lk(0).getString(0) == "a")
+    val bits = Sketches.bloomBits(data, col("k"), k = 3, mBits = 128)
+    val bm = Sketches.bloomMightContain(bits, probes, "k", k = 3, mBits = 128).collect()
+    assert(bm.length == 1 && bm(0).getString(0) == "a" && bm(0).getBoolean(1))
   }
 }
