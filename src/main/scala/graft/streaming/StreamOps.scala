@@ -88,18 +88,26 @@ object StreamOps {
    *
    * @return (w_start BIGINT epoch seconds, event_type, n, sum_value)
    */
-  def slidingWindowAgg(events: DataFrame, windowDur: String = "1 day",
-                       slide: String = "6 hours", wm: String = "1 hour"): DataFrame = {
-    val winMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDur))
-    val slideMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(slide))
-    def us(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
-      i.days * 86400000000L + i.microseconds // no months in a sliding grid
-    require(winMs.months == 0 && slideMs.months == 0 && us(slideMs) > 0 &&
-      us(winMs) % us(slideMs) == 0,
+  /** Epoch-grid contract shared by every sliding operator here: windowDur
+    * must be a POSITIVE month-free integer multiple of slide — the grid
+    * the batch/oracle register-merge replays assume. Enforced at parse so
+    * a bad grid is an error, not a silent batch/stream divergence. */
+  private[graft] def requireEpochGrid(windowDur: String, slide: String): Unit = {
+    def iv(sp: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(sp))
+    val (winIv, slideIv) = (iv(windowDur), iv(slide))
+    def micros(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
+      i.days * 86400000000L + i.microseconds // months never enter the grid
+    require(winIv.months == 0 && slideIv.months == 0 &&
+      micros(winIv) > 0 && micros(slideIv) > 0 &&
+      micros(winIv) % micros(slideIv) == 0,
       s"windowDur ($windowDur) must be a positive month-free multiple of " +
         s"slide ($slide) — the epoch-aligned grid the batch/oracle replay assumes")
+  }
+
+  def slidingWindowAgg(events: DataFrame, windowDur: String = "1 day",
+                       slide: String = "6 hours", wm: String = "1 hour"): DataFrame = {
+    requireEpochGrid(windowDur, slide)
     watermarked(events, "ts", wm)
       .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -126,6 +134,7 @@ object StreamOps {
                            wm: String = "1 hour",
                            slide: Option[String] = None): DataFrame = {
     val (idx, rank) = graft.sketch.Sketches.hllRegisterCols(value, p)
+    slide.foreach(requireEpochGrid(windowDur, _)) // same grid contract
     // a slide replicates each event into its windowDur/slide overlapping
     // windows before the max — state widens by the overlap factor, the
     // operator count does not (still ONE streaming aggregate)

@@ -107,6 +107,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding epoch-grid contract: non-multiple, month, or non-positive durations reject") {
+    val df = batchEvents.toDF()
+    for ((w, sl) <- Seq(("1 day", "7 hours"), ("1 month", "1 day"),
+        ("0 seconds", "6 hours"), ("-1 day", "6 hours"), ("1 day", "0 seconds")))
+      intercept[IllegalArgumentException](StreamOps.slidingWindowAgg(df, w, sl))
+    // the sliding-HLL path shares the SAME grid contract (the batch/oracle
+    // register-merge replay assumes it)
+    intercept[IllegalArgumentException](
+      StreamOps.windowedHllDistinct(df, Nil, $"user_id", 9,
+        windowDur = "1 day", slide = Some("7 hours")))
+    // a valid grid still constructs
+    StreamOps.slidingWindowAgg(df, "1 day", "6 hours")
+  }
+
   test("slidingWindowAgg: 4 overlapping windows per event; streaming ≡ batch") {
     import org.apache.spark.sql.functions.col
     // batch: one event falls in exactly windowDur/slide = 4 windows, all
