@@ -48,16 +48,18 @@ object MultimodalOps {
   object SyntheticCodec {
     val Magic: Int = 0x474D4D31 // "GMM1"
 
-    def width(id: Long): Int       = 16 + (id % 48).toInt
-    def height(id: Long): Int      = 16 + ((id * 7) % 48).toInt
+    def width(id: Long): Int       = 16 + math.floorMod(id, 48L).toInt
+    def height(id: Long): Int      = 16 + math.floorMod(id * 7, 48L).toInt
     def channels(mt: String): Int  = mt match { case "image" => 3; case "audio" => 1; case _ => 3 }
     def durationMs(id: Long, mt: String): Long =
       if (mt == "image") 0L else 1000L + (id % 60) * 500L
-    def bodyLen(id: Long): Int     = 256 + (id % 256).toInt * 4
+    // floorMod: total over negative ids (Java % would go sub-floor or
+    // negative-length); identical to % for the nonneg oracle fixtures
+    def bodyLen(id: Long): Int     = 256 + math.floorMod(id, 256L).toInt * 4
     /** pseudo-pixel at offset p — small-int arithmetic so any SQL engine can
       * recompute it without 64-bit wraparound. */
     def bodyByte(id: Long, p: Int): Int =
-      (((id % 1000003L).toInt * 31 + p * 7 + 13) % 256)
+      math.floorMod(math.floorMod(id, 1000003L).toInt * 31 + p * 7 + 13, 256)
 
     def encode(id: Long, mt: String): Array[Byte] = {
       val n = bodyLen(id)
@@ -79,10 +81,19 @@ object MultimodalOps {
         buf.getLong(), buf.getInt())
     }
 
-    /** Stubbed pixel decode: returns the body bytes (a real codec would
-      * return H×W×C pixels here). */
-    def decodeBody(bytes: Array[Byte]): Array[Byte] =
-      java.util.Arrays.copyOfRange(bytes, 29, bytes.length)
+    /** GMM1 header length: magic(4) + type(1) + w/h/c(12) + durMs(8) +
+      * bodyLen(4). */
+    val HeaderLen: Int = 29
+
+    /** Stubbed pixel decode: returns the DECLARED body (a real codec would
+      * return H×W×C pixels here). Reading to bytes.length instead of the
+      * header's bodyLen would silently fold any trailing padding into
+      * feature sums. */
+    def decodeBody(bytes: Array[Byte]): Array[Byte] = {
+      val n = ByteBuffer.wrap(bytes, HeaderLen - 4, 4).getInt
+      require(bytes.length >= HeaderLen + n, "truncated GMM1 body")
+      java.util.Arrays.copyOfRange(bytes, HeaderLen, HeaderLen + n)
+    }
   }
 
   /**
@@ -124,17 +135,27 @@ object MultimodalOps {
       }
       def int(): Int = {
         skipWs()
-        var v = 0; var any = false
+        var v = 0L; var any = false
         while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
           v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+          // cap before Int overflow: a crafted 10-digit dimension must be
+          // a clean "malformed PPM" rejection, not a wrapped width that
+          // defeats the body-length require and crashes in resize
+          require(v <= Int.MaxValue, "malformed PPM header: field overflows")
         }
         require(any, "malformed PPM header")
-        v
+        v.toInt
       }
       val w = int(); val h = int(); val maxval = int()
+      require(w > 0 && h > 0, s"malformed PPM header: non-positive dims ${w}x$h")
       require(maxval > 0 && maxval < 256, s"unsupported PPM maxval $maxval")
-      p += 1 // exactly ONE whitespace byte separates maxval from the raster
-      require(bytes.length - p >= w * h * 3, "truncated PPM body")
+      // exactly ONE whitespace byte separates maxval from the raster — a
+      // junk byte here means the raster offset is wrong, not truncated
+      require(p < bytes.length && bytes(p).toChar.isWhitespace,
+        "malformed PPM header: raster must follow one whitespace byte")
+      p += 1
+      val body = w.toLong * h * 3
+      require(body <= Int.MaxValue && bytes.length - p >= body, "truncated PPM body")
       (w, h, p)
     }
 
@@ -205,6 +226,7 @@ object MultimodalOps {
    * streamed row-wise.
    */
   def mediaFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeature] = {
+    require(dim >= 1, s"mediaFeatures needs dim >= 1, got $dim")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -234,6 +256,7 @@ object MultimodalOps {
    * summed the way a real thumbnail stage would, one decoder per partition.
    */
   def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaResized] = {
+    require(outW >= 1 && outH >= 1, s"resize needs positive dims, got ${outW}x$outH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -265,12 +288,17 @@ object MultimodalOps {
     * the explode step of a frame-extraction pipeline (a real codec would
     * attach the decoded frame bytes per row). */
   def frameSample(media: Dataset[MediaRow], everyMs: Long): Dataset[MediaFrame] = {
+    require(everyMs >= 1, s"frameSample needs everyMs >= 1, got $everyMs")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
         val meta = metaOf(r.id, r.content)
-        (0L to meta.duration_ms by everyMs).iterator.zipWithIndex
+        // stills (duration 0) have NO frames — without the guard the
+        // inclusive range emits one phantom frame per image in a mixed
+        // corpus (the doc scopes this operator to video/audio payloads)
+        if (meta.duration_ms <= 0L) Iterator.empty
+        else (0L to meta.duration_ms by everyMs).iterator.zipWithIndex
           .map { case (ts, i) => MediaFrame(r.id, i, ts) }
       }
     }

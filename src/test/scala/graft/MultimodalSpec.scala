@@ -121,4 +121,41 @@ class MultimodalSpec extends SparkSpec {
     val metas = decodeMeta(mixed).collect().map(m => m.id -> m.format).toMap
     assert(metas(1L) == "ppm" && metas(9L) == "gmm1")
   }
+
+  test("malformed PPM payloads reject cleanly, never wrap or mis-offset") {
+    import graft.multimodal.MultimodalOps.PpmCodec
+    def bytes(s: String, tail: Array[Byte] = Array.empty): Array[Byte] =
+      s.getBytes("US-ASCII") ++ tail
+    // dimension overflow: 1431655766*3 wraps an Int to 2 — must be a clean
+    // rejection, not a 2-byte raster tagged a billion pixels wide
+    intercept[IllegalArgumentException](
+      PpmCodec.decodeMeta(1L, bytes("P6 1431655766 1 255\n", Array[Byte](0, 0))))
+    intercept[IllegalArgumentException]( // 10-digit width wraps to 1
+      PpmCodec.decodeMeta(1L, bytes("P6 4294967297 1 255\n", Array[Byte](0, 0, 0))))
+    intercept[IllegalArgumentException]( // zero dims
+      PpmCodec.decodeMeta(1L, bytes("P6 0 0 255\n")))
+    intercept[IllegalArgumentException]( // junk byte where whitespace must be
+      PpmCodec.decodeMeta(1L, bytes("P6 1 1 255X", Array.fill[Byte](4)(0))))
+    // a conformant 1x1 image still parses
+    val ok = PpmCodec.decodeMeta(1L, bytes("P6 1 1 255\n", Array[Byte](1, 2, 3)))
+    assert(ok.width == 1 && ok.height == 1)
+  }
+
+  test("GMM1 decodeBody honors the declared bodyLen; trailing padding is ignored") {
+    import graft.multimodal.MultimodalOps.SyntheticCodec
+    val enc = SyntheticCodec.encode(3L, "image")
+    val padded = enc ++ Array.fill[Byte](16)(0x7F.toByte)
+    assert(SyntheticCodec.decodeBody(padded).sameElements(SyntheticCodec.decodeBody(enc)),
+      "trailing bytes past the declared bodyLen must not enter feature sums")
+  }
+
+  test("frameSample: stills emit NO frames; argument contracts reject at the driver") {
+    val mixed = syntheticMedia(Seq(1L).toDF("doc_id"), "doc_id", "video")
+      .union(syntheticMedia(Seq(2L).toDF("doc_id"), "doc_id", "image"))
+    val frames = frameSample(mixed, 250L).collect().map(_.id).distinct
+    assert(frames.sameElements(Array(1L)), "an image (duration 0) has no frames")
+    intercept[IllegalArgumentException](frameSample(mixed, 0L))
+    intercept[IllegalArgumentException](mediaFeatures(mixed, dim = 0))
+    intercept[IllegalArgumentException](resize(mixed, -1, 8))
+  }
 }
