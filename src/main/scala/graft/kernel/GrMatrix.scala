@@ -284,10 +284,15 @@ object GrOps {
     val outside = target.df.filter(!p)
     val regionOld = GrMatrix(target.df.filter(p))
     val maskKeys = mask.map(_.df.select(col("i"), col("j")))
+    // `from` is clipped to the (I,J) region: an out-of-region source cell
+    // must not leak into the output (it would DUPLICATE a coordinate the
+    // `outside` branch already kept — a corrupt COO with two values at one
+    // cell), per the "cells outside the region are untouched" contract
+    val fromIn = from.df.filter(p)
     val maskedNew = maskKeys match {
-      case Some(mk) => GrMatrix(from.df.join(mk, Seq("i", "j"),
+      case Some(mk) => GrMatrix(fromIn.join(mk, Seq("i", "j"),
         if (complement) "left_anti" else "left_semi"))
-      case None => GrMatrix(from.df)
+      case None => GrMatrix(fromIn)
     }
     val region = accum match {
       case Some(op) => eWiseAdd(op)(regionOld, maskedNew)
@@ -311,7 +316,12 @@ object GrOps {
   def reduceCols(m: Monoid)(A: GrMatrix): GrVector =
     GrVector(A.df.groupBy(col("j").as("i")).agg(m.agg(col("v")).as("v")))
 
-  /** Whole-matrix fold (reference reduceAll, grb/Reduce.scala:7-24). */
+  /** Whole-matrix fold (reference reduceAll, grb/Reduce.scala:7-24).
+    * Empty-input contract: SQL-aggregate monoids (plus/min/max/lor/land)
+    * return a NULL scalar over zero cells — SQL semantics, not the
+    * GraphBLAS identity; the typed [[Ops.timesM]] Aggregator returns its
+    * fold zero (1.0). Callers folding possibly-empty matrices should
+    * coalesce with their monoid's identity. */
   def reduceAll(m: Monoid)(A: GrMatrix): DataFrame =
     A.df.agg(m.agg(col("v")).as("v"))
 
@@ -320,10 +330,16 @@ object GrOps {
     GrMatrix(v.df.select(col("i"), col("i").as("j"), col("v")))
 
   /** Structural equality (reference isAll with eq + land reduce,
-    * grbv2/MatrixOps.scala:108-160). */
+    * grbv2/MatrixOps.scala:108-160): multiset equality of the two COO sets
+    * as ONE signed-count aggregate (+1/−1 per side, all group sums must be
+    * 0) — one shuffle over both inputs, where the previous double-exceptAll
+    * paid two anti-join jobs. */
   def isAll(A: GrMatrix, B: GrMatrix): Boolean =
-    A.df.select("i", "j", "v").exceptAll(B.df.select("i", "j", "v")).isEmpty &&
-      B.df.select("i", "j", "v").exceptAll(A.df.select("i", "j", "v")).isEmpty
+    A.df.select(col("i"), col("j"), col("v")).withColumn("__s", lit(1L))
+      .unionByName(
+        B.df.select(col("i"), col("j"), col("v")).withColumn("__s", lit(-1L)))
+      .groupBy("i", "j", "v").agg(sum(col("__s")).as("__d"))
+      .filter(col("__d") =!= 0).isEmpty
 
   /** Single-cell upsert: anti-select the target cell, union the new value
     * (reference element set, grbv2/GrBMatrix.scala:32-46 — here an immutable
@@ -344,7 +360,7 @@ object GrOps {
     * pushed to the scan. */
   def getElement(m: GrMatrix, i: Long, j: Long): Option[Any] =
     m.df.filter(col("i") === i && col("j") === j).select("v")
-      .collect().headOption.map(_.get(0))
+      .limit(1).collect().headOption.map(_.get(0))
 
   /** Apply mask then fold the accumulator with the previous output
     * (reference mask/accum args threaded through every op, MatrixOps.scala:164-171). */
@@ -356,6 +372,9 @@ object GrOps {
         GrMatrix(out.df.join(mk, Seq("i", "j"), if (complement) "left_anti" else "left_semi"))
       case None => out
     }
+    require(accum.isDefined == previous.isDefined,
+      "accum and previous must be given together (an accumulator without " +
+        "the previous output would silently overwrite instead of accumulate)")
     (accum, previous) match {
       case (Some(op), Some(prev)) => eWiseAdd(op)(prev, masked)
       case _ => masked
@@ -372,6 +391,9 @@ object GrOps {
           if (complement) "left_anti" else "left_semi"))
       case None => out
     }
+    require(accum.isDefined == previous.isDefined,
+      "accum and previous must be given together (an accumulator without " +
+        "the previous output would silently overwrite instead of accumulate)")
     (accum, previous) match {
       case (Some(op), Some(prev)) => eWiseAddVec(op)(prev, masked)
       case _ => masked

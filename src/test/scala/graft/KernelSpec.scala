@@ -318,4 +318,39 @@ class KernelSpec extends SparkSpec {
     assert(toMap(GrOps.removeElement(m, 9, 9).df) == toMap(m.df)) // absent = no-op
     assert(m.clear.nvals == 0 && (m.duplicate eq m))
   }
+
+  test("assign clips `from` to the (I,J) region — no leak, no duplicate cells") {
+    // target holds (5,5)=1; `from` smuggles a (5,5)=9 OUTSIDE the assigned
+    // 0..2 region — the old code unioned both rows (two values at one cell)
+    val target = mat(Map((5L, 5L) -> 1.0, (1L, 1L) -> 2.0))
+    val from = mat(Map((5L, 5L) -> 9.0, (0L, 0L) -> 3.0))
+    val out = GrOps.assign(target, Span(0L, 2L), Span(0L, 2L), from)
+    val got = toMap(out.df)
+    assert(got == Map((5L, 5L) -> 1.0, (0L, 0L) -> 3.0),
+      s"out-of-region from-cells must not leak (region replaces (1,1)): $got")
+    assert(out.df.groupBy("i", "j").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).isEmpty,
+      "a COO matrix must never hold two values at one coordinate")
+  }
+
+  test("accum without previous rejects instead of silently overwriting") {
+    val a = mat(Map((0L, 0L) -> 1.0))
+    intercept[IllegalArgumentException](
+      GrOps.mxm(Ops.plusTimes)(a, a, accum = Some(Ops.plus)))
+    intercept[IllegalArgumentException](
+      GrOps.extract(a, All, All, previous = Some(a)))
+  }
+
+  test("isAll: multiset semantics incl. duplicate-sensitive and empty cases") {
+    val a = mat(Map((0L, 0L) -> 1.0, (1L, 2L) -> 3.0))
+    val b = mat(Map((1L, 2L) -> 3.0, (0L, 0L) -> 1.0))
+    assert(GrOps.isAll(a, b) && GrOps.isAll(b, a))
+    assert(!GrOps.isAll(a, mat(Map((0L, 0L) -> 1.0))))
+    val dup = {
+      import spark.implicits._
+      GrMatrix(Seq((0L, 0L, 1.0), (0L, 0L, 1.0)).toDF("i", "j", "v"))
+    }
+    assert(!GrOps.isAll(a, dup) && !GrOps.isAll(dup, mat(Map((0L, 0L) -> 1.0))))
+    assert(GrOps.isAll(mat(Map.empty), mat(Map.empty)))
+  }
 }
