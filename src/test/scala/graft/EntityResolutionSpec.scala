@@ -10,7 +10,7 @@ class EntityResolutionSpec extends SparkSpec {
     val recs = Seq(
       (1L, "alpha corp"), (2L, "alpha corp"),   // exact dup, same block
       (3L, "alpha c0rp"),                        // 1 substitution, same block
-      (4L, "alpha corporation"),                 // same block, distance 6 → filtered
+      (4L, "alpha corporation"),                 // same block, distance 7 → filtered
       (5L, "beta corp"),                         // different block
       (6L, "betta corp")                         // different block from 5 under first-4 key
     ).toDF("id", "name")
