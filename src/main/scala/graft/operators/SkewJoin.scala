@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
  *      multiplicities included) — pinned by the DuckDB oracle and
  *      SkewJoinSpec's exceptAll-both-ways property.
  *
- * The salt column is a hash of the probe row CONTENT (not a random number):
- * identical rows land on the same salt, which is harmless for correctness
- * (their copies were interchangeable) and keeps the operator deterministic
- * for oracle comparison and for Structured Streaming restarts.
+ * The salt is a hash of the probe row CONTENT mixed with the row's
+ * monotonic id: content alone left a hot key whose rows are identical on
+ * ONE salt (the straggler survives); the id guarantees spread. Salt values
+ * are therefore partition-layout-dependent — the JOIN RESULT is not (the
+ * salt only routes rows and is dropped), which is what the oracle compares.
+ * Batch operator: stream-stream joins would key state by the salt and need
+ * a run-stable one.
  */
 object SkewJoin {
 
@@ -50,28 +53,52 @@ object SkewJoin {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
     val saltCol = "__graft_salt"
-    require(!probe.columns.contains(saltCol) && !build.columns.contains(saltCol),
-      s"column name $saltCol is reserved by SkewJoin")
+    // case-insensitive (Spark's default resolution) and covering BOTH
+    // injected names — a pre-existing __hot_key would make the anti/semi
+    // conditions ambiguous
+    for (reserved <- Seq(saltCol, "__hot_key");
+         side <- Seq(probe, build))
+      require(!side.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"column name $reserved is reserved by SkewJoin")
+    // duplicate names across sides would break the final unionByName (and
+    // make the output contract ambiguous anyway) — fail fast with a clear
+    // message instead of a deep analysis error
+    val shared = probe.columns.map(_.toLowerCase)
+      .intersect(build.columns.map(_.toLowerCase))
+    require(shared.isEmpty || (probeKey == buildKey && shared.sameElements(Seq(probeKey.toLowerCase))),
+      s"probe and build share column names ${shared.mkString(", ")} — rename before joining")
 
     val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= hotThreshold)
       .select(col(probeKey).as("__hot_key"))
 
-    val coldJoined = probe
+    val coldJoined0 = probe.as("cp")
       .join(broadcast(hot), col(probeKey) === col("__hot_key"), "left_anti")
-      .join(build, col(probeKey) === col(buildKey))
+      .join(build.as("cb"), col(s"cp.$probeKey") === col(s"cb.$buildKey"))
+    // same-named keys keep ONE copy (the probe's) — equal by the join
+    // predicate, and unionByName/downstream by-name refs need uniqueness
+    val coldJoined = if (probeKey == buildKey)
+      coldJoined0.drop(col(s"cb.$buildKey")) else coldJoined0
 
     val probeHot = probe
       .join(broadcast(hot), col(probeKey) === col("__hot_key"), "left_semi")
-      .withColumn(saltCol, pmod(xxhash64(probe.columns.map(col): _*), lit(salts)))
+      // monotonically_increasing_id mixed in: a hot key whose rows are
+      // IDENTICAL would otherwise hash to one salt and keep the straggler;
+      // the id is partition-dependent but the salt only routes rows — the
+      // join RESULT stays exactly the plain join either way
+      .withColumn(saltCol, pmod(
+        xxhash64(graft.util.ContentSalt(probe, salts), monotonically_increasing_id()),
+        lit(salts)))
     val buildHot = build
       .join(broadcast(hot), col(buildKey) === col("__hot_key"), "left_semi")
       .withColumn(saltCol, explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    val hotJoined = probeHot.as("p")
+    val hotJoined0 = probeHot.as("p")
       .join(buildHot.as("b"),
         col(s"p.$probeKey") === col(s"b.$buildKey") &&
           col(s"p.$saltCol") === col(s"b.$saltCol"))
       .drop(saltCol)
+    val hotJoined = if (probeKey == buildKey)
+      hotJoined0.drop(col(s"b.$buildKey")) else hotJoined0
 
     coldJoined.unionByName(hotJoined)
   }

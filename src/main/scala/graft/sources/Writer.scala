@@ -41,7 +41,7 @@ object Writer {
     val keyed =
       if (filesPerPartition > 1)
         df.repartition((parts :+
-          pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))): _*)
+          graft.util.ContentSalt(df, filesPerPartition)): _*)
       else df.repartition(parts: _*)
     val arranged =
       if (sortCols.nonEmpty)
