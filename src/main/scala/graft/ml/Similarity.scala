@@ -334,8 +334,8 @@ object Similarity {
    *
    * Determinism contract (unchanged, byte-for-byte vs the SQL oracle):
    * every product/value rounds to DECIMAL(28,12) HALF_UP exactly as
-   * Spark's `CAST(x AS DECIMAL(28,12))` would (non-finite and
-   * precision-28 overflow → null, skipped), sums are exact decimal adds
+   * Spark's `CAST(x AS DECIMAL(28,12))` would under ANSI (non-finite →
+   * null, skipped; precision-28 overflow THROWS), sums are exact decimal adds
    * (partition-order-insensitive), and the final double formula rounds
    * to 6 with Spark `round` semantics.
    *
@@ -347,15 +347,23 @@ object Similarity {
     val nCells = dim * (dim + 1) / 2
     val vecs = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(vecCol))
-    // Spark CAST(double AS DECIMAL(28,12)): shortest-repr BigDecimal,
-    // HALF_UP to scale 12, null when non-finite or precision > 28
+    // Spark CAST(double AS DECIMAL(28,12)) under this repo's ANSI session:
+    // shortest-repr BigDecimal, HALF_UP to scale 12, null when non-finite
+    // (measured — ANSI nulls NaN/Inf, it does not error them), but a value
+    // too wide for precision 28 THROWS (NUMERIC_VALUE_OUT_OF_RANGE) — the
+    // SQL path this fold replaced threw there, DuckDB's oracle cast errors
+    // there, and dec12 below throws for the same reason. Silently nulling
+    // it would drop product terms from the sums without a trace.
     def dec28(v: Double): java.math.BigDecimal =
       if (v.isNaN || v.isInfinite) null
       else {
         val raw = java.math.BigDecimal.valueOf(v)
         val bd = if (raw.scale <= 12) raw
                  else raw.setScale(12, java.math.RoundingMode.HALF_UP)
-        if (bd.precision - bd.scale > 16) null else bd // > 28-digit at scale 12
+        if (bd.precision - bd.scale > 16) throw new ArithmeticException(
+          s"covarianceMatrix: $v cannot be represented as DECIMAL(28,12) — " +
+            "matches the ANSI NUMERIC_VALUE_OUT_OF_RANGE of the cast it replicates")
+        bd
       }
     def elem(a: scala.collection.Seq[Any], k: Int): Double = a(k) match {
       case null => Double.NaN // null element ≡ null product/value (skipped)

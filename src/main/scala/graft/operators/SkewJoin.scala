@@ -34,8 +34,17 @@ import org.apache.spark.sql.functions._
  * ONE salt (the straggler survives); the id guarantees spread. Salt values
  * are therefore partition-layout-dependent — the JOIN RESULT is not (the
  * salt only routes rows and is dropped), which is what the oracle compares.
- * Batch operator: stream-stream joins would key state by the salt and need
- * a run-stable one.
+ *
+ * [[saltedJoin]] is a BATCH operator: a stream-stream join keys its state
+ * by the join columns, so a salt that changes between micro-batches /
+ * restarts ([[org.apache.spark.sql.functions.monotonically_increasing_id]]
+ * is partition-layout-dependent by design) would silently mis-key state.
+ * Stream users take [[saltedJoinStable]] / [[saltedJoinWithHotKeys]]: the
+ * salt there hashes row content mixed with a CALLER-SUPPLIED tiebreak
+ * column (an event id, offset, or timestamp — the contract a stream can
+ * honor), so the same row salts identically in every run and restart;
+ * stream-stream parity with the batch join is pinned by SkewJoinSpec's
+ * MemoryStream test.
  */
 object SkewJoin {
 
@@ -91,6 +100,98 @@ object SkewJoin {
         lit(salts)))
     val buildHot = build
       .join(broadcast(hot), col(buildKey) === col("__hot_key"), "left_semi")
+      .withColumn(saltCol, explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    val hotJoined0 = probeHot.as("p")
+      .join(buildHot.as("b"),
+        col(s"p.$probeKey") === col(s"b.$buildKey") &&
+          col(s"p.$saltCol") === col(s"b.$saltCol"))
+      .drop(saltCol)
+    val hotJoined = if (probeKey == buildKey)
+      hotJoined0.drop(col(s"b.$buildKey")) else hotJoined0
+
+    coldJoined.unionByName(hotJoined)
+  }
+
+  /**
+   * Run-stable variant of [[saltedJoin]]: identical semantics, but the
+   * hot-probe salt hashes row content mixed with the caller-supplied
+   * `tiebreakCol` instead of the monotonic row id — the same row maps to
+   * the same salt in every run, restart, and micro-batch. The tiebreak
+   * should be (near-)unique per row among rows sharing a hot key (an event
+   * id, a source offset, a timestamp); a constant tiebreak degrades to
+   * content-only salting (identical hot rows collapse onto one salt — the
+   * batch variant's documented straggler case), never to wrong results.
+   *
+   * Batch entry point — computes the hot-key set itself. Streams cannot
+   * (a streaming aggregate cannot feed a stream-stream join), so stream
+   * users pre-compute hot keys (yesterday's profile, known null/default
+   * surrogates) and call [[saltedJoinWithHotKeys]] directly.
+   */
+  def saltedJoinStable(probe: DataFrame, build: DataFrame, probeKey: String,
+                       buildKey: String, salts: Int, hotThreshold: Long,
+                       tiebreakCol: String): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotThreshold)
+      .select(col(probeKey).as("__hot_key"))
+    saltedJoinWithHotKeys(probe, build, probeKey, buildKey, salts, hot, tiebreakCol)
+  }
+
+  /**
+   * Salted inner equi-join against an EXPLICIT hot-key set, with a
+   * run-stable content+tiebreak salt. Works on streaming DataFrames:
+   * the hot-key set must be a small STATIC frame (broadcast against both
+   * streams — stream-static joins are stateless), the cold path is a plain
+   * stream-stream equi-join, and the hot path joins on (key, salt) where
+   * the salt is a pure function of row data — stable across micro-batches
+   * and restarts, so state keying is correct. Result ≡ the plain inner
+   * equi-join restricted to this hot-key split (row for row, duplicates
+   * included); parity with the batch join is pinned in SkewJoinSpec.
+   *
+   * @param hotKeys single-column static frame of keys to salt (its one
+   *                column is taken as the key regardless of name)
+   * @param tiebreakCol probe column mixed into the salt for spread;
+   *                    must exist on the probe side
+   */
+  def saltedJoinWithHotKeys(probe: DataFrame, build: DataFrame, probeKey: String,
+                            buildKey: String, salts: Int, hotKeys: DataFrame,
+                            tiebreakCol: String): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(hotKeys.columns.length == 1,
+      s"hotKeys must have exactly one column, got ${hotKeys.columns.mkString(", ")}")
+    require(!hotKeys.isStreaming, "hotKeys must be a static frame (it broadcasts)")
+    require(probe.columns.exists(_.equalsIgnoreCase(tiebreakCol)),
+      s"tiebreak column $tiebreakCol not found on the probe side")
+    val saltCol = "__graft_salt"
+    for (reserved <- Seq(saltCol, "__hot_key");
+         side <- Seq(probe, build))
+      require(!side.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"column name $reserved is reserved by SkewJoin")
+    val shared = probe.columns.map(_.toLowerCase)
+      .intersect(build.columns.map(_.toLowerCase))
+    require(shared.isEmpty || (probeKey == buildKey && shared.sameElements(Seq(probeKey.toLowerCase))),
+      s"probe and build share column names ${shared.mkString(", ")} — rename before joining")
+
+    val hot = broadcast(hotKeys.select(col(s"`${hotKeys.columns.head}`").as("__hot_key")))
+    // one stateless stream-static left_outer marks hot rows; filter + drop
+    // replaces the batch path's anti/semi pair (anti is not in the
+    // stream-static support matrix, and one join beats two anyway)
+    def markHot(side: DataFrame, key: String): DataFrame =
+      side.join(hot, col(key) === col("__hot_key"), "left_outer")
+    val probeMarked = markHot(probe, probeKey)
+    val buildMarked = markHot(build, buildKey)
+
+    val coldJoined0 = probeMarked.filter(col("__hot_key").isNull).drop("__hot_key").as("cp")
+      .join(buildMarked.filter(col("__hot_key").isNull).drop("__hot_key").as("cb"),
+        col(s"cp.$probeKey") === col(s"cb.$buildKey"))
+    val coldJoined = if (probeKey == buildKey)
+      coldJoined0.drop(col(s"cb.$buildKey")) else coldJoined0
+
+    val probeHot = probeMarked.filter(col("__hot_key").isNotNull).drop("__hot_key")
+      .withColumn(saltCol, pmod(
+        xxhash64(graft.util.ContentSalt(probe, salts), col(s"`$tiebreakCol`")),
+        lit(salts)))
+    val buildHot = buildMarked.filter(col("__hot_key").isNotNull).drop("__hot_key")
       .withColumn(saltCol, explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     val hotJoined0 = probeHot.as("p")
       .join(buildHot.as("b"),

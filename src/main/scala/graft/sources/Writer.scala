@@ -138,9 +138,18 @@ object Writer {
     }
     val tmp = path.stripSuffix("/") + ".__compacting"
     val oldP = Paths.get(path.stripSuffix("/") + ".__old")
+    val liveP = Paths.get(path.stripSuffix("/"))
     // a previously crashed run may have left .__old / .__compacting behind;
-    // either would make the ATOMIC_MOVE swap below fail — clear them first
-    // (the live `path` is still the source of truth at this point)
+    // either would make the ATOMIC_MOVE swap below fail. But a crash BETWEEN
+    // the two moves (path→.__old done, tmp→path not) leaves .__old as the
+    // ONLY copy of the data — deleting it first would be unrecoverable
+    // data loss. Restore before cleaning: if the live path is missing and
+    // .__old exists, move it back; only delete leftovers once the live
+    // directory is verifiably present.
+    if (!Files.exists(liveP) && Files.exists(oldP))
+      Files.move(oldP, liveP, StandardCopyOption.ATOMIC_MOVE)
+    require(Files.exists(liveP),
+      s"compact: live path $path missing and no .__old backup to restore")
     if (Files.exists(oldP)) rm(oldP)
     if (Files.exists(Paths.get(tmp))) rm(Paths.get(tmp))
     val df = spark.read.parquet(path)

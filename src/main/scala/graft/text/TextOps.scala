@@ -23,9 +23,17 @@ object TextOps {
     * tokens that leading/trailing whitespace produces, and a phantom ""
     * token corrupts every downstream shingle/count/ratio (a single
     * leading space would halve a 5-gram Jaccard). Every oracle mirrors
-    * the filter (`list_filter(string_split_regex(…), w -> w <> '')`). */
+    * the filter (`list_filter(string_split_regex(…), w -> w <> '')`).
+    *
+    * Implementation note: `array_remove(arr, "")` — a codegen'd binary
+    * expression — not the `filter` higher-order function, which is
+    * CodegenFallback and interprets its lambda per element. The HOF
+    * version measurably slowed every shingle-heavy query (dedup_clusters
+    * 1.6→3 s, bpe_encode 0.4→2 s at sf0.1); semantics are identical
+    * (`split` never yields null elements, so the HOF's null-drop
+    * behavior is unreachable; null input maps to null either way). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** The document's word n-grams as ONE per-row array column (empty when
     * the doc is shorter than n words) — the streaming-safe building block:

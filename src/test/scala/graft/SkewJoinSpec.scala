@@ -85,6 +85,61 @@ class SkewJoinSpec extends SparkSpec {
     assert(salts > 1, "identical rows must not collapse onto one salt")
   }
 
+  test("saltedJoinStable: batch parity with the plain join, both paths hit") {
+    import spark.implicits._
+    val probe = Seq((1L, "a", 100L), (1L, "b", 101L), (1L, "b", 101L), (2L, "d", 103L))
+      .toDF("k", "pv", "eid")
+    val build = Seq((1L, 10), (1L, 11), (2L, 20), (4L, 40)).toDF("j", "bv")
+    val salted = SkewJoin.saltedJoinStable(probe, build, "k", "j",
+      salts = 3, hotThreshold = 3, tiebreakCol = "eid") // key 1 hot, key 2 cold
+    assertSameBag(salted, probe.join(build, col("k") === col("j")))
+  }
+
+  test("stable salt is a pure function of row data: layout changes don't move it") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (1L, s"v${i % 5}", 1000L + i))
+    def saltsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("eid"), pmod(
+          xxhash64(graft.util.ContentSalt(df, 4), col("eid")), lit(4)).as("s"))
+        .as[(Long, Long)].collect().toMap
+    val a = saltsOf(rows.toDF("k", "pv", "eid").repartition(1))
+    val b = saltsOf(rows.toDF("k", "pv", "eid").repartition(7))
+    assert(a == b, "run-stable salt must not depend on physical layout")
+    assert(a.values.toSet.size > 1, "distinct tiebreaks must spread across salts")
+  }
+
+  test("saltedJoinWithHotKeys: stream-stream join equals the batch plain join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val probeRows = Seq((1L, "a", 100L), (1L, "same", 101L), (1L, "same", 102L),
+      (2L, "d", 103L), (3L, "e", 104L))
+    val buildRows = Seq((1L, 10), (1L, 11), (2L, 20), (4L, 40))
+    val hotKeys = Seq(1L).toDF("hk")
+    val plain = probeRows.toDF("k", "pv", "eid")
+      .join(buildRows.toDF("j", "bv"), col("k") === col("j")).drop("j")
+    // batch parity through the same entry point first
+    assertSameBag(SkewJoin.saltedJoinWithHotKeys(probeRows.toDF("k", "pv", "eid"),
+      buildRows.toDF("j", "bv"), "k", "j", 3, hotKeys, "eid").drop("j"), plain)
+    // now as a genuine stream-stream join: probe and build arrive in
+    // interleaved micro-batches; a run-unstable salt would mis-key state
+    // for the build row arriving AFTER its hot probe rows
+    val pin = MemoryStream[(Long, String, Long)]
+    val bin = MemoryStream[(Long, Int)]
+    val q = SkewJoin.saltedJoinWithHotKeys(pin.toDF().toDF("k", "pv", "eid"),
+        bin.toDF().toDF("j", "bv"), "k", "j", 3, hotKeys, "eid").drop("j")
+      .writeStream.format("memory").queryName("ssalt").outputMode("append").start()
+    try {
+      pin.addData(probeRows.take(3): _*)
+      bin.addData(buildRows.take(2): _*)
+      q.processAllAvailable()
+      pin.addData(probeRows.drop(3): _*)
+      bin.addData(buildRows.drop(2): _*) // build for key 2 arrives after its probe row
+      q.processAllAvailable()
+      assertSameBag(spark.table("ssalt"), plain)
+    } finally q.stop()
+  }
+
   test("reserved and duplicate column names reject with clear messages") {
     import spark.implicits._
     val bad = Seq((1L, 0L)).toDF("k", "__hot_key")

@@ -38,11 +38,38 @@ def canon(df, round_floats=True):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def canon_order(df):
+    """UNROUNDED frame in the ROUNDED canon() row order. Sorting each side
+    independently on raw float keys would let a last-ulp cross-engine
+    difference in a sort-key column reorder the two frames differently and
+    pair up unrelated rows — the check would still fail, but the reported
+    row/values would point at the wrong cell. The rounded ordering is one
+    both engines agree on (the value-compare pass already passed on it);
+    raw float values ride along as FINAL tiebreaks so rows identical after
+    rounding still align as closely as possible."""
+    df = df[sorted(df.columns)].copy()
+    keys, ties = [], []
+    for c in list(df.columns):
+        k = "__k_" + c
+        if str(df[c].dtype).startswith("datetime64"):
+            df[k] = df[c].astype(str).str.replace(" 00:00:00", "", regex=False)
+        elif df[c].dtype == object:
+            df[k] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[k] = df[c].round(6)
+            ties.append(c)
+        else:
+            df[k] = df[c]
+        keys.append(k)
+    out = df.sort_values(by=keys + ties).reset_index(drop=True)
+    return out[[c for c in out.columns if not c.startswith("__k_")]]
+
+
 def byte_parity(spark_df, oracle_df):
     """Exact float equality + sign-of-zero agreement on the UNROUNDED
     frames (the driver hashes raw bytes — canon()'s round(6) would mask
     both last-ulp drift and the -0.0 hazard)."""
-    a, b = canon(spark_df, round_floats=False), canon(oracle_df, round_floats=False)
+    a, b = canon_order(spark_df), canon_order(oracle_df)
     for c in a.columns:
         if not str(a[c].dtype).startswith("float"):
             continue
