@@ -264,8 +264,11 @@ object Bench {
       } => n
     }
     // still >2x the drift-normalized prior after its warm rerun → the
-    // elevation reproduced; flag it so the record names the regression
-    val elevSuspects = finalResults.collect {
+    // elevation reproduced; flag it so the record names the regression.
+    // Full runs only: a subset run never did the elevation rerun (and its
+    // thinner JIT warm would false-flag against a full-run record anyway)
+    val elevSuspects = if (args.nonEmpty) Seq.empty[String]
+    else finalResults.collect {
       case (n, t, _, None) if elevatedVsPrior(n, t) => n
     }
     val suspects = (stormSuspects ++ elevSuspects).distinct.sorted

@@ -29,6 +29,120 @@ object Algorithms {
     * wedge-quadratic growth would dominate, so propagation stays 1-hop. */
   val SccAugMaxEdges: Long = 1L << 20
 
+  /** Edge-count gate for the driver-local small-graph fast paths
+    * ([[connectedComponents]]' union-find, [[stronglyConnectedComponents]]'
+    * residual-tail Tarjan): at or below it the edge set collects (≤ ~32 MB
+    * of long pairs) and the fixpoint runs in-JVM — the per-round Spark job
+    * floor is the whole cost of these loops on distillate-sized graphs
+    * (measured: scc at sf0.1 = 252 jobs, 0.7 core-seconds of actual work).
+    * Above the gate the distributed loops run unchanged. Labels are
+    * identical by construction (component = min member id); equality is
+    * spec-pinned on both paths. Overridable per session via
+    * `graft.localGraphMaxEdges` (tests force 0 to exercise the
+    * distributed path on toy graphs). */
+  val LocalGraphMaxEdges: Long = 2L * 1000 * 1000
+
+
+  private def localGraphGate(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.localGraphMaxEdges")
+      .map(_.toLong).getOrElse(LocalGraphMaxEdges)
+
+  /** In-JVM union-find over an edge list: label = MIN member id of each
+    * component — exactly [[connectedComponents]]' fixpoint labeling.
+    * Returns one (id, label) row per distinct endpoint. */
+  private[graft] def localComponentLabels(es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def at(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; ids.length - 1 })
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    es.foreach { case (s, d) =>
+      val (si, di) = (at(s), at(d))
+      while (parent.length < ids.length) parent += parent.length
+      val (rs, rd) = (find(si), find(di))
+      if (rs != rd) parent(rd) = rs
+    }
+    while (parent.length < ids.length) parent += parent.length
+    val minOf = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i).toLong
+      val v = ids(i)
+      minOf.updateWith(r)(o => Some(o.fold(v)(math.min(_, v))))
+      i += 1
+    }
+    Array.tabulate(ids.length)(j => (ids(j), minOf(find(j).toLong)))
+  }
+
+  /** In-JVM iterative Tarjan: (id, minMemberIdOfItsScc) per vertex. */
+  private[graft] def localSccLabels(vs: Array[Long], es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val n = vs.length
+    val idx = new scala.collection.mutable.LongMap[Int](n)
+    var i = 0
+    while (i < n) { idx.put(vs(i), i); i += 1 }
+    // CSR adjacency over edges whose BOTH endpoints are known vertices
+    val deg = new Array[Int](n)
+    es.foreach { case (s, d) =>
+      if (idx.contains(s) && idx.contains(d)) deg(idx(s)) += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val fill = off.clone()
+    es.foreach { case (s, d) =>
+      if (idx.contains(s) && idx.contains(d)) {
+        val si = idx(s); adj(fill(si)) = idx(d); fill(si) += 1
+      }
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = new scala.collection.mutable.ArrayBuffer[Int]()
+    val label = new Array[Long](n)
+    var counter = 0
+    // explicit DFS stack: (vertex, next child pointer)
+    val dfsV = new scala.collection.mutable.ArrayBuffer[Int]()
+    val dfsC = new scala.collection.mutable.ArrayBuffer[Int]()
+    var root = 0
+    while (root < n) {
+      if (index(root) < 0) {
+        dfsV += root; dfsC += off(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack(root) = true
+        while (dfsV.nonEmpty) {
+          val v = dfsV.last
+          if (dfsC.last < off(v + 1)) {
+            val w = adj(dfsC.last)
+            dfsC(dfsC.length - 1) += 1
+            if (index(w) < 0) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack(w) = true
+              dfsV += w; dfsC += off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            dfsV.remove(dfsV.length - 1); dfsC.remove(dfsC.length - 1)
+            if (dfsV.nonEmpty && low(v) < low(dfsV.last)) low(dfsV.last) = low(v)
+            if (low(v) == index(v)) { // v roots an SCC: pop it, label = min id
+              var j = stack.length - 1
+              var mn = Long.MaxValue
+              while (stack(j) != v) { mn = math.min(mn, vs(stack(j))); j -= 1 }
+              mn = math.min(mn, vs(v))
+              while (stack.length > j) {
+                val w = stack.remove(stack.length - 1)
+                onStack(w) = false; label(w) = mn
+              }
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    Array.tabulate(n)(j => (vs(j), label(j)))
+  }
+
   /**
    * Thrown when an iterative algorithm exhausts its iteration budget before
    * reaching the fixpoint. Silent truncation was round 2's one latent
@@ -54,6 +168,25 @@ object Algorithms {
    */
   private final class Cutter(every: Int = 3) {
     private val pending = scala.collection.mutable.Buffer[DataFrame]()
+    // CADENCE IS DELIBERATELY FIXED AND ITER-SYNCHRONIZED. Adaptive
+    // cadences keyed to MEASURED lineage size were built and benchmarked
+    // in round 13 and every variant regressed, for mechanical reasons
+    // worth recording:
+    //  - LONGER gaps (cut only when the tip's plan-DAG size crosses a
+    //    threshold, ~4-6+ rounds apart): the loop's sibling chain
+    //    (visited/state vs frontier) still references the round caches the
+    //    cut just dropped (recompute), and every uncut union round adds a
+    //    full partition set of map tasks to all downstream scans --
+    //    graph_sigma 11.3->16.6 s, bfs_levels 1.8->3.9 s at sf0.1.
+    //  - EARLIER cuts on a per-chain growth trigger: the paired Cutters
+    //    DESYNCHRONIZE (one cuts at round k, the other at k+2), so each
+    //    cut orphans cache entries the sibling's plans still walk --
+    //    graph_sigma ~20 s, the whole BFS family +50-70%. The iter-keyed
+    //    cadence keeps the pair cutting in the same round, which is what
+    //    bounds recompute depth.
+    //  - Raw-tree size probes are themselves hazardous: mutually
+    //    referencing chains make TreeNode walks exponential in round
+    //    count (driver OOM, reproduced).
     def apply(df: DataFrame, iter: Int): DataFrame = {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
       pending += cached
@@ -385,11 +518,22 @@ object Algorithms {
    */
   def shortestPathCounts(edges: DataFrame, sources: DataFrame,
                          maxIter: Int = 100): DataFrame = {
-    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    // cached PRE-PARTITIONED on the join key: every round's expansion join
+    // then reads e exchange-free from cache (InMemoryRelation preserves
+    // outputPartitioning) instead of re-shuffling the full edge table once
+    // per level
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      .repartition(col("e_src")).cache()
     val cutF = new Cutter; val cutV = new Cutter
     var visited = sources.select(col("id")).distinct()
       .select(col("id").as("src"), col("id"), lit(0).as("level"), lit(1L).as("sigma"))
     var frontier = visited
+    // NOTE an explicit broadcast(frontier) hint here was measured and
+    // REJECTED: each round then pays a driver collect + broadcast rebuild
+    // of the frontier, while the shuffled join it replaces moves only the
+    // cached 32-partition edge table — graph_sigma 11.9 → 17-22 s at
+    // sf0.1. AQE already broadcast-converts when runtime sizes favor it.
+    var fCnt = frontier.count()
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -400,7 +544,8 @@ object Algorithms {
         .withColumn("level", lit(iter + 1))
         .select("src", "id", "level", "sigma")
       frontier = cutF(next, iter)
-      if (frontier.count() == 0L) done = true
+      fCnt = frontier.count()
+      if (fCnt == 0L) done = true
       else visited = cutV(visited.unionByName(frontier), iter)
       iter += 1
     }
@@ -483,8 +628,26 @@ object Algorithms {
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    // Distillate gate: CC is routinely fed a SMALL edge set (an LSH dedup's
+    // pair table, a delta-contracted graph) where the per-round job floor
+    // of the star-contraction loop is the entire cost. At or below the
+    // gate, collect the checkpointed edge leaf (≤ ~32 MB) and run the
+    // union-find in-JVM — identical min-id labels, one job instead of
+    // 2×rounds. `vertices` stays distributed either way (only the
+    // edge-induced labeling collects).
+    val eCount = e.count()
+    if (eCount <= localGraphGate(edges)) {
+      val arr = e.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labels = localComponentLabels(arr).toSeq.toDF("id", "component")
+      return vertices.select(col("id")).distinct()
+        .join(labels.filter(col("id") =!= col("component")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
     var iter = 0
-    var converged = e.isEmpty
+    var converged = eCount == 0L
     while (iter < maxIter && !converged) {
       // large-star over the symmetrized neighborhood
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1256,6 +1419,24 @@ object Algorithms {
         // color/sweep loops, then build this round's hop augmentation
         e = squeeze(e).localCheckpoint(true)
         val eCount = e.count()
+        // Residual-tail gate: the color/sweep machinery pays 2-4 jobs per
+        // LEVEL; once the live subgraph is distillate-sized (post-trim
+        // residuals usually are), collect it and finish with in-JVM Tarjan —
+        // identical min-id components (the epilogue relabels to min either
+        // way), zero further rounds. Big residuals keep the distributed
+        // loop; the gate re-checks every outer round as `live` shrinks.
+        // (post-trim every live vertex has in- and out-degree ≥ 1, so
+        // live ≤ 2·eCount — the edge gate bounds the collect)
+        if (eCount <= localGraphGate(edges)) {
+          val vArr = nodes.select(col("id")).collect().map(_.getLong(0))
+          val eArr = e.select(col("src"), col("dst")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val spark = vertices.sparkSession
+          import spark.implicits._
+          assign(localSccLabels(vArr, eArr).toSeq.toDF("id", "root"))
+          nodes = nodes.filter(lit(false)).localCheckpoint(true)
+          live = 0L
+        } else {
         val eAug =
           if (eCount > SccAugMaxEdges) e
           else {
@@ -1326,6 +1507,7 @@ object Algorithms {
         e = e.join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)
+        } // end distributed color/sweep (residual-tail gate's else)
       }
     }
     __lap("epilogue")

@@ -832,6 +832,17 @@ object Similarity {
    * LSH-bucketed ANN top-k: candidates restricted to vectors sharing any of
    * several hash-table buckets, then exact cosine rank within candidates.
    * Shuffle is by bucket key — no cross join, the 100 TB path.
+   *
+   * Sizing (MEASURED on a Gaussian-cluster corpus, n=40k, 64 centers,
+   * spread 0.3 — the clustered regime real embeddings live in; see
+   * NOTES_r13 §7 and `tools.AnnScale gencluster`): recall@10 falls
+   * 0.97 → 0.93 → 0.86 → 0.78 → 0.66 as numBits goes 4→12 while
+   * candidate work falls geometrically — `numBits ≈ log₂(n) − 7` holds
+   * ~0.86 recall on plain LSH. Prefer [[lshMultiProbeKnn]] when recall
+   * matters: it held 0.97-1.00 across the SAME sweep at identical index
+   * size. (On near-uniform random vectors — the sf* synthetic tables —
+   * absolute recall is data-limited and much lower; the clustered corpus
+   * is the calibration anchor.)
    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              dim: Int, numBits: Int = 12, tables: Int = 4): DataFrame = {
@@ -871,6 +882,12 @@ object Similarity {
    * dominates any margin ordering of the same depth, at numBits+1 probes
    * per table. Candidates move as IDS ONLY (the [[lshKnn]] render-late
    * shape); the corpus side stays one bucket row per (vector, table).
+   *
+   * Measured operating point (clustered corpus, NOTES_r13 §7): recall@10
+   * ≥ 0.97 at every numBits in 4..12 (1.000 at ≤6, 0.985 at 10, 0.969 at
+   * 12) — so size numBits for CANDIDATE BUDGET alone (`≈ log₂(n) − 4`
+   * keeps expected bucket occupancy ~16) and let multi-probe carry the
+   * recall; this is the recommended production default of the LSH family.
    *
    * @return (q_id, vec_id, sim, rank ≤ k)
    */
@@ -1042,6 +1059,17 @@ object Similarity {
    * the full vectors, not cell residuals) so training stays ONE shared
    * subtree and the oracle stays expressible; residual PQ buys recall at
    * small nprobe but costs numCells× training — documented trade, not a gap.
+   *
+   * Sizing (MEASURED on the clustered calibration corpus, NOTES_r13 §7):
+   * the defaults (m=4, ksub=8 → 12 code bits/vector) are for ORACLE
+   * DETERMINISM, not production — on clustered data every same-cluster
+   * vector quantizes to the same code, ADC ties, and recall@10 collapses
+   * to ~k/|cluster| (measured 0.03) while plain [[ivfKnn]] on the SAME
+   * cells reads 0.99-1.00. Recall recovers monotonically with code
+   * resolution (m·log₂ksub: 12→0.03, 80→0.08, 128→0.23, 192→0.39) — size
+   * code bits to INTRA-cluster resolution (≥ 2·log₂ of expected cluster
+   * occupancy as a floor), or drop PQ and use [[ivfKnn]] when candidate
+   * lists fit the raw-vector scan budget.
    *
    * @return (q_id, vec_id, d2_micros, rank ≤ k within probed cells)
    */

@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
 object AnnScale {
   def main(args: Array[String]): Unit = {
     if (args.length > 1 && args(1) == "recall") return recallMain(args)
+    if (args.length > 0 && args(0) == "gencluster") return genClusterMain(args)
     val dir = args(0)
     val numBits = args(1).toInt
     val tables = if (args.length > 2) args(2).toInt else 4
@@ -48,6 +49,48 @@ object AnnScale {
       .map(r => s"${r.getLong(2)}").mkString(",")
     val pairs = occ.agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
     println(s"[annscale] top5 bucket sizes=$top candidatePairs=$pairs")
+    spark.stop()
+  }
+
+  /**
+   * Plant a GAUSSIAN-CLUSTER embedding corpus for recall calibration:
+   * the synthetic sf* embeddings are near-uniform random (neighbors barely
+   * closer than the bulk — the information-theoretically hard case) and
+   * the ScaleUp corpora carry exact-copy inflation (~0.9 recall floor by
+   * construction), so neither can anchor an ABSOLUTE recall target. Real
+   * embedding spaces are clustered; this generator reproduces that regime
+   * with k centers ~ N(0,1)^dim and per-vector Gaussian spread, fully
+   * deterministic (center RNG seeded by `seed`, per-vector RNG by
+   * seed ⊕ vec_id — resume/partitioning-independent).
+   *
+   *   runMain graft.tools.AnnScale gencluster <dstDir> [n=40000]
+   *     [centers=64] [spread=0.3] [dim=64] [seed=42]
+   */
+  private def genClusterMain(args: Array[String]): Unit = {
+    val dst = args(1)
+    val n = if (args.length > 2) args(2).toLong else 40000L
+    val kC = if (args.length > 3) args(3).toInt else 64
+    val spread = if (args.length > 4) args(4).toDouble else 0.3
+    val dim = if (args.length > 5) args(5).toInt else 64
+    val seed = if (args.length > 6) args(6).toLong else 42L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cRnd = new scala.util.Random(seed)
+    val centers = Array.fill(kC)(Array.fill(dim)(cRnd.nextGaussian().toFloat))
+    val bc = spark.sparkContext.broadcast(centers)
+    import spark.implicits._
+    val df = spark.range(n).map { i =>
+      val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      val c = bc.value((i % kC).toInt)
+      val v = Array.tabulate(dim)(d => c(d) + (rnd.nextGaussian() * spread).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    df.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[gencluster] wrote n=$n centers=$kC spread=$spread dim=$dim seed=$seed -> $dst")
     spark.stop()
   }
 
@@ -94,6 +137,15 @@ object AnnScale {
       val (rm, tm) = meanRecall(Similarity.lshMultiProbeKnn(emb, queries, k, 64, bits, tables = 4))
       println(f"[annrecall] algo=multiprobe numBits=$bits%2d tables=4 recall@$k=$rm%.4f evalMs=$tm")
     }
+    // plain IVF (exact distances within probed cells) separates the coarse
+    // quantizer's loss from PQ's code-resolution loss — on clustered data
+    // coarse PQ degenerates to tie-breaking noise (all same-cluster vectors
+    // share a code) while IVF with the same cells stays near-exact
+    Seq((16, 4), (16, 8), (64, 16)).foreach { case (cells, nprobe) =>
+      val (r, t) = meanRecall(
+        Similarity.ivfKnn(emb, queries, k, numCells = cells, nprobe = nprobe))
+      println(f"[annrecall] algo=ivf        cells=$cells%3d nprobe=$nprobe recall@$k=$r%.4f evalMs=$t")
+    }
     // IVF-PQ scales by cell count, not bits — sweep cells at fixed nprobe share
     Seq(16, 64, 256).foreach { cells =>
       val nprobe = math.max(1, cells / 4)
@@ -104,7 +156,7 @@ object AnnScale {
     // codebook-resolution lever: the oracle default (m=4, ksub=8 → 12
     // bits/vector) is deliberately coarse for determinism; a production
     // setting spends more code bits for recall
-    Seq((8, 16), (16, 32)).foreach { case (m, ksub) =>
+    Seq((8, 16), (16, 32), (16, 256), (32, 64)).foreach { case (m, ksub) =>
       val (r, t) = meanRecall(
         Similarity.ivfPqKnn(emb, queries, k, 64, numCells = 16, nprobe = 8, m = m, ksub = ksub))
       println(f"[annrecall] algo=ivfpq      cells= 16 nprobe=8 m=$m%2d ksub=$ksub%2d recall@$k=$r%.4f evalMs=$t")

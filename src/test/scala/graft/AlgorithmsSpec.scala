@@ -67,9 +67,12 @@ class AlgorithmsSpec extends SparkSpec {
     intercept[Algorithms.BudgetExhausted] {
       Algorithms.sssp(chain.withColumn("w", lit(1.0)), Seq(0L).toDF("id"), maxIter = 5).count()
     }
-    intercept[Algorithms.BudgetExhausted] {
+    // the local union-find gate never exhausts a budget — force the
+    // distributed star-contraction loop to pin ITS budget behavior
+    spark.conf.set("graft.localGraphMaxEdges", "0")
+    try intercept[Algorithms.BudgetExhausted] {
       Algorithms.connectedComponents(vs, chain, maxIter = 1).count()
-    }
+    } finally spark.conf.unset("graft.localGraphMaxEdges")
     // and the same graph under an adequate budget is correct
     val lv = Algorithms.bfs(chain, Seq(0L).toDF("id"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -428,6 +431,33 @@ class AlgorithmsSpec extends SparkSpec {
         (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("cc/scc: distributed paths (gate forced off) equal the local gates") {
+    // the driver-local union-find / Tarjan gates handle distillate-sized
+    // graphs; every toy test above now exercises THEM, so the distributed
+    // star-contraction and trim/color/sweep machinery must be pinned
+    // explicitly — identical labels on the same seeded random graphs
+    def run[A](f: => A): (A, A) = {
+      val local = f
+      spark.conf.set("graft.localGraphMaxEdges", "0")
+      val dist = try f finally spark.conf.unset("graft.localGraphMaxEdges")
+      (local, dist)
+    }
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val vs = (0L until n.toLong).toDF("id")
+      val es = edges.toDF("src", "dst")
+      val (ccL, ccD) = run(Algorithms.connectedComponents(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(ccL == ccD, s"cc local != distributed, seed=$seed")
+      val (sccL, sccD) = run(Algorithms.stronglyConnectedComponents(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(sccL == sccD, s"scc local != distributed, seed=$seed")
     }
   }
 
