@@ -101,6 +101,7 @@ object AnnScale {
     val k = if (args.length > 2) args(2).toInt else 10
     val nq = if (args.length > 3) args(3).toInt else 200
     val bitsList = (if (args.length > 4) args(4) else "8,10,12").split(",").map(_.trim.toInt)
+    val lshOnly = args.length > 5 && args(5) == "lshonly" // big-n runs: skip the IVF/PQ sweeps
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -137,6 +138,7 @@ object AnnScale {
       val (rm, tm) = meanRecall(Similarity.lshMultiProbeKnn(emb, queries, k, 64, bits, tables = 4))
       println(f"[annrecall] algo=multiprobe numBits=$bits%2d tables=4 recall@$k=$rm%.4f evalMs=$tm")
     }
+    if (lshOnly) { spark.stop(); return }
     // plain IVF (exact distances within probed cells) separates the coarse
     // quantizer's loss from PQ's code-resolution loss — on clustered data
     // coarse PQ degenerates to tie-breaking noise (all same-cluster vectors

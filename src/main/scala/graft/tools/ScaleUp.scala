@@ -26,13 +26,19 @@ import org.apache.spark.sql.functions._
  * (45x pair blow-up) that 10x real data does not have.
  */
 object ScaleUp {
-  private val Shift = 100000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // key stride between copies: overridable because factor x stride must
+    // stay under the 1e9 graph label band (PropertyGraph node ids are
+    // key + label*1e9) -- the default 1e8 stride supports factor <= 9;
+    // a factor-100 blow-up passes 1e6 (max sf0.1 base key is 149,999)
+    val Shift = if (args.length > 3) args(3).toLong else 100000000L
     require(factor >= 1 && factor <= 100, s"factor out of range: $factor")
+    require(factor.toLong * Shift <= 1000000000L,
+      s"factor x stride = ${factor.toLong * Shift} exceeds the 1e9 graph label band")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
