@@ -257,8 +257,12 @@ object Bench {
     // e.g. 11.2/10.5/9.3 s is an expensive query, not a storm; 70/71/4 s is
     // a storm that outlasted two attempts). Fewer than 3 recorded attempts
     // (an errored retry) can't be cross-checked and stays suspect.
+    // judged on the STORM pass's own attempts (stormRetried, not the merged
+    // map): the `sizeIs < 3` clause means "an errored storm retry can't be
+    // cross-checked" — an elevation-pass entry also has 2 attempts and
+    // would false-flag a query whose rerun legitimately recovered
     val stormSuspects = finalResults.collect {
-      case (n, t, _, err) if err.isEmpty && t > hotBar && retried.get(n).exists { at =>
+      case (n, t, _, err) if err.isEmpty && t > hotBar && stormRetried.get(n).exists { at =>
         val ts = at.map(_._1)
         ts.sizeIs < 3 || ts.max > 2 * ts.min
       } => n

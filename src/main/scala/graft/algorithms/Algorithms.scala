@@ -533,7 +533,6 @@ object Algorithms {
     // of the frontier, while the shuffled join it replaces moves only the
     // cached 32-partition edge table — graph_sigma 11.9 → 17-22 s at
     // sf0.1. AQE already broadcast-converts when runtime sizes favor it.
-    var fCnt = frontier.count()
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -544,8 +543,7 @@ object Algorithms {
         .withColumn("level", lit(iter + 1))
         .select("src", "id", "level", "sigma")
       frontier = cutF(next, iter)
-      fCnt = frontier.count()
-      if (fCnt == 0L) done = true
+      if (frontier.count() == 0L) done = true
       else visited = cutV(visited.unionByName(frontier), iter)
       iter += 1
     }

@@ -172,7 +172,10 @@ object SkewJoin {
     require(shared.isEmpty || (probeKey == buildKey && shared.sameElements(Seq(probeKey.toLowerCase))),
       s"probe and build share column names ${shared.mkString(", ")} — rename before joining")
 
-    val hot = broadcast(hotKeys.select(col(s"`${hotKeys.columns.head}`").as("__hot_key")))
+    // distinct: the left_outer mark join (unlike the batch path's anti/semi
+    // pair) would REPLICATE rows per duplicate hot key — and a caller-built
+    // hot list (yesterday's profile) can easily carry dups
+    val hot = broadcast(hotKeys.select(col(s"`${hotKeys.columns.head}`").as("__hot_key")).distinct())
     // one stateless stream-static left_outer marks hot rows; filter + drop
     // replaces the batch path's anti/semi pair (anti is not in the
     // stream-static support matrix, and one join beats two anyway)

@@ -84,7 +84,9 @@ object AnnScale {
     val bc = spark.sparkContext.broadcast(centers)
     import spark.implicits._
     val df = spark.range(n).map { i =>
-      val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      // (i + 1): at i = 0 the mix would be `seed ^ 0 == seed`, replaying
+      // the CENTER stream — vector 0 came out perfectly center-collinear
+      val rnd = new scala.util.Random(seed ^ ((i + 1) * 0x9E3779B97F4A7C15L))
       val c = bc.value((i % kC).toInt)
       val v = Array.tabulate(dim)(d => c(d) + (rnd.nextGaussian() * spread).toFloat)
       (i, v)

@@ -54,6 +54,14 @@ object ScaleUp {
     /** Union `factor` copies, adding copy*Shift to each column in `keys`. */
     def blow(t: String, keys: Seq[String], extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val base = read(t)
+      // a stride at or below the max base key would silently COLLIDE ids
+      // across copies (copy-0 key 149,999 == copy-1 key 49,999 at stride
+      // 1e5) — the exact join-fan-out corruption this tool exists to avoid
+      if (factor > 1) {
+        val mx = keys.map(c => base.agg(max(col(c))).first().getAs[Number](0).longValue).max
+        require(Shift > mx,
+          s"$t: key stride $Shift must exceed the max base key $mx or copies collide")
+      }
       val copies = (0 until factor).map { k =>
         val shifted = keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(k * Shift)))
         extra(shifted, k)

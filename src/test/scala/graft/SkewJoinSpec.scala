@@ -140,6 +140,17 @@ class SkewJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicate keys in the caller's hotKeys frame do not replicate rows") {
+    import spark.implicits._
+    // the left_outer mark join would emit one copy per duplicate hot key —
+    // a caller-built hot list (yesterday's profile) can easily carry dups
+    val probe = Seq((1L, "a", 100L), (1L, "b", 101L), (2L, "c", 102L)).toDF("k", "pv", "eid")
+    val build = Seq((1L, 10), (2L, 20)).toDF("j", "bv")
+    val dupHot = Seq(1L, 1L, 1L).toDF("hk")
+    val out = SkewJoin.saltedJoinWithHotKeys(probe, build, "k", "j", 3, dupHot, "eid")
+    assertSameBag(out.drop("j"), probe.join(build, col("k") === col("j")).drop("j"))
+  }
+
   test("reserved and duplicate column names reject with clear messages") {
     import spark.implicits._
     val bad = Seq((1L, 0L)).toDF("k", "__hot_key")
