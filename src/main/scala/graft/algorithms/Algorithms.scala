@@ -42,10 +42,33 @@ object Algorithms {
     * distributed path on toy graphs). */
   val LocalGraphMaxEdges: Long = 2L * 1000 * 1000
 
+  /** Vertex/seed-count cap for the driver-local loop gates: collected id
+    * arrays stay ≤ ~64 MB. The edge gate alone does not bound the vertex
+    * set (a billion isolated vertices over ten edges), so every local path
+    * that collects a vertex or seed list checks this too. */
+  val LocalGraphMaxVertices: Long = 4L * 1000 * 1000
+
+  /** Row cap for the local per-source BFS state (Σ per-source
+    * reachability): past it the local run aborts and the distributed loop
+    * — whose state is partitioned and disk-backed — takes over. */
+  val LocalStateMaxRows: Long = 1L << 24
 
   private def localGraphGate(df: DataFrame): Long =
     df.sparkSession.conf.getOption("graft.localGraphMaxEdges")
       .map(_.toLong).getOrElse(LocalGraphMaxEdges)
+
+  /** The local gates collect ids via getLong — any other id type skips the
+    * gate and runs distributed (queries and tests use BIGINT ids; this is
+    * the safety net, not a supported alternate path). */
+  private def longCols(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c => df.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)
+
+  private def collectPairs(df: DataFrame): Array[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  private def collectIds(df: DataFrame): Array[Long] =
+    df.collect().map(_.getLong(0))
 
   /** In-JVM union-find over an edge list: label = MIN member id of each
     * component — exactly [[connectedComponents]]' fixpoint labeling.
@@ -208,29 +231,6 @@ object Algorithms {
   }
 
   /**
-   * Run an iterative loop under a DATA-SIZED shuffle width (~50k rows per
-   * partition, capped at the session width): for loops whose PER-ROUND
-   * state is a small fraction of the input, per-task scheduling floor —
-   * not data — dominates at the global width. MEASURED per loop, not
-   * blanket-applied: shortestPathCounts (tiny sigma-table rounds over a
-   * broadcast-converted expansion) wins 14.0 -> 9.0 s at sf0.1; the
-   * |E|-sized-per-round loops (pagerank/hits/sssp/bfs, whose contribution
-   * joins move the whole edge table every round) were wrapped, measured
-   * SLOWER (pagerank 3.8 -> 4.2 s, hits 4.0 -> 5.6 s, sssp 3.8 -> 4.6 s —
-   * the narrow width serializes real join work), and unwrapped. Restores
-   * the conf on every exit path; nesting composes. Do not `return` out
-   * of `body`.
-   */
-  private def withLoopWidth[A](df: DataFrame, rows: Long)(body: => A): A = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val global = spark.conf.get(key)
-    val parts = math.max(1L, math.min(global.toLong, rows / 50000L + 1))
-    spark.conf.set(key, parts.toString)
-    try body finally spark.conf.set(key, global)
-  }
-
-  /**
    * Multi-source BFS levels: frontier ⊕.⊗ adjacency over the (lor, land)
    * semiring ≙ join + distinct (reference DocSpec.scala:31-53).
    *
@@ -240,6 +240,22 @@ object Algorithms {
    */
   def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
+    // Distillate gate (see [[Local]]): the per-round job floor is the whole
+    // cost of this loop on small graphs — collect once, run in-JVM,
+    // parallelize the result. Levels are exact integers on both paths.
+    if (longCols(e, "src", "dst") && longCols(sources.select(col("id")), "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (src.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(e)
+        val sArr = collectIds(src)
+        e.unpersist(false); src.unpersist(false)
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return Local.bfsLevels(eArr, sArr, maxIter).toSeq.toDF("id", "level")
+      }
+      src.unpersist(false)
+    }
     val cutF = new Cutter; val cutV = new Cutter
     var visited = sources.select(col("id")).distinct().withColumn("level", lit(0))
     var frontier = visited
@@ -275,6 +291,26 @@ object Algorithms {
    */
   def bfsPerSource(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    // Distillate gate (see [[Local]]): exact integer levels; the local run
+    // aborts past [[LocalStateMaxRows]] of (src, id, level) state and falls
+    // through to the distributed loop (e stays cached for it).
+    if (longCols(e, "e_src", "e_dst") && longCols(sources.select(col("id")), "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (src.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(e)
+        val sArr = collectIds(src)
+        src.unpersist(false)
+        Local.bfsPerSource(eArr, sArr, maxIter, LocalStateMaxRows) match {
+          case Some(arr) =>
+            e.unpersist(false)
+            val spark = edges.sparkSession
+            import spark.implicits._
+            return arr.toSeq.toDF("src", "id", "level")
+          case None => // state too large for the driver: run distributed
+        }
+      } else src.unpersist(false)
+    }
     val cutF = new Cutter; val cutV = new Cutter
     var visited = sources.select(col("id")).distinct()
       .select(col("id").as("src"), col("id"), lit(0).as("level"))
@@ -411,6 +447,23 @@ object Algorithms {
       .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("id")).limit(kk.toInt).select("id")
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst")).cache()
+    // Distillate gate (see [[Local]]): σ forward pass is exact; the
+    // backward δ sums differ only in double-sum order (oracle-verified at
+    // round-6). Landmark selection stays the distributed TakeOrdered above
+    // — the collected list is ≤ k rows.
+    if (longCols(e, "e_src", "e_dst") && longCols(vs, "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val eArr = collectPairs(e)
+      val lArr = collectIds(landmarks)
+      e.unpersist(false)
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val bc = Local.betweennessDeltas(eArr, lArr, maxIter)
+        .toSeq.toDF("id", "dsum")
+      return vs.join(bc, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("dsum"), lit(0.0)) * lit(n.toDouble / kk)).as("betweenness"))
+    }
     val cutF = new Cutter; val cutV = new Cutter
     var visited = landmarks
       .select(col("id").as("src"), col("id"), lit(0).as("level"), lit(1L).as("sigma"))
@@ -491,6 +544,23 @@ object Algorithms {
    */
   def maximalIndependentSet(vertices: DataFrame, edges: DataFrame,
                             maxIter: Int = 50): DataFrame = {
+    // Distillate gate (see [[Local]]): exact — the per-round md5 priority
+    // strings and the strict-min winner rule are replicated byte for byte.
+    {
+      val e0 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vs0 = vertices.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (longCols(e0, "src", "dst") && longCols(vs0, "id") &&
+          e0.count() <= localGraphGate(edges) && vs0.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(e0)
+        val vArr = collectIds(vs0)
+        e0.unpersist(false); vs0.unpersist(false)
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        return Local.mis(vArr, eArr, maxIter).toSeq.toDF("id", "in_mis")
+      }
+      e0.unpersist(false); vs0.unpersist(false)
+    }
     val vs = vertices.select(col("id")).distinct().localCheckpoint(true)
     val sym = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -540,11 +610,30 @@ object Algorithms {
    * @return (src, id, level INT, sigma BIGINT)
    */
   def shortestPathCounts(edges: DataFrame, sources: DataFrame,
-                         maxIter: Int = 100): DataFrame =
-    // [[withLoopWidth]]: graph_sigma 11.6 -> ~9 s at sf0.1, the one loop
-    // measured to win (sigma-table rounds are tiny; the expansion join
-    // broadcast-converts, so narrowing the width costs no real work)
-    withLoopWidth(edges, edges.count()) {
+                         maxIter: Int = 100): DataFrame = {
+    // Distillate gate (see [[Local]]): σ is an exact long sum on both
+    // paths. This replaces round 13's withLoopWidth narrow-shuffle device
+    // (and its session-conf mutation, the round-13 advisory): the regime
+    // where the narrow width won — tiny per-round sigma tables — is
+    // exactly the at-or-under-gate regime that now runs in-JVM, and above
+    // the gate the data-sized width equaled the session width anyway.
+    if (longCols(edges.select(col("src"), col("dst")), "src", "dst") &&
+        longCols(sources.select(col("id")), "id") &&
+        edges.count() <= localGraphGate(edges)) {
+      val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (src.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(edges.select(col("src"), col("dst")))
+        val sArr = collectIds(src)
+        src.unpersist(false)
+        Local.sigmaCounts(eArr, sArr, maxIter, LocalStateMaxRows) match {
+          case Some(arr) =>
+            val spark = edges.sparkSession
+            import spark.implicits._
+            return arr.toSeq.toDF("src", "id", "level", "sigma")
+          case None => // state too large for the driver: run distributed
+        }
+      } else src.unpersist(false)
+    }
     // cached PRE-PARTITIONED on the join key: every round's expansion join
     // then reads e exchange-free from cache (InMemoryRelation preserves
     // outputPartitioning) instead of re-shuffling the full edge table once
@@ -593,7 +682,23 @@ object Algorithms {
    * @return (id, dist DOUBLE)
    */
   def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 100): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w").cast("double")).cache()
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w")).cache()
+    // Distillate gate (see [[Local]]): bit-exact — every kept distance is
+    // produced by the identical `dist + w` relaxation on both paths, and
+    // min is order-free.
+    if (longCols(e, "src", "dst") && longCols(sources.select(col("id")), "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (src.count() <= LocalGraphMaxVertices) {
+        val eArr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val sArr = collectIds(src)
+        e.unpersist(false); src.unpersist(false)
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return Local.sssp(eArr, sArr, maxIter).toSeq.toDF("id", "dist")
+      }
+      src.unpersist(false)
+    }
     val cutD = new Cutter; val cutF = new Cutter
     var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0.0))
     var frontier = dist
@@ -922,6 +1027,15 @@ object Algorithms {
     val cutter = new Cutter
     var e = cutter(canonicalEdges(edges), 0)
     var n = e.count()
+    // Distillate gate (see [[Local]]): exact synchronous peel, round for
+    // round (same convergence and budget behavior).
+    if (longCols(e, "a", "b") && n <= localGraphGate(edges)) {
+      val eArr = collectPairs(e)
+      cutter.leftovers.foreach(_.unpersist(false))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Local.kCore(eArr, k, maxIter).toSeq.toDF("id")
+    }
     var iter = 0
     var converged = n == 0
     while (iter < maxIter && !converged) {
@@ -972,6 +1086,15 @@ object Algorithms {
     val cutter = new Cutter
     var e = cutter(canonicalEdges(edges), 0)
     var n = e.count()
+    // Distillate gate (see [[Local]]): exact synchronous support peel,
+    // round for round.
+    if (longCols(e, "a", "b") && n <= localGraphGate(edges)) {
+      val eArr = collectPairs(e)
+      cutter.leftovers.foreach(_.unpersist(false))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Local.kTruss(eArr, k, maxIter).toSeq.toDF("a", "b")
+    }
     var iter = 0
     var converged = n == 0
     while (iter < maxIter && !converged) {
@@ -1025,6 +1148,22 @@ object Algorithms {
       .distinct()
       .select(col("src").as("id"), col("dst").as("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Distillate gate (see [[Local]]): exact integer argmax with the same
+    // (count desc, label asc) tie-break, round for round.
+    if (longCols(sym, "id", "nb") &&
+        longCols(vertices.select(col("id")), "id") &&
+        sym.count() <= localGraphGate(edges)) {
+      val vsD = vertices.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (vsD.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(sym)
+        val vArr = collectIds(vsD)
+        sym.unpersist(false); vsD.unpersist(false)
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        return Local.lpa(vArr, eArr, iters).toSeq.toDF("id", "community")
+      }
+      vsD.unpersist(false)
+    }
     var labels = cutter(vertices.select(col("id")).distinct()
       .withColumn("lab", col("id")), 0)
     for (i <- 1 to iters) {
@@ -1069,11 +1208,27 @@ object Algorithms {
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val v = vertices.select(col("id")).distinct().cache()
     val n = v.count()
-    // outDeg and links are re-read EVERY iteration (links in the contrib
-    // join, outDeg in the dangling-mass aggregate) — cache both and force
-    // materialization now so no iteration re-runs the upstream edge plan.
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
-    val links = edges.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
+    // the edge derivation can be expensive (a lineitem self-join at the
+    // call sites) — persist it ONCE; the gate count doubles as the cache
+    // fill, and the distributed path's outDeg/links then both read the
+    // cache instead of re-running the derivation (it ran twice before)
+    val e0 = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    // Distillate gate (see [[Local]]): same iteration, same dangling-mass
+    // formula; double-sum order differs (as it already does between Spark's
+    // own partial aggregates and the oracle) — parity spec-pinned at 1e-12
+    // and oracle-verified at round-6.
+    if (longCols(e0, "src", "dst") && longCols(v, "id") &&
+        m <= localGraphGate(edges) && n <= LocalGraphMaxVertices) {
+      val eArr = collectPairs(e0)
+      val vArr = collectIds(v)
+      e0.unpersist(false); v.unpersist(false)
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      return Local.pageRank(vArr, eArr, iters, damping).toSeq.toDF("id", "rank")
+    }
+    val outDeg = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
+    val links = e0.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
     links.count()
     val cutter = new Cutter
     var ranks = v.withColumn("rank", lit(1.0))
@@ -1090,7 +1245,7 @@ object Algorithms {
           (lit(1 - damping) + lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") / lit(n.toDouble))).as("rank"))
       ranks = cutter(next, i)
     }
-    releaseOnFirstAction(ranks, Seq(v, outDeg, links) ++ cutter.leftovers: _*)
+    releaseOnFirstAction(ranks, Seq(v, e0, outDeg, links) ++ cutter.leftovers: _*)
   }
 
   /**
@@ -1112,10 +1267,26 @@ object Algorithms {
                        iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val v = vertices.select(col("id")).distinct().cache()
     val n = v.count()
-    val outW = edges.select(col("src"), col("w").cast("double").as("w"))
+    // persist the (possibly expensive) weighted edge derivation once — the
+    // gate count fills the cache, outW/links read it (see [[pageRank]])
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    // Distillate gate (see [[Local]]): same iteration and dangling rule
+    // (wsum ≤ 0 ⇒ dangling); double-sum order parity as in [[pageRank]].
+    if (longCols(e0, "src", "dst") && longCols(v, "id") &&
+        m <= localGraphGate(edges) && n <= LocalGraphMaxVertices) {
+      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val vArr = collectIds(v)
+      e0.unpersist(false); v.unpersist(false)
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      return Local.pageRankWeighted(vArr, eArr, iters, damping).toSeq.toDF("id", "rank")
+    }
+    val outW = e0.select(col("src"), col("w"))
       .groupBy(col("src").as("id")).agg(sum("w").as("wsum"))
       .filter(col("wsum") > 0).cache()
-    val links = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val links = e0.select(col("src"), col("dst"), col("w"))
       .join(outW, col("src") === col("id")).drop("id").cache()
     links.count()
     val cutter = new Cutter
@@ -1133,7 +1304,7 @@ object Algorithms {
             col("__dm") / lit(n.toDouble))).as("rank"))
       ranks = cutter(next, i)
     }
-    releaseOnFirstAction(ranks, Seq(v, outW, links) ++ cutter.leftovers: _*)
+    releaseOnFirstAction(ranks, Seq(v, e0, outW, links) ++ cutter.leftovers: _*)
   }
 
   /**
@@ -1160,10 +1331,27 @@ object Algorithms {
       .join(v, Seq("id"), "left_semi").cache()
     val nS = srcs.count()
     require(nS > 0, "personalizedPageRank needs at least one source present in `vertices`")
+    // persist the edge derivation once (see [[pageRank]]); gate + cache fill
+    val e0 = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    val n0 = v.count()
+    // Distillate gate (see [[Local]]): same teleport-vector iteration;
+    // double-sum order parity as in [[pageRank]].
+    if (longCols(e0, "src", "dst") && longCols(v, "id") &&
+        m <= localGraphGate(edges) && n0 <= LocalGraphMaxVertices) {
+      val eArr = collectPairs(e0)
+      val vArr = collectIds(v)
+      val sArr = collectIds(srcs)
+      e0.unpersist(false); v.unpersist(false); srcs.unpersist(false)
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      return Local.personalizedPageRank(vArr, eArr, sArr, iters, damping)
+        .toSeq.toDF("id", "rank")
+    }
     val p = v.join(srcs.withColumn("__p", lit(1.0 / nS)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p")).cache()
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
-    val links = edges.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
+    val outDeg = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
+    val links = e0.select("src", "dst").join(outDeg, col("src") === col("id")).drop("id").cache()
     links.count()
     val cutter = new Cutter
     var ranks = p.select(col("id"), col("p").as("rank"))
@@ -1180,7 +1368,7 @@ object Algorithms {
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") * col("p"))).as("rank"))
       ranks = cutter(next, i)
     }
-    releaseOnFirstAction(ranks, Seq(v, srcs, p, outDeg, links) ++ cutter.leftovers: _*)
+    releaseOnFirstAction(ranks, Seq(v, srcs, p, e0, outDeg, links) ++ cutter.leftovers: _*)
   }
 
   /**
@@ -1256,6 +1444,15 @@ object Algorithms {
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val e = edges.select("src", "dst").distinct().cache()
+    // Distillate gate (see [[Local]]): same L1-normalized half-steps;
+    // double-sum order parity as in [[pageRank]].
+    if (longCols(e, "src", "dst") && e.count() <= localGraphGate(edges)) {
+      val eArr = collectPairs(e)
+      e.unpersist(false)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Local.hits(eArr, iters).toSeq.toDF("id", "hub", "auth")
+    }
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().cache()
     // score frames are |V|-sized; under the broadcast gate each half-step
@@ -1312,6 +1509,21 @@ object Algorithms {
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 0, s"randomWalks needs steps >= 0, got $steps")
     val e = edges.select("src", "dst").distinct().cache()
+    // Distillate gate (see [[Local]]): exact — the md5-argmin next-hop
+    // strings are replicated byte for byte over the same deduped edges.
+    if (longCols(e, "src", "dst") && longCols(seeds.select(col("id")), "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val sd = seeds.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      if (sd.count() <= LocalGraphMaxVertices) {
+        val eArr = collectPairs(e)
+        val sArr = collectIds(sd)
+        e.unpersist(false); sd.unpersist(false)
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return Local.randomWalks(eArr, sArr, steps).toSeq.toDF("walk_id", "step", "node")
+      }
+      sd.unpersist(false)
+    }
     e.count()
     val cutter = new Cutter
     var cur = seeds.select(col("id")).distinct()
@@ -1394,6 +1606,22 @@ object Algorithms {
     }
     var budget = maxIter
     var live = nodes.count()
+    // ENTRY gate (round 14): the round-13 residual-tail gate only fired
+    // after the distributed trim loop had already paid its per-pass job
+    // floor; when the INITIAL graph is already distillate-sized (and the
+    // vertex set is bounded — trim hasn't yet established live ≤ 2·edges),
+    // go straight to the in-JVM Tarjan.
+    if (live > 0 && live <= LocalGraphMaxVertices &&
+        longCols(e, "src", "dst") && longCols(nodes, "id") &&
+        e.count() <= localGraphGate(edges)) {
+      val vArr = collectIds(nodes.select(col("id")))
+      val eArr = collectPairs(e.select(col("src"), col("dst")))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      assign(localSccLabels(vArr, eArr).toSeq.toDF("id", "root"))
+      nodes = nodes.filter(lit(false)).localCheckpoint(true)
+      live = 0L
+    }
     // Small-state tail: once the live subgraph is tiny relative to the
     // cluster, per-round task-scheduling latency dominates the actual work
     // (measured 0.37 s/round on a 1868-node graph at 32 shuffle

@@ -434,6 +434,91 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("loop gates: every local fast path equals its distributed loop") {
+    // round 14 extended the round-13 CC/SCC distillate gates to the whole
+    // iterative family (the per-round job floor was the entire cost of
+    // these loops on small graphs) — pin EVERY gated algorithm's local
+    // path against the distributed loop on seeded random graphs. Integer /
+    // lexicographic results must be identical; double-sum results agree to
+    // 1e-9 (the published queries round to 6 decimals).
+    def run[A](f: => A): (A, A) = {
+      val local = f
+      spark.conf.set("graft.localGraphMaxEdges", "0")
+      val dist = try f finally spark.conf.unset("graft.localGraphMaxEdges")
+      (local, dist)
+    }
+    def eq(name: String, seed: Int)(l: Map[Long, Double], d: Map[Long, Double]): Unit = {
+      assert(l.keySet == d.keySet, s"$name keys, seed=$seed")
+      l.foreach { case (k, v) =>
+        assert(math.abs(v - d(k)) < 1e-9, s"$name($k): local=$v dist=${d(k)}, seed=$seed") }
+    }
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 26
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val vs = (0L until n.toLong).toDF("id")
+      val es = edges.toDF("src", "dst")
+      val wes = edges.map { case (s, d) => (s, d, ((s * 7 + d) % 5 + 1).toDouble) }
+        .toDF("src", "dst", "w")
+      val srcs = Seq(0L, 3L, 7L).toDF("id")
+
+      val (bfsL, bfsD) = run(Algorithms.bfs(es, srcs)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+      assert(bfsL == bfsD, s"bfs, seed=$seed")
+      val (bpsL, bpsD) = run(Algorithms.bfsPerSource(es, srcs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+      assert(bpsL == bpsD, s"bfsPerSource, seed=$seed")
+      val (sigL, sigD) = run(Algorithms.shortestPathCounts(es, srcs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet)
+      assert(sigL == sigD, s"shortestPathCounts, seed=$seed")
+      val (ssspL, ssspD) = run(Algorithms.sssp(wes, srcs)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      assert(ssspL == ssspD, s"sssp (bit-exact), seed=$seed") // min-plus: exact
+      val (prL, prD) = run(Algorithms.pageRank(vs, es, iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      eq("pageRank", seed)(prL, prD)
+      val (pwL, pwD) = run(Algorithms.pageRankWeighted(vs, wes, iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      eq("pageRankWeighted", seed)(pwL, pwD)
+      val (ppL, ppD) = run(Algorithms.personalizedPageRank(vs, es, srcs, iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      eq("personalizedPageRank", seed)(ppL, ppD)
+      val (hL, hD) = run(Algorithms.hits(es, iters = 3)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
+      assert(hL.keySet == hD.keySet, s"hits keys, seed=$seed")
+      hL.foreach { case (k, (hub, auth)) =>
+        assert(math.abs(hub - hD(k)._1) < 1e-9 && math.abs(auth - hD(k)._2) < 1e-9,
+          s"hits($k), seed=$seed") }
+      val (lpaL, lpaD) = run(Algorithms.labelPropagation(vs, es, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(lpaL == lpaD, s"lpa, seed=$seed")
+      val (kcL, kcD) = run(Algorithms.kCore(es, k = 3)
+        .collect().map(_.getLong(0)).toSet)
+      assert(kcL == kcD, s"kCore, seed=$seed")
+      val (ktL, ktD) = run(Algorithms.kTruss(es, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(ktL == ktD, s"kTruss, seed=$seed")
+      val (misL, misD) = run(Algorithms.maximalIndependentSet(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap)
+      assert(misL == misD, s"mis, seed=$seed")
+      val (rwL, rwD) = run(Algorithms.randomWalks(es, srcs, steps = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+      assert(rwL == rwD, s"randomWalks, seed=$seed")
+      val (btL, btD) = run(Algorithms.betweennessLandmark(vs, es, k = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      eq("betweennessLandmark", seed)(btL, btD)
+    }
+    // budget parity: the local loops throw at the same round counts
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.shortestPathCounts(chain, Seq(0L).toDF("id"), maxIter = 5).count()
+    }
+    intercept[Algorithms.BudgetExhausted] {
+      Algorithms.bfsPerSource(chain, Seq(0L).toDF("id"), maxIter = 5).count()
+    }
+  }
+
   test("cc/scc: distributed paths (gate forced off) equal the local gates") {
     // the driver-local union-find / Tarjan gates handle distillate-sized
     // graphs; every toy test above now exercises THEM, so the distributed

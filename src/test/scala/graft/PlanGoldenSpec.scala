@@ -63,11 +63,16 @@ class PlanGoldenSpec extends SparkSpec {
     "dedup_apply" -> "BroadcastHashJoin=24 SortMergeJoin=1 ShuffleExchange=12 BroadcastExchange=24 ReusedExchange=0",
     "dedup_clusters" -> "BroadcastHashJoin=2 ShuffleExchange=1 BroadcastExchange=2 ReusedExchange=0",
     "graph_sigma" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
-    "hits" -> "BroadcastHashJoin=1 ShuffleExchange=0 BroadcastExchange=1 ReusedExchange=0",
-    "kcore" -> "ShuffleExchange=1 BroadcastExchange=0 ReusedExchange=0",
+    // r14: the distillate gates extended to the whole iterative family —
+    // hits/kcore now root at a driver-local result (no joins/exchanges at
+    // SF=0.001), and scc's ENTRY gate skips the distributed trim whose
+    // semi-joins the old fingerprint counted. The distributed loop shapes
+    // stay pinned by AlgorithmsSpec's gate-off parity suite.
+    "hits" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
+    "kcore" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
     "neighbor_jaccard" -> "BroadcastHashJoin=6 ShuffleExchange=1 BroadcastExchange=6 ReusedExchange=0",
     "pagerank_weighted" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
-    "scc" -> "BroadcastHashJoin=6 ShuffleExchange=1 BroadcastExchange=6 ReusedExchange=0")
+    "scc" -> "BroadcastHashJoin=2 ShuffleExchange=1 BroadcastExchange=2 ReusedExchange=0")
 
   test("top-10 query plans match their golden join/exchange fingerprints") {
     val dump = sys.env.get("GRAFT_PLAN_DUMP").contains("1")
