@@ -495,7 +495,12 @@ final class GraphDB(val graph: PropertyGraph, precomputed: Option[GraphStats] = 
     }
     // the persisted match releases once the mutated edge table (whose
     // anti-join lineage contains it) is first acted on — bounded memory
-    // over a long write session
+    // over a long write session. NOTE (r14, built-measured-rejected):
+    // caching the mutated graph (pg.cache()) to dedupe the read query's
+    // per-leg removal subtrees made cy_delete SLOWER (4.4 → 5.8-7.3 s at
+    // sf0.1) — the cache materializes every column of every row, while the
+    // uncached legs push label filters + column pruning into the already-
+    // cached BASE graph and recompute only narrow slices.
     graft.util.CacheLifecycle.releaseOnFirstAction(pg.edges, m)
     new GraphDB(pg, statsThunk = Some(thunk))
   }

@@ -1020,6 +1020,18 @@ object Algorithms {
    * an `exceptAll` probe would shuffle both full edge sets every round for
    * the same answer.
    *
+   * DEGREE-DELTA peeling (maintain degrees incrementally, subtract dropped
+   * edges' endpoint contributions, anti-join-prune by the removed set) was
+   * BUILT, MEASURED and REJECTED in round 14: identical results (parity
+   * suite green), but the extra per-round machinery (eager removed-set
+   * checkpoint + count, tagged left joins, delta aggregation, a second
+   * lineage-cut chain) made the forced-distributed loop 1.7× SLOWER at
+   * sf0.1 (7.65 → 13.0 s) and showed no gain at sf1, where the co-supply
+   * derivation dominates and the loop itself is distillate-sized (local
+   * gate). The regime where fewer shuffled degree bytes could win (sf10+,
+   * r13 telemetry 6,647 core-s) needs a measured experiment this sandbox
+   * could not run to completion; do not re-land the delta loop without one.
+   *
    * @return (id) — vertices of the k-core
    */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {

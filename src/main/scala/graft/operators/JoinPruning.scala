@@ -50,22 +50,28 @@ object JoinPruning {
   def bloomPrunedJoin(build: DataFrame, probe: DataFrame,
                       buildKey: String, probeKey: String,
                       k: Int = 5, mBits: Int = 1 << 20): DataFrame = {
-    // persist the position set: each of the k semi joins broadcasts its own
-    // projection of `bits`, and without the persist each broadcast re-runs
-    // the build-side scan + aggregation — k scans of the build side for one
-    // ≤ mBits-row table (measured at sf0.1: the bloom_join plan carried 5
-    // copies of the orders scan+agg subtree; one cached copy serves all 5)
-    val bits = graft.sketch.Sketches.bloomBits(build, col(buildKey), k, mBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the position set so the k broadcasts share ONE build-side
+    // scan+agg — without it each broadcast re-ran the build derivation
+    // (the r14 before-plan carried 5 copies of the build scan+agg subtree).
+    // A driver-literal bitmap filter (element_at over a collected long[]
+    // bitmap, zero broadcasts) was BUILT, MEASURED and REJECTED in r14:
+    // the inlined 1024-word literals in every conjunct made the probe scan
+    // measurably SLOWER than the broadcast hash probes they replaced
+    // (bloom_join 4.0 → 8.4-9.5 s warm at sf0.1, taskSec 5.7 → 7.1).
+    val pruned = {
+      val bits = graft.sketch.Sketches.bloomBits(build, col(buildKey), k, mBits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.util.CacheLifecycle.releaseOnFirstAction(
+        bloomPruneRows(probe, col(probeKey), bits, k, mBits), bits)
+    }
     // alias both sides: with the common same-named key (probeKey ==
     // buildKey) unqualified col(...) refs would be ambiguous (or resolve
     // to one side), breaking the equi-join case this exists for
-    val joined = bloomPruneRows(probe, col(probeKey), bits, k, mBits).as("__bp_probe")
+    val joined = pruned.as("__bp_probe")
       .join(build.as("__bp_build"),
         col(s"__bp_probe.$probeKey") === col(s"__bp_build.$buildKey"))
     // same-named keys: keep ONE key column (the probe's) so downstream
     // by-name references resolve — equal by the join predicate anyway
-    val out = if (probeKey == buildKey) joined.drop(col(s"__bp_build.$buildKey")) else joined
-    graft.util.CacheLifecycle.releaseOnFirstAction(out, bits)
+    if (probeKey == buildKey) joined.drop(col(s"__bp_build.$buildKey")) else joined
   }
 }
