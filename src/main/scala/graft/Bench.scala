@@ -222,12 +222,16 @@ object Bench {
     // record itself then separates noise (rerun recovers) from regression
     // (flagged). Skipped on name-filtered dev runs (subset runs JIT-warm
     // less, so every comparison vs a full-run record would false-flag).
-    val elevBar = 2.0
+    // r14: multi-second queries trigger at 1.5x (the r13 record carried a
+    // 1.6x move on a 2-second query unrerun and unflagged — the blind band
+    // between the old uniform 2x bar and the suspect machinery); sub-second
+    // priors keep 2x (job-floor jitter band), and the 0.5 s floor stands.
+    def elevBar(priorVal: Double): Double = if (priorVal >= 1.0) 1.5 else 2.0
     val elevFloor = 0.5 // below this the job floor dominates; jitter, not signal
     val drift = prior.map { case (_, pCalib) => (calibCpu + calibSpark) / pCalib }
     def elevatedVsPrior(name: String, t: Double): Boolean = (prior, drift) match {
       case (Some((pq, _)), Some(d)) =>
-        t > elevFloor && pq.get(name).exists(p => t / (p * d) > elevBar)
+        t > elevFloor && pq.get(name).exists(p => t / (p * d) > elevBar(p))
       case _ => false
     }
     drift.foreach(d => System.err.println(f"[bench] calib drift vs prior record: $d%.3f"))
@@ -239,7 +243,7 @@ object Bench {
         if (err.isDefined || !elevatedVsPrior(name, best)) acc
         else {
           val (dt, qm, rerr) = retryOnce(name)
-          System.err.println(f"[bench] elev-retry $name%-17s ${dt}%.2f s (prior-normalized > ${elevBar}x)")
+          System.err.println(f"[bench] elev-retry $name%-17s ${dt}%.2f s (prior-normalized elevation)")
           acc.updated(name, attempts ++ (if (rerr.isEmpty) Seq((dt, qm)) else Seq.empty))
         }
       }

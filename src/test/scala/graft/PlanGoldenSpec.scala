@@ -72,7 +72,14 @@ class PlanGoldenSpec extends SparkSpec {
     "kcore" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
     "neighbor_jaccard" -> "BroadcastHashJoin=6 ShuffleExchange=1 BroadcastExchange=6 ReusedExchange=0",
     "pagerank_weighted" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
-    "scc" -> "BroadcastHashJoin=2 ShuffleExchange=1 BroadcastExchange=2 ReusedExchange=0")
+    "scc" -> "BroadcastHashJoin=2 ShuffleExchange=1 BroadcastExchange=2 ReusedExchange=0",
+    // r14 board newcomers (post-gate top of BENCH_LAST): the old pins stay
+    "bloom_join" -> "BroadcastHashJoin=6 ShuffleExchange=1 BroadcastExchange=6 ReusedExchange=0",
+    "cy_delete" -> "BroadcastHashJoin=7 ShuffleExchange=4 BroadcastExchange=7 ReusedExchange=0",
+    "dedup_keep_best" -> "BroadcastHashJoin=3 ShuffleExchange=2 BroadcastExchange=3 ReusedExchange=0",
+    "mxm_minplus" -> "BroadcastHashJoin=1 ShuffleExchange=3 BroadcastExchange=1 ReusedExchange=0",
+    "sssp_minplus" -> "ShuffleExchange=0 BroadcastExchange=0 ReusedExchange=0",
+    "wcc_apply" -> "BroadcastHashJoin=16 ShuffleExchange=10 BroadcastExchange=16 ReusedExchange=0")
 
   test("top-10 query plans match their golden join/exchange fingerprints") {
     val dump = sys.env.get("GRAFT_PLAN_DUMP").contains("1")
