@@ -754,21 +754,26 @@ object Algorithms {
     // convergence check needs the full edge set each round anyway. The
     // checkpoint blocks of dropped rounds are reclaimed by the
     // ContextCleaner as references lapse.
-    var e = edges.select(greatest(col("src"), col("dst")).as("src"),
+    // persist-then-count: the count doubles as the cache fill AND the gate
+    // probe, and on the (common) local path the collect reads the cache —
+    // one materialization pass total. r13 checkpointed BEFORE the gate,
+    // paying an extra eager materialization job per call on the local path
+    // (wcc_apply and the dedup cluster family each call CC twice).
+    val e0 = edges.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Distillate gate: CC is routinely fed a SMALL edge set (an LSH dedup's
     // pair table, a delta-contracted graph) where the per-round job floor
     // of the star-contraction loop is the entire cost. At or below the
-    // gate, collect the checkpointed edge leaf (≤ ~32 MB) and run the
-    // union-find in-JVM — identical min-id labels, one job instead of
-    // 2×rounds. `vertices` stays distributed either way (only the
-    // edge-induced labeling collects).
-    val eCount = e.count()
-    if (eCount <= localGraphGate(edges)) {
-      val arr = e.select(col("src"), col("dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+    // gate, collect the cached edge set (≤ ~32 MB) and run the union-find
+    // in-JVM — identical min-id labels, one job instead of 2×rounds.
+    // `vertices` stays distributed either way (only the edge-induced
+    // labeling collects).
+    val eCount = e0.count()
+    if (eCount <= localGraphGate(edges) && longCols(e0, "src", "dst")) {
+      val arr = collectPairs(e0.select(col("src"), col("dst")))
+      e0.unpersist(false)
       val spark = vertices.sparkSession
       import spark.implicits._
       val labels = localComponentLabels(arr).toSeq.toDF("id", "component")
@@ -776,6 +781,12 @@ object Algorithms {
         .join(labels.filter(col("id") =!= col("component")), Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
+    // distributed loop: root the rounds at a lineage-free leaf (per-round
+    // planning over a deep upstream tree was the r13 finding — 40+ s of
+    // driver gaps on the minhash pair graph); the checkpoint reads the
+    // cache, so this adds no second pass over the derivation
+    var e = e0.localCheckpoint(true)
+    e0.unpersist(false)
     var iter = 0
     var converged = eCount == 0L
     while (iter < maxIter && !converged) {
