@@ -465,12 +465,20 @@ object EventOps {
   def decayedCounts(df: DataFrame, groupCols: Seq[String], time: String,
                     halfLifeSec: Long): DataFrame = {
     require(halfLifeSec > 0, s"halfLifeSec must be positive, got $halfLifeSec")
-    val ref = df.agg(max(col(time).cast("timestamp").cast("long")).as("__ref"))
+    // seconds ROUNDED half-up, not truncated: the oracle ages by
+    // `epoch(ts)::BIGINT` and DuckDB's double→BIGINT cast rounds half away
+    // from zero — with truncation an event 0.5 s younger than a half-life
+    // boundary (relative to the ref instant) would land one staircase step
+    // off the oracle's. Same grid contract as StreamOps.tsToOracleSecond;
+    // bit-neutral at the checked SFs (no event sits on such a boundary
+    // there), r15 alignment.
+    val sec = floor((unix_micros(col(time).cast("timestamp")) + lit(500000L)) /
+      lit(1000000.0))
+    val ref = df.agg(max(sec).as("__ref"))
     df.filter(col(time).isNotNull)
       .crossJoin(broadcast(ref))
       .withColumn("__w", pow(lit(2.0),
-        -((col("__ref") - col(time).cast("timestamp").cast("long"))
-          / lit(halfLifeSec)).cast("long")))
+        -((col("__ref") - sec) / lit(halfLifeSec)).cast("long")))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), round(sum(col("__w")), 6).as("decayed"))
   }

@@ -240,8 +240,15 @@ object Sketches {
                          slideSec: Long, slides: Int, p: Int): DataFrame = {
     require(slideSec > 0 && slides >= 1, s"bad slide spec: $slideSec x $slides")
     // NTZ timestamps don't cast to long directly; the session runs UTC so
-    // the TIMESTAMP hop is identity
-    val bucket = floor(time.cast("timestamp").cast("long") / slideSec).cast("long")
+    // the TIMESTAMP hop is identity. Seconds are ROUNDED half-up, not
+    // truncated: the oracle buckets `epoch(ts)::BIGINT` and DuckDB's
+    // double→BIGINT cast rounds half away from zero (same grid contract as
+    // StreamOps.tsToOracleSecond — an event within 0.5 s below a slide
+    // boundary belongs to the NEXT slide; bit-neutral at the checked SFs,
+    // which have no such event, r15 alignment)
+    val sec = floor((unix_micros(time.cast("timestamp")) + lit(500000L)) /
+      lit(1000000.0))
+    val bucket = floor(sec / slideSec).cast("long")
     val regs = hllRegisters(df.withColumn("__b", bucket), Seq("__b"), value, p)
     val merged = regs.withColumn("__o", explode(sequence(lit(0), lit(slides - 1))))
       .select(((col("__b") - col("__o")) * slideSec).as("w_start"),

@@ -64,6 +64,23 @@ object StreamOps {
   private def watermarked(events: DataFrame, time: String, wm: String): DataFrame =
     if (events.isStreaming) events.withWatermark(time, wm) else events
 
+  /** Event time rounded to the oracle's SECOND grid. The sliding-window
+    * oracles bucket by `epoch(ts)::BIGINT`, and DuckDB's double→BIGINT cast
+    * rounds half away from zero — while Spark's `window()` buckets the raw
+    * microsecond timestamp by truncation. The two disagree exactly for an
+    * event within 0.5 s below a slide boundary (r14's stream_sliding
+    * divergence: 1 such event at sf0.1, 0 at the smaller SFs — so this
+    * rounding is bit-neutral at the checked SFs and closes the divergence
+    * at sf0.1 and beyond). Integer micros math, exact for every epoch ≥ 0
+    * (floor(+0.5 s) = half-away-from-zero on the non-negative domain all
+    * event data lives in; `floor((m+5e5)/1e6)` is exact in double for every
+    * |m| < 2^53 because ties land on representable integers).
+    * Tumbling operators are NOT rounded: their oracles use
+    * `date_trunc`, which truncates the raw timestamp exactly as `window()`
+    * does. */
+  private[graft] def tsToOracleSecond(ts: Column): Column =
+    timestamp_seconds(floor((unix_micros(ts) + lit(500000L)) / lit(1000000.0)))
+
   /**
    * Tumbling-window aggregate per event type: count + exact decimal mean.
    * Streaming: append-mode once the watermark passes the window end.
@@ -108,7 +125,10 @@ object StreamOps {
   def slidingWindowAgg(events: DataFrame, windowDur: String = "1 day",
                        slide: String = "6 hours", wm: String = "1 hour"): DataFrame = {
     requireEpochGrid(windowDur, slide)
-    watermarked(events, "ts", wm)
+    // second-rounding BEFORE the watermark/window keeps the streaming path
+    // identical (the watermark then bounds the same rounded column the
+    // window buckets) — see [[tsToOracleSecond]] for why sliding grids round
+    watermarked(events.withColumn("ts", tsToOracleSecond(col("ts"))), "ts", wm)
       .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -140,7 +160,11 @@ object StreamOps {
     // operator count does not (still ONE streaming aggregate)
     val w = slide.fold(window(col("ts"), windowDur))(s =>
       window(col("ts"), windowDur, s))
-    watermarked(events, "ts", wm)
+    // sliding grids bucket the second-rounded time ([[tsToOracleSecond]]);
+    // tumbling windows keep the raw timestamp (date_trunc oracle semantics)
+    val evIn = if (slide.isDefined)
+      events.withColumn("ts", tsToOracleSecond(col("ts"))) else events
+    watermarked(evIn, "ts", wm)
       .filter(value.isNotNull)
       .groupBy(w.as("w") +: groupCols.map(col) :+ idx.as("idx"): _*)
       .agg(max(rank).as("r"))

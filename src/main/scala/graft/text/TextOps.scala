@@ -821,44 +821,62 @@ object TextOps {
   }
 
   /**
-   * SimHash near-dup pairs: 64-bit signature from shingle-hash bit votes;
-   * candidates share one of `64/bandBits` bands (pigeonhole: every pair with
-   * hamming < 64/bandBits is guaranteed a shared band), pre-filtered by
-   * hamming ≤ maxHamming, then verified with exact Jaccard.
+   * Near-dup pairs with a LOSSLESS blocking stage: prefix filtering
+   * (the AllPairs/PPJoin principle) generates candidates, exact shingle
+   * Jaccard verifies them — so the output is provably the full set of
+   * pairs with Jaccard ≥ `threshold`, at every corpus size.
    *
-   * Short documents have noisy vote margins — 0.95-Jaccard pairs of ~60
-   * shingles land at hamming 4-11 (measured) — so bands must be narrow
-   * (8 bits here). At billion-doc scale widen bands (16 bits) or add a
-   * second blocking key; the verify step keeps the output contract exact
-   * regardless.
+   * Through round 14 this operator blocked on SimHash bands (8-bit bands
+   * of a 64-bit vote signature, hamming ≤ maxHamming prefilter). That
+   * blocking is probabilistic: the pigeonhole bound only guarantees a
+   * shared band for hamming < 64/bandBits = 8 while qualifying pairs
+   * legitimately land anywhere (measured: one Jaccard-0.5 pair at sf0.1
+   * with hamming ∈ [8,16] shared no band and was silently dropped — the
+   * r14 sf0.1 oracle divergence, a recall hole that can only widen with
+   * corpus size). Prefix filtering closes it with a deterministic
+   * guarantee:
+   *
+   * ORDER all shingles by (global document frequency asc, shingle asc) —
+   * a total order, rarest first. For a doc with |A| shingles keep the
+   * first L(A) = |A| − ⌈t·|A|⌉ + 1 as its prefix. If J(A,B) ≥ t then
+   * |A∩B| ≥ t·max(|A|,|B|), and prefix(A) ∩ prefix(B) ≠ ∅: let w_A, w_B
+   * be the last prefix elements and wlog w_A ≤ w_B; if no common element
+   * were ≤ w_A, every common element would lie in A's suffix of size
+   * ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B| — contradiction (and symmetrically via
+   * w_B). So every qualifying pair shares a prefix shingle and survives
+   * to the exact verify. Rarest-first ordering makes the prefix join
+   * sparse (the frequent shingles that would fan out never enter a
+   * prefix); at t = 0.5 the prefix is ~half of each doc's shingles.
+   *
+   * `bandBits` / `maxHamming` are the superseded banding prefilter's
+   * knobs, retained for source compatibility (and the documented
+   * argument contract); they no longer influence the candidate set —
+   * with a lossless blocker the declared output depends only on
+   * (n, threshold).
    */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, bandBits: Int = 8, maxHamming: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
-    // a non-divisor would leave the top 64 % bandBits signature bits in NO
-    // band — pairs differing only there are silently never candidates,
-    // voiding the pigeonhole recall bound (minhashDedup guards the same
-    // invariant with numHashes % bandRows)
     require(bandBits >= 1 && bandBits <= 64 && 64 % bandBits == 0,
       s"bandBits must divide 64, got $bandBits")
     val sh = shingles(df, idCol, textCol, n).cache()
-    val h = xxhash64(col("shingle"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val voted = sh.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val simhash = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val numBands = 64 / bandBits
-    val bandMask = (1L << bandBits) - 1
-    val sigs = voted.select(col(idCol), simhash.as("simhash"))
-    val bands = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until numBands).map(k =>
-        shiftright(col("simhash"), k * bandBits).bitwiseAND(bandMask)): _*)).as(Seq("band", "key")))
-    val candidates = bands.select(col(idCol).as("a"), col("simhash").as("ha"), col("band"), col("key"))
-      .join(bands.select(col(idCol).as("b"), col("simhash").as("hb"), col("band"), col("key")),
-        Seq("band", "key"))
+    // global doc frequency per shingle: the window's hash(shingle) exchange
+    // also co-locates both sides of the prefix self-join below (the
+    // jaccardPairs device) — the ordering key costs no extra shuffle on
+    // the join path
+    val withF = sh.withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__f").asc, col("shingle").asc)
+    val ranked = withF
+      .withColumn("__r", row_number().over(byDoc))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // ⌈t·sz⌉ computed with a downward epsilon: a double product that lands
+    // an ulp HIGH would shorten the prefix (recall risk); an ulp LOW only
+    // lengthens it (extra candidates, removed by the verify)
+    val prefix = ranked.filter(
+      col("__r") <= col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+    val candidates = prefix.select(col(idCol).as("a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .select("a", "b").distinct()
     releaseOnFirstAction(verifyJaccard(candidates, df, n, idCol, textCol, threshold), sh)
   }
