@@ -222,7 +222,10 @@ object SparkEntry {
     // TWICE (once under the broadcast max, once for the rows) — every
     // co-supply consumer (kcore/mis/triangle/link predictors/degree hist)
     // paid both. One cached copy serves the max and the filter; released
-    // by the caller's first action.
+    // by the caller's FIRST action — callers that act on the result more
+    // than once should persist the RETURNED frame themselves (as
+    // graph_degree_hist does), or later actions recompute the wedge agg
+    // twice again (single-action assumption, r14 advisory).
     val shared = sp.as("a").join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("src"), col("b.s").as("dst")).agg(count(lit(1)).as("c"))
       .persist()

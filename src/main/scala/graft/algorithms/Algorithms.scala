@@ -50,8 +50,13 @@ object Algorithms {
 
   /** Row cap for the local per-source BFS state (Σ per-source
     * reachability): past it the local run aborts and the distributed loop
-    * — whose state is partitioned and disk-backed — takes over. */
-  val LocalStateMaxRows: Long = 1L << 24
+    * — whose state is partitioned and disk-backed — takes over. 2^22 rows
+    * of boxed (Long, Long, Int[, Long]) tuples ≈ 200 MB plus the
+    * LocalRelation copy `toDF` builds — the budget a default-sized driver
+    * actually has (r14's 2^24 allowed ~1 GB+ of driver state, the r14
+    * advisory); checked INSIDE the per-source round loop so an
+    * over-budget source aborts mid-flood instead of after completing. */
+  val LocalStateMaxRows: Long = 1L << 22
 
   private def localGraphGate(df: DataFrame): Long =
     df.sparkSession.conf.getOption("graft.localGraphMaxEdges")
@@ -617,16 +622,27 @@ object Algorithms {
     // where the narrow width won — tiny per-round sigma tables — is
     // exactly the at-or-under-gate regime that now runs in-JVM, and above
     // the gate the data-sized width equaled the session width anyway.
-    if (longCols(edges.select(col("src"), col("dst")), "src", "dst") &&
+    // persist-then-count (the CC device, r15): the gate count doubles as the
+    // cache fill, the local path collects FROM the cache, and the
+    // distributed loop's pre-partitioned edge cache repartitions from it —
+    // one evaluation of the (often expensive: a lineitem self-join at the
+    // graph_sigma call site) edge derivation instead of two (three when the
+    // gate failed). r14 counted the RAW derivation here, unlike every other
+    // gate — the graph_sigma remaining cost was exactly that second pass.
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e0.count()
+    if (longCols(e0, "src", "dst") &&
         longCols(sources.select(col("id")), "id") &&
-        edges.count() <= localGraphGate(edges)) {
+        eCount <= localGraphGate(edges)) {
       val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
       if (src.count() <= LocalGraphMaxVertices) {
-        val eArr = collectPairs(edges.select(col("src"), col("dst")))
+        val eArr = collectPairs(e0)
         val sArr = collectIds(src)
         src.unpersist(false)
         Local.sigmaCounts(eArr, sArr, maxIter, LocalStateMaxRows) match {
           case Some(arr) =>
+            e0.unpersist(false)
             val spark = edges.sparkSession
             import spark.implicits._
             return arr.toSeq.toDF("src", "id", "level", "sigma")
@@ -637,8 +653,9 @@ object Algorithms {
     // cached PRE-PARTITIONED on the join key: every round's expansion join
     // then reads e exchange-free from cache (InMemoryRelation preserves
     // outputPartitioning) instead of re-shuffling the full edge table once
-    // per level
-    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    // per level (filled from the e0 cache — no second derivation pass;
+    // e0 is released with the other scratch caches on the first action)
+    val e = e0.select(col("src").as("e_src"), col("dst").as("e_dst"))
       .repartition(col("e_src")).cache()
     val cutF = new Cutter; val cutV = new Cutter
     var visited = sources.select(col("id")).distinct()
@@ -690,12 +707,21 @@ object Algorithms {
         e.count() <= localGraphGate(edges)) {
       val src = sources.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
       if (src.count() <= LocalGraphMaxVertices) {
-        val eArr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        val sArr = collectIds(src)
-        e.unpersist(false); src.unpersist(false)
-        val spark = edges.sparkSession
-        import spark.implicits._
-        return Local.sssp(eArr, sArr, maxIter).toSeq.toDF("id", "dist")
+        // NULL weights fall through to the distributed loop: its semantics
+        // (dist + null → null, nulls dropped by min over mixed groups, a
+        // null dist row for null-only-reachable vertices) are not worth
+        // replicating in-JVM, and r14's getDouble here CRASHED on them —
+        // same input must behave identically above and below the gate
+        // (r15 advisory fix)
+        val rows = e.collect()
+        if (rows.forall(r => !r.isNullAt(2))) {
+          val eArr = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val sArr = collectIds(src)
+          e.unpersist(false); src.unpersist(false)
+          val spark = edges.sparkSession
+          import spark.implicits._
+          return Local.sssp(eArr, sArr, maxIter).toSeq.toDF("id", "dist")
+        }
       }
       src.unpersist(false)
     }
@@ -1299,12 +1325,18 @@ object Algorithms {
     // (wsum ≤ 0 ⇒ dangling); double-sum order parity as in [[pageRank]].
     if (longCols(e0, "src", "dst") && longCols(v, "id") &&
         m <= localGraphGate(edges) && n <= LocalGraphMaxVertices) {
-      val eArr = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      val vArr = collectIds(v)
-      e0.unpersist(false); v.unpersist(false)
-      val spark = vertices.sparkSession
-      import spark.implicits._
-      return Local.pageRankWeighted(vArr, eArr, iters, damping).toSeq.toDF("id", "rank")
+      // NULL weights fall through to the distributed loop (see [[sssp]]'s
+      // gate — r14's getDouble here crashed on a null the distributed path
+      // null-propagates through its sums; r15 advisory fix)
+      val rows = e0.collect()
+      if (rows.forall(r => !r.isNullAt(2))) {
+        val eArr = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val vArr = collectIds(v)
+        e0.unpersist(false); v.unpersist(false)
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        return Local.pageRankWeighted(vArr, eArr, iters, damping).toSeq.toDF("id", "rank")
+      }
     }
     val outW = e0.select(col("src"), col("w"))
       .groupBy(col("src").as("id")).agg(sum("w").as("wsum"))

@@ -128,9 +128,12 @@ private[graft] object Local {
         }
         frontier = next.toArray
         iter += 1
+        // cap checked per ROUND, not per completed source: one over-budget
+        // source aborts mid-flood instead of first materializing its whole
+        // reachability on the driver (r14 advisory)
+        if (out.length > maxRows) return None
       }
       if (frontier.nonEmpty) throw new Algorithms.BudgetExhausted("bfsPerSource", maxIter)
-      if (out.length > maxRows) return None
     }
     Some(out.toArray)
   }
@@ -172,9 +175,10 @@ private[graft] object Local {
         }
         frontier = next.toArray
         iter += 1
+        // per-ROUND cap check — see [[bfsPerSource]]
+        if (out.length > maxRows) return None
       }
       if (frontier.nonEmpty) throw new Algorithms.BudgetExhausted("shortestPathCounts", maxIter)
-      if (out.length > maxRows) return None
     }
     Some(out.toArray)
   }
