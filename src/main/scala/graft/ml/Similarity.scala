@@ -197,8 +197,15 @@ object Similarity {
         .cast("long").as("cell"), col("embedding").as("c_emb"))
   }
 
-  def ivfAssign(corpus: DataFrame, numCells: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, numCells)
+  def ivfAssign(corpus: DataFrame, numCells: Int): DataFrame =
+    ivfAssignWith(corpus, ivfCentroids(corpus, numCells))
+
+  /** [[ivfAssign]] against an ALREADY-derived centroid table — lets a
+    * caller that also needs the centroids themselves (query-side probe
+    * ranking in [[ivfKnn]]/[[ivfPqKnn]]) derive them ONCE instead of
+    * embedding the corpus-scan TakeOrdered subtree twice in one plan
+    * (the pqEncodeWith device, r15). */
+  def ivfAssignWith(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val ranked = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cosine(col("embedding"), col("c_emb")), 6).as("c_sim"))
@@ -209,8 +216,12 @@ object Similarity {
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // one persisted centroid table (numCells rows) serves the probe ranking
+    // AND the corpus assignment — the un-shared version ran the corpus-scan
+    // TakeOrdered derivation twice per action (r15)
     val centroids = ivfCentroids(corpus, numCells)
-    val inverted = ivfAssign(corpus, numCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = ivfAssignWith(corpus, centroids)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qw = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("cell").asc)
     val probed = q.crossJoin(broadcast(centroids))
@@ -223,7 +234,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.util.CacheLifecycle.releaseOnFirstAction(
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k),
+      centroids)
   }
 
   /**
@@ -341,18 +354,15 @@ object Similarity {
    *
    * @return (i INT, j INT, n BIGINT, cov DOUBLE) for 0 ≤ i ≤ j < dim
    */
-  def covarianceMatrix(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    require(dim >= 1, s"covarianceMatrix needs dim >= 1, got $dim")
-    val spark = corpus.sparkSession
-    val nCells = dim * (dim + 1) / 2
-    val vecs = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(vecCol))
+  /** Exact-decimal accumulation kernel for [[covarianceMatrix]] (nested in
+    * the object ⇒ static — no $outer to drag through task serialization). */
+  private[graft] object CovSum {
     // Spark CAST(double AS DECIMAL(28,12)) under this repo's ANSI session:
     // shortest-repr BigDecimal, HALF_UP to scale 12, null when non-finite
     // (measured — ANSI nulls NaN/Inf, it does not error them), but a value
     // too wide for precision 28 THROWS (NUMERIC_VALUE_OUT_OF_RANGE) — the
     // SQL path this fold replaced threw there, DuckDB's oracle cast errors
-    // there, and dec12 below throws for the same reason. Silently nulling
+    // there, and dec28 below throws for the same reason. Silently nulling
     // it would drop product terms from the sums without a trace.
     def dec28(v: Double): java.math.BigDecimal =
       if (v.isNaN || v.isInfinite) null
@@ -365,47 +375,127 @@ object Similarity {
             "matches the ANSI NUMERIC_VALUE_OUT_OF_RANGE of the cast it replicates")
         bd
       }
+    // ── scaled-long fast accumulation (r15) ────────────────────────────
+    // dec28 costs a Double.toString + parse + setScale + BigDecimal add
+    // per term (~200 ns); at dim 64 that is 2080 products/row and it
+    // DOMINATED the corpus pass (guide §1.2 step 2: per-task work). Every
+    // rounded term is an integer multiple of 1e-12, so a term with
+    // |v| < 8 is representable as a scaled long k = round_half_away(v·1e12)
+    // with |k| < 8e12, and the EXACT decimal sum is the exact integer sum
+    // of the ks (spilled into a BigDecimal bucket before a long could
+    // overflow). VALUE-equality with the dec28 path is exact, not
+    // approximate:
+    //   · dec28 rounds the SHORTEST-REPR decimal of v to scale 12 HALF_UP
+    //     (= half away from zero; sign handled by |v| symmetry);
+    //   · computing p = |v|·1e12 in double perturbs the true scaled value
+    //     by < |shortest − v|·1e12 + ulp(p) < 8·2.4e-4 ≈ 2e-3 for |v| < 8
+    //     — so whenever frac(p) is at least GuardEps = 4e-3 away from the
+    //     0.5 tie, the rounding decision in double provably equals dec28's
+    //     (near-INTEGER frac self-corrects: floor may land one low with
+    //     frac ≈ 1, and the ≥ 0.5 branch restores it);
+    //   · inside the guard band (p ≈ a tie) or at |v| ≥ 8 the term falls
+    //     back to dec28 itself — bit-exact by construction, including its
+    //     NUMERIC_VALUE_OUT_OF_RANGE throw.
+    // CovarianceSpec pins fast ≡ dec28 on adversarial values (exact ties,
+    // near-ties, ±, NaN/Inf, magnitudes across the cap).
+    val FastCap = 8.0
+    val GuardEps = 4e-3
+    val NoFast = Long.MinValue
+    def fastK(v: Double): Long = { // NoFast ⇒ caller must use dec28
+      val av = math.abs(v)
+      if (!(av < FastCap)) return NoFast // NaN-safe: NaN fails the <
+      val p = av * 1e12
+      val k0 = math.floor(p)
+      val frac = p - k0
+      if (math.abs(frac - 0.5) < GuardEps) return NoFast
+      val k = (if (frac >= 0.5) k0 + 1.0 else k0).toLong
+      if (v < 0) -k else k
+    }
+    // one accumulator slot per cell: exact long sum + BigDecimal
+    // spill/slow bucket + seen flag (a cell with no non-null term must
+    // stay NULL, and 0 ≠ null)
+    final class Acc(size: Int) extends Serializable {
+      val longs = new Array[Long](size)
+      val bds = new Array[java.math.BigDecimal](size)
+      val seen = new Array[Boolean](size)
+      private def spill(c: Int, k: Long): Unit = {
+        val b = java.math.BigDecimal.valueOf(k, 12)
+        bds(c) = if (bds(c) == null) b else bds(c).add(b)
+      }
+      def add(c: Int, v: Double): Unit = {
+        if (v.isNaN || v.isInfinite) return // null term ≡ skipped (dec28)
+        seen(c) = true
+        val k = fastK(v)
+        if (k != NoFast) {
+          val s = longs(c) + k
+          // signed-overflow test (addExact's): on breach the long drains
+          // into the BigDecimal bucket — exact integer adds, order-free
+          if (((longs(c) ^ s) & (k ^ s)) < 0L) { spill(c, longs(c)); longs(c) = k }
+          else longs(c) = s
+        } else {
+          val d = dec28(v)
+          bds(c) = if (bds(c) == null) d else bds(c).add(d)
+        }
+      }
+      def merge(o: Acc): Acc = {
+        var c = 0
+        while (c < longs.length) {
+          val k = o.longs(c)
+          val s = longs(c) + k
+          if (((longs(c) ^ s) & (k ^ s)) < 0L) { spill(c, longs(c)); longs(c) = k }
+          else longs(c) = s
+          if (o.bds(c) != null)
+            bds(c) = if (bds(c) == null) o.bds(c) else bds(c).add(o.bds(c))
+          seen(c) |= o.seen(c)
+          c += 1
+        }
+        this
+      }
+      /** exact decimal total, null when no non-null term ever landed */
+      def total(c: Int): java.math.BigDecimal =
+        if (!seen(c)) null
+        else {
+          val l = java.math.BigDecimal.valueOf(longs(c), 12)
+          if (bds(c) == null) l else bds(c).add(l)
+        }
+    }
+    final case class Partial(cells: Acc, dims: Acc, n: Long) {
+      def merge(o: Partial): Partial =
+        Partial(cells.merge(o.cells), dims.merge(o.dims), n + o.n)
+    }
+  }
+
+  def covarianceMatrix(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"covarianceMatrix needs dim >= 1, got $dim")
+    val spark = corpus.sparkSession
+    val nCells = dim * (dim + 1) / 2
+    val vecs = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol))
     def elem(a: scala.collection.Seq[Any], k: Int): Double = a(k) match {
       case null => Double.NaN // null element ≡ null product/value (skipped)
       case f: Float => f.toDouble
       case d: Double => d
       case other => other.toString.toDouble
     }
-    final case class Partial(cells: Array[java.math.BigDecimal],
-                             dims: Array[java.math.BigDecimal], n: Long) {
-      def merge(o: Partial): Partial = {
-        def comb(a: Array[java.math.BigDecimal], b: Array[java.math.BigDecimal]) = {
-          var k = 0
-          while (k < a.length) {
-            if (a(k) == null) a(k) = b(k)
-            else if (b(k) != null) a(k) = a(k).add(b(k))
-            k += 1
-          }
-          a
-        }
-        Partial(comb(cells, o.cells), comb(dims, o.dims), n + o.n)
-      }
-    }
+    import CovSum.{Acc, Partial}
     val partials = vecs.rdd.mapPartitions { it =>
-      val cells = new Array[java.math.BigDecimal](nCells)
-      val dsum = new Array[java.math.BigDecimal](dim)
+      val cells = new Acc(nCells)
+      val dsum = new Acc(dim)
       var n = 0L
+      val xs = new Array[Double](dim)
       it.foreach { row =>
         val a = row.getSeq[Any](0)
         n += 1
         var i = 0
+        while (i < dim) { xs(i) = elem(a, i); i += 1 } // unbox once per row
+        i = 0
         var base = 0
         while (i < dim) {
-          val xi = elem(a, i)
-          val di = dec28(xi)
-          if (di != null) dsum(i) = if (dsum(i) == null) di else dsum(i).add(di)
+          val xi = xs(i)
+          dsum.add(i, xi)
           var j = i
           while (j < dim) {
-            val p = dec28(xi * elem(a, j))
-            if (p != null) {
-              val c = base + (j - i)
-              cells(c) = if (cells(c) == null) p else cells(c).add(p)
-            }
+            cells.add(base + (j - i), xi * xs(j))
             j += 1
           }
           base += dim - i
@@ -423,15 +513,14 @@ object Similarity {
     // irrelevant; treeAggregate keeps the driver's merge fan-in bounded
     // when the corpus has thousands of partitions (ONE job, empty-safe)
     val t = partials.treeAggregate(
-      Partial(new Array[java.math.BigDecimal](nCells),
-        new Array[java.math.BigDecimal](dim), 0L))(_ merge _, _ merge _, depth = 2)
+      Partial(new Acc(nCells), new Acc(dim), 0L))(_ merge _, _ merge _, depth = 2)
     val rows: Seq[org.apache.spark.sql.Row] =
       if (t.n == 0L) Seq.empty
       else {
         val nD = t.n.toDouble
         for (i <- 0 until dim; j <- i until dim) yield {
           val c = i * dim - i * (i - 1) / 2 + (j - i)
-          val sxy = t.cells(c); val sxi = t.dims(i); val sxj = t.dims(j)
+          val sxy = t.cells.total(c); val sxi = t.dims.total(i); val sxj = t.dims.total(j)
           val cov: Any =
             if (sxy == null || sxi == null || sxj == null) null
             else roundHalfUp((sxy.doubleValue - sxi.doubleValue * sxj.doubleValue / nD) / nD, 6)
@@ -1078,12 +1167,17 @@ object Similarity {
                m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
     val cent = pqTrain(corpus, dim, m, ksub, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarse = ivfAssign(corpus, numCells)
+    // one persisted coarse-centroid table serves the corpus assignment AND
+    // the query probe ranking — un-shared, the corpus-scan TakeOrdered
+    // centroid derivation sat in the plan twice (r15)
+    val coarseCent = ivfCentroids(corpus, numCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = ivfAssignWith(corpus, coarseCent)
       .select(col("vec_id"), col("cell").as("ivf_cell"))
     val codes = pqEncodeWith(corpus, cent, dim, m).join(coarse, Seq("vec_id"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qw = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("ivf_cell").asc)
-    val probed = q.crossJoin(broadcast(ivfCentroids(corpus, numCells)))
+    val probed = q.crossJoin(broadcast(coarseCent))
       .select(col("q_id"), col("cell").as("ivf_cell"),
         round(cosine(col("q_emb"), col("c_emb")), 6).as("c_sim"))
       .withColumn("rk", row_number().over(qw)).filter(col("rk") <= nprobe)
@@ -1100,7 +1194,7 @@ object Similarity {
       .agg(sum(col("dm")).as("d2_micros"))
     val w = Window.partitionBy("q_id").orderBy(col("d2_micros").asc, col("vec_id").asc)
     val result = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    graft.util.CacheLifecycle.releaseOnFirstAction(result, cent)
+    graft.util.CacheLifecycle.releaseOnFirstAction(result, cent, coarseCent)
     result
   }
 }

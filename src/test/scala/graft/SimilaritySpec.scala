@@ -240,6 +240,54 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.groupBy(_.getLong(0)).values.forall(_.length <= 4))
   }
 
+  test("CovSum scaled-long fast path is value-identical to the dec28 reference") {
+    import graft.ml.Similarity.CovSum
+    // adversarial singles: exact scale-13 ties (must route to the slow
+    // path), near-ties on both sides, signs, zeros, cap boundaries,
+    // subnormals, NaN/Inf handled by the caller
+    val adversarial = Seq(
+      5e-13, -5e-13, 1.5e-12, 0.0000000000035, 0.1234567890125,
+      4.999e-13, 5.001e-13, 0.4999999999995, 0.5000000000005,
+      0.0, -0.0, 1e-13, 1e-300, Double.MinPositiveValue,
+      7.999999999999, 8.0, 8.000000001, 123.456789, 1e15, -1e15,
+      0.5193882584571838 * 0.5773653984069824, 1.0 / 3.0, math.Pi)
+    val rnd = new scala.util.Random(42)
+    val randoms = Seq.fill(200000)((rnd.nextDouble() - 0.5) * 16.0) ++
+      Seq.fill(50000)(rnd.nextLong().toDouble / 1e12) ++ // dense near scale-12 grid
+      Seq.fill(50000)((rnd.nextInt(2000000) - 1000000) / 2.0 * 1e-12) // exact ties & grid points
+    var fastHits = 0
+    for (v <- adversarial ++ randoms) {
+      val ref = CovSum.dec28(v)
+      val k = CovSum.fastK(v)
+      if (k != CovSum.NoFast) {
+        fastHits += 1
+        assert(java.math.BigDecimal.valueOf(k, 12).compareTo(ref) == 0,
+          s"fastK($v) = $k disagrees with dec28 = $ref")
+      }
+    }
+    assert(fastHits > 200000) // the fast path must actually cover the bulk
+    // end-to-end: Acc over a shuffled mix of fast/slow/NaN terms equals the
+    // pure-BigDecimal fold, including the never-seen -> null contract
+    val terms = rnd.shuffle(adversarial.filter(v => math.abs(v) < 1e16) ++
+      Seq.fill(5000)((rnd.nextDouble() - 0.5) * 16.0) ++ Seq(Double.NaN))
+    val acc = new CovSum.Acc(2)
+    var refSum: java.math.BigDecimal = null
+    for (v <- terms) {
+      acc.add(0, v)
+      val d = CovSum.dec28(v)
+      if (d != null) refSum = if (refSum == null) d else refSum.add(d)
+    }
+    assert(acc.total(0).compareTo(refSum) == 0)
+    assert(acc.total(1) == null) // untouched slot stays null, not zero
+    // spill path: 1.3M fast adds of 7.5 (k = 7.5e12) overflow a long's
+    // 9.2e18 and must drain exactly into the BigDecimal bucket
+    val big = new CovSum.Acc(1)
+    val reps = 1300000
+    for (_ <- 0 until reps) big.add(0, 7.5)
+    assert(big.total(0).compareTo(
+      new java.math.BigDecimal("7.5").multiply(new java.math.BigDecimal(reps))) == 0)
+  }
+
   test("covarianceMatrix equals the brute-force covariance on a small corpus") {
     val vecs = (0 until 7).map(i =>
       (i.toLong, Array.tabulate(4)(j => ((i * 3 + j * 5) % 11).toFloat / 11f)))
